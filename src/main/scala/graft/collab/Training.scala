@@ -1,0 +1,46 @@
+package graft.collab
+
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.sql.DataFrame
+
+/** ALS model training (ref: CollabFilterCassandra8.java:28-37 — rank=6,
+  * iterations=20, lambda=0.01, explicit feedback).
+  *
+  * Modernization: RDD-based `mllib.recommendation.ALS.train` → DataFrame
+  * `ml.recommendation.ALS` (same factorization math). We fix a seed for test
+  * determinism where the reference tolerates unseeded nondeterminism via its
+  * loose RMSE < 0.5 gate (CollabFilterTest.java:36).
+  *
+  * Scale notes: ALS partitions ratings into user/item blocks; at cluster
+  * scale set `numBlocks` ≈ executors and a checkpoint interval to cut the
+  * lineage of the 2×maxIter shuffle stages.
+  */
+object Training {
+  val DefaultRank = 6
+  val DefaultMaxIter = 20
+  val DefaultRegParam = 0.01
+
+  def train(
+      ratings: DataFrame,
+      rank: Int = DefaultRank,
+      maxIter: Int = DefaultMaxIter,
+      regParam: Double = DefaultRegParam,
+      seed: Long = 42L,
+      numBlocks: Int = 8): ALSModel = {
+    new ALS()
+      .setUserCol(Schemas.UserCol)
+      .setItemCol(Schemas.ProductCol)
+      .setRatingCol(Schemas.RatingCol)
+      .setRank(rank)
+      .setMaxIter(maxIter)
+      .setRegParam(regParam)
+      .setImplicitPrefs(false)
+      .setSeed(seed)
+      .setNumUserBlocks(numBlocks)
+      .setNumItemBlocks(numBlocks)
+      // Unseen (user, product) pairs drop from predictions, matching the
+      // mllib predict() behavior of silently omitting them (SURVEY §2.9 M2).
+      .setColdStartStrategy("drop")
+      .fit(ratings)
+  }
+}
