@@ -1,0 +1,322 @@
+package graft
+
+import graft.functions.SharedHash
+import graft.ops.{Dedup, Similarity, TextAnalysis, VectorOps}
+
+/** DuckDB oracle SQL for every SQL-expressible query in SparkEntry.queries.
+  *
+  * Determinism contract with the Spark side (see Relational/Dedup/…):
+  * identical aliases, identical fully-tie-broken ORDER BY, doubles rounded
+  * identically, integer widths cast to match Spark output types, and all
+  * sketch constants generated from the same SharedHash seeds. Vector math
+  * is emitted as left-associated term chains matching Spark's left folds.
+  */
+object OracleSql {
+
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+
+  // shared fragments ------------------------------------------------------
+  private val tokensCte =
+    "SELECT doc_id, text, lang, string_split(text, ' ') AS tokens FROM documents"
+
+  private val shinglesCase =
+    """CASE WHEN len(tokens) >= 3 THEN
+      | list_transform(range(1, CAST(len(tokens) AS BIGINT) - 1), i ->
+      |   tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
+      |ELSE [text] END""".stripMargin.replaceAll("\n", " ")
+
+  private def minhashCols: String = Dedup.minhashSeeds.zipWithIndex.map {
+    case ((a, b), k) =>
+      s"list_min(list_transform(sh, x -> ${SharedHash.duckK("x", a, b)})) AS mh_$k"
+  }.mkString(", ")
+
+  private val simhashTerms: String = (0 until Dedup.SimHashBits).map { b =>
+    s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> $b) & 1) = 1 " +
+      s"THEN 1 ELSE -1 END)) >= 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"
+  }.mkString("(", " + ", ")")
+
+  /** Left-associated dot-product chain over 1-based DOUBLE[] columns. */
+  private def dotChain(a: String, b: String): String =
+    (1 to VectorOps.Dim).map(i => s"$a[$i]*$b[$i]").mkString("(", " + ", ")")
+
+  private val embCte =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, ${dotChain("e", "e")} AS nrm FROM e)"""
+      .stripMargin.replaceAll("\n", " ")
+
+  // -----------------------------------------------------------------------
+  val sql: Map[String, String] = Map(
+
+    "q_agg_lineitem" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_prefix" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE source LIKE 'src1%' ORDER BY doc_id""".stripMargin,
+
+    "q_split_counts" ->
+      """SELECT CASE WHEN event_id % 10 < 8 THEN 'I' ELSE 'V' END AS set_tag,
+        | count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY set_tag""".stripMargin,
+
+    "q_rmse_events" ->
+      """WITH train AS (
+        |  SELECT user_id, event_type, avg(value) AS prediction
+        |  FROM events WHERE event_id % 10 < 8 GROUP BY user_id, event_type),
+        |valid AS (
+        |  SELECT user_id, event_type, value FROM events WHERE event_id % 10 >= 8)
+        |SELECT round(sqrt(avg(pow(value - prediction, 2))), 4) AS rmse
+        |FROM valid JOIN train USING (user_id, event_type)""".stripMargin,
+
+    "q_join_revenue" ->
+      """SELECT c_mktsegment,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_no_urgent FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT c_mktsegment, rk, o_orderkey, price FROM (
+        |  SELECT c_mktsegment,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk,
+        |    o_orderkey, round(o_totalprice, 2) AS price
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rk <= 2 ORDER BY c_mktsegment, rk""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 10""".stripMargin,
+
+    "q_rollup_region" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        | coalesce(n_name, 'ALL') AS nation, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY region, nation""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_setops" ->
+      """WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        |rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT custkey, 'rich_buyer' AS tag FROM
+        |  (SELECT custkey FROM rich INTERSECT SELECT custkey FROM buyers)
+        |UNION ALL
+        |SELECT custkey, 'rich_no_orders' AS tag FROM
+        |  (SELECT custkey FROM rich EXCEPT SELECT custkey FROM buyers)
+        |ORDER BY tag, custkey""".stripMargin,
+
+    "q_case_round" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_discount * 100, 1) AS disc_pct,
+        | CASE WHEN l_discount >= 0.05 THEN 'HIGH' ELSE 'LOW' END AS disc_band
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT doc_id, upper(substr(text, 1, 10)) AS head10,
+        | CAST(length(text) AS INT) AS len,
+        | concat_ws('|', lang, source) AS tag
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_date_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+        | CAST(month(o_orderdate) AS INT) AS m,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
+
+    "q_report_format" ->
+      ("SELECT event_id, printf('%d\t%s\t%s', user_id, event_type, " +
+        "CAST(round(value, 1) AS VARCHAR)) AS line " +
+        "FROM events WHERE event_id < 100 ORDER BY event_id"),
+
+    "q_having" ->
+      """SELECT event_type, round(avg(value), 4) AS avg_value, count(*) AS n
+        |FROM events GROUP BY event_type HAVING count(*) > 5
+        |ORDER BY event_type""".stripMargin,
+
+    "q_join_filtered" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | revenue FROM (
+        |  SELECT o_orderkey, o_orderdate,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01'
+        |  GROUP BY o_orderkey, o_orderdate) t
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, epoch_ns(ts) AS ns,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN prev_ns IS NULL OR ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g),
+        |per_session AS (
+        |  SELECT user_id, session_id, count(*) AS n_events
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions,
+        | round(avg(n_events), 4) AS avg_events_per_session,
+        | max(n_events) AS max_session_events
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // --- text ------------------------------------------------------------
+    "text_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        | n_chars,
+        | CAST(floor(length(text) / 4) AS BIGINT) AS bpe_est,
+        | round(length(replace(text, ' ', '')) /
+        |   len(string_split(text, ' ')), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         | round(len(list_filter(string_split(text, ' '),
+         |   t -> t IN (${inList(TextAnalysis.Stopwords)}))) /
+         |   len(string_split(text, ' ')), 4) AS stopword_ratio,
+         | round(len(list_distinct(string_split(text, ' '))) /
+         |   len(string_split(text, ' ')), 4) AS type_token_ratio,
+         | CASE WHEN n_chars < 100 THEN 'short'
+         |      WHEN n_chars > 1000 THEN 'long' ELSE 'ok' END AS length_band
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      def hits(lang: String) =
+        s"CAST(len(list_filter(tokens, t -> t IN (${inList(TextAnalysis.LangProfiles(lang))}))) AS INT)"
+      s"""WITH t AS ($tokensCte),
+         |h AS (SELECT doc_id, lang AS labeled_lang,
+         |  ${hits("en")} AS en_hits, ${hits("es")} AS es_hits,
+         |  ${hits("fr")} AS fr_hits FROM t)
+         |SELECT doc_id, labeled_lang,
+         | CASE WHEN es_hits > en_hits AND es_hits > fr_hits THEN 'es'
+         |      WHEN fr_hits > en_hits THEN 'fr' ELSE 'en' END AS predicted_lang,
+         | en_hits, es_hits, fr_hits
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp,
+         | ${SharedHash.duck48("text")} AS fp48,
+         | (${SharedHash.duck48("text")} % 1024) AS shard
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // --- dedup -----------------------------------------------------------
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "dedup_exact_keep" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |  FROM documents) t
+        |WHERE doc_id = keeper ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH tok AS ($tokensCte),
+         |sh AS (SELECT doc_id, $shinglesCase AS sh FROM tok)
+         |SELECT doc_id, $minhashCols FROM sh ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_pairs" -> {
+      val bandSelects = (0 until Dedup.NumBands).map { j =>
+        val key = (0 until Dedup.RowsPerBand)
+          .map(r => s"CAST(mh_${j * Dedup.RowsPerBand + r} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $j AS band, $key AS key FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH tok AS ($tokensCte),
+         |sh AS (SELECT doc_id, $shinglesCase AS sh FROM tok),
+         |mh AS (SELECT doc_id, $minhashCols FROM sh),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b,
+         |  round(len(list_distinct(list_intersect(sa.sh, sb.sh))) /
+         |        len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
+         |  FROM cand JOIN sh sa ON sa.doc_id = doc_a
+         |            JOIN sh sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |WHERE jaccard >= ${Dedup.JaccardThreshold}
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "dedup_jaccard_pairs" ->
+      s"""WITH tok AS ($tokensCte),
+         |sh AS (SELECT doc_id, $shinglesCase AS sh FROM tok WHERE doc_id < 200),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_distinct(list_intersect(a.sh, b.sh))) /
+         |        len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH t AS ($tokensCte),
+         |hh AS (SELECT doc_id,
+         |  list_transform(tokens, t -> ${SharedHash.duck48("t")}) AS hs FROM t)
+         |SELECT doc_id, $simhashTerms AS simhash FROM hh ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH t AS ($tokensCte),
+         |hh AS (SELECT doc_id,
+         |  list_transform(tokens, t -> ${SharedHash.duck48("t")}) AS hs
+         |  FROM t WHERE doc_id < 400),
+         |sig AS (SELECT doc_id, $simhashTerms AS simhash FROM hh)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.HammingThreshold}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // --- similarity ------------------------------------------------------
+    "ann_topk" ->
+      s"""WITH $embCte,
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |  round(${dotChain("q.e", "c.e")} / (sqrt(q.nrm) * sqrt(c.nrm)), 6) AS sim
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT q_id, c_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, c_id ASC) AS INT) AS rnk FROM p)
+         |SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "emb_dup_pairs" ->
+      s"""WITH $embCte,
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${dotChain("a.e", "b.e")} / (sqrt(a.nrm) * sqrt(b.nrm)), 6) AS sim
+         |  FROM n a JOIN n b
+         |  ON a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300)
+         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -1,13 +1,71 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SQL-expressible query has a DuckDB oracle in OracleSql (identical
+  * aliases / ordering / rounding — see the determinism contract there).
+  * Rows-only queries (no oracle): ALS (not SQL-expressible), the LSH ANN
+  * path (checked against its exact twin in tests), the custom-hash
+  * fingerprint, and the stubbed multimodal decode.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's collab-filtering pipeline (train → predict →
+    * join actual/predicted) on the sf0.001 events table. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    CollabEvents.entryFrame(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * training-data-pipeline extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational surface (SURVEY §2.2-2.8)
+    "q_agg_lineitem" -> (Relational.aggLineitem _),
+    "q_filter_prefix" -> (Relational.filterPrefix _),
+    "q_split_counts" -> (Relational.splitCounts _),
+    "q_rmse_events" -> (Relational.rmseEvents _),
+    "q_join_revenue" -> (Relational.joinRevenue _),
+    "q_semi_join" -> (Relational.semiJoin _),
+    "q_anti_join" -> (Relational.antiJoin _),
+    "q_window_topk" -> (Relational.windowTopK _),
+    "q_sort_limit" -> (Relational.sortLimit _),
+    "q_rollup_region" -> (Relational.rollupRegion _),
+    "q_distinct" -> (Relational.distinctFlags _),
+    "q_setops" -> (Relational.setOps _),
+    "q_case_round" -> (Relational.caseRound _),
+    "q_string_funcs" -> (Relational.stringFuncs _),
+    "q_date_agg" -> (Relational.dateAgg _),
+    "q_report_format" -> (Relational.reportFormat _),
+    "q_having" -> (Relational.having _),
+    "q_join_filtered" -> (Relational.joinFiltered _),
+    "q_sessionize" -> (Relational.sessionize _),
+    // text analysis
+    "text_tokens" -> (TextAnalysis.tokenStats _),
+    "text_quality" -> (TextAnalysis.qualityScore _),
+    "text_langid" -> (TextAnalysis.langId _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_rolling_fp" -> (TextAnalysis.rollingFingerprint _),
+    // dedup
+    "dedup_exact" -> (Dedup.exactGroups _),
+    "dedup_exact_keep" -> (Dedup.exactKeep _),
+    "dedup_minhash" -> (Dedup.minhashSignatures _),
+    "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
+    "dedup_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
+    "dedup_simhash" -> (Dedup.simhashSignatures _),
+    "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    // similarity search
+    "ann_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    "emb_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineDupPairs(s, d)),
+    // multimodal plumbing (decode stubbed)
+    "mm_features" -> (Multimodal.featuresQuery _),
+    // ML (ALS — not SQL-expressible, SURVEY §7.4.6)
+    "cf_als_rmse" -> ((s: SparkSession, d: String) => CollabEvents.alsRmse(s, d))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.SharedHash
+
+/** Deduplication operators over the `documents` table: exact (content hash),
+  * MinHash+LSH (shingle → signature → band → bucket join → jaccard verify),
+  * SimHash (hamming near-dup), exact n-gram jaccard, and embedding-cosine
+  * near-dup (in Similarity.scala).
+  *
+  * Scale design:
+  *   - Exact dedup is one hash-partitioned groupBy on the 128-bit digest —
+  *     the canonical 100 TB dedup pass; the digest (16 bytes) shuffles, the
+  *     document body does not.
+  *   - MinHash/LSH replaces the O(n²) pairwise scan with an O(n·bands)
+  *     explode + self-join on band buckets; only bucket collisions are
+  *     verified with the exact jaccard. All hashing is codegen'd built-ins
+  *     (md5/conv/transform/array_min) — no UDFs in the hot path.
+  *   - Signatures use the SharedHash family so the DuckDB oracle can check
+  *     them bit-for-bit (rare for sketch operators).
+  */
+object Dedup {
+  val NumMinHash = 16
+  /** 8 bands × 2 rows: P(candidate) = 1-(1-j²)^8 — 0.97 at j=0.6. */
+  val NumBands = 8
+  val RowsPerBand: Int = NumMinHash / NumBands
+  val JaccardThreshold = 0.5
+  val SimHashBits = 32
+  val HammingThreshold = 2
+
+  val minhashSeeds: IndexedSeq[(Long, Long)] = SharedHash.seeds(NumMinHash)
+
+  /** 3-token shingle expression over a `tokens` array column (docs shorter
+    * than 3 tokens fall back to the whole text as a single shingle). */
+  val shingleExpr: String =
+    """CASE WHEN size(tokens) >= 3 THEN
+      |  transform(sequence(1, size(tokens) - 2), i ->
+      |    concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1),
+      |              element_at(tokens, i + 2)))
+      |ELSE array(text) END""".stripMargin
+
+  /** doc_id + distinct-shingle array. */
+  def withShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("sh", expr(shingleExpr))
+      .select(col("doc_id"), col("text"), col("sh"))
+
+  // --- exact ---------------------------------------------------------------
+
+  /** Exact dedup groups: content digest → keeper (min id) + copy count. */
+  def exactGroups(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy(col("fp"))
+
+  /** The surviving documents after exact dedup (min doc_id per digest). */
+  def exactKeep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text")))
+    Tables.documents(s, dir)
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- MinHash + LSH -------------------------------------------------------
+
+  /** doc_id + the full MinHash signature (one column per hash function). */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val sigCols = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
+      expr(s"array_min(transform(sh, x -> ${SharedHash.sparkK("x", a, b)}))")
+        .as(s"mh_$k")
+    }
+    withShingles(s, dir)
+      .select(col("doc_id") +: sigCols: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-duplicate pairs via LSH banding + exact-jaccard verification. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(s, dir)
+    // band key = concatenated signature rows of the band
+    val bandStructs = (0 until NumBands).map { j =>
+      val keyCols = (0 until RowsPerBand)
+        .map(r => col(s"mh_${j * RowsPerBand + r}"))
+      struct(lit(j).as("band"), concat_ws("_", keyCols: _*).as("key"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sh = withShingles(s, dir).select(col("doc_id"), col("sh"))
+    cands
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --- exact n-gram jaccard (bounded pairwise, the oracle-able baseline) ---
+
+  /** Exact shingle-jaccard over all pairs of a bounded id range — the
+    * correctness baseline the LSH path approximates. The bound keeps the
+    * cross join O(subset²); the scale path is minhashPairs. */
+  def jaccardPairs(s: SparkSession, dir: String, maxId: Long = 200,
+      threshold: Double = 0.3): DataFrame = {
+    val sh = withShingles(s, dir).filter(col("doc_id") < maxId)
+      .select(col("doc_id"), col("sh"))
+    sh.toDF("doc_a", "sh_a").join(sh.toDF("doc_b", "sh_b"),
+        col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --- SimHash -------------------------------------------------------------
+
+  /** 32-bit SimHash signature expression over a `tokens` column (token
+    * multiset, ±1 per bit of the 48-bit base hash, sign-aggregated).
+    * Generated as 32 concrete terms — stays fully inside codegen. */
+  val simhashExpr: String = (0 until SimHashBits).map { b =>
+    s"""(CASE WHEN aggregate(hs, 0, (acc, h) -> acc +
+       | (CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+       | THEN shiftleft(cast(1 AS BIGINT), $b) ELSE cast(0 AS BIGINT) END)"""
+      .stripMargin.replaceAll("\n", " ")
+  }.mkString("(", " + ", ")")
+
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("hs", expr(s"transform(tokens, t -> ${SharedHash.spark48("t")})"))
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Near-dup pairs by SimHash hamming distance over a bounded id range
+    * (the full-scale path would band the signature bytes like minhashPairs;
+    * the bounded exact scan is the oracle-able baseline). */
+  def simhashPairs(s: SparkSession, dir: String, maxId: Long = 400): DataFrame = {
+    val sig = simhashSignatures(s, dir).filter(col("doc_id") < maxId)
+    sig.toDF("doc_a", "sig_a").join(sig.toDF("doc_b", "sig_b"),
+        col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= HammingThreshold)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,239 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The relational operator surface of the engine, exercised over the harness
+  * testdata. Each query maps to operators in SURVEY.md §2 (filter/projection/
+  * join/aggregate/sort of the reference) plus the standard relational algebra
+  * the reference inherits "for free" from Spark SQL (semi/anti joins, set
+  * ops, windows, rollup).
+  *
+  * Determinism rules shared with the DuckDB oracles (SparkEntry.oracleSql):
+  *   - every query ends in a fully tie-broken ORDER BY;
+  *   - double aggregates are rounded (sums to 2, means to 4–6 decimals) so
+  *     summation-order ulp drift cannot flip the compared value;
+  *   - aggregate/computed columns are aliased identically on both sides.
+  *
+  * Scale notes are per-query in the Scaladoc.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped scan+aggregate (≙ A1 global aggregate generalized to
+    * group-by). One shuffle on the two low-cardinality group keys; partial
+    * aggregation map-side makes the shuffle O(groups), not O(rows). */
+  def aggLineitem(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  /** Prefix predicate filter + projection + sort (≙ F1 `startsWith`, P2).
+    * The StartsWith predicate is pushed into the parquet scan. */
+  def filterPrefix(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter($"source".startsWith("src1"))
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+
+  /** Train/validation split counts (≙ F1 both tags + counts: 111/9 analog
+    * on the events table; split is value-derived like the reference's row
+    * tag, here event_id mod 10). */
+  def splitCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("set_tag",
+        when(pmod($"event_id", lit(10)) < 8, "I").otherwise("V"))
+      .groupBy($"set_tag").agg(count(lit(1)).as("n"))
+      .orderBy($"set_tag")
+
+  /** The reference's relational core (J1+P5+P6+A1+A2) re-expressed on the
+    * events table: predictions = per-(user, event_type) training mean,
+    * joined to the holdout split, RMSE = sqrt(avg(sq err)). Two shuffles
+    * (group-by, join) that AQE can co-plan; the aggregate returns one row. */
+  def rmseEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val train = ev.filter(pmod($"event_id", lit(10)) < 8)
+      .groupBy($"user_id", $"event_type")
+      .agg(avg($"value").as("prediction"))
+    val valid = ev.filter(pmod($"event_id", lit(10)) >= 8)
+      .select($"user_id", $"event_type", $"value")
+    valid.join(train, Seq("user_id", "event_type"), "inner")
+      .agg(round(sqrt(avg(pow($"value" - $"prediction", lit(2)))), 4).as("rmse"))
+  }
+
+  /** 3-table join + aggregate: revenue per market segment. customer and
+    * orders are orders-of-magnitude smaller than lineitem; Catalyst
+    * broadcasts below threshold, AQE re-plans above. */
+  def joinRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"c_mktsegment")
+
+  /** Left-semi join (EXISTS): orders having any high-quantity line. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir).filter($"l_quantity" > 45)
+          .select($"l_orderkey"),
+        $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+
+  /** Left-anti join (NOT EXISTS): customers with no urgent order, per
+    * nation. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_no_urgent"))
+      .orderBy($"c_nationkey")
+
+  /** Window top-k: 2 highest-value orders per market segment. Shuffles once
+    * on the partition key; rank prunes before any further processing. */
+  def windowTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 2)
+      .select($"c_mktsegment", $"rk", $"o_orderkey",
+        round($"o_totalprice", 2).as("price"))
+      .orderBy($"c_mktsegment", $"rk")
+  }
+
+  /** Global sort + limit (≙ O1 generalized): top 10 lines by price, fully
+    * tie-broken. Spark plans TakeOrderedAndProject — no global sort of the
+    * full table, each partition contributes its local top-10. */
+  def sortLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .select($"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice", 2).as("price"))
+      .limit(10)
+
+  /** ROLLUP hierarchy: customers per region/nation with subtotals. Names
+    * coalesced so the oracle compare never sorts NULLs. */
+  def rollupRegion(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+      .join(Tables.region(s, dir), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"))
+      .select(coalesce($"r_name", lit("ALL")).as("region"),
+        coalesce($"n_name", lit("ALL")).as("nation"),
+        $"n_customers")
+      .orderBy($"region", $"nation")
+
+  /** DISTINCT projection. */
+  def distinctFlags(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_linestatus").distinct()
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  /** Set operations: INTERSECT (customers who are rich AND ordered) and
+    * EXCEPT (rich customers who never ordered), tagged and unioned. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val buyers = Tables.orders(s, dir).select($"o_custkey".as("custkey")).distinct()
+    val rich = Tables.customer(s, dir).filter($"c_acctbal" > 5000)
+      .select($"c_custkey".as("custkey"))
+    rich.intersect(buyers).withColumn("tag", lit("rich_buyer"))
+      .union(rich.except(buyers).withColumn("tag", lit("rich_no_orders")))
+      .orderBy($"tag", $"custkey")
+  }
+
+  /** CASE WHEN + round (≙ F2 error flag + C1 rounding): discount banding. */
+  def caseRound(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber",
+        round($"l_discount" * 100, 1).as("disc_pct"),
+        when($"l_discount" >= 0.05, "HIGH").otherwise("LOW").as("disc_band"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+
+  /** String functions (≙ C2/C3/C7): substring, upper, length, concat_ws. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        upper(substring($"text", 1, 10)).as("head10"),
+        length($"text").as("len"),
+        concat_ws("|", $"lang", $"source").as("tag"))
+      .orderBy($"doc_id")
+
+  /** Date/time grouping: orders per calendar month. */
+  def dateAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year($"o_orderdate").as("y"), month($"o_orderdate").as("m"))
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"y", $"m")
+
+  /** Report-row formatting (≙ P7 format_string with tab layout). */
+  def reportFormat(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter($"event_id" < 100)
+      .select($"event_id",
+        format_string("%d\t%s\t%s", $"user_id", $"event_type",
+          round($"value", 1).cast("string")).as("line"))
+      .orderBy($"event_id")
+
+  /** GROUP BY + HAVING. */
+  def having(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(round(avg($"value"), 4).as("avg_value"), count(lit(1)).as("n"))
+      .filter($"n" > 5)
+      .orderBy($"event_type")
+
+  /** TPC-H Q3-shaped filtered join with timestamp predicate pushdown:
+    * unshipped high-value orders. The o_orderdate/l_shipdate filters reach
+    * the parquet scans (PushedFilters), pruning before the join. */
+  def joinFiltered(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    Tables.orders(s, dir).filter($"o_orderdate" < cutoff)
+      .join(Tables.lineitem(s, dir).filter($"l_shipdate" > cutoff),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .select($"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"), $"revenue")
+      .orderBy($"revenue".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  /** Sessionization (batch): split each user's event stream at >30 min gaps
+    * via lag + running sum, then per-user session stats. Two window passes
+    * over the same (user_id, ts) partitioning — one shuffle, reused. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapped = Tables.events(s, dir) // ts = BIGINT epoch-nanos (see Tables)
+      .withColumn("prev_ns", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ns".isNull ||
+          $"ts" - $"prev_ns" > 1800L * 1000000000L, 1).otherwise(0))
+      .withColumn("session_id", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    gapped.groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg($"n_events"), 4).as("avg_events_per_session"),
+        max($"n_events").as("max_session_events"))
+      .orderBy($"user_id")
+  }
+
+  // Spark's $"..." interpolator without a session-bound import.
+  private implicit class Str(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

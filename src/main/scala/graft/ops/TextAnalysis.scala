@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{RollingHash64, SharedHash}
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token stats, quality scoring, language-ID heuristic, fingerprinting.
+  * All are single-pass narrow transformations — no shuffle except the final
+  * presentation sort — so they scale linearly with input splits.
+  *
+  * Tokenization contract (shared with the DuckDB oracles): whitespace split
+  * on a single space, matching the synthetic `documents.text` format.
+  */
+object TextAnalysis {
+
+  /** Language profiles for the stopword-overlap language-ID heuristic.
+    * Tiny on purpose: broadcast as literals into the expression, no join. */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "y", "en", "que"),
+    "fr" -> Seq("le", "la", "de", "les", "et", "en", "que"))
+
+  val Stopwords: Seq[String] = LangProfiles("en")
+
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+
+  /** Token counting: whitespace tokens + a BPE-ish estimate (chars/4,
+    * a public rule-of-thumb for subword tokenizers). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("tokens")).as("n_tokens"),
+        col("n_chars"),
+        floor(length(col("text")) / lit(4)).cast("bigint").as("bpe_est"),
+        round(length(regexp_replace(col("text"), " ", "")) /
+          size(col("tokens")), 4).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: stopword ratio, type-token ratio, length band —
+    * the standard cheap heuristics for corpus filtering. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tokens")))
+      .withColumn("stop_hits",
+        expr(s"size(filter(tokens, t -> t IN (${inList(Stopwords)})))"))
+      .select(col("doc_id"),
+        round(col("stop_hits") / col("n_tokens"), 4).as("stopword_ratio"),
+        round(expr("size(array_distinct(tokens))") / col("n_tokens"), 4)
+          .as("type_token_ratio"),
+        when(col("n_chars") < 100, "short")
+          .when(col("n_chars") > 1000, "long")
+          .otherwise("ok").as("length_band"))
+      .orderBy(col("doc_id"))
+
+  /** Language ID: stopword-profile overlap scoring. Deterministic
+    * tie-break: en unless another profile strictly wins. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("en_hits", expr(s"size(filter(tokens, t -> t IN (${inList(LangProfiles("en"))})))"))
+      .withColumn("es_hits", expr(s"size(filter(tokens, t -> t IN (${inList(LangProfiles("es"))})))"))
+      .withColumn("fr_hits", expr(s"size(filter(tokens, t -> t IN (${inList(LangProfiles("fr"))})))"))
+    d.select(col("doc_id"), col("lang").as("labeled_lang"),
+      when(col("es_hits") > col("en_hits") && col("es_hits") > col("fr_hits"), "es")
+        .when(col("fr_hits") > col("en_hits"), "fr")
+        .otherwise("en").as("predicted_lang"),
+      col("en_hits"), col("es_hits"), col("fr_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting via the shared md5-derived 48-bit hash +
+    * a shard bucket — the partitioning key a 100 TB dedup pass would
+    * repartition on. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(col("text")).as("fp"),
+        expr(SharedHash.spark48("text")).as("fp48"),
+        expr(s"pmod(${SharedHash.spark48("text")}, 1024)").as("shard"))
+      .orderBy(col("doc_id"))
+
+  /** Fingerprinting via the native codegen RollingHash64 expression —
+    * cheap-hash variant of `fingerprint` (no oracle: the hash is ours). */
+  def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    RollingHash64.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("rolling_hash64(text)").as("fp64"),
+        expr("pmod(rolling_hash64(text), 1024)").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+}
