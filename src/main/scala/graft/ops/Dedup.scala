@@ -40,12 +40,14 @@ object Dedup {
       |              element_at(tokens, i + 2)))
       |ELSE array(text) END""".stripMargin
 
-  /** doc_id + distinct-shingle array. */
+  /** doc_id + shingle array + base-hash array (md5 once per shingle — the
+    * hash family then reuses `hs`, not 1 md5 per family member). */
   def withShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("tokens", split(col("text"), " "))
       .withColumn("sh", expr(shingleExpr))
-      .select(col("doc_id"), col("text"), col("sh"))
+      .withColumn("hs", expr(s"transform(sh, x -> ${SharedHash.spark48("x")})"))
+      .select(col("doc_id"), col("text"), col("sh"), col("hs"))
 
   // --- exact ---------------------------------------------------------------
 
@@ -72,7 +74,7 @@ object Dedup {
   /** doc_id + the full MinHash signature (one column per hash function). */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val sigCols = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
-      expr(s"array_min(transform(sh, x -> ${SharedHash.sparkK("x", a, b)}))")
+      expr(s"array_min(transform(hs, h -> pmod($a * pmod(h, ${SharedHash.P}) + $b, ${SharedHash.P})))")
         .as(s"mh_$k")
     }
     withShingles(s, dir)

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input shape for streaming ops: the events table as a stream. */
+final case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Emitted when a user session closes (gap > sessionGap or watermark). */
+final case class SessionSummary(user_id: Long, n_events: Long,
+    start_ms: Long, end_ms: Long, total_value: Double)
+
+private final case class SessionState(n: Long, startMs: Long, endMs: Long,
+    total: Double)
+
+/** Structured Streaming surface: the streaming twins of the batch operators
+  * (windowed aggregation with watermark; stateful sessionization via
+  * flatMapGroupsWithState). The reference declares spark-streaming but never
+  * uses it (SURVEY §2.11); these are the extensions a live events pipeline
+  * needs, built on the engine's own semantics so the batch queries in
+  * Relational are their replayable equivalents.
+  *
+  * Scale notes: state is partitioned by user_id (keyed state store);
+  * watermark bounds state size — late data beyond 1 h is dropped rather
+  * than accumulating unbounded state. Output is append-mode so sinks see
+  * only finalized windows/sessions.
+  */
+object StreamingOps {
+
+  /** Tumbling-window per-type counts with a 1 h watermark. */
+  def windowedTypeCounts(events: DataFrame, window_ : String = "10 minutes")
+      : DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Stateful sessionization: sessions close after `gapMinutes` of event-time
+    * inactivity. Event-time timeouts (not processing-time) make emission
+    * deterministic and replay-safe: a session closes either in-batch (a later
+    * event arrives past the gap) or when the watermark passes its end + gap.
+    * The batch analog is Relational.sessionize. */
+  def sessionize(events: Dataset[StreamEvent], gapMinutes: Int = 30)
+      : Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[StreamEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, s.n, s.startMs, s.endMs, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionSummary]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(SessionState(s.n + 1, s.startMs, t, s.total + e.value))
+                case Some(s) =>
+                  closed += SessionSummary(userId, s.n, s.startMs, s.endMs, s.total)
+                  cur = Some(SessionState(1, t, t, e.value))
+                case None =>
+                  cur = Some(SessionState(1, t, t, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming dedup: drop events whose key was already seen inside the
+    * watermark horizon (`dropDuplicatesWithinWatermark` — bounded state). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+}

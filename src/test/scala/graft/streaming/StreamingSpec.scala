@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String, v: Double) =
+    StreamEvent(id, new Timestamp(1700000000000L + minute * 60000L), user, typ, v)
+
+  test("windowed counts with watermark emit finalized windows") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.windowedTypeCounts(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(1, 0, 1, "click", 1.0), ev(2, 5, 1, "click", 2.0),
+        ev(3, 7, 2, "view", 3.0))
+      q.processAllAvailable()
+      // advance event time far past watermark to close the first window
+      input.addData(ev(4, 300, 1, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_type, n, total_value FROM win_counts ORDER BY event_type")
+        .collect()
+      assert(rows.map(_.getString(0)).toSeq === Seq("click", "view"))
+      assert(rows(0).getLong(1) === 2)
+      assert(rows(0).getDouble(2) === 3.0)
+      assert(rows(1).getLong(1) === 1)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions at the gap") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 10 min apart (one session), then one 2 h later
+      // (closes the first session within the same batch's sort)
+      input.addData(ev(1, 0, 1, "click", 1.0), ev(2, 10, 1, "click", 2.0),
+        ev(3, 130, 1, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sessions").as[SessionSummary].collect()
+      assert(rows.length === 1, "first session closed by the in-batch gap")
+      assert(rows(0).n_events === 2)
+      assert(rows(0).total_value === 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated keys within the watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(1, 0, 1, "click", 1.0), ev(2, 1, 1, "click", 9.0),
+        ev(3, 2, 2, "view", 3.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM deduped").head().getLong(0) === 2)
+    } finally q.stop()
+  }
+}
