@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for selected queries — the plan-review
+  * surface: check PushedFilters, broadcast choices, and WholeStageCodegen
+  * spans. `sbt "runMain graft.tools.ExplainAll [sfDir] [name...]"` */
+object ExplainAll {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSet else Set(
+      "q_agg_lineitem", "q_filter_prefix", "q_join_revenue", "q_sort_limit",
+      "q_join_filtered", "q_sessionize", "dedup_exact", "ann_topk")
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-explain")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries.filter(q => names(q._1)).foreach {
+      case (name, fn) =>
+        println(s"\n========== $name ==========")
+        fn(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
