@@ -121,6 +121,11 @@ object OracleSql {
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_setops" ->
       """WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
         |rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)

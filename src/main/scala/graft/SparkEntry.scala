@@ -33,6 +33,8 @@ object SparkEntry {
     "q_sort_limit" -> (Relational.sortLimit _),
     "q_rollup_region" -> (Relational.rollupRegion _),
     "q_distinct" -> (Relational.distinctFlags _),
+    "q_count_distinct" -> (Relational.countDistinctParts _),
+    "q_approx_distinct" -> (Relational.approxDistinctParts _),
     "q_setops" -> (Relational.setOps _),
     "q_case_round" -> (Relational.caseRound _),
     "q_string_funcs" -> (Relational.stringFuncs _),
@@ -58,6 +60,7 @@ object SparkEntry {
     // similarity search
     "ann_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "emb_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineDupPairs(s, d)),
     // multimodal plumbing (decode stubbed)
     "mm_features" -> (Multimodal.featuresQuery _),

@@ -136,6 +136,23 @@ object Relational {
         $"n_customers")
       .orderBy($"region", $"nation")
 
+  /** Exact distinct-count aggregate (expand + two-phase aggregation). */
+  def countDistinctParts(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(count_distinct($"l_partkey").as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+
+  /** HLL sketch distinct count — the O(1)-memory scale path for the exact
+    * variant above (no oracle: sketch internals are engine-specific;
+    * accuracy asserted against the exact count in RelationalSpec). */
+  def approxDistinctParts(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+      .orderBy($"l_returnflag")
+
   /** DISTINCT projection. */
   def distinctFlags(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

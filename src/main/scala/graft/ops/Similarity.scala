@@ -42,10 +42,15 @@ object Similarity {
     IndexedSeq.fill(NumPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
   }
 
-  private def embedded(s: SparkSession, dir: String): DataFrame =
+  /** All vector math below uses the native codegen vec_dot expression; its
+    * accumulation order is bit-identical to the HOF fold and the oracle's
+    * term chain (see VecDotImpl), so oracle hash-matches are preserved. */
+  private def embedded(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecDot.register(s)
     Tables.embeddings(s, dir)
       .withColumn("e", expr("cast(embedding AS ARRAY<DOUBLE>)"))
-      .withColumn("nrm", expr(norm2Expr("e")))
+      .withColumn("nrm", expr("vec_dot(e, e)"))
+  }
 
   /** Exact cosine top-k: for each query vector (vec_id < numQueries), the k
     * nearest neighbors by cosine similarity. The query side is broadcast;
@@ -61,7 +66,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("c_id").asc)
     broadcast(q).join(c, col("q_id") =!= col("c_id"))
       .withColumn("sim", round(
-        expr(dotExpr("qe", "ce")) / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+        expr("vec_dot(qe, ce)") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
@@ -71,8 +76,7 @@ object Similarity {
   /** doc-side LSH signature: bucket int from the sign bits of plane dots. */
   private def withBuckets(e: DataFrame): DataFrame = {
     val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      when(expr(dotExpr("e", s"pl_$i")) > 0, 1 << i).otherwise(0)
+      when(expr(s"vec_dot(e, pl_$i)") > 0, 1 << i).otherwise(0)
     }
     val withPlanes = planes.zipWithIndex.foldLeft(e) { case (df, (p, i)) =>
       df.withColumn(s"pl_$i", array(p.map(v => lit(v)): _*))
@@ -110,11 +114,61 @@ object Similarity {
       .select(col("q_id"), col("qe"), col("qn"), col("c_id"), col("ce"), col("cn"))
       .distinct()
       .withColumn("sim", round(
-        expr(dotExpr("qe", "ce")) / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+        expr("vec_dot(qe, ce)") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: k-means coarse quantizer (seeded
+    * ml.KMeans), vectors assigned to their nearest centroid, queries probe
+    * the `nProbe` nearest cells and score only those candidates. The
+    * centroid count scales with √N; candidates per query drop from N to
+    * ~N·nProbe/nCells — the standard billion-vector recipe. */
+  def ivfTopK(s: SparkSession, dir: String, k: Int = 5, numQueries: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val e = embedded(s, dir)
+      .withColumn("fv", array_to_vector(col("e")))
+      .cache()
+    // a coarse quantizer needs rough cells, not convergence — cap sweeps
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+
+    // tiny centroid table, broadcast into the probe ranking
+    import s.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+    val q = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist2").asc, col("cell").asc)
+    val probes = broadcast(q).crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        expr("vec_dot(qe, qe) - 2 * vec_dot(qe, centroid) + vec_dot(centroid, centroid)"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("qe"), col("qn"), col("cell"))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    val out = broadcast(probes)
+      .join(assigned.withColumnRenamed("vec_id", "c_id")
+        .withColumnRenamed("e", "ce").withColumnRenamed("nrm", "cn"), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(
+        expr("vec_dot(qe, ce)") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+    e.unpersist()
+    out
   }
 
   /** Embedding-cosine near-duplicate pairs over a bounded id range (exact,
@@ -126,7 +180,7 @@ object Similarity {
     e.toDF("id_a", "e_a", "n_a").join(e.toDF("id_b", "e_b", "n_b"),
         col("id_a") < col("id_b"))
       .withColumn("sim", round(
-        expr(dotExpr("e_a", "e_b")) / (sqrt(col("n_a")) * sqrt(col("n_b"))), 6))
+        expr("vec_dot(e_a, e_b)") / (sqrt(col("n_a")) * sqrt(col("n_b"))), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
       .orderBy(col("id_a"), col("id_b"))

@@ -47,6 +47,16 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct within its 2% rsd band of the exact count") {
+    val exact = Relational.countDistinctParts(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Relational.approxDistinctParts(spark, dir).collect().foreach { r =>
+      val (flag, approx) = (r.getString(0), r.getLong(1))
+      val rel = math.abs(approx - exact(flag)).toDouble / exact(flag)
+      assert(rel < 0.1, s"$flag: approx=$approx exact=${exact(flag)} rel=$rel")
+    }
+  }
+
   test("semi + anti join partition orders-with/without-urgent customers") {
     val withU = Tables.customer(spark, dir).join(
       Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
@@ -128,6 +138,26 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     // hyperplane LSH with 4 probes on random data: expect partial recall
     assert(recall > 0.2, s"LSH recall too low: $recall")
+  }
+
+  test("vec_dot (codegen) is bit-identical to the HOF fold") {
+    graft.functions.VecDot.register(spark)
+    val pairs = Tables.embeddings(spark, dir).limit(50)
+      .withColumn("e", expr("cast(embedding AS ARRAY<DOUBLE>)"))
+      .select(
+        expr("vec_dot(e, e)").as("native"),
+        expr(VectorOps.norm2Expr("e")).as("hof"))
+      .collect()
+    pairs.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("IVF top-k recall vs exact baseline beats the random-candidate rate") {
+    def keyset(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = keyset(Similarity.bruteForceTopK(spark, dir).collect())
+    val approx = keyset(Similarity.ivfTopK(spark, dir).collect())
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.25, s"IVF recall (nprobe=4/16 cells): $recall")
   }
 
   test("cosine dup pairs are symmetric-free and above threshold") {
