@@ -194,6 +194,22 @@ object OracleSql {
         | max(n_events) AS max_session_events
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // independent cross-check: our union+window composition vs DuckDB's
+    // native ASOF JOIN operator
+    "q_asof_join" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, max_by(value, event_id) AS prior_value
+        |  FROM events WHERE event_id % 10 < 8 GROUP BY user_id, ts),
+        |l AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_id % 10 >= 8)
+        |SELECT l.event_id, l.user_id, l.value,
+        | r.prior_value AS asof_prior_value,
+        | round(l.value - r.prior_value, 4) AS drift
+        |FROM l ASOF JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
     // --- text ------------------------------------------------------------
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

@@ -43,6 +43,7 @@ object SparkEntry {
     "q_having" -> (Relational.having _),
     "q_join_filtered" -> (Relational.joinFiltered _),
     "q_sessionize" -> (Relational.sessionize _),
+    "q_asof_join" -> (AsOfJoin.eventsAsOf _),
     // text analysis
     "text_tokens" -> (TextAnalysis.tokenStats _),
     "text_quality" -> (TextAnalysis.qualityScore _),

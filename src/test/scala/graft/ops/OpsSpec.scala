@@ -68,6 +68,47 @@ class RelationalSpec extends SparkSpec {
   }
 }
 
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join: latest prior (inclusive) right row per left row") {
+    val right = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 5L, 50.0))
+      .toDF("user_id", "ts", "v")
+    val left = Seq(
+      (101L, 1L, 15L), // matches right ts=10
+      (102L, 1L, 20L), // tie -> inclusive match ts=20
+      (103L, 1L, 99L), // matches ts=20
+      (104L, 2L, 4L),  // before any right row -> dropped (inner)
+      (105L, 3L, 50L)  // no right rows for user 3 -> dropped
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.asofJoin(left, right, Seq("user_id"), "ts", "v")
+      .orderBy("event_id").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(101L, 102L, 103L))
+    assert(out.map(_.getDouble(3)).toSeq === Seq(100.0, 200.0, 200.0))
+  }
+
+  test("asof join outer keeps unmatched left rows with null") {
+    val right = Seq((1L, 10L, 100.0)).toDF("user_id", "ts", "v")
+    val left = Seq((101L, 1L, 5L), (102L, 1L, 15L))
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.asofJoin(left, right, Seq("user_id"), "ts", "v",
+      inner = false).orderBy("event_id").collect()
+    assert(out.length === 2)
+    assert(out(0).isNullAt(3))
+    assert(out(1).getDouble(3) === 100.0)
+  }
+
+  test("events asof query: drift = value - prior, matched rows only") {
+    val rows = AsOfJoin.eventsAsOf(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.take(20).foreach { r =>
+      val drift = BigDecimal(r.getDouble(2) - r.getDouble(3))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) === drift)
+    }
+  }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
   private val dir = "/root/testdata/sf0.001"
