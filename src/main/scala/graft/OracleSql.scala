@@ -194,6 +194,13 @@ object OracleSql {
         | max(n_events) AS max_session_events
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // the oracle is the PLAIN group-by: identical results prove the salted
+    // two-phase shuffle layout is semantically transparent
+    "q_salted_agg" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total,
+        | round(round(sum(value), 2) / count(*), 4) AS mean
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // independent cross-check: our union+window composition vs DuckDB's
     // native ASOF JOIN operator
     "q_asof_join" ->

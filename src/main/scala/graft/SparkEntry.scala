@@ -44,6 +44,7 @@ object SparkEntry {
     "q_join_filtered" -> (Relational.joinFiltered _),
     "q_sessionize" -> (Relational.sessionize _),
     "q_asof_join" -> (AsOfJoin.eventsAsOf _),
+    "q_salted_agg" -> (Skew.saltedUserAgg _),
     // text analysis
     "text_tokens" -> (TextAnalysis.tokenStats _),
     "text_quality" -> (TextAnalysis.qualityScore _),

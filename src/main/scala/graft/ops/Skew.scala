@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for hot-key aggregation.
+  *
+  * A plain groupBy on a skewed key sends every row of the hot key to one
+  * reducer. Salting splits each key into `buckets` sub-keys, aggregates
+  * partially per (key, salt) — spreading the hot key across `buckets`
+  * reducers — then combines the partials in a second, tiny aggregation.
+  * The result is identical to the unsalted aggregate (the oracle for
+  * q_salted_agg is the plain SQL GROUP BY), only the shuffle layout
+  * changes.
+  *
+  * Note: Spark's map-side partial aggregation already handles *moderate*
+  * skew; explicit salting matters when the distinct-value state per key is
+  * large (collect_set-like aggregates) or when AQE skew handling cannot
+  * split a single reducer's hash group — this utility is the pattern for
+  * those cases, kept correct by construction (sum/count decomposition).
+  */
+object Skew {
+
+  /** Two-phase salted sum/count/avg per key. Deterministic salt (hash of a
+    * row-unique column mod buckets) so results are replayable. */
+  def saltedAgg(df: DataFrame, key: String, valueCol: String,
+      uniqueCol: String, buckets: Int = 8): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(col(uniqueCol)), lit(buckets)))
+    val partial = salted.groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+    // mean is derived from the ROUNDED total: salting reorders float
+    // additions, so the raw sums can differ from an unsalted plan by ulps;
+    // rounding first gives both (and the oracle) identical quotient inputs
+    partial.groupBy(col(key))
+      .agg(sum(col("__psum")).as("__sum"), sum(col("__pcnt")).as("n"))
+      .select(col(key), col("n"),
+        round(col("__sum"), 2).as("total"),
+        round(round(col("__sum"), 2) / col("n"), 4).as("mean"))
+  }
+
+  /** Harness query: salted per-user aggregate over events; oracle is the
+    * plain GROUP BY — identical results prove salting is transparent. */
+  def saltedUserAgg(s: SparkSession, dir: String): DataFrame =
+    saltedAgg(Tables.events(s, dir), "user_id", "value", "event_id")
+      .orderBy(col("user_id"))
+}

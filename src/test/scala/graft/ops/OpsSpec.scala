@@ -47,6 +47,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("salted aggregation equals the plain group-by") {
+    val salted = Skew.saltedUserAgg(spark, dir).collect()
+    val plain = Tables.events(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
+        round(round(sum(col("value")), 2) / count(lit(1)), 4).as("mean"))
+      .orderBy(col("user_id")).collect()
+    assert(salted.length === plain.length)
+    salted.zip(plain).foreach { case (s, p) =>
+      assert(s.getLong(0) === p.getLong(0))
+      assert(s.getLong(1) === p.getLong(1))
+      assert(s.getDouble(2) === p.getDouble(2))
+      assert(s.getDouble(3) === p.getDouble(3))
+    }
+  }
+
   test("approx_count_distinct within its 2% rsd band of the exact count") {
     val exact = Relational.countDistinctParts(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

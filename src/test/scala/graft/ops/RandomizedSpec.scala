@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.collab.Validation
+import scala.util.Random
+
+/** Seeded randomized tests pitting distributed operators against naive
+  * in-memory reference implementations (the ScalaCheck-style depth of
+  * SURVEY §5.3, deterministic via fixed seeds). */
+class RandomizedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin equals a naive per-row scan on random data (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val right = (1 to 60).map(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong * 2, rnd.nextInt(1000) / 10.0))
+        .distinct
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique (key, ts)
+      val left = (1 to 40).map(i =>
+        (100L + i, rnd.nextInt(6).toLong, rnd.nextInt(90).toLong))
+
+      val naive = left.flatMap { case (id, k, t) =>
+        val prior = right.filter(r => r._1 == k && r._2 <= t)
+        if (prior.isEmpty) None
+        else Some((id, prior.maxBy(_._2)._3))
+      }.toMap
+
+      val out = AsOfJoin.asofJoin(
+        left.toDF("event_id", "user_id", "ts"),
+        right.toDF("user_id", "ts", "v"),
+        Seq("user_id"), "ts", "v").collect()
+        .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+
+      assert(out === naive, s"seed=$seed")
+    }
+  }
+
+  test("distributed RMSE equals naive computation on random data (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 100)
+      val pairs = (1 to 50).map(i =>
+        (i / 7, i % 7, rnd.nextInt(50) / 10.0, rnd.nextInt(50) / 10.0))
+      val valid = pairs.map(p => (p._1, p._2, p._3)).toDF("user", "product", "rating")
+      val preds = pairs.map(p => (p._1, p._2, p._4)).toDF("user", "product", "prediction")
+      val naive = math.sqrt(
+        pairs.map(p => math.pow(p._3 - p._4, 2)).sum / pairs.length)
+      val got = Validation.validate(preds, valid)
+      assert(math.abs(got - naive) < 1e-9, s"seed=$seed: $got vs $naive")
+    }
+  }
+
+  test("salted agg equals plain agg on adversarially skewed data") {
+    // 90% of rows on one hot key
+    val rnd = new Random(7)
+    val rows = (1 to 2000).map { i =>
+      val k = if (rnd.nextInt(10) < 9) 1L else rnd.nextInt(20).toLong
+      (i.toLong, k, rnd.nextInt(10000) / 100.0)
+    }
+    val df = rows.toDF("event_id", "user_id", "value")
+    val salted = Skew.saltedAgg(df, "user_id", "value", "event_id")
+      .orderBy("user_id").collect()
+    val naive = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (k, rs) =>
+      (k, rs.length.toLong,
+        BigDecimal(rs.map(_._3).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(salted.length === naive.length)
+    salted.zip(naive).foreach { case (s, (k, n, total)) =>
+      assert(s.getLong(0) === k)
+      assert(s.getLong(1) === n)
+      assert(math.abs(s.getDouble(2) - total) < 1e-6)
+    }
+  }
+}
