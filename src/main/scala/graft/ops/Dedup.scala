@@ -71,20 +71,25 @@ object Dedup {
 
   // --- MinHash + LSH -------------------------------------------------------
 
-  /** doc_id + the full MinHash signature (one column per hash function). */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  private def signaturesFrom(shingled: DataFrame): DataFrame = {
     val sigCols = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
       expr(s"array_min(transform(hs, h -> pmod($a * pmod(h, ${SharedHash.P}) + $b, ${SharedHash.P})))")
         .as(s"mh_$k")
     }
-    withShingles(s, dir)
-      .select(col("doc_id") +: sigCols: _*)
-      .orderBy(col("doc_id"))
+    shingled.select(col("doc_id") +: sigCols: _*)
   }
 
-  /** Near-duplicate pairs via LSH banding + exact-jaccard verification. */
+  /** doc_id + the full MinHash signature (one column per hash function). */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    signaturesFrom(withShingles(s, dir)).orderBy(col("doc_id"))
+
+  /** Near-duplicate pairs via LSH banding + exact-jaccard verification.
+    * The shingled frame is cached: it feeds the band build once and the
+    * verify join twice — uncached, the tokenize+shingle+md5 pass would run
+    * 3x (the dominant cost; candidates are few by construction). */
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(s, dir)
+    val shingled = withShingles(s, dir).cache()
+    val sigs = signaturesFrom(shingled)
     // band key = concatenated signature rows of the band
     val bandStructs = (0 until NumBands).map { j =>
       val keyCols = (0 until RowsPerBand)
@@ -101,7 +106,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sh = withShingles(s, dir).select(col("doc_id"), col("sh"))
+    val sh = shingled.select(col("doc_id"), col("sh"))
     cands
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
