@@ -32,6 +32,9 @@ object SparkEntry {
     "q_window_topk" -> (Relational.windowTopK _),
     "q_sort_limit" -> (Relational.sortLimit _),
     "q_rollup_region" -> (Relational.rollupRegion _),
+    "q_cube" -> (Relational.cubeOrders _),
+    "q_json" -> (Relational.jsonExtract _),
+    "q_pivot" -> (Relational.pivotEvents _),
     "q_distinct" -> (Relational.distinctFlags _),
     "q_count_distinct" -> (Relational.countDistinctParts _),
     "q_approx_distinct" -> (Relational.approxDistinctParts _),

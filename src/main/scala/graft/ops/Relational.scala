@@ -136,6 +136,40 @@ object Relational {
         $"n_customers")
       .orderBy($"region", $"nation")
 
+  /** CUBE over two dimensions with subtotals on every grouping set. */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        $"n", $"total")
+      .orderBy($"priority", $"status")
+
+  /** JSON extraction from the events props column (semi-structured path:
+    * the JSONPath evaluates inside codegen, no UDF). */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k_val", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k_val").as("k_sum"),
+        round(avg($"k_val"), 4).as("k_avg"))
+      .orderBy($"event_type")
+
+  /** PIVOT: events per user fanned out to one column per type. The value
+    * list is explicit so the output schema is static (required both for
+    * the oracle compare and for a sane plan — no distinct-scan first). */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    pivoted.select($"user_id" +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy($"user_id")
+  }
+
   /** Exact distinct-count aggregate (expand + two-phase aggregation). */
   def countDistinctParts(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
