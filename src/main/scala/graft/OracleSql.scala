@@ -238,6 +238,20 @@ object OracleSql {
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
 
+    "q_window_running" ->
+      """SELECT c_mktsegment, o_orderkey, price, rnk, running_total, next_order
+        |FROM (
+        |  SELECT c_mktsegment, o_orderkey,
+        |    round(o_totalprice, 2) AS price,
+        |    CAST(rank() OVER w AS INT) AS rnk,
+        |    round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW), 2) AS running_total,
+        |    lead(o_orderkey, 1) OVER w AS next_order
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WINDOW w AS (PARTITION BY c_mktsegment
+        |               ORDER BY o_totalprice DESC, o_orderkey ASC)) t
+        |WHERE rnk <= 5 ORDER BY c_mktsegment, rnk""".stripMargin,
+
     // --- text ------------------------------------------------------------
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -277,6 +291,11 @@ object OracleSql {
          | ${SharedHash.duck48("text")} AS fp48,
          | (${SharedHash.duck48("text")} % 1024) AS shard
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_vocab" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
 
     // --- dedup -----------------------------------------------------------
     "dedup_exact" ->
@@ -328,6 +347,16 @@ object OracleSql {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_editdist" ->
+      """WITH heads AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS head
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.head, b.head) AS INT) AS dist
+        |FROM heads a JOIN heads b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH t AS ($tokensCte),

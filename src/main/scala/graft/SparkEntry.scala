@@ -46,6 +46,7 @@ object SparkEntry {
     "q_having" -> (Relational.having _),
     "q_join_filtered" -> (Relational.joinFiltered _),
     "q_sessionize" -> (Relational.sessionize _),
+    "q_window_running" -> (Relational.windowRunning _),
     "q_asof_join" -> (AsOfJoin.eventsAsOf _),
     "q_salted_agg" -> (Skew.saltedUserAgg _),
     // text analysis
@@ -53,6 +54,7 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_vocab" -> ((s: SparkSession, d: String) => TextAnalysis.vocabulary(s, d)),
     "text_rolling_fp" -> (TextAnalysis.rollingFingerprint _),
     // dedup
     "dedup_exact" -> (Dedup.exactGroups _),
@@ -61,6 +63,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
     "dedup_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
     "dedup_simhash" -> (Dedup.simhashSignatures _),
+    "dedup_editdist" -> ((s: SparkSession, d: String) => Dedup.editDistancePairs(s, d)),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // similarity search
     "ann_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),

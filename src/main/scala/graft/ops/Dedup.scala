@@ -137,6 +137,22 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Edit-distance near-dup pairs over document heads (bounded id range —
+    * levenshtein is O(len²) per pair, so the scale path always gates it
+    * behind a cheap candidate filter like minhashPairs; this is the exact
+    * verify primitive). */
+  def editDistancePairs(s: SparkSession, dir: String, maxId: Long = 150,
+      headLen: Int = 40, maxDist: Int = 10): DataFrame = {
+    val heads = Tables.documents(s, dir).filter(col("doc_id") < maxId)
+      .select(col("doc_id"), substring(col("text"), 1, headLen).as("head"))
+    heads.toDF("doc_a", "head_a").join(heads.toDF("doc_b", "head_b"),
+        col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("head_a"), col("head_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // --- SimHash -------------------------------------------------------------
 
   /** 32-bit SimHash signature expression over a `tokens` column (token

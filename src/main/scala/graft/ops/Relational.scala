@@ -261,6 +261,24 @@ object Relational {
       .limit(10)
   }
 
+  /** Window-function sweep in one pass: running sum, rank, and lead over a
+    * single (partition, order) — one shuffle serves all three frames. */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val running = w.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderkey",
+        round($"o_totalprice", 2).as("price"),
+        rank().over(w).as("rnk"),
+        round(sum($"o_totalprice").over(running), 2).as("running_total"),
+        lead($"o_orderkey", 1).over(w).as("next_order"))
+      .filter($"rnk" <= 5)
+      .orderBy($"c_mktsegment", $"rnk")
+  }
+
   /** Sessionization (batch): split each user's event stream at >30 min gaps
     * via lag + running sum, then per-user session stats. Two window passes
     * over the same (user_id, ts) partitioning — one shuffle, reused. */

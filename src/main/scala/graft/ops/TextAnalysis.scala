@@ -82,6 +82,17 @@ object TextAnalysis {
         expr(s"pmod(${SharedHash.spark48("text")}, 1024)").as("shard"))
       .orderBy(col("doc_id"))
 
+  /** Vocabulary extraction: explode tokens → global frequency ranking.
+    * The generator (explode) is partition-local; only (token, partial
+    * count) pairs shuffle — the classic wordcount shape, which is how a
+    * tokenizer vocabulary is actually built at corpus scale. */
+  def vocabulary(s: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topK)
+
   /** Fingerprinting via the native codegen RollingHash64 expression —
     * cheap-hash variant of `fingerprint` (no oracle: the hash is ours). */
   def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
