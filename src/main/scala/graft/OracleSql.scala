@@ -142,6 +142,18 @@ object OracleSql {
       s"SELECT user_id, $cols FROM events GROUP BY user_id ORDER BY user_id"
     },
 
+    "q_percentile" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 4) AS qty_stddev,
+        | round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | count(*) AS n_rows

@@ -37,6 +37,8 @@ object SparkEntry {
     "q_pivot" -> (Relational.pivotEvents _),
     "q_distinct" -> (Relational.distinctFlags _),
     "q_count_distinct" -> (Relational.countDistinctParts _),
+    "q_percentile" -> (Relational.percentiles _),
+    "q_stats_agg" -> (Relational.statsAgg _),
     "q_approx_distinct" -> (Relational.approxDistinctParts _),
     "q_setops" -> (Relational.setOps _),
     "q_case_round" -> (Relational.caseRound _),

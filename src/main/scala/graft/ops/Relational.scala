@@ -170,6 +170,26 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Exact interpolated percentiles per group (sort-based; the scale path
+    * is approx_percentile's QuantileSummaries sketch — same trade as
+    * count_distinct vs HLL). */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"))
+      .orderBy($"event_type")
+
+  /** Statistical aggregates: sample stddev + Pearson correlation. */
+  def statsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 4).as("qty_stddev"),
+        round(corr($"l_extendedprice", $"l_quantity"), 4).as("price_qty_corr"))
+      .orderBy($"l_returnflag")
+
   /** Exact distinct-count aggregate (expand + two-phase aggregation). */
   def countDistinctParts(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

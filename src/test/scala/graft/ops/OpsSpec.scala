@@ -275,6 +275,13 @@ class TextMultimodalSpec extends SparkSpec {
 }
 
 class CollabEventsSpec extends SparkSpec {
+  test("flagship entry frame: rows > 0 with actual + prediction columns") {
+    val df = graft.SparkEntry.entry(spark)
+    assert(df.columns.toSet ===
+      Set("user", "product", "rating", "prediction"))
+    assert(df.count() > 0, "driver smoke-checks rows > 0")
+  }
+
   test("ALS on events: finite rmse, all validation pairs scored") {
     val row = CollabEvents.alsRmse(spark, "/root/testdata/sf0.001").head()
     val rmse = row.getDouble(0)
