@@ -250,6 +250,12 @@ object OracleSql {
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
 
+    "q_time_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+        |  '%Y-%m-%d %H:%M:%S') AS w, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin,
+
     "q_window_running" ->
       """SELECT c_mktsegment, o_orderkey, price, rnk, running_total, next_order
         |FROM (

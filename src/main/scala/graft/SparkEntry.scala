@@ -49,6 +49,7 @@ object SparkEntry {
     "q_join_filtered" -> (Relational.joinFiltered _),
     "q_sessionize" -> (Relational.sessionize _),
     "q_window_running" -> (Relational.windowRunning _),
+    "q_time_window" -> (Relational.timeWindowCounts _),
     "q_asof_join" -> (AsOfJoin.eventsAsOf _),
     "q_salted_agg" -> (Skew.saltedUserAgg _),
     // text analysis

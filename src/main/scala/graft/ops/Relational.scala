@@ -299,6 +299,18 @@ object Relational {
       .orderBy($"c_mktsegment", $"rnk")
   }
 
+  /** Tumbling-window aggregation in batch — the replayable batch twin of
+    * streaming.StreamingOps.windowedTypeCounts (same `window()` operator
+    * Structured Streaming uses, minus the watermark). */
+  def timeWindowCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir) // ts = BIGINT epoch-nanos
+      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window($"t", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("w"),
+        $"event_type", $"n", $"total_value")
+      .orderBy($"w", $"event_type")
+
   /** Sessionization (batch): split each user's event stream at >30 min gaps
     * via lag + running sum, then per-user session stats. Two window passes
     * over the same (user_id, ts) partitioning — one shuffle, reused. */
