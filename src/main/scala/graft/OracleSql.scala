@@ -234,6 +234,18 @@ object OracleSql {
         | round(round(sum(value), 2) / count(*), 4) AS mean
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // independent cross-check: binned range join vs DuckDB's native
+    // inequality join
+    "q_range_join" ->
+      """SELECT e.event_id, count(*) AS n_context,
+        | round(sum(c.value), 2) AS context_value
+        |FROM events e JOIN events c
+        |  ON e.user_id = c.user_id
+        | AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts <= e.ts
+        | AND c.event_id <> e.event_id
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+
     // independent cross-check: our union+window composition vs DuckDB's
     // native ASOF JOIN operator
     "q_asof_join" ->

@@ -51,6 +51,7 @@ object SparkEntry {
     "q_window_running" -> (Relational.windowRunning _),
     "q_time_window" -> (Relational.timeWindowCounts _),
     "q_asof_join" -> (AsOfJoin.eventsAsOf _),
+    "q_range_join" -> (RangeJoin.errorContext _),
     "q_salted_agg" -> (Skew.saltedUserAgg _),
     // text analysis
     "text_tokens" -> (TextAnalysis.tokenStats _),

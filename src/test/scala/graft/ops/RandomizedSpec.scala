@@ -36,6 +36,32 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("binned rangeJoin equals the naive theta join on random data (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 50)
+      // times straddle bin boundaries on purpose (span = 100)
+      val left = (1 to 40).map(i =>
+        (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong))
+      val right = (1 to 80).map(i =>
+        (1000L + i, rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong))
+      val (lo, hi) = (-100L, 30L)
+
+      val naive = (for {
+        (lid, lk, lt) <- left
+        (rid, rk, rt) <- right
+        if lk == rk && rt >= lt + lo && rt <= lt + hi
+      } yield (lid, rid)).toSet
+
+      val got = RangeJoin.rangeJoin(
+        left.toDF("l_id", "k", "t"),
+        right.toDF("r_id", "k", "t"),
+        Seq("k"), "t", lo, hi).collect()
+        .map(r => (r.getLong(r.fieldIndex("l_id")), r.getLong(r.fieldIndex("r_id"))))
+        .toSet
+      assert(got === naive, s"seed=$seed")
+    }
+  }
+
   test("distributed RMSE equals naive computation on random data (5 seeds)") {
     for (seed <- 1 to 5) {
       val rnd = new Random(seed + 100)
