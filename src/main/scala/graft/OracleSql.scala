@@ -30,6 +30,29 @@ object OracleSql {
       s"list_min(list_transform(sh, x -> ${SharedHash.duckK("x", a, b)})) AS mh_$k"
   }.mkString(", ")
 
+  /** Shared CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
+    * MinHash+LSH candidate/verify pipeline. */
+  private def minhashPairsCte: String = {
+    val bandSelects = (0 until Dedup.NumBands).map { j =>
+      val key = (0 until Dedup.RowsPerBand)
+        .map(r => s"CAST(mh_${j * Dedup.RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $j AS band, $key AS key FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""tok AS ($tokensCte),
+       |sh AS (SELECT doc_id, $shinglesCase AS sh FROM tok),
+       |mh AS (SELECT doc_id, $minhashCols FROM sh),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b,
+       |  round(len(list_distinct(list_intersect(sa.sh, sb.sh))) /
+       |        len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a
+       |            JOIN sh sb ON sb.doc_id = doc_b)""".stripMargin
+  }
+
   private val simhashTerms: String = (0 until Dedup.SimHashBits).map { b =>
     s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> $b) & 1) = 1 " +
       s"THEN 1 ELSE -1 END)) >= 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"
@@ -344,29 +367,25 @@ object OracleSql {
          |sh AS (SELECT doc_id, $shinglesCase AS sh FROM tok)
          |SELECT doc_id, $minhashCols FROM sh ORDER BY doc_id""".stripMargin,
 
-    "dedup_minhash_pairs" -> {
-      val bandSelects = (0 until Dedup.NumBands).map { j =>
-        val key = (0 until Dedup.RowsPerBand)
-          .map(r => s"CAST(mh_${j * Dedup.RowsPerBand + r} AS VARCHAR)")
-          .mkString(" || '_' || ")
-        s"SELECT doc_id, $j AS band, $key AS key FROM mh"
-      }.mkString(" UNION ALL ")
-      s"""WITH tok AS ($tokensCte),
-         |sh AS (SELECT doc_id, $shinglesCase AS sh FROM tok),
-         |mh AS (SELECT doc_id, $minhashCols FROM sh),
-         |bands AS ($bandSelects),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |pairs AS (SELECT doc_a, doc_b,
-         |  round(len(list_distinct(list_intersect(sa.sh, sb.sh))) /
-         |        len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
-         |  FROM cand JOIN sh sa ON sa.doc_id = doc_a
-         |            JOIN sh sb ON sb.doc_id = doc_b)
+    "dedup_minhash_pairs" ->
+      s"""WITH $minhashPairsCte
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |WHERE jaccard >= ${Dedup.JaccardThreshold}
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // clusters: transitive closure of the same pair graph (recursive CTE —
+    // an independent implementation of our label-propagation loop)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |good AS (SELECT doc_a, doc_b FROM pairs
+         |  WHERE jaccard >= ${Dedup.JaccardThreshold}),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM good
+         |  UNION SELECT doc_b, doc_a FROM good),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       s"""WITH tok AS ($tokensCte),

@@ -118,6 +118,44 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over a near-dup pair graph via min-label
+    * propagation: each node repeatedly adopts the smallest label among
+    * itself and its neighbors until fixpoint. Converges in O(component
+    * diameter) join rounds — near-dup clusters are shallow, so a handful.
+    * (Web-scale graphs would use the large-star/small-star variant to cut
+    * rounds to O(log n); the dataflow shape is the same joins.)
+    *
+    * This is what turns pair output into an actual dedup decision: one
+    * keeper (the cluster id = min doc_id) per transitive duplicate group.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val msgs = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.union(msgs)
+        .groupBy("node").agg(min("label").as("label")).cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** Harness query: duplicate clusters from the MinHash+LSH pair graph. */
+  def minhashClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashPairs(s, dir))
+      .orderBy(col("doc_id"))
+
   // --- exact n-gram jaccard (bounded pairwise, the oracle-able baseline) ---
 
   /** Exact shingle-jaccard over all pairs of a bounded id range — the

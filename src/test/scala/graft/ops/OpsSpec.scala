@@ -158,6 +158,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs(0).getDouble(2) === 1.0)
   }
 
+  test("connected components: transitive chains collapse to one cluster") {
+    import spark.implicits._
+    // chain 1-2-3 (transitive, 1-3 never paired) + island 5-6
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (5L, 6L, 1.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("exact dedup keeps one doc per distinct text") {
     val groups = Dedup.exactGroups(spark, dir)
     val keep = Dedup.exactKeep(spark, dir)
