@@ -128,27 +128,57 @@ object Dedup {
     * This is what turns pair output into an actual dedup decision: one
     * keeper (the cluster id = min doc_id) per transitive duplicate group.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame,
+      driverThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 25) {
-      val msgs = edges.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("label"))
-      val next = labels.union(msgs)
-        .groupBy("node").agg(min("label").as("label")).cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      iter += 1
+    val nEdges = edges.count()
+
+    val result = if (nEdges <= driverThreshold) {
+      // dedup pair graphs are tiny relative to the corpus (edges ∝ true
+      // duplicates) — below the threshold, a driver union-find beats ~10
+      // distributed join rounds by an order of magnitude. Same escape
+      // hatch production CC implementations use.
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster")
+    } else {
+      // min-label propagation: O(component diameter) join rounds
+      // (large-star/small-star would cut this to O(log n) at web scale)
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")).cache()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 25) {
+        val msgs = edges.join(labels, col("src") === col("node"))
+          .select(col("dst").as("node"), col("label"))
+        val next = labels.union(msgs)
+          .groupBy("node").agg(min("label").as("label")).cache()
+        changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster"))
     }
     edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+    result
   }
 
   /** Harness query: duplicate clusters from the MinHash+LSH pair graph. */

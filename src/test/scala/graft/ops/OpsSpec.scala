@@ -158,14 +158,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs(0).getDouble(2) === 1.0)
   }
 
-  test("connected components: transitive chains collapse to one cluster") {
+  test("connected components: transitive chains collapse to one cluster " +
+      "(both the union-find and label-propagation paths)") {
     import spark.implicits._
     // chain 1-2-3 (transitive, 1-3 never paired) + island 5-6
     val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (5L, 6L, 1.0))
       .toDF("doc_a", "doc_b", "jaccard")
-    val cc = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+    for (threshold <- Seq(1000000L, 0L)) { // driver path, distributed path
+      val cc = Dedup.connectedComponents(pairs, driverThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc === expected, s"threshold=$threshold")
+    }
   }
 
   test("exact dedup keeps one doc per distinct text") {
