@@ -24,8 +24,11 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val result = Pipeline.run(spark, new ParquetTableStore(spark, warehouse), csvPath)
+      val modelDir = if (args.length > 2) Some(args(2)) else None
+      val result = Pipeline.run(spark, new ParquetTableStore(spark, warehouse),
+        csvPath, modelDir = modelDir)
       println(result.report)
+      modelDir.foreach(d => println(s"model saved to $d"))
     } finally spark.stop()
   }
 }

@@ -14,8 +14,10 @@ import org.apache.spark.sql.SparkSession
 object Pipeline {
   final case class Result(rmse: Double, report: String)
 
+  /** @param modelDir when set, the trained ALSModel is persisted there
+    *                  (train once, score many — see Training.save) */
   def run(spark: SparkSession, store: TableStore, csvPath: String,
-      seed: Long = 42L): Result = {
+      seed: Long = 42L, modelDir: Option[String] = None): Result = {
     // ETL: CSV → store (≙ truncate + populateTables)
     Ingest.populate(spark, store, csvPath)
 
@@ -28,6 +30,7 @@ object Pipeline {
       .cache()
 
     val model = Training.train(train, seed = seed)
+    modelDir.foreach(Training.save(model, _))
     val predictions = Scoring.predict(model,
       valid.select(Schemas.UserCol, Schemas.ProductCol))
     val joined = Validation.joined(valid, predictions).cache()

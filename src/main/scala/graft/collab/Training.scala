@@ -20,6 +20,14 @@ object Training {
   val DefaultMaxIter = 20
   val DefaultRegParam = 0.01
 
+  /** Persist a trained model (factor matrices + params) for reuse — the
+    * reference keeps its MatrixFactorizationModel in memory only; a real
+    * pipeline trains once and scores many times. */
+  def save(model: ALSModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def load(path: String): ALSModel = ALSModel.load(path)
+
   def train(
       ratings: DataFrame,
       rank: Int = DefaultRank,

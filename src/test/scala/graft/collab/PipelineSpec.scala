@@ -9,6 +9,23 @@ import graft.SparkSpec
 class PipelineSpec extends SparkSpec {
   private val csv = getClass.getResource("/ratings.csv").getPath
 
+  test("model save/load round-trip: identical predictions") {
+    val parsed = Ingest.parseCsv(spark, csv)
+    val train = Ingest.selectSet(parsed, Schemas.TrainTag)
+    val valid = Ingest.selectSet(parsed, Schemas.ValidationTag)
+      .select(Schemas.UserCol, Schemas.ProductCol)
+
+    val model = Training.train(train, maxIter = 5)
+    val dir = java.nio.file.Files.createTempDirectory("als-model").toString
+    Training.save(model, dir)
+    val reloaded = Training.load(dir)
+
+    def preds(m: org.apache.spark.ml.recommendation.ALSModel) =
+      Scoring.predict(m, valid).orderBy(Schemas.UserCol, Schemas.ProductCol)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(preds(model).toSeq === preds(reloaded).toSeq)
+  }
+
   test("e2e: populate -> train -> predict -> validate -> report, RMSE in [0, 0.5)") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val result = Pipeline.run(spark, new ParquetTableStore(spark, warehouse), csv)
