@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.SharedHash
-import graft.ops.{Dedup, Similarity, TextAnalysis, VectorOps}
+import graft.ops.{Corpus, Dedup, TextAnalysis, VectorOps}
 
 /** DuckDB oracle SQL for every SQL-expressible query in SparkEntry.queries.
   *
@@ -32,14 +32,18 @@ object OracleSql {
 
   /** Shared CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
     * MinHash+LSH candidate/verify pipeline. */
-  private def minhashPairsCte: String = {
+  private def minhashPairsCte: String = minhashPairsCteFrom(tokensCte)
+
+  /** As minhashPairsCte, tokenizing an arbitrary source query instead of
+    * the raw documents table. */
+  private def minhashPairsCteFrom(tokSql: String): String = {
     val bandSelects = (0 until Dedup.NumBands).map { j =>
       val key = (0 until Dedup.RowsPerBand)
         .map(r => s"CAST(mh_${j * Dedup.RowsPerBand + r} AS VARCHAR)")
         .mkString(" || '_' || ")
       s"SELECT doc_id, $j AS band, $key AS key FROM mh"
     }.mkString(" UNION ALL ")
-    s"""tok AS ($tokensCte),
+    s"""tok AS ($tokSql),
        |sh AS (SELECT doc_id, $shinglesCase AS sh FROM tok),
        |mh AS (SELECT doc_id, $minhashCols FROM sh),
        |bands AS ($bandSelects),
@@ -372,6 +376,34 @@ object OracleSql {
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |WHERE jaccard >= ${Dedup.JaccardThreshold}
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the full curation pipeline, recomputed independently end-to-end:
+    // exact dedup -> LSH pairs -> recursive-CTE closure -> quality gate
+    "corpus_curate" -> {
+      val ekTok =
+        """SELECT doc_id, text, string_split(text, ' ') AS tokens FROM (
+          |  SELECT doc_id, text,
+          |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+          |  FROM documents) e WHERE doc_id = keeper""".stripMargin
+      s"""WITH RECURSIVE ${minhashPairsCteFrom(ekTok)},
+         |good AS (SELECT doc_a, doc_b FROM pairs
+         |  WHERE jaccard >= ${Dedup.JaccardThreshold}),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM good
+         |  UNION SELECT doc_b, doc_a FROM good),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |  FROM reach GROUP BY a),
+         |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> cluster)
+         |SELECT doc_id, CAST(len(tokens) AS INT) AS n_tokens,
+         |  round(len(list_distinct(tokens)) / len(tokens), 4) AS ttr
+         |FROM tok
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |  AND len(tokens) BETWEEN ${Corpus.MinTokens} AND ${Corpus.MaxTokens}
+         |  AND len(list_distinct(tokens)) / len(tokens) >= ${Corpus.MinTypeTokenRatio}
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // clusters: transitive closure of the same pair graph (recursive CTE —
     // an independent implementation of our label-propagation loop)

@@ -42,12 +42,15 @@ object Dedup {
 
   /** doc_id + shingle array + base-hash array (md5 once per shingle — the
     * hash family then reuses `hs`, not 1 md5 per family member). */
-  def withShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  def shingled(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tokens", split(col("text"), " "))
       .withColumn("sh", expr(shingleExpr))
       .withColumn("hs", expr(s"transform(sh, x -> ${SharedHash.spark48("x")})"))
       .select(col("doc_id"), col("text"), col("sh"), col("hs"))
+
+  def withShingles(s: SparkSession, dir: String): DataFrame =
+    shingled(Tables.documents(s, dir))
 
   // --- exact ---------------------------------------------------------------
 
@@ -87,8 +90,12 @@ object Dedup {
     * The shingled frame is cached: it feeds the band build once and the
     * verify join twice — uncached, the tokenize+shingle+md5 pass would run
     * 3x (the dominant cost; candidates are few by construction). */
-  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val shingled = withShingles(s, dir).cache()
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsFrom(Tables.documents(s, dir))
+
+  /** As minhashPairs, over any (doc_id, text, ...) frame. */
+  def minhashPairsFrom(docs: DataFrame): DataFrame = {
+    val shingled = Dedup.shingled(docs).cache()
     val sigs = signaturesFrom(shingled)
     // band key = concatenated signature rows of the band
     val bandStructs = (0 until NumBands).map { j =>

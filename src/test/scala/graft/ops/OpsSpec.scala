@@ -186,6 +186,29 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curation drops exact dups, near-dup non-keepers, and low-quality docs") {
+    val good = (1 to 60).map(i =>
+      s"word$i " + (1 to 30).map(j => s"tok${(i * 7 + j) % 97}").mkString(" "))
+    val docs = (
+      good.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+        Seq((100L, good.head),        // exact dup of doc 0
+          (101L, "short doc here"),   // fails MinTokens
+          (102L, ("same " * 40).trim) // fails type-token ratio
+        )).toDF("doc_id", "text")
+    val curated = Corpus.curate(docs).collect()
+    val ids = curated.map(_.getLong(0)).toSet
+    assert(!ids.contains(100L), "exact dup dropped")
+    assert(!ids.contains(101L), "short doc dropped")
+    assert(!ids.contains(102L), "repetitive doc dropped")
+    assert(ids.contains(0L), "keeper survives")
+    assert(curated.forall(r => r.getInt(1) >= Corpus.MinTokens))
+    assert(curated.forall(r => r.getDouble(2) >= Corpus.MinTypeTokenRatio))
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
