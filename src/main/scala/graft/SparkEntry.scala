@@ -78,6 +78,7 @@ object SparkEntry {
     "emb_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineDupPairs(s, d)),
     // multimodal plumbing (decode stubbed)
     "mm_features" -> (Multimodal.featuresQuery _),
+    "mm_ann" -> ((s: SparkSession, d: String) => Multimodal.assetAnn(s, d)),
     // ML (ALS — not SQL-expressible, SURVEY §7.4.6)
     "cf_als_rmse" -> ((s: SparkSession, d: String) => CollabEvents.alsRmse(s, d))
   )

@@ -83,6 +83,34 @@ object Multimodal {
     }
   }
 
+  /** Multimodal → similarity integration: nearest assets by cosine over
+    * the (stub-)decoded features, reusing the engine's ANN machinery
+    * (vec_dot + broadcast query side). Binary payloads never shuffle —
+    * only the 16-dim feature vectors flow into the search. */
+  def assetAnn(s: SparkSession, dir: String, k: Int = 3,
+      numQueries: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VecDot.register(s)
+    val feats = extractFeatures(synthesizeAssets(s, dir)).toDF()
+      .withColumn("e", expr("cast(features AS ARRAY<DOUBLE>)"))
+      .withColumn("nrm", expr("vec_dot(e, e)"))
+      .filter(col("nrm") > 0)
+      .select(col("asset_id"), col("e"), col("nrm"))
+    val q = feats.filter(col("asset_id") < numQueries)
+      .select(col("asset_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val c = feats.select(col("asset_id").as("c_id"), col("e").as("ce"),
+      col("nrm").as("cn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(
+        expr("vec_dot(qe, ce)") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Query surface: per-asset feature summary (rows-only check — the
     * feature math is stubbed, not an oracle-able public semantic). */
   def featuresQuery(s: SparkSession, dir: String): DataFrame =

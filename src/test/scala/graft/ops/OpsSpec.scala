@@ -299,6 +299,13 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal ANN: k neighbors per query asset, sim in [-1, 1]") {
+    val rows = Multimodal.assetAnn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) => assert(rs.length <= 3) }
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+  }
+
   test("multimodal: frame sampling keeps every 4th chunk") {
     val assets = Multimodal.synthesizeAssets(spark, dir)
     val sampled = Multimodal.frameSample(assets, chunkBytes = 64, stride = 4)
