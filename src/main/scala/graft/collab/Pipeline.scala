@@ -17,7 +17,8 @@ object Pipeline {
   /** @param modelDir when set, the trained ALSModel is persisted there
     *                  (train once, score many — see Training.save) */
   def run(spark: SparkSession, store: TableStore, csvPath: String,
-      seed: Long = 42L, modelDir: Option[String] = None): Result = {
+      seed: Long = Training.DefaultSeed,
+      modelDir: Option[String] = None): Result = {
     // ETL: CSV → store (≙ truncate + populateTables)
     Ingest.populate(spark, store, csvPath)
 
