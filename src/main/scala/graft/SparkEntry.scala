@@ -18,9 +18,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CollabEvents.entryFrame(spark, "/root/testdata/sf0.001")
 
+  /** Several operators cache intermediate frames (shingle passes, ALS
+    * inputs) and the harness runs all ~54 queries in one session —
+    * unreleased cache blocks accumulate until eviction thrash slows every
+    * later query (~2× total observed). Each query therefore drops the
+    * previous query's cache at construction time; its own caches are
+    * created after the clear. */
+  private def fresh(fn: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame =
+    (s, d) => { s.sqlContext.clearCache(); fn(s, d) }
+
   /** One entry per implemented operator from SURVEY.md §2 (+ the
     * training-data-pipeline extensions). */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queries0.map { case (k, f) => k -> fresh(f) }
+
+  private def queries0: Map[String, (SparkSession, String) => DataFrame] = Map(
     // relational surface (SURVEY §2.2-2.8)
     "q_agg_lineitem" -> (Relational.aggLineitem _),
     "q_filter_prefix" -> (Relational.filterPrefix _),

@@ -25,12 +25,14 @@ object Corpus {
   def curate(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    // 1. exact dedup
+    // 1. exact dedup (cached: feeds the LSH pass, the anti-join, and the
+    // quality gate)
     val w = Window.partitionBy(md5(col("text")))
     val exactKeep = docs
       .withColumn("__keeper", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("__keeper"))
       .drop("__keeper")
+      .cache()
 
     // 2. near-dup clusters; drop everything but the cluster keeper
     val clusters = Dedup.connectedComponents(Dedup.minhashPairsFrom(exactKeep))
