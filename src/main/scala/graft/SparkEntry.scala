@@ -51,6 +51,7 @@ object SparkEntry {
     "q_distinct" -> (Relational.distinctFlags _),
     "q_count_distinct" -> (Relational.countDistinctParts _),
     "q_percentile" -> (Relational.percentiles _),
+    "q_approx_percentile" -> (Relational.approxPercentiles _),
     "q_stats_agg" -> (Relational.statsAgg _),
     "q_approx_distinct" -> (Relational.approxDistinctParts _),
     "q_setops" -> (Relational.setOps _),

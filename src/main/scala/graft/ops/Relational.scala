@@ -181,6 +181,17 @@ object Relational {
         round(expr("percentile(value, 0.9)"), 4).as("p90"))
       .orderBy($"event_type")
 
+  /** Sketch percentiles (QuantileSummaries, O(1) memory per group) — the
+    * scale path for `percentiles`; accuracy asserted against the exact
+    * variant in RelationalSpec (no oracle: sketch is engine-specific). */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("p50"),
+        round(expr("approx_percentile(value, 0.9, 10000)"), 4).as("p90"))
+      .orderBy($"event_type")
+
   /** Statistical aggregates: sample stddev + Pearson correlation. */
   def statsAgg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

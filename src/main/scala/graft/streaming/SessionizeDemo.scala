@@ -41,7 +41,22 @@ object SessionizeDemo {
     q.processAllAvailable()
     println("after watermark advance (user 1's second session timed out):")
     spark.sql("SELECT * FROM sessions ORDER BY user_id, start_ms").show(false)
+    q.stop()
 
-    q.stop(); spark.stop()
+    // transformWithState: running-mean anomaly detection, state across batches
+    StreamingOps.requireRocksDb(spark)
+    val in2 = MemoryStream[StreamEvent]
+    val q2 = StreamingOps.anomalies(in2.toDS(), factor = 3.0, warmup = 3)
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode(OutputMode.Append()).start()
+    in2.addData(ev(1, 0, 1, "m", 10.0), ev(2, 1, 1, "m", 10.0), ev(3, 2, 1, "m", 10.0))
+    q2.processAllAvailable()
+    in2.addData(ev(4, 3, 1, "m", 100.0), ev(5, 4, 1, "m", 11.0))
+    q2.processAllAvailable()
+    println("anomaly verdicts (value 100 vs running mean 10 from batch 1):")
+    spark.sql("SELECT * FROM anomalies ORDER BY event_id").show(false)
+    q2.stop()
+
+    spark.stop()
   }
 }

@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Input shape for streaming ops: the events table as a stream. */
 final case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,
@@ -16,6 +17,39 @@ final case class SessionSummary(user_id: Long, n_events: Long,
 
 private final case class SessionState(n: Long, startMs: Long, endMs: Long,
     total: Double)
+
+/** Per-event anomaly verdict against the user's running mean. */
+final case class ScoredEvent(event_id: Long, user_id: Long, value: Double,
+    running_mean: Double, is_anomaly: Boolean)
+
+private final case class RunningStats(n: Long, total: Double)
+
+/** transformWithState processor (Spark 4's arbitrary-state API, successor
+  * to flatMapGroupsWithState): per-user running mean in a ValueState;
+  * events > factor × mean flag as anomalies once the mean has warmed up.
+  * State is typed, per-key, TTL-able, and RocksDB-backed. */
+class AnomalyProcessor(factor: Double, warmup: Long)
+    extends StatefulProcessor[Long, StreamEvent, ScoredEvent] {
+  @transient private var stats: ValueState[RunningStats] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    stats = getHandle.getValueState[RunningStats]("stats",
+      Encoders.product[RunningStats], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[StreamEvent],
+      timerValues: TimerValues): Iterator[ScoredEvent] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var s = if (stats.exists()) stats.get() else RunningStats(0L, 0.0)
+    val out = sorted.map { e =>
+      val mean = if (s.n == 0) e.value else s.total / s.n
+      val anomaly = s.n >= warmup && e.value > factor * mean
+      s = RunningStats(s.n + 1, s.total + e.value)
+      ScoredEvent(e.event_id, key, e.value, mean, anomaly)
+    }
+    stats.update(s)
+    out.iterator
+  }
+}
 
 /** Structured Streaming surface: the streaming twins of the batch operators
   * (windowed aggregation with watermark; stateful sessionization via
@@ -84,6 +118,21 @@ object StreamingOps {
           }
       }
   }
+
+  /** Running-mean anomaly detection via transformWithState — requires the
+    * RocksDB state store provider (set by `requireRocksDb`). */
+  def anomalies(events: Dataset[StreamEvent], factor: Double = 3.0,
+      warmup: Long = 3L): Dataset[ScoredEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new AnomalyProcessor(factor, warmup),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** transformWithState only runs on the RocksDB state store. */
+  def requireRocksDb(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   /** Streaming dedup: drop events whose key was already seen inside the
     * watermark horizon (`dropDuplicatesWithinWatermark` — bounded state). */

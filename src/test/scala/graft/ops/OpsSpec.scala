@@ -47,6 +47,16 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx percentiles track the exact ones within 5%") {
+    val exact = Relational.percentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Relational.approxPercentiles(spark, dir).collect().foreach { r =>
+      val (e50, e90) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - e50) / e50 < 0.05)
+      assert(math.abs(r.getDouble(2) - e90) / e90 < 0.05)
+    }
+  }
+
   test("salted aggregation equals the plain group-by") {
     val salted = Skew.saltedUserAgg(spark, dir).collect()
     val plain = Tables.events(spark, dir).groupBy(col("user_id"))

@@ -55,6 +55,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState anomaly detection keeps running state across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StreamingOps.requireRocksDb(spark)
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.anomalies(input.toDS(), factor = 3.0, warmup = 3)
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: warm up the mean at ~10
+      input.addData(ev(1, 0, 1, "m", 10.0), ev(2, 1, 1, "m", 10.0),
+        ev(3, 2, 1, "m", 10.0))
+      q.processAllAvailable()
+      // batch 2: state must survive — 100 >> 3x mean(10) -> anomaly;
+      // 11 is normal
+      input.addData(ev(4, 3, 1, "m", 100.0), ev(5, 4, 1, "m", 11.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_id, is_anomaly, running_mean FROM anomalies ORDER BY event_id")
+        .collect()
+      assert(rows.length === 5)
+      assert(rows.map(_.getBoolean(1)).toSeq ===
+        Seq(false, false, false, true, false))
+      assert(rows(3).getDouble(2) === 10.0, "mean from batch-1 state")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
