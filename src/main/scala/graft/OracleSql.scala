@@ -295,6 +295,35 @@ object OracleSql {
         | count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin,
 
+    "q_sliding_window" ->
+      """WITH b AS (
+        |  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS b0
+        |  FROM events),
+        |w AS (SELECT event_type, b0 AS ws FROM b
+        |  UNION ALL
+        |  SELECT event_type, b0 - INTERVAL '5 minutes' AS ws FROM b)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w, event_type,
+        | count(*) AS n
+        |FROM w GROUP BY ws, event_type ORDER BY w, event_type""".stripMargin,
+
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value, epoch_ns(ts) AS ns,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(CASE WHEN prev IS NULL OR ns - prev >= 1800000000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        | strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+        | count(*) AS n, round(sum(value), 2) AS total
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+
     "q_window_running" ->
       """SELECT c_mktsegment, o_orderkey, price, rnk, running_total, next_order
         |FROM (

@@ -64,6 +64,8 @@ object SparkEntry {
     "q_sessionize" -> (Relational.sessionize _),
     "q_window_running" -> (Relational.windowRunning _),
     "q_time_window" -> (Relational.timeWindowCounts _),
+    "q_sliding_window" -> (Relational.slidingWindowCounts _),
+    "q_session_window" -> (Relational.sessionWindowAgg _),
     "q_asof_join" -> (AsOfJoin.eventsAsOf _),
     "q_range_join" -> (RangeJoin.errorContext _),
     "q_salted_agg" -> (Skew.saltedUserAgg _),

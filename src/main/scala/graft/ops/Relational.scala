@@ -322,6 +322,33 @@ object Relational {
         $"event_type", $"n", $"total_value")
       .orderBy($"w", $"event_type")
 
+  /** Sliding-window aggregation (width 10 min, slide 5 min): each event
+    * lands in exactly width/slide windows. The oracle reconstructs the
+    * same windows as a union of phase-shifted tumbling buckets. */
+  def slidingWindowCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window($"t", "10 minutes", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("w"),
+        $"event_type", $"n")
+      .orderBy($"w", $"event_type")
+
+  /** Native session windows (session_window, Spark 3.2+): per-user sessions
+    * closing at a 30-min gap. The oracle derives identical sessions with
+    * the manual lag + running-sum islands construction — two independent
+    * implementations of session semantics agreeing. */
+  def sessionWindowAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window($"t", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+      .select($"user_id",
+        date_format($"sw.start", "yyyy-MM-dd HH:mm:ss").as("s_start"),
+        date_format($"sw.end", "yyyy-MM-dd HH:mm:ss").as("s_end"),
+        $"n", $"total")
+      .orderBy($"user_id", $"s_start")
+
   /** Sessionization (batch): split each user's event stream at >30 min gaps
     * via lag + running sum, then per-user session stats. Two window passes
     * over the same (user_id, ts) partitioning — one shuffle, reused. */
