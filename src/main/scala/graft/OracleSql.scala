@@ -93,6 +93,14 @@ object OracleSql {
         | count(*) AS n
         |FROM events GROUP BY 1 ORDER BY set_tag""".stripMargin,
 
+    "q_hash_split" -> {
+      val bucket = s"(${SharedHash.duck48("CAST(event_id AS VARCHAR)")} % 10)"
+      s"""SELECT CASE WHEN $bucket < 8 THEN 'train'
+         |     WHEN $bucket = 8 THEN 'val' ELSE 'test' END AS split,
+         | count(*) AS n, round(avg(value), 4) AS avg_value
+         |FROM events GROUP BY split ORDER BY split""".stripMargin
+    },
+
     "q_rmse_events" ->
       """WITH train AS (
         |  SELECT user_id, event_type, avg(value) AS prediction

@@ -38,6 +38,7 @@ object SparkEntry {
     "q_agg_lineitem" -> (Relational.aggLineitem _),
     "q_filter_prefix" -> (Relational.filterPrefix _),
     "q_split_counts" -> (Relational.splitCounts _),
+    "q_hash_split" -> (Relational.hashSplit _),
     "q_rmse_events" -> (Relational.rmseEvents _),
     "q_join_revenue" -> (Relational.joinRevenue _),
     "q_semi_join" -> (Relational.semiJoin _),

@@ -322,6 +322,21 @@ object Relational {
         $"event_type", $"n", $"total_value")
       .orderBy($"w", $"event_type")
 
+  /** Deterministic hash-based train/val/test split (80/10/10): bucket =
+    * shared 48-bit hash of the row key mod 10. Unlike randomSplit this is
+    * stable across runs, cluster layouts, and engines — the property a
+    * reproducible training pipeline needs — and the oracle computes the
+    * identical assignment from the same md5-derived hash. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = expr(s"pmod(${graft.functions.SharedHash.spark48("cast(event_id AS STRING)")}, 10)")
+    Tables.events(s, dir)
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n"), round(avg($"value"), 4).as("avg_value"))
+      .orderBy($"split")
+  }
+
   /** Sliding-window aggregation (width 10 min, slide 5 min): each event
     * lands in exactly width/slide windows. The oracle reconstructs the
     * same windows as a union of phase-shifted tumbling buckets. */

@@ -89,6 +89,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming windowed counts equal the batch twin on real events") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val events = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", expr("timestamp_micros(ts div 1000)").as("ts"),
+        $"user_id", $"event_type", $"value")
+    val rows = events.as[StreamEvent].collect()
+    val maxTs = rows.map(_.ts.getTime).max
+
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.windowedTypeCounts(input.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("bs_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // sentinel far past the horizon flushes every real window
+      input.addData(StreamEvent(-1L, new Timestamp(maxTs + 7L * 86400000L),
+        0L, "sentinel", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.sql(
+        """SELECT window.start AS w, event_type, n, total_value
+          |FROM bs_parity WHERE event_type <> 'sentinel'""".stripMargin)
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+
+      val batch = events
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value").as("total_value"))
+        .select($"window.start", $"event_type", $"n", $"total_value")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+
+      assert(streamed === batch,
+        s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
