@@ -84,6 +84,9 @@ object OracleSql {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    // the literal SQL text Spark parses — same string, both engines
+    "q_sql_text" -> graft.ops.Relational.PricingSummarySql,
+
     "q_filter_prefix" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE source LIKE 'src1%' ORDER BY doc_id""".stripMargin,

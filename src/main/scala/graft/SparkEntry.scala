@@ -36,6 +36,7 @@ object SparkEntry {
   private def queries0: Map[String, (SparkSession, String) => DataFrame] = Map(
     // relational surface (SURVEY §2.2-2.8)
     "q_agg_lineitem" -> (Relational.aggLineitem _),
+    "q_sql_text" -> (Relational.sqlSurface _),
     "q_filter_prefix" -> (Relational.filterPrefix _),
     "q_split_counts" -> (Relational.splitCounts _),
     "q_hash_split" -> (Relational.hashSplit _),

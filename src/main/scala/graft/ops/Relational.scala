@@ -322,6 +322,25 @@ object Relational {
         $"event_type", $"n", $"total_value")
       .orderBy($"w", $"event_type")
 
+  /** The SQL-text surface: the engine's tables registered as temp views and
+    * queried with a literal SQL string through Spark's parser — written in
+    * the DuckDB-compatible subset so the oracle runs the IDENTICAL text.
+    * One artifact, two engines, zero translation. */
+  val PricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(avg(l_extendedprice), 4) AS avg_price,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_quantity < 50
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def sqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(PricingSummarySql)
+  }
+
   /** Deterministic hash-based train/val/test split (80/10/10): bucket =
     * shared 48-bit hash of the row key mod 10. Unlike randomSplit this is
     * stable across runs, cluster layouts, and engines — the property a

@@ -134,6 +134,26 @@ class AsOfJoinSpec extends SparkSpec {
   }
 }
 
+class CompactionSpec extends SparkSpec {
+  test("writeCompacted sizes file count to the byte target") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val est = Compaction.estimatedBytes(li)
+    assert(est > 0)
+
+    val out = java.nio.file.Files.createTempDirectory("compact").toString
+    // target a quarter of the estimate -> expect ~4 files
+    val n = Compaction.writeCompacted(li, out, targetBytes = est / 4)
+    assert(n >= 3 && n <= 5, s"expected ~4 partitions, got $n")
+    val files = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files === n, "one parquet file per computed partition")
+
+    // one-file target
+    val out2 = java.nio.file.Files.createTempDirectory("compact2").toString
+    assert(Compaction.writeCompacted(li, out2, targetBytes = est * 10) === 1)
+  }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
   private val dir = "/root/testdata/sf0.001"
