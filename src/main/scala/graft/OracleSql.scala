@@ -87,6 +87,18 @@ object OracleSql {
     // the literal SQL text Spark parses — same string, both engines
     "q_sql_text" -> graft.ops.Relational.PricingSummarySql,
 
+    "q_collect_types" ->
+      """SELECT user_id,
+        | array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
+        | count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_argmax" ->
+      """SELECT event_type,
+        | arg_max(event_id, value * 1000000000 + event_id) AS top_event,
+        | round(max(value), 2) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_filter_prefix" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE source LIKE 'src1%' ORDER BY doc_id""".stripMargin,

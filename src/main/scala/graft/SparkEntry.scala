@@ -37,6 +37,8 @@ object SparkEntry {
     // relational surface (SURVEY §2.2-2.8)
     "q_agg_lineitem" -> (Relational.aggLineitem _),
     "q_sql_text" -> (Relational.sqlSurface _),
+    "q_collect_types" -> (Relational.collectTypes _),
+    "q_argmax" -> (Relational.argmaxEvents _),
     "q_filter_prefix" -> (Relational.filterPrefix _),
     "q_split_counts" -> (Relational.splitCounts _),
     "q_hash_split" -> (Relational.hashSplit _),

@@ -322,6 +322,28 @@ object Relational {
         $"event_type", $"n", $"total_value")
       .orderBy($"w", $"event_type")
 
+  /** Collection aggregates: collect_set + sort_array + array_join. The
+    * array is joined to a string because deterministic comparison of raw
+    * array columns is representation-fragile across engines. */
+  def collectTypes(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(array_join(sort_array(collect_set($"event_type")), ",").as("types"),
+        count(lit(1)).as("n"))
+      .orderBy($"user_id")
+
+  /** Argmax (max_by): the event holding each type's maximum value. Ties on
+    * value exist in the data, so the ordering key folds in event_id
+    * (value·1e9 + id — exact in doubles for this domain) to make the
+    * winner well-defined in both engines. */
+  def argmaxEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(max_by($"event_id", $"value" * lit(1000000000L) + $"event_id")
+          .as("top_event"),
+        round(max($"value"), 2).as("max_value"))
+      .orderBy($"event_type")
+
   /** The SQL-text surface: the engine's tables registered as temp views and
     * queried with a literal SQL string through Spark's parser — written in
     * the DuckDB-compatible subset so the oracle runs the IDENTICAL text.
