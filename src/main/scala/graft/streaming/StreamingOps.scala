@@ -134,6 +134,28 @@ object StreamingOps {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
+  /** Stream-stream inner join: match each error event to the same user's
+    * preceding activity within `windowMinutes` — the streaming twin of
+    * ops.RangeJoin.errorContext. Both sides are watermarked so the join
+    * state is bounded: a buffered row can be evicted once the other
+    * stream's watermark passes its match window. */
+  def errorContextJoin(errors: DataFrame, activity: DataFrame,
+      windowMinutes: Int = 5): DataFrame = {
+    val e = errors.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("err_ts"))
+    val a = activity.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("ctx_id"), col("user_id").as("ctx_user"),
+        col("ts").as("ctx_ts"), col("value").as("ctx_value"))
+    e.join(a,
+      col("user_id") === col("ctx_user") &&
+        col("ctx_ts") >= col("err_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("ctx_ts") <= col("err_ts") &&
+        col("ctx_id") =!= col("err_id"),
+      "inner")
+      .select(col("err_id"), col("user_id"), col("ctx_id"), col("ctx_value"))
+  }
+
   /** Streaming dedup: drop events whose key was already seen inside the
     * watermark horizon (`dropDuplicatesWithinWatermark` — bounded state). */
   def dedupStream(events: DataFrame): DataFrame =

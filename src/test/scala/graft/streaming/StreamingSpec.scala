@@ -89,6 +89,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join matches errors to in-window context") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val errs = MemoryStream[StreamEvent]
+    val acts = MemoryStream[StreamEvent]
+    val q = StreamingOps.errorContextJoin(errs.toDF(), acts.toDF(), 5)
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      acts.addData(ev(10, 0, 1, "click", 1.0),  // 7 min before err -> out
+        ev(11, 4, 1, "click", 2.0),             // 3 min before -> in
+        ev(12, 6, 1, "view", 3.0),              // 1 min before -> in
+        ev(13, 4, 2, "view", 9.0))              // other user -> out
+      errs.addData(ev(20, 7, 1, "error", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT err_id, ctx_id, ctx_value FROM ss_join ORDER BY ctx_id")
+        .collect()
+      assert(rows.map(_.getLong(1)).toSeq === Seq(11L, 12L))
+      assert(rows.forall(_.getLong(0) === 20L))
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal the batch twin on real events") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
