@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Join strategy selection and hints — the knobs a 100 TB plan is tuned
+  * with when Catalyst's size estimates miss. */
+class JoinStrategySpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.toString
+
+  test("small dimension auto-broadcasts; hints override the strategy") {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+
+    val auto = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    assert(planOf(auto).contains("BroadcastHashJoin"),
+      "orders under the threshold should broadcast")
+
+    val merge = li.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+    assert(planOf(merge).contains("SortMergeJoin"), "merge hint forces SMJ")
+
+    val shuffleHash = li.join(o.hint("shuffle_hash"),
+      col("l_orderkey") === col("o_orderkey"))
+    assert(planOf(shuffleHash).contains("ShuffledHashJoin"),
+      "shuffle_hash hint forces SHJ")
+
+    // identical results regardless of physical strategy
+    assert(auto.count() === merge.count())
+    assert(auto.count() === shuffleHash.count())
+  }
+
+  test("explicit broadcast() wins over a disabled auto-threshold") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, dir)
+      val o = Tables.orders(spark, dir)
+      val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      assert(!planOf(plain).contains("BroadcastHashJoin"))
+      val hinted = li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      assert(planOf(hinted).contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
