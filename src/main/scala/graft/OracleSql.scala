@@ -93,6 +93,15 @@ object OracleSql {
         | count(*) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "q_conditional_agg" ->
+      """SELECT l_returnflag, count(*) AS n_all,
+        | count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+        | round(sum(l_extendedprice) FILTER (WHERE l_discount >= 0.05), 2)
+        |   AS discounted_revenue,
+        | round(avg(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4)
+        |   AS avg_qty_finished
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_argmax" ->
       """SELECT event_type,
         | arg_max(event_id, value * 1000000000 + event_id) AS top_event,

@@ -38,6 +38,7 @@ object SparkEntry {
     "q_agg_lineitem" -> (Relational.aggLineitem _),
     "q_sql_text" -> (Relational.sqlSurface _),
     "q_collect_types" -> (Relational.collectTypes _),
+    "q_conditional_agg" -> (Relational.conditionalAgg _),
     "q_argmax" -> (Relational.argmaxEvents _),
     "q_filter_prefix" -> (Relational.filterPrefix _),
     "q_split_counts" -> (Relational.splitCounts _),

@@ -322,6 +322,21 @@ object Relational {
         $"event_type", $"n", $"total_value")
       .orderBy($"w", $"event_type")
 
+  /** Conditional aggregation (FILTER-clause shape): several differently
+    * filtered aggregates in ONE scan pass — the idiom that replaces N
+    * self-joins in reporting queries. */
+  def conditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_all"),
+        count(when($"l_quantity" > 25, 1)).as("n_bulk"),
+        round(sum(when($"l_discount" >= 0.05, $"l_extendedprice")), 2)
+          .as("discounted_revenue"),
+        round(avg(when($"l_linestatus" === "F", $"l_quantity")), 4)
+          .as("avg_qty_finished"))
+      .orderBy($"l_returnflag")
+
   /** Collection aggregates: collect_set + sort_array + array_join. The
     * array is joined to a string because deterministic comparison of raw
     * array columns is representation-fragile across engines. */
