@@ -327,6 +327,23 @@ object OracleSql {
         | count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin,
 
+    "q_quartiles" ->
+      """SELECT c_mktsegment, quartile, count(*) AS n,
+        | round(min(o_totalprice), 2) AS min_price,
+        | round(max(o_totalprice), 2) AS max_price,
+        | round(max(pr), 6) AS max_percent_rank,
+        | round(max(cd), 6) AS max_cume_dist
+        |FROM (
+        |  SELECT c_mktsegment, o_totalprice,
+        |    CAST(ntile(4) OVER w AS INT) AS quartile,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WINDOW w AS (PARTITION BY c_mktsegment
+        |               ORDER BY o_totalprice ASC, o_orderkey ASC)) t
+        |GROUP BY c_mktsegment, quartile
+        |ORDER BY c_mktsegment, quartile""".stripMargin,
+
     "q_sliding_window" ->
       """WITH b AS (
         |  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS b0

@@ -68,6 +68,7 @@ object SparkEntry {
     "q_join_filtered" -> (Relational.joinFiltered _),
     "q_sessionize" -> (Relational.sessionize _),
     "q_window_running" -> (Relational.windowRunning _),
+    "q_quartiles" -> (Relational.quartiles _),
     "q_time_window" -> (Relational.timeWindowCounts _),
     "q_sliding_window" -> (Relational.slidingWindowCounts _),
     "q_session_window" -> (Relational.sessionWindowAgg _),

@@ -393,6 +393,28 @@ object Relational {
       .orderBy($"split")
   }
 
+  /** Distribution window functions: quartile bucketing (ntile) +
+    * percent_rank + cume_dist per market segment, summarized per quartile
+    * so the output is compact at any scale. */
+  def quartiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_totalprice",
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .groupBy($"c_mktsegment", $"quartile")
+      .agg(count(lit(1)).as("n"),
+        round(min($"o_totalprice"), 2).as("min_price"),
+        round(max($"o_totalprice"), 2).as("max_price"),
+        round(max($"pr"), 6).as("max_percent_rank"),
+        round(max($"cd"), 6).as("max_cume_dist"))
+      .orderBy($"c_mktsegment", $"quartile")
+  }
+
   /** Sliding-window aggregation (width 10 min, slide 5 min): each event
     * lands in exactly width/slide windows. The oracle reconstructs the
     * same windows as a union of phase-shifted tumbling buckets. */
