@@ -10,6 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: one aggregate + one window query absorb the one-time session /
+    // JIT / codegen cost (~5-6 s) that would otherwise be attributed to
+    // whichever timed query happens to run first, making per-query numbers
+    // incomparable round-over-round.
+    for (w <- Seq("q_agg_lineitem", "q_window_running", "q_sort_limit"))
+      SparkEntry.queries.get(w).foreach { fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -61,12 +61,13 @@ final class ParquetTableStore(spark: SparkSession, root: String) extends TableSt
       case None    => spark.read
     }
     // An empty (just-truncated) table has no parquet footers to infer from;
-    // fall back to the declared schema.
+    // fall back to the declared schema. ONLY the analysis-time cases
+    // (missing path / nothing to infer) mean "empty table" — any other
+    // failure (e.g. a corrupted file) must surface, not read as empty.
     try reader.parquet(dir(table))
     catch {
-      case e: Exception if schemas.contains(table) =>
+      case _: org.apache.spark.sql.AnalysisException if schemas.contains(table) =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemas(table))
-      case e: Exception => throw e
     }
   }
 }

@@ -35,7 +35,8 @@ object Corpus {
       .cache()
 
     // 2. near-dup clusters; drop everything but the cluster keeper
-    val clusters = Dedup.connectedComponents(Dedup.minhashPairsFrom(exactKeep))
+    // (raw pair path — no presentation sort between LSH and clustering)
+    val clusters = Dedup.connectedComponents(Dedup.minhashPairsRaw(exactKeep))
     val dropIds = clusters.filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id"))
     val nearKeep = exactKeep.join(dropIds, Seq("doc_id"), "left_anti")

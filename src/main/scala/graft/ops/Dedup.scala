@@ -93,8 +93,14 @@ object Dedup {
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsFrom(Tables.documents(s, dir))
 
-  /** As minhashPairs, over any (doc_id, text, ...) frame. */
-  def minhashPairsFrom(docs: DataFrame): DataFrame = {
+  /** As minhashPairs, over any (doc_id, text, ...) frame (sorted for
+    * presentation — consumers that feed the pairs into further dataflow
+    * should use [[minhashPairsRaw]] and skip the range-partition + sort). */
+  def minhashPairsFrom(docs: DataFrame): DataFrame =
+    minhashPairsRaw(docs).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Unordered near-dup pair graph — the dataflow-shaped variant. */
+  def minhashPairsRaw(docs: DataFrame): DataFrame = {
     val shingled = Dedup.shingled(docs).cache()
     val sigs = signaturesFrom(shingled)
     // band key = concatenated signature rows of the band
@@ -122,7 +128,6 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))), 4))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Connected components over a near-dup pair graph via min-label
@@ -138,8 +143,16 @@ object Dedup {
   def connectedComponents(pairs: DataFrame,
       driverThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Cache the narrow pair projection FIRST: the union below consumes it
+    // twice, and Spark does not share common subplans across union branches —
+    // uncached, the entire upstream pipeline (for minhash pairs: the whole
+    // shingle→band-join→jaccard-verify dataflow) would execute once per
+    // branch. One materialization here, both branches + the count read it.
+    val p = pairs.select(col("doc_a"), col("doc_b")).cache()
+    p.count() // force: the union's branches are concurrent stages — without
+              // a materialized cache each would compute the pipeline itself
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
     val nEdges = edges.count()
 
@@ -185,12 +198,14 @@ object Dedup {
       labels.select(col("node").as("doc_id"), col("label").as("cluster"))
     }
     edges.unpersist()
+    p.unpersist()
     result
   }
 
-  /** Harness query: duplicate clusters from the MinHash+LSH pair graph. */
+  /** Harness query: duplicate clusters from the MinHash+LSH pair graph
+    * (raw pair path — clustering doesn't need the presentation sort). */
   def minhashClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(minhashPairs(s, dir))
+    connectedComponents(minhashPairsRaw(Tables.documents(s, dir)))
       .orderBy(col("doc_id"))
 
   // --- exact n-gram jaccard (bounded pairwise, the oracle-able baseline) ---
