@@ -66,6 +66,17 @@ object OracleSql {
   private def dotChain(a: String, b: String): String =
     (1 to VectorOps.Dim).map(i => s"$a[$i]*$b[$i]").mkString("(", " + ", ")")
 
+  /** The hyperplane-LSH bucket as literal SQL: each of the 16 sign bits is
+    * a left-associated dot chain against the seeded plane's coefficients
+    * (printed via Double.toString, which round-trips exactly). Bit-identical
+    * doubles on both sides make the `> 0` sign test hash-safe. */
+  private def lshBucketTerms: String =
+    graft.ops.Similarity.planes.zipWithIndex.map { case (p, i) =>
+      val dot = (1 to VectorOps.Dim)
+        .map(d => s"e[$d]*(${p(d - 1)})").mkString("(", " + ", ")")
+      s"(CASE WHEN $dot > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   private val embCte =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |n AS (SELECT vec_id, e, ${dotChain("e", "e")} AS nrm FROM e)"""
@@ -535,6 +546,20 @@ object OracleSql {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.HammingThreshold}
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Banded recall is exact (hamming ≤ 2 < 4 bands ⇒ an intact shared
+    // band always collides), so the oracle is simply the full-range
+    // pairwise scan — the banding must reproduce it bit-for-bit.
+    "dedup_simhash_lsh" ->
+      s"""WITH t AS ($tokensCte),
+         |hh AS (SELECT doc_id,
+         |  list_transform(tokens, t -> ${SharedHash.duck48("t")}) AS hs FROM t),
+         |sig AS (SELECT doc_id, $simhashTerms AS simhash FROM hh)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.HammingThreshold}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // --- similarity ------------------------------------------------------
     "ann_topk" ->
       s"""WITH $embCte,
@@ -546,6 +571,12 @@ object OracleSql {
          |    ORDER BY sim DESC, c_id ASC) AS INT) AS rnk FROM p)
          |SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
+
+    "ann_lsh_buckets" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings)
+         |SELECT vec_id, CAST($lshBucketTerms AS INT) AS bucket FROM e
+         |ORDER BY vec_id""".stripMargin,
 
     "emb_dup_pairs" ->
       s"""WITH $embCte,

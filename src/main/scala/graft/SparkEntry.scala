@@ -93,9 +93,11 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhashSignatures _),
     "dedup_editdist" -> ((s: SparkSession, d: String) => Dedup.editDistancePairs(s, d)),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "dedup_simhash_lsh" -> (Dedup.simhashLshPairs _),
     // similarity search
     "ann_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    "ann_lsh_buckets" -> (Similarity.lshBuckets _),
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "emb_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineDupPairs(s, d)),
     // multimodal plumbing (decode stubbed)

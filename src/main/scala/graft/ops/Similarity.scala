@@ -86,6 +86,17 @@ object Similarity {
       .drop(planes.indices.map(i => s"pl_$i"): _*)
   }
 
+  /** The deterministic LSH bucket assignment (vec_id → 16-bit hyperplane
+    * sign bucket) — the candidate-generation stage of [[lshTopK]] exposed
+    * as its own query. The hyperplanes are seeded constants and vec_dot is
+    * a left fold, so the bucket math is exactly SQL-expressible: the DuckDB
+    * oracle recomputes every sign bit from literal plane coefficients,
+    * hash-checking the stage that makes the ANN path approximate. */
+  def lshBuckets(s: SparkSession, dir: String): DataFrame =
+    withBuckets(embedded(s, dir))
+      .select(col("vec_id"), col("bucket"))
+      .orderBy(col("vec_id"))
+
   /** Approximate cosine top-k: hyperplane-LSH candidates (any shared band)
     * verified by exact cosine. Same output shape as bruteForceTopK so
     * recall is directly measurable (see SimilaritySpec). */

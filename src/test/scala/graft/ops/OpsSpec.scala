@@ -214,6 +214,19 @@ class DedupSpec extends SparkSpec {
     val a = Dedup.simhashSignatures(spark, dir).limit(5).collect()
     assert(a.forall(r => r.getLong(1) >= 0))
   }
+
+  test("banded simhash LSH reproduces the exact pairwise scan " +
+      "(recall 1 by pigeonhole: hamming ≤ 2 < 4 bands)") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val maxId = 400L
+    val exact = keyed(Dedup.simhashPairs(spark, dir, maxId).collect())
+    val banded = keyed(Dedup.simhashLshPairs(spark, dir)
+      .filter(col("doc_a") < maxId && col("doc_b") < maxId).collect())
+    assert(banded === exact,
+      s"banded (${banded.size}) must equal exact (${exact.size}) on the bounded range")
+    assert(exact.nonEmpty, "fixture must actually produce near-dup pairs")
+  }
 }
 
 class CorpusSpec extends SparkSpec {
@@ -281,6 +294,17 @@ class SimilaritySpec extends SparkSpec {
     val approx = keyset(Similarity.ivfTopK(spark, dir).collect())
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.25, s"IVF recall (nprobe=4/16 cells): $recall")
+  }
+
+  test("lsh bucket assignment is 16-bit, total, and deterministic") {
+    val a = Similarity.lshBuckets(spark, dir).collect()
+    assert(a.length === graft.ops.Tables.embeddings(spark, dir).count())
+    a.foreach { r =>
+      val b = r.getInt(1)
+      assert(b >= 0 && b < (1 << Similarity.NumPlanes), s"bucket $b out of range")
+    }
+    val again = Similarity.lshBuckets(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
   test("cosine dup pairs are symmetric-free and above threshold") {
