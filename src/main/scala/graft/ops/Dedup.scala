@@ -151,9 +151,12 @@ object Dedup {
     val p = pairs.select(col("doc_a"), col("doc_b")).cache()
     p.count() // force: the union's branches are concurrent stages — without
               // a materialized cache each would compute the pipeline itself
+    // localCheckpoint flattens the union into a LogicalRDD: the iterative
+    // joins below would otherwise re-trigger the Union constraint rewrite
+    // every round (and hit its self-join AttributeMap bug in Spark 4.1).
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     val nEdges = edges.count()
 
     val result = if (nEdges <= driverThreshold) {
@@ -178,17 +181,40 @@ object Dedup {
       val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
       nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster")
     } else {
-      // min-label propagation: O(component diameter) join rounds
-      // (large-star/small-star would cut this to O(log n) at web scale)
+      // min-label propagation + pointer doubling: each round a node takes
+      // the min label over itself and its neighbors (one hop), THEN adopts
+      // its label's own label (doubling). Neighbor hops alone converge in
+      // O(component diameter) rounds — a 500-node chain would blow the
+      // round cap; doubling compresses chains geometrically, so rounds are
+      // O(log diameter) and the cap of 25 covers any graph of diameter
+      // < 2^25. Same join-shaped dataflow, shuffle-partitioned on node id.
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node")).cache()
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < 25) {
-        val msgs = edges.join(labels, col("src") === col("node"))
-          .select(col("dst").as("node"), col("label"))
-        val next = labels.union(msgs)
-          .groupBy("node").agg(min("label").as("label")).cache()
+        // neighbor hop, folded in via left join + least (NOT a
+        // labels.union(msgs) self-union — the same frame in both union
+        // branches trips Catalyst's union constraint rewrite in 4.1)
+        val nbrMin = edges.join(labels, col("src") === col("node"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+        // localCheckpoint (not cache): truncates lineage so the logical
+        // plan — and with it task serialization and optimizer time — stays
+        // O(1) per round instead of growing with every iteration (the
+        // same lineage blow-up that forces ALS's checkpoint interval).
+        val hop = labels.join(nbrMin, col("node") === col("dst"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .localCheckpoint()
+        // doubling: label(node) := min(label(node), label(label(node)))
+        // (every label IS a node id, and every node id appears in `hop`,
+        // but keep the left join + coalesce as belt-and-braces)
+        val next = hop.as("a")
+          .join(hop.select(col("node").as("lnode"), col("label").as("llabel")).as("b"),
+            col("a.label") === col("b.lnode"), "left")
+          .select(col("a.node").as("node"),
+            least(col("a.label"), coalesce(col("b.llabel"), col("a.label"))).as("label"))
+          .localCheckpoint()
         changed = next.join(labels.withColumnRenamed("label", "old"), "node")
           .filter(col("label") =!= col("old")).count()
         labels.unpersist()

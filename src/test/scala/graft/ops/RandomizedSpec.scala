@@ -76,6 +76,32 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("distributed CC (label propagation) equals union-find on random " +
+      "graphs at realistic edge counts (3 seeds x ~10k edges)") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed + 200)
+      // ~10k edges over 4k nodes: a mix of large sparse components,
+      // chains (worst case for propagation rounds), and singleton pairs
+      val chain = (0 until 500).map(i => (i.toLong, (i + 1).toLong))
+      val random = (1 to 9000).map { _ =>
+        val a = 1000L + rnd.nextInt(3000)
+        val b = 1000L + rnd.nextInt(3000)
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2)
+      val edges = (chain ++ random).distinct
+        .toDF("doc_a", "doc_b").cache()
+
+      def clusters(threshold: Long) =
+        Dedup.connectedComponents(edges, driverThreshold = threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      val viaUnionFind = clusters(Long.MaxValue) // driver escape hatch
+      val viaPropagation = clusters(0L)          // distributed path
+      assert(viaPropagation === viaUnionFind, s"seed=$seed")
+      edges.unpersist()
+    }
+  }
+
   test("salted agg equals plain agg on adversarially skewed data") {
     // 90% of rows on one hot key
     val rnd = new Random(7)
