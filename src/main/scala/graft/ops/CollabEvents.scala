@@ -54,6 +54,29 @@ object CollabEvents {
     out
   }
 
+  /** Top-N recommendations per user via ALSModel.recommendForAllUsers —
+    * the one ALS surface the modern DataFrame API adds over the
+    * reference's predict-known-pairs-only API (ref:
+    * ICollabFilterCassandra.java:14-18 exposes predict but no top-N).
+    * Internally a blocked factor cross-product with per-user top-k — the
+    * recommend-to-everyone batch job of a real recsys. Rows-only in the
+    * harness (ALS is not SQL-expressible); ranking invariants are
+    * spec-gated in CollabEventsSpec. */
+  def alsRecommend(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val ratings = ratingsFromEvents(s, dir).cache()
+    val train = ratings.filter(pmod(col("event_id"), lit(10)) < 8)
+      .select("user", "product", "rating")
+    val model = Training.train(train, maxIter = 10)
+    val out = model.recommendForAllUsers(k)
+      .select(col("user"), posexplode(col("recommendations")))
+      .select(col("user"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.product").as("product"),
+        col("col.rating").cast("double").as("score"))
+      .orderBy(col("user"), col("rnk"))
+    ratings.unpersist()
+    out
+  }
+
   /** Flagship entry frame: scored validation pairs with actual + predicted
     * (driver smoke-checks rows > 0). */
   def entryFrame(s: SparkSession, dir: String): DataFrame = {

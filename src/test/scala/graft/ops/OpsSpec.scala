@@ -388,4 +388,24 @@ class CollabEventsSpec extends SparkSpec {
     assert(row.getLong(3) > 0, "some pairs scored")
     assert(row.getLong(3) <= row.getLong(2), "scored <= valid (cold-start drop)")
   }
+
+  test("ALS top-N recommend: k ranked products per user, scores descending") {
+    val dir = "/root/testdata/sf0.001"
+    val k = 3
+    val rows = CollabEvents.alsRecommend(spark, dir, k).collect()
+    assert(rows.nonEmpty)
+    val trainedProducts = CollabEvents.ratingsFromEvents(spark, dir)
+      .select("product").distinct().collect().map(_.getInt(0)).toSet
+    rows.groupBy(_.getInt(0)).foreach { case (user, rs) =>
+      assert(rs.length === k, s"user $user should get exactly $k recs")
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq === (1 to k),
+        s"ranks 1..$k for user $user")
+      val scores = byRank.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"scores descending for user $user")
+      rs.foreach(r => assert(trainedProducts.contains(r.getInt(2)),
+        "recommended product must come from the trained catalog"))
+    }
+  }
 }
