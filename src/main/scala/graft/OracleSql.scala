@@ -578,6 +578,26 @@ object OracleSql {
          |SELECT vec_id, CAST($lshBucketTerms AS INT) AS bucket FROM e
          |ORDER BY vec_id""".stripMargin,
 
+    // Same ≥1-shared-band gate as the Spark plan, recomputed from the
+    // literal plane constants — the LSH pair set is hash-checked, not
+    // just its exact-scan superset.
+    "emb_dup_lsh" -> {
+      import graft.ops.Similarity.{NumBands, BitsPerBand}
+      val mask = (1 << BitsPerBand) - 1
+      val collide = (0 until NumBands).map { j =>
+        s"((a.bucket >> ${j * BitsPerBand}) & $mask) = " +
+          s"((c.bucket >> ${j * BitsPerBand}) & $mask)"
+      }.mkString(" OR ")
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, e, nrm,
+         |  CAST($lshBucketTerms AS INT) AS bucket FROM n),
+         |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  round(${dotChain("a.e", "c.e")} / (sqrt(a.nrm) * sqrt(c.nrm)), 6) AS sim
+         |  FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($collide))
+         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     "emb_dup_pairs" ->
       s"""WITH $embCte,
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -100,6 +100,7 @@ object SparkEntry {
     "ann_lsh_buckets" -> (Similarity.lshBuckets _),
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "emb_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineDupPairs(s, d)),
+    "emb_dup_lsh" -> ((s: SparkSession, d: String) => Similarity.cosineDupLsh(s, d)),
     // multimodal plumbing (decode stubbed)
     "mm_features" -> (Multimodal.featuresQuery _),
     "mm_ann" -> ((s: SparkSession, d: String) => Multimodal.assetAnn(s, d)),

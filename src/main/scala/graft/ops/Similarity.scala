@@ -182,8 +182,44 @@ object Similarity {
     out
   }
 
+  /** Embedding near-dup pairs at scale: hyperplane-LSH band buckets gate
+    * the exact cosine verify, so candidates ∝ bucket collisions instead of
+    * n² — the scale path [[cosineDupPairs]]'s doc promises. Unlike the
+    * top-k ANN path this whole operator is deterministic: the bucket bits
+    * are seeded constants, so the DuckDB oracle recomputes them from
+    * literal plane coefficients and applies the same ≥1-shared-band gate —
+    * the emitted pair set is hash-checked end to end. (Recall vs the
+    * ungated exact scan is a measured property in SimilaritySpec, not part
+    * of the correctness contract.) */
+  def cosineDupLsh(s: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    val e = withBuckets(embedded(s, dir))
+      .select(col("vec_id"), col("e"), col("nrm"), col("bucket")).cache()
+    val bandStructs = (0 until NumBands).map { j =>
+      struct(lit(j).as("band"),
+        expr(s"(bucket >> ${j * BitsPerBand}) & ${(1 << BitsPerBand) - 1}").as("key"))
+    }
+    val bands = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("id_a"), col("e").as("e_a"),
+        col("nrm").as("n_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("e").as("e_b"),
+        col("nrm").as("n_b")), "id_b")
+      .withColumn("sim", round(
+        expr("vec_dot(e_a, e_b)") / (sqrt(col("n_a")) * sqrt(col("n_b"))), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over a bounded id range (exact,
-    * oracle-able); the scale path reuses the LSH buckets. */
+    * oracle-able baseline); [[cosineDupLsh]] is the banded scale path. */
   def cosineDupPairs(s: SparkSession, dir: String, maxId: Long = 300,
       threshold: Double = 0.35): DataFrame = {
     val e = embedded(s, dir).filter(col("vec_id") < maxId)

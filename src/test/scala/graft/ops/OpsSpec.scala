@@ -314,6 +314,22 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.35)
     }
   }
+
+  test("LSH-gated dup pairs are a subset of the exact scan with equal sims") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val maxId = 300L
+    val exact = keyed(Similarity.cosineDupPairs(spark, dir, maxId).collect())
+    val gated = keyed(Similarity.cosineDupLsh(spark, dir)
+      .filter(col("id_a") < maxId && col("id_b") < maxId).collect())
+    assert(gated.keySet.subsetOf(exact.keySet),
+      "the band gate may drop pairs but must never invent them")
+    gated.foreach { case (k, sim) => assert(sim === exact(k), s"sim mismatch at $k") }
+    if (exact.nonEmpty) {
+      val recall = gated.size.toDouble / exact.size
+      assert(recall > 0.2, s"band-gate recall unexpectedly low: $recall")
+    }
+  }
 }
 
 class TextMultimodalSpec extends SparkSpec {
