@@ -578,6 +578,32 @@ object OracleSql {
          |SELECT vec_id, CAST($lshBucketTerms AS INT) AS bucket FROM e
          |ORDER BY vec_id""".stripMargin,
 
+    // The full approximate-top-k pipeline is deterministic end to end
+    // (seeded buckets → shared-band candidates → rounded cosine →
+    // tie-broken row_number), so unlike most ANN implementations it takes
+    // a complete oracle, not just a recall bound.
+    "ann_lsh" -> {
+      import graft.ops.Similarity.{NumBands, BitsPerBand}
+      val mask = (1 << BitsPerBand) - 1
+      val collide = (0 until NumBands).map { j =>
+        s"((q.bucket >> ${j * BitsPerBand}) & $mask) = " +
+          s"((c.bucket >> ${j * BitsPerBand}) & $mask)"
+      }.mkString(" OR ")
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, CAST($lshBucketTerms AS INT) AS bucket FROM n),
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+         |  FROM b q JOIN b c
+         |  ON q.vec_id < 5 AND q.vec_id <> c.vec_id AND ($collide)),
+         |p AS (SELECT q_id, c_id,
+         |  round(${dotChain("a.e", "d.e")} / (sqrt(a.nrm) * sqrt(d.nrm)), 6) AS sim
+         |  FROM cand JOIN n a ON a.vec_id = q_id JOIN n d ON d.vec_id = c_id),
+         |r AS (SELECT q_id, c_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, c_id ASC) AS INT) AS rnk FROM p)
+         |SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
+    },
+
     // Same ≥1-shared-band gate as the Spark plan, recomputed from the
     // literal plane constants — the LSH pair set is hash-checked, not
     // just its exact-scan superset.
