@@ -443,6 +443,25 @@ object OracleSql {
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
 
+    // The custom RollingHash64 expression folded in HUGEINT with explicit
+    // mod-2^64 wraparound, then mapped to two's-complement BIGINT. Valid
+    // because the corpus is pure ASCII (verified at every SF), so DuckDB's
+    // per-char ord == the UTF-8 byte the Spark expression consumes; the
+    // shard is h_unsigned % 1024 ≡ pmod(h_signed, 1024) since 1024 | 2^64.
+    "text_rolling_fp" ->
+      """SELECT doc_id,
+        |  CASE WHEN h >= 9223372036854775808::HUGEINT
+        |       THEN CAST(h - 18446744073709551616::HUGEINT AS BIGINT)
+        |       ELSE CAST(h AS BIGINT) END AS fp64,
+        |  CAST(h % 1024 AS BIGINT) AS shard
+        |FROM (SELECT doc_id, list_reduce(
+        |    list_prepend(1125899906842597::HUGEINT,
+        |      list_transform(range(1, len(text)+1),
+        |        i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS HUGEINT))),
+        |    (acc, x) -> (31*acc + x) % 18446744073709551616::HUGEINT) AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     // --- dedup -----------------------------------------------------------
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies

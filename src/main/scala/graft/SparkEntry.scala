@@ -7,9 +7,12 @@ import graft.ops._
   *
   * Every SQL-expressible query has a DuckDB oracle in OracleSql (identical
   * aliases / ordering / rounding — see the determinism contract there).
-  * Rows-only queries (no oracle): ALS (not SQL-expressible), the LSH ANN
-  * path (checked against its exact twin in tests), the custom-hash
-  * fingerprint, and the stubbed multimodal decode.
+  * Rows-only queries (no oracle): ALS fit/score/recommend (not
+  * SQL-expressible), IVF ANN (KMeans quantizer), approximate sketches
+  * (HLL / t-digest internals), and the stubbed multimodal decode. The
+  * deterministic sketch paths — minhash, simhash (incl. banding),
+  * hyperplane LSH buckets/top-k/near-dup, the rolling-hash fingerprint —
+  * are all hash-checked.
   */
 object SparkEntry {
 
