@@ -23,15 +23,12 @@ object Corpus {
   val MinTypeTokenRatio = 0.2
 
   def curate(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-
-    // 1. exact dedup (cached: feeds the LSH pass, the anti-join, and the
-    // quality gate)
-    val w = Window.partitionBy(md5(col("text")))
+    // 1. exact dedup, shaped like Dedup.exactKeep: the digest window runs
+    // over a narrow (fp, doc_id) projection and the anti-join's right side
+    // is the small non-keeper set, so document bodies never shuffle.
+    // Cached: feeds the LSH pass, the near-dup anti-join, and the gate.
     val exactKeep = docs
-      .withColumn("__keeper", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("__keeper"))
-      .drop("__keeper")
+      .join(Dedup.exactNonKeepers(docs), Seq("doc_id"), "left_anti")
       .cache()
 
     // 2. near-dup clusters; drop everything but the cluster keeper

@@ -61,13 +61,30 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy(col("fp"))
 
-  /** The surviving documents after exact dedup (min doc_id per digest). */
-  def exactKeep(s: SparkSession, dir: String): DataFrame = {
+  /** doc_ids that lose exact dedup (non-minimal doc_id within a digest
+    * group). Computed over the narrow (digest, doc_id) projection — only
+    * 24 bytes/row ever shuffle, never the document body — and the result
+    * is small by construction (∝ duplicate density, not corpus size). */
+  def exactNonKeepers(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col("text")))
-    Tables.documents(s, dir)
+    val w = Window.partitionBy(col("fp"))
+    docs.select(col("doc_id"), md5(col("text")).as("fp"))
       .withColumn("keeper", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("keeper"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"))
+  }
+
+  /** The surviving documents after exact dedup (min doc_id per digest).
+    * Shaped as an anti-join against the small non-keeper set so the
+    * document bodies stay where they are: the only slim shuffle is the
+    * digest window, and AQE broadcasts the anti-join's right side when its
+    * runtime size allows (typical: dup density ≪ corpus) — the difference
+    * between shuffling 100 TB of bodies and shuffling a few GB of ids.
+    * (No broadcast hint on purpose: a pathologically duplicate-heavy
+    * corpus must be able to fall back to a shuffled anti-join.) */
+  def exactKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs.join(exactNonKeepers(docs), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
