@@ -513,6 +513,31 @@ object OracleSql {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // sequence-packing manifest: same running-sum bin assignment (unique
+    // doc_id per source, so the default RANGE frame matches on both sides)
+    "corpus_pack" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+         |    AS BIGINT) AS cum FROM t)
+         |SELECT source, CAST((cum - n_tokens) // ${Corpus.TokenBudget} AS INT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    // mixture sampling: identical md5-derived bucket, identical CASE rates
+    "corpus_mixture" -> {
+      val cases = Corpus.MixtureRates
+        .map { case (src, pct) => s"WHEN '$src' THEN $pct" }.mkString(" ")
+      s"""SELECT doc_id, source,
+         |  CAST(${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 100 AS INT) AS bucket
+         |FROM documents
+         |WHERE CAST(${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 100 AS INT) <
+         |  (CASE source $cases ELSE ${Corpus.MixtureDefaultRate} END)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // clusters: transitive closure of the same pair graph (recursive CTE —
     // an independent implementation of our label-propagation loop)
     "dedup_clusters" ->

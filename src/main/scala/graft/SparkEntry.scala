@@ -92,6 +92,8 @@ object SparkEntry {
     "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
     "dedup_clusters" -> (Dedup.minhashClusters _),
     "corpus_curate" -> (Corpus.curateQuery _),
+    "corpus_pack" -> (Corpus.packBins _),
+    "corpus_mixture" -> (Corpus.mixtureSample _),
     "dedup_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
     "dedup_simhash" -> (Dedup.simhashSignatures _),
     "dedup_editdist" -> ((s: SparkSession, d: String) => Dedup.editDistancePairs(s, d)),

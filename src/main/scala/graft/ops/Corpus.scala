@@ -52,4 +52,52 @@ object Corpus {
 
   def curateQuery(s: SparkSession, dir: String): DataFrame =
     curate(Tables.documents(s, dir))
+
+  val TokenBudget = 512L
+
+  /** Sequence-packing manifest: within each source, documents (in doc_id
+    * order) are laid head-to-tail into a token stream and assigned to the
+    * fixed-budget training bin their first token lands in — the manifest a
+    * pretraining dataloader consumes. One narrow window per source
+    * (doc_id + token count shuffle; bodies stay put) feeds a partial/final
+    * per-bin aggregate; deterministic, so the DuckDB oracle recomputes the
+    * identical assignment. At 100 TB the window is per-source and the
+    * running sum is the only sequential dependency — the standard
+    * two-phase distributed prefix-sum shape Spark's window already does. */
+  def packBins(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        expr(s"(cum - n_tokens) div $TokenBudget").cast("int"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** Deterministic corpus-mixture sampling: each source keeps a fixed
+    * fraction of documents, chosen by the engine-stable 48-bit hash of the
+    * doc id (NOT rand() — the mixture must be reproducible across runs,
+    * cluster layouts, and engines, like Relational.hashSplit). The filter
+    * is a pure per-row predicate pushed into the scan's evaluation — no
+    * shuffle at all until the presentation sort. */
+  val MixtureRates: Seq[(String, Int)] = // percent kept, per source
+    Seq("src0" -> 100, "src1" -> 50, "src2" -> 25, "src3" -> 10)
+  val MixtureDefaultRate = 20
+
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      expr(s"pmod(${graft.functions.SharedHash.spark48("cast(doc_id AS STRING)")}, 100)")
+    val rate = MixtureRates.foldLeft(lit(MixtureDefaultRate)) {
+      case (acc, (src, pct)) => when(col("source") === src, pct).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .withColumn("bucket", bucket.cast("int"))
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
 }

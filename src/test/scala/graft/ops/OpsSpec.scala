@@ -252,6 +252,42 @@ class CorpusSpec extends SparkSpec {
   }
 }
 
+class CorpusOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("packing manifest: bins start at 0 per source, totals conserved") {
+    val docs = Tables.documents(spark, dir)
+    val totalDocs = docs.count()
+    val totalTokens = docs
+      .select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    val bins = Corpus.packBins(spark, dir).collect()
+    assert(bins.map(_.getLong(2)).sum === totalDocs, "every doc lands in a bin")
+    assert(bins.map(_.getLong(3)).sum === totalTokens, "token mass conserved")
+    bins.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val ids = rows.map(_.getInt(1)).sorted
+      assert(ids.head === 0, s"$src bins start at 0")
+      // bins are contiguous: a doc straddling a boundary can make the
+      // *start-offset* skip a bin only if a single doc spans > budget
+      assert(ids.distinct.length === ids.length, s"$src bins unique")
+    }
+  }
+
+  test("mixture sampling honors per-source rates deterministically") {
+    val out = Corpus.mixtureSample(spark, dir).collect()
+    val rates = Corpus.MixtureRates.toMap
+    out.foreach { r =>
+      val rate = rates.getOrElse(r.getString(1), Corpus.MixtureDefaultRate)
+      assert(r.getInt(2) < rate, s"bucket ${r.getInt(2)} must be < rate $rate")
+    }
+    val again = Corpus.mixtureSample(spark, dir).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq, "deterministic")
+    val bySource = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val src0Total = Tables.documents(spark, dir)
+      .filter(col("source") === "src0").count()
+    assert(bySource.getOrElse("src0", 0) === src0Total, "rate 100 keeps all")
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
