@@ -128,6 +128,52 @@ object OracleSql {
         | count(*) AS n
         |FROM events GROUP BY 1 ORDER BY set_tag""".stripMargin,
 
+    // Spark ASC = NULLS FIRST, DuckDB = NULLS LAST — made explicit here
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping(l_returnflag) AS INT) * 2 +
+        |   CAST(grouping(l_linestatus) AS INT) AS gid,
+        | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin,
+
+    // integral moving sum (floor(value*100)) so the RANGE-frame sum is
+    // addition-order-independent; µs resolution because DuckDB stores µs
+    "q_range_frame" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+        |    AS win_cents,
+        |  CAST(count(*) OVER w AS INT) AS win_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT measure, count(*) AS n, round(sum(val), 2) AS total,
+        | round(avg(val), 6) AS mean
+        |FROM (
+        |  SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount', l_discount FROM lineitem) u
+        |GROUP BY measure ORDER BY measure""".stripMargin,
+
+    "q_subquery" ->
+      """SELECT c_custkey, c_mktsegment,
+        | (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        | (SELECT round(max(o_totalprice), 2) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_hash_split" -> {
       val bucket = s"(${SharedHash.duck48("CAST(event_id AS VARCHAR)")} % 10)"
       s"""SELECT CASE WHEN $bucket < 8 THEN 'train'

@@ -75,6 +75,10 @@ object SparkEntry {
     "q_time_window" -> (Relational.timeWindowCounts _),
     "q_sliding_window" -> (Relational.slidingWindowCounts _),
     "q_session_window" -> (Relational.sessionWindowAgg _),
+    "q_grouping_sets" -> (Relational.groupingSets _),
+    "q_range_frame" -> (Relational.rangeFrame _),
+    "q_unpivot" -> (Relational.unpivotMeasures _),
+    "q_subquery" -> (Relational.correlatedSubqueries _),
     "q_asof_join" -> (AsOfJoin.eventsAsOf _),
     "q_range_join" -> (RangeJoin.errorContext _),
     "q_salted_agg" -> (Skew.saltedUserAgg _),

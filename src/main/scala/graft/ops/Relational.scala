@@ -464,6 +464,75 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** GROUPING SETS with an explicit grouping id — the general form behind
+    * rollup/cube, exercising Catalyst's Expand operator at three chosen
+    * granularities in one pass over the fact table. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping(l_returnflag) AS INT) * 2 +
+        |   CAST(grouping(l_linestatus) AS INT) AS gid,
+        | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** RANGE-frame window: per-user moving sum over a 5-second event-time
+    * horizon (value-based frame, not row count — peers at the boundary are
+    * included by ts value). Two determinism choices make it oracle-exact:
+    * the frame runs at microsecond resolution (DuckDB stores µs, so a
+    * nanosecond frame would disagree within 1 µs of the boundary), and the
+    * summed measure is integral (floor of value×100) so the moving sum is
+    * addition-order-independent across engines and partition layouts. */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val horizonUs = 5L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-horizonUs, 0)
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("cents", floor($"value" * 100).cast("long"))
+      .withColumn("win_cents", sum($"cents").over(w))
+      .withColumn("win_n", count(lit(1)).over(w).cast("int"))
+      .select($"user_id", $"ts_us", $"event_id", $"win_cents", $"win_n")
+      .orderBy($"user_id", $"ts_us", $"event_id")
+  }
+
+  /** UNPIVOT (wide → long): the three lineitem measures melted to
+    * (measure, value) rows via stack, then aggregated per measure — the
+    * schema-normalization shape feature pipelines use. */
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(expr(
+        """stack(3, 'quantity', l_quantity,
+          |         'extendedprice', l_extendedprice,
+          |         'discount', l_discount) AS (measure, val)""".stripMargin))
+      .groupBy($"measure")
+      .agg(count(lit(1)).as("n"), round(sum($"val"), 2).as("total"),
+        round(avg($"val"), 6).as("mean"))
+      .orderBy($"measure")
+
+  /** Correlated subqueries: EXISTS gate + scalar count per row — Catalyst
+    * decorrelates both into joins (no per-row re-execution), the property
+    * that makes subqueries usable at scale at all. */
+  def correlatedSubqueries(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+        | (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        | (SELECT round(max(o_totalprice), 2) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   // Spark's $"..." interpolator without a session-bound import.
   private implicit class Str(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
