@@ -129,6 +129,16 @@ object OracleSql {
         |FROM events GROUP BY 1 ORDER BY set_tag""".stripMargin,
 
     // Spark ASC = NULLS FIRST, DuckDB = NULLS LAST — made explicit here
+    // the plain unsalted join — identical output proves the salt is
+    // semantics-transparent; integral cents make the sum order-independent
+    "q_salted_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        | CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS total_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
+
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(grouping(l_returnflag) AS INT) * 2 +

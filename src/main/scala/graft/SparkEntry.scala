@@ -82,6 +82,7 @@ object SparkEntry {
     "q_asof_join" -> (AsOfJoin.eventsAsOf _),
     "q_range_join" -> (RangeJoin.errorContext _),
     "q_salted_agg" -> (Skew.saltedUserAgg _),
+    "q_salted_join" -> (Skew.saltedJoinAgg _),
     // text analysis
     "text_tokens" -> (TextAnalysis.tokenStats _),
     "text_quality" -> (TextAnalysis.qualityScore _),

@@ -44,4 +44,39 @@ object Skew {
   def saltedUserAgg(s: SparkSession, dir: String): DataFrame =
     saltedAgg(Tables.events(s, dir), "user_id", "value", "event_id")
       .orderBy(col("user_id"))
+
+  /** Salted equi-join for hot join keys: the skewed (fact) side gets a
+    * deterministic salt from a row-unique column; the dimension side is
+    * replicated once per salt bucket (explode over 0..buckets), so the hot
+    * key's rows spread over `buckets` reducers instead of hammering one.
+    * Output ≡ the plain join — only the shuffle layout changes. AQE's
+    * skew-join splitter handles the sort-merge case automatically at
+    * runtime; explicit salting is the portable pattern for when it can't
+    * (broadcast-ineligible dims with extreme single-key skew, pre-Spark-3
+    * engines, or deterministic replay requirements). Replication cost:
+    * |dim| × buckets rows through the dim-side shuffle — use only when the
+    * dim is much smaller than the fact's hot-key mass. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, uniqueCol: String, buckets: Int = 8): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(col(uniqueCol)), lit(buckets)))
+    val saltedDim = dim
+      .withColumn("__salt", explode(array((0 until buckets).map(lit(_)): _*)))
+    saltedFact.join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) &&
+          saltedFact("__salt") === saltedDim("__salt"))
+      .drop("__salt")
+  }
+
+  /** Harness query: salted events⋈customer join, aggregated per segment ×
+    * event type. The aggregated measure is integral (floor cents) so the
+    * result is independent of the addition order salting introduces; the
+    * oracle is the plain unsalted join + GROUP BY. */
+  def saltedJoinAgg(s: SparkSession, dir: String): DataFrame =
+    saltedJoin(Tables.events(s, dir), Tables.customer(s, dir),
+        "user_id", "c_custkey", "event_id")
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
 }

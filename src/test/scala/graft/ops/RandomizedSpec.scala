@@ -102,6 +102,24 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("salted join equals plain join on adversarially skewed data") {
+    val rnd = new Random(11)
+    // 95% of fact rows on one hot key
+    val fact = (1 to 3000).map { i =>
+      val k = if (rnd.nextInt(20) < 19) 3L else rnd.nextInt(10).toLong
+      (i.toLong, k, rnd.nextInt(1000))
+    }.toDF("event_id", "k", "v")
+    val dim = (0 until 10).map(i => (i.toLong, s"dim$i")).toDF("dk", "name")
+
+    val plain = fact.join(dim, fact("k") === dim("dk"))
+      .select("event_id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    val salted = Skew.saltedJoin(fact, dim, "k", "dk", "event_id")
+      .select("event_id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(salted.toSeq === plain.toSeq)
+  }
+
   test("salted agg equals plain agg on adversarially skewed data") {
     // 90% of rows on one hot key
     val rnd = new Random(7)
