@@ -10,7 +10,9 @@ object ExplainAll {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSet else Set(
       "q_agg_lineitem", "q_filter_prefix", "q_join_revenue", "q_sort_limit",
-      "q_join_filtered", "q_sessionize", "dedup_exact", "ann_topk")
+      "q_join_filtered", "q_sessionize", "dedup_exact", "ann_topk",
+      "dedup_exact_keep", "dedup_simhash_lsh", "emb_dup_lsh", "corpus_pack",
+      "q_subquery", "q_grouping_sets", "q_salted_join")
     val spark = SparkSession.builder().master("local[4]")
       .appName("graft-explain")
       .config("spark.sql.shuffle.partitions", "4")
