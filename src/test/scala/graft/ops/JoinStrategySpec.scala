@@ -32,6 +32,34 @@ class JoinStrategySpec extends SparkSpec {
     assert(auto.count() === shuffleHash.count())
   }
 
+  test("correlated subqueries decorrelate into joins (no per-row execution)") {
+    val df = Relational.correlatedSubqueries(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("Join") || plan.contains("BroadcastHashJoin"),
+      "EXISTS + scalar subqueries must plan as joins")
+    assert(!plan.contains("InSubqueryExec") && !plan.contains("ScalarSubquery"),
+      s"no residual per-row subquery nodes expected:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("exact-dedup keep plans as narrow-digest window + anti-join " +
+      "(document bodies never enter an exchange)") {
+    val plan = Dedup.exactKeep(spark, dir)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // every data exchange carries only slim columns: the digest window's
+    // (doc_id, fp[, keeper]) or the final presentation sort's projection —
+    // never the text body
+    exchanges.foreach { e =>
+      val cols = e.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"document body must not shuffle, but exchange outputs $cols")
+    }
+    assert(plan.toString.contains("LeftAnti"), "survivors come from an anti-join")
+  }
+
   test("explicit broadcast() wins over a disabled auto-threshold") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
