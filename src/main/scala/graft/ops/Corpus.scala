@@ -88,16 +88,21 @@ object Corpus {
     Seq("src0" -> 100, "src1" -> 50, "src2" -> 25, "src3" -> 10)
   val MixtureDefaultRate = 20
 
-  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+  /** The mixture transform itself — a stateless per-row predicate, so the
+    * identical dataflow runs over a batch frame or a stream (proved by the
+    * batch↔stream equality case in StreamingSpec). */
+  def mixtureFilter(docs: DataFrame): DataFrame = {
     val bucket =
       expr(s"pmod(${graft.functions.SharedHash.spark48("cast(doc_id AS STRING)")}, 100)")
     val rate = MixtureRates.foldLeft(lit(MixtureDefaultRate)) {
       case (acc, (src, pct)) => when(col("source") === src, pct).otherwise(acc)
     }
-    Tables.documents(s, dir)
+    docs
       .withColumn("bucket", bucket.cast("int"))
       .filter(col("bucket") < rate)
       .select(col("doc_id"), col("source"), col("bucket"))
-      .orderBy(col("doc_id"))
   }
+
+  def mixtureSample(s: SparkSession, dir: String): DataFrame =
+    mixtureFilter(Tables.documents(s, dir)).orderBy(col("doc_id"))
 }

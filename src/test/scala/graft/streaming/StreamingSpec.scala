@@ -155,6 +155,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mixture sampling: the same stateless transform on a stream " +
+      "equals the batch output") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"source")
+    case class Doc(doc_id: Long, source: String)
+    val rows = docs.as[(Long, String)].collect()
+
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.Corpus.mixtureFilter(
+        input.toDF().toDF("doc_id", "source"))
+      .writeStream.format("memory").queryName("mix_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, source, bucket FROM mix_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val batch = graft.ops.Corpus.mixtureFilter(docs)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
