@@ -582,6 +582,33 @@ object OracleSql {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
          |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
+    // decontamination: identical 8-token shingle hashing, hash split, and
+    // overlap join recomputed from the same SharedHash constants
+    "corpus_contamination" -> {
+      val n = Corpus.ContamGramLen
+      val gram = SharedHash.duck48(s"array_to_string(tokens[i:i+${n - 1}], ' ')")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens
+         |  FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_distinct(list_transform(
+         |    range(1, greatest(len(tokens) - ${n - 1}, 1) + 1),
+         |    i -> $gram)) AS grams,
+         |  (${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 10) = 9 AS is_eval
+         |  FROM t),
+         |tg AS (SELECT DISTINCT unnest(grams) AS gh FROM g WHERE NOT is_eval),
+         |ed AS (SELECT doc_id, CAST(len(grams) AS INT) AS n_grams, grams
+         |  FROM g WHERE is_eval),
+         |eg AS (SELECT doc_id, unnest(grams) AS gh FROM ed),
+         |h AS (SELECT eg.doc_id, count(*) AS n_hits
+         |  FROM eg JOIN tg USING (gh) GROUP BY eg.doc_id)
+         |SELECT ed.doc_id, ed.n_grams,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(COALESCE(h.n_hits, 0) AS BIGINT) / ed.n_grams, 4)
+         |    AS contam_ratio
+         |FROM ed LEFT JOIN h ON ed.doc_id = h.doc_id
+         |ORDER BY ed.doc_id""".stripMargin
+    },
+
     // mixture sampling: identical md5-derived bucket, identical CASE rates
     "corpus_mixture" -> {
       val cases = Corpus.MixtureRates

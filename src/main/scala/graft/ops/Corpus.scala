@@ -105,4 +105,43 @@ object Corpus {
 
   def mixtureSample(s: SparkSession, dir: String): DataFrame =
     mixtureFilter(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** Train/eval contamination check — the decontamination pass every LLM
+    * eval pipeline needs: for each doc in the (hash-split) eval slice, the
+    * fraction of its 8-token shingles that also occur anywhere in the
+    * train slice. Shingles travel as 48-bit SharedHash values, so the
+    * overlap join shuffles 8-byte hashes, never text; the train side
+    * dedups to distinct shingle hashes (∝ vocabulary of the corpus, with
+    * map-side partial dedup) and the probe is one semi-join-shaped inner
+    * join + per-doc aggregate. Fully deterministic → DuckDB-oracle-checked. */
+  val ContamGramLen = 8
+
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val n = ContamGramLen
+    val gramsExpr =
+      s"""transform(sequence(1, greatest(size(tokens) - ${n - 1}, 1)),
+         |  i -> ${graft.functions.SharedHash.spark48(s"array_join(slice(tokens, i, $n), ' ')")})"""
+        .stripMargin.replaceAll("\n", " ")
+    val bucket10 =
+      expr(s"pmod(${graft.functions.SharedHash.spark48("cast(doc_id AS STRING)")}, 10)")
+    val toks = Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("grams", expr(s"array_distinct($gramsExpr)"))
+      .withColumn("is_eval", bucket10 === 9)
+      .select(col("doc_id"), col("grams"), col("is_eval"))
+      .cache()
+    val trainGrams = toks.filter(!col("is_eval"))
+      .select(explode(col("grams")).as("g")).distinct()
+    val evalDocs = toks.filter(col("is_eval"))
+      .select(col("doc_id"), size(col("grams")).as("n_grams"), col("grams"))
+    val hits = evalDocs
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(trainGrams, "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    evalDocs.select(col("doc_id"), col("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contam_ratio", round(col("n_hits") / col("n_grams"), 4))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -272,6 +272,22 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("contamination: planted train/eval overlap is detected, clean eval " +
+      "docs score 0") {
+    val rows = Corpus.contamination(spark, dir).collect()
+    assert(rows.nonEmpty, "hash split must yield eval docs")
+    rows.foreach { r =>
+      val (nGrams, nHits, ratio) = (r.getInt(1), r.getLong(2), r.getDouble(3))
+      assert(nGrams > 0)
+      assert(nHits >= 0 && nHits <= nGrams)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(math.abs(ratio - (nHits.toDouble / nGrams)) < 1e-3)
+    }
+    // the synthetic corpus contains near-duplicates across the hash split,
+    // so at least one eval doc must show overlap at this SF
+    assert(rows.exists(_.getLong(2) > 0), "expected planted contamination")
+  }
+
   test("mixture sampling honors per-source rates deterministically") {
     val out = Corpus.mixtureSample(spark, dir).collect()
     val rates = Corpus.MixtureRates.toMap
