@@ -499,6 +499,21 @@ object OracleSql {
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
 
+    // identical indexed-transform + non-null-filter construction
+    "text_collapse_repeats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens
+        |  FROM documents),
+        |k AS (SELECT doc_id, tokens,
+        |  list_filter(list_transform(range(1, len(tokens) + 1),
+        |    i -> CASE WHEN i = 1 OR tokens[i] != tokens[i - 1]
+        |      THEN tokens[i] END),
+        |    t -> t IS NOT NULL) AS kept
+        |  FROM t)
+        |SELECT doc_id, CAST(len(tokens) AS INT) AS n_before,
+        |  CAST(len(kept) AS INT) AS n_after,
+        |  array_to_string(kept, ' ') AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     // The custom RollingHash64 expression folded in HUGEINT with explicit
     // mod-2^64 wraparound, then mapped to two's-complement BIGINT. Valid
     // because the corpus is pure ASCII (verified at every SF), so DuckDB's

@@ -90,6 +90,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_vocab" -> ((s: SparkSession, d: String) => TextAnalysis.vocabulary(s, d)),
     "text_rolling_fp" -> (TextAnalysis.rollingFingerprint _),
+    "text_collapse_repeats" -> (TextAnalysis.collapseRepeats _),
     // dedup
     "dedup_exact" -> (Dedup.exactGroups _),
     "dedup_exact_keep" -> (Dedup.exactKeep _),

@@ -94,7 +94,7 @@ object TextAnalysis {
       .limit(topK)
 
   /** Fingerprinting via the native codegen RollingHash64 expression —
-    * cheap-hash variant of `fingerprint` (no oracle: the hash is ours). */
+    * cheap-hash variant of `fingerprint` (oracle: HUGEINT mod-2^64 fold). */
   def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
     RollingHash64.register(s)
     Tables.documents(s, dir)
@@ -103,4 +103,25 @@ object TextAnalysis {
         expr("pmod(rolling_hash64(text), 1024)").as("shard"))
       .orderBy(col("doc_id"))
   }
+
+  /** C4-style repetition collapse: drop each token equal to its immediate
+    * predecessor ("batch batch batch" → "batch"), emitting the cleaned
+    * text plus before/after counts. Expressed as an indexed transform
+    * (keep position i iff i = 1 or tokens[i] ≠ tokens[i-1]) + non-null
+    * filter — the same construction works verbatim in the DuckDB oracle,
+    * and the whole thing is one narrow codegen'd pass, no shuffle before
+    * the presentation sort. */
+  def collapseRepeats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("kept", expr(
+        """filter(transform(sequence(1, size(tokens)),
+          |  i -> CASE WHEN i = 1 OR element_at(tokens, i) !=
+          |    element_at(tokens, i - 1) THEN element_at(tokens, i) END),
+          |  t -> t IS NOT NULL)""".stripMargin))
+      .select(col("doc_id"),
+        size(col("tokens")).as("n_before"),
+        size(col("kept")).as("n_after"),
+        array_join(col("kept"), " ").as("clean_text"))
+      .orderBy(col("doc_id"))
 }

@@ -388,6 +388,22 @@ class TextMultimodalSpec extends SparkSpec {
   import spark.implicits._
   private val dir = "/root/testdata/sf0.001"
 
+  test("repetition collapse drops consecutive duplicates only") {
+    val docs = Seq(
+      (1L, "batch batch batch stream stream spark batch"),
+      (2L, "a a a a a"),
+      (3L, "no repeats at all here")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("rc").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.collapseRepeats(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) === ((7, 4, "batch stream spark batch")),
+      "non-adjacent repeats survive")
+    assert(out(2L) === ((5, 1, "a")))
+    assert(out(3L) === ((5, 5, "no repeats at all here")))
+  }
+
   test("token stats: n_tokens matches manual split") {
     val row = TextAnalysis.tokenStats(spark, dir).limit(1).collect()(0)
     val text = Tables.documents(spark, dir)
