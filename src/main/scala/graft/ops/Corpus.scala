@@ -130,6 +130,8 @@ object Corpus {
       .withColumn("is_eval", bucket10 === 9)
       .select(col("doc_id"), col("grams"), col("is_eval"))
       .cache()
+    toks.count() // force: three consumers below run as concurrent stages —
+                 // an unmaterialized cache would tokenize+hash per consumer
     val trainGrams = toks.filter(!col("is_eval"))
       .select(explode(col("grams")).as("g")).distinct()
     val evalDocs = toks.filter(col("is_eval"))
