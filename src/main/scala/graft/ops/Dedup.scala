@@ -119,6 +119,9 @@ object Dedup {
   /** Unordered near-dup pair graph — the dataflow-shaped variant. */
   def minhashPairsRaw(docs: DataFrame): DataFrame = {
     val shingled = Dedup.shingled(docs).cache()
+    shingled.count() // force: the band self-join + two verify joins are
+                     // multiple consumers — unmaterialized, each would
+                     // re-run the tokenize+shingle+md5 pass
     val sigs = signaturesFrom(shingled)
     // band key = concatenated signature rows of the band
     val bandStructs = (0 until NumBands).map { j =>
@@ -326,6 +329,7 @@ object Dedup {
     * dataflow shape is unchanged.) */
   def simhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = simhashSignaturesRaw(s, dir).cache()
+    sig.count() // force before the band self-join's two consumers
     val bandStructs = (0 until SimHashBands).map { j =>
       struct(lit(j).as("band"),
         expr(s"(simhash >> ${j * SimHashBandBits}) & ${(1 << SimHashBandBits) - 1}")
