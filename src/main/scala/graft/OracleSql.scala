@@ -128,7 +128,6 @@ object OracleSql {
         | count(*) AS n
         |FROM events GROUP BY 1 ORDER BY set_tag""".stripMargin,
 
-    // Spark ASC = NULLS FIRST, DuckDB = NULLS LAST — made explicit here
     // the plain unsalted join — identical output proves the salt is
     // semantics-transparent; integral cents make the sum order-independent
     "q_salted_join" ->
@@ -139,6 +138,33 @@ object OracleSql {
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
 
+    // identical explicit full frame; µs ordering (DuckDB stores µs)
+    "q_window_nav" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |  first_value(value) OVER f AS first_v,
+        |  last_value(value) OVER f AS last_v,
+        |  nth_value(value, 2) OVER f AS second_v,
+        |  COALESCE(lag(value, 1) OVER o, -1.0) AS prev_v,
+        |  COALESCE(lead(value, 1) OVER o, -1.0) AS next_v
+        |FROM events WHERE user_id < 30
+        |WINDOW o AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+        |  f AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT doc_id, CAST(len(tokens) AS INT) AS n,
+        | array_to_string(tokens[1:3], '-') AS first3,
+        | array_to_string(list_sort(list_distinct(tokens))[1:5], ',')
+        |   AS vocab5,
+        | CAST(COALESCE(list_position(tokens, 'spark'), 0) AS BIGINT)
+        |   AS spark_pos,
+        | list_contains(tokens, 'spark') AS has_spark
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tokens
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    // Spark ASC = NULLS FIRST, DuckDB = NULLS LAST — made explicit here
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(grouping(l_returnflag) AS INT) * 2 +

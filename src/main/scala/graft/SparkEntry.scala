@@ -76,6 +76,8 @@ object SparkEntry {
     "q_sliding_window" -> (Relational.slidingWindowCounts _),
     "q_session_window" -> (Relational.sessionWindowAgg _),
     "q_grouping_sets" -> (Relational.groupingSets _),
+    "q_window_nav" -> (Relational.windowNavigation _),
+    "q_array_funcs" -> (Relational.arrayFuncs _),
     "q_range_frame" -> (Relational.rangeFrame _),
     "q_unpivot" -> (Relational.unpivotMeasures _),
     "q_subquery" -> (Relational.correlatedSubqueries _),

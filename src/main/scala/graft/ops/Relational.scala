@@ -464,6 +464,44 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Window navigation family: first/last/nth value over an explicit
+    * full-partition frame (last_value over the default frame is the
+    * classic footgun — pinned here), plus lag/lead with defaults. One
+    * shuffle, one sort, every navigation function rides the same frame. */
+  def windowNavigation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // µs resolution like q_range_frame: DuckDB stores µs, and the frame
+    // ORDER must agree exactly or lag/lead/nth disagree at ts collisions
+    val order = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .filter($"user_id" < 30)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select($"user_id", $"ts_us", $"event_id", $"value",
+        first($"value").over(full).as("first_v"),
+        last($"value").over(full).as("last_v"),
+        nth_value($"value", 2).over(full).as("second_v"),
+        lag($"value", 1, -1.0).over(order).as("prev_v"),
+        lead($"value", 1, -1.0).over(order).as("next_v"))
+      .orderBy($"user_id", $"ts_us", $"event_id")
+  }
+
+  /** Array function family over the tokenized documents: size, slicing,
+    * ordered distinct sample, positional lookup, membership — the
+    * collection surface a feature pipeline leans on, all codegen
+    * built-ins in one narrow pass. */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("tokens")).as("n"),
+        array_join(slice(col("tokens"), 1, 3), "-").as("first3"),
+        array_join(slice(sort_array(array_distinct(col("tokens"))), 1, 5), ",")
+          .as("vocab5"),
+        array_position(col("tokens"), "spark").as("spark_pos"),
+        array_contains(col("tokens"), "spark").as("has_spark"))
+      .orderBy(col("doc_id"))
+
   /** GROUPING SETS with an explicit grouping id — the general form behind
     * rollup/cube, exercising Catalyst's Expand operator at three chosen
     * granularities in one pass over the fact table. */
