@@ -14,6 +14,11 @@ Test / fork := true
 // can't perturb float reduce orders (seeded ALS near the RMSE gate).
 Test / parallelExecution := false
 run / fork := true
+// Pass the forked program's stdout through unprefixed: the bench/verify
+// drivers parse the JSON line Bench prints, and sbt's default logger
+// prepends "[info] " which breaks a ^{ line match (BENCH_r{1,2}.json both
+// recorded parsed:null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -14,14 +14,26 @@ object Bench {
     // JIT / codegen cost (~5-6 s) that would otherwise be attributed to
     // whichever timed query happens to run first, making per-query numbers
     // incomparable round-over-round.
+    // NonFatal only: a broken warmup must be visible (it would silently
+    // reintroduce the first-query JIT skew this loop exists to remove), and
+    // OOM/fatal JVM errors must propagate, not be swallowed.
+    import scala.util.control.NonFatal
     for (w <- Seq("q_agg_lineitem", "q_window_running", "q_sort_limit"))
       SparkEntry.queries.get(w).foreach { fn =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try fn(spark, sfDir).count() catch {
+          case NonFatal(e) =>
+            System.err.println(s"warmup query $w failed: ${e.getClass.getName}: ${e.getMessage}")
+        }
       }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case NonFatal(e) =>
+          System.err.println(s"bench query $name failed: ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
+      // a failed query reports -1 so it can't masquerade as a fast pass
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

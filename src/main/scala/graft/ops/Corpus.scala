@@ -39,7 +39,7 @@ object Corpus {
     val nearKeep = exactKeep.join(dropIds, Seq("doc_id"), "left_anti")
 
     // 3. quality gate
-    nearKeep
+    val out = nearKeep
       .withColumn("tokens", split(col("text"), " "))
       .withColumn("n_tokens", size(col("tokens")))
       .withColumn("ttr",
@@ -48,6 +48,7 @@ object Corpus {
         col("ttr") >= MinTypeTokenRatio)
       .select(col("doc_id"), col("n_tokens"), round(col("ttr"), 4).as("ttr"))
       .orderBy(col("doc_id"))
+    Caching.materializeAndRelease(out, exactKeep)
   }
 
   def curateQuery(s: SparkSession, dir: String): DataFrame =
@@ -140,10 +141,11 @@ object Corpus {
       .select(col("doc_id"), explode(col("grams")).as("g"))
       .join(trainGrams, "g")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-    evalDocs.select(col("doc_id"), col("n_grams"))
+    val out = evalDocs.select(col("doc_id"), col("n_grams"))
       .join(hits, Seq("doc_id"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("contam_ratio", round(col("n_hits") / col("n_grams"), 4))
       .orderBy(col("doc_id"))
+    Caching.materializeAndRelease(out, toks)
   }
 }

@@ -195,6 +195,9 @@ object Similarity {
       threshold: Double = 0.35): DataFrame = {
     val e = withBuckets(embedded(s, dir))
       .select(col("vec_id"), col("e"), col("nrm"), col("bucket")).cache()
+    e.count() // force: the bands scan + two verify joins are concurrent
+              // consumers — unmaterialized, each would recompute the
+              // embed+16-plane-dot pipeline itself
     val bandStructs = (0 until NumBands).map { j =>
       struct(lit(j).as("band"),
         expr(s"(bucket >> ${j * BitsPerBand}) & ${(1 << BitsPerBand) - 1}").as("key"))
@@ -206,7 +209,7 @@ object Similarity {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
-    cands
+    val pairs = cands
       .join(e.select(col("vec_id").as("id_a"), col("e").as("e_a"),
         col("nrm").as("n_a")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("e").as("e_b"),
@@ -216,6 +219,7 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
       .orderBy(col("id_a"), col("id_b"))
+    graft.ops.Caching.materializeAndRelease(pairs, e)
   }
 
   /** Embedding-cosine near-duplicate pairs over a bounded id range (exact,
