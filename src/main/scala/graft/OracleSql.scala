@@ -799,6 +799,115 @@ object OracleSql {
          |  FROM n a JOIN n b
          |  ON a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300)
          |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact substring duplication: identical overlapping-gram hashing
+    // (clipped slice for short docs), per-doc distinct, df cap, pair join
+    "dedup_substring" -> {
+      val n = Dedup.SubstrGramLen
+      val gram = SharedHash.duck48(s"array_to_string(tokens[i:i+${n - 1}], ' ')")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens
+         |  FROM documents),
+         |g0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(tokens) - ${n - 1}, 1) + 1),
+         |    i -> $gram))) AS g FROM t),
+         |rare AS (SELECT g FROM g0 GROUP BY g
+         |  HAVING count(*) <= ${Dedup.SubstrMaxDf}),
+         |gf AS (SELECT g0.doc_id, g0.g FROM g0 JOIN rare USING (g))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*) AS n_shared
+         |FROM gf a JOIN gf b ON a.g = b.g AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // C4-style segment dedup: same non-overlapping 10-token segmentation,
+    // same global first-occurrence rule (ORDER BY doc_id, idx), same
+    // in-order reassembly
+    "text_segment_dedup" -> {
+      val n = TextAnalysis.SegmentLen
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens
+         |  FROM documents),
+         |s0 AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(CAST(ceil(len(tokens) / $n.0) AS BIGINT), 1) + 1),
+         |    i -> {'idx': i - 1,
+         |          'seg': array_to_string(tokens[(i-1)*$n+1:(i-1)*$n+$n], ' ')})) AS s
+         |  FROM t),
+         |segs AS (SELECT doc_id, CAST(s.idx AS INT) AS idx, s.seg AS seg FROM s0),
+         |k AS (SELECT doc_id, idx, seg,
+         |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) = 1 AS kept
+         |  FROM segs)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_segs,
+         |  CAST(count(*) FILTER (WHERE kept) AS INT) AS n_kept,
+         |  COALESCE(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE kept), '')
+         |    AS kept_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // TF-IDF: same smoothed idf = ln((N+1)/(df+1)), same (score desc,
+    // term asc) tie-break, row_number cast to Spark's INT
+    "text_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, term,
+         |  round(tf * ln((n_docs + 1) / (df + 1)), 6) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, score,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term ASC) AS INT) AS rnk FROM sc)
+         |SELECT doc_id, rnk, term, score FROM r WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin,
+
+    // BM25: identical constant expressions (emitted unevaluated so both
+    // engines fold 1.2 + 1 in IEEE double the same way), per-term
+    // contributions floored into integral micro-units before the exact
+    // BIGINT sum (float-sum rule)
+    "text_bm25" -> {
+      import graft.ops.TermScoring.{K1, B, QueryTerms}
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS dl,
+         |  string_split(text, ' ') AS tokens FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM d),
+         |t AS (SELECT doc_id, dl, unnest(tokens) AS term FROM d),
+         |tq AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+         |  WHERE term IN (${inList(QueryTerms)}) GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*) AS df FROM tq GROUP BY 1),
+         |sc AS (SELECT doc_id, CAST(floor(
+         |    round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+         |      * (tf * ($K1 + 1))
+         |      / (tf + $K1 * (1 - $B + $B * dl / avgdl))
+         |      * 1000000) AS BIGINT) AS contrib_u
+         |  FROM tq JOIN df USING (term) CROSS JOIN stats)
+         |SELECT doc_id, round(sum(contrib_u) / 1000000.0, 6) AS score
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    // cohort retention: same integer-division day bucketing over the
+    // BIGINT epoch-ns timestamps
+    "q_cohort_retention" ->
+      s"""WITH a AS (SELECT DISTINCT user_id,
+         |  epoch_ns(ts) // ${graft.ops.Analytics.NsPerDay} AS day FROM events),
+         |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+         |SELECT cohort_day, day - cohort_day AS day_offset,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM a JOIN c USING (user_id)
+         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // strictly-ordered funnel: same successive conditional-min staging
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+        |t1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM t1
+        |UNION ALL SELECT '2_click', count(*) FROM t2
+        |UNION ALL SELECT '3_purchase', count(*) FROM t3
+        |ORDER BY stage""".stripMargin
   )
 }

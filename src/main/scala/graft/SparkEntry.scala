@@ -82,6 +82,8 @@ object SparkEntry {
     "q_unpivot" -> (Relational.unpivotMeasures _),
     "q_subquery" -> (Relational.correlatedSubqueries _),
     "q_asof_join" -> (AsOfJoin.eventsAsOf _),
+    "q_cohort_retention" -> (Analytics.cohortRetention _),
+    "q_funnel" -> (Analytics.funnel _),
     "q_range_join" -> (RangeJoin.errorContext _),
     "q_salted_agg" -> (Skew.saltedUserAgg _),
     "q_salted_join" -> (Skew.saltedJoinAgg _),
@@ -93,6 +95,9 @@ object SparkEntry {
     "text_vocab" -> ((s: SparkSession, d: String) => TextAnalysis.vocabulary(s, d)),
     "text_rolling_fp" -> (TextAnalysis.rollingFingerprint _),
     "text_collapse_repeats" -> (TextAnalysis.collapseRepeats _),
+    "text_segment_dedup" -> (TextAnalysis.segmentDedup _),
+    "text_tfidf" -> ((s: SparkSession, d: String) => TermScoring.tfidfTopTerms(s, d)),
+    "text_bm25" -> ((s: SparkSession, d: String) => TermScoring.bm25(s, d)),
     // dedup
     "dedup_exact" -> (Dedup.exactGroups _),
     "dedup_exact_keep" -> (Dedup.exactKeep _),
@@ -108,6 +113,7 @@ object SparkEntry {
     "dedup_editdist" -> ((s: SparkSession, d: String) => Dedup.editDistancePairs(s, d)),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_lsh" -> (Dedup.simhashLshPairs _),
+    "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringGramPairs(s, d)),
     // similarity search
     "ann_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the `events` table: cohort retention
+  * and ordered conversion funnels — the two standard event-log rollups an
+  * analytics engine is expected to ship.
+  *
+  * `ts` is BIGINT epoch-nanoseconds (see Tables.events); days are floor
+  * divisions by 86400e9, identical in the DuckDB oracle via epoch_ns.
+  *
+  * Scale design: both operators reduce events to per-user scalars first
+  * (min timestamps / distinct active days) — the classic two-phase shape
+  * where the big fact table is aggregated with map-side partials before any
+  * join, so what shuffles is O(users), not O(events). The per-stage joins
+  * are user-keyed equi-joins AQE will broadcast when the reduced side is
+  * small; no driver-side collection anywhere.
+  */
+object Analytics {
+  val NsPerDay = 86400000000000L
+
+  /** Classic cohort-retention triangle: users are cohorted by their first
+    * active day; for each (cohort day, day offset) the count of cohort
+    * members active on cohort_day + offset. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    // integer division: `/` on bigint routes through double, and ts values
+    // near 2^60 lose ns precision there — a midnight-adjacent event could
+    // land on the wrong day
+    val active = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts div $NsPerDay").as("day"))
+      .distinct()
+    val cohorts = active.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Strictly-ordered 3-stage conversion funnel (view → click → purchase):
+    * a user converts stage n only with an event strictly after their
+    * earliest stage-(n-1) conversion time. Computed as successive
+    * conditional min-aggregates over the per-user event set — each stage is
+    * one groupBy + one user-keyed join, never a per-event self-join. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = Seq(
+      ("1_view", t1), ("2_click", t2), ("3_purchase", t3))
+    counts.map { case (stage, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(stage).as("stage"), col("n_users"))
+      }
+      .reduce(_.union(_))
+      .orderBy(col("stage"))
+  }
+}

@@ -140,7 +140,7 @@ object Dedup {
       .distinct()
 
     val sh = shingled.select(col("doc_id"), col("sh"))
-    cands
+    val pairs = cands
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
       .withColumn("jaccard", round(
@@ -148,6 +148,9 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))), 4))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // pair sets are ∝ duplicate density, never corpus size — materialize
+    // them and drop the (large) shingle cache so no blocks leak to callers
+    Caching.materializeAndRelease(pairs, shingled)
   }
 
   /** Connected components over a near-dup pair graph via min-label
@@ -241,6 +244,12 @@ object Dedup {
         labels = next
         iter += 1
       }
+      // Pointer doubling makes the cap practically unreachable (covers any
+      // diameter < 2^25), but if a pathological graph ever exhausts it the
+      // labels are WRONG — fail loudly rather than emit partial clusters.
+      require(changed == 0,
+        s"connectedComponents: min-label propagation did not converge after " +
+          s"$iter rounds ($changed labels still changing)")
       labels.select(col("node").as("doc_id"), col("label").as("cluster"))
     }
     edges.unpersist()
@@ -286,6 +295,48 @@ object Dedup {
       .withColumn("dist", levenshtein(col("head_a"), col("head_b")))
       .filter(col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --- exact substring duplication (gram-hash join) ------------------------
+
+  val SubstrGramLen = 16
+  /** Grams occurring in more docs than this are dropped before the pair
+    * join: boilerplate grams both (a) aren't duplication evidence and (b)
+    * are exactly the hot keys that would skew the join — the df cap is the
+    * standard remedy on both counts (suffix-array dedup pipelines apply the
+    * same frequency cut before emitting spans). */
+  val SubstrMaxDf = 10
+
+  /** Exact substring duplication: pairs of documents sharing at least one
+    * common [[SubstrGramLen]]-token gram, with the count of shared grams.
+    * The distributed reframing of suffix-array substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): a suffix
+    * array is single-node, but overlapping fixed-length gram hashes get the
+    * same ≥L-token matches as an equi-join — only 8-byte hashes shuffle,
+    * never text, and the join is O(matches), not O(n²). Docs shorter than
+    * the gram length fall back to one whole-text gram (same clipped-slice
+    * rule in the oracle). */
+  def substringGramPairs(s: SparkSession, dir: String,
+      gramLen: Int = SubstrGramLen, maxDf: Int = SubstrMaxDf): DataFrame = {
+    val gramsExpr =
+      s"""array_distinct(transform(
+         |  sequence(1, greatest(size(tokens) - ${gramLen - 1}, 1)),
+         |  i -> ${SharedHash.spark48(s"array_join(slice(tokens, i, $gramLen), ' ')")}))"""
+        .stripMargin.replaceAll("\n", " ")
+    val grams = Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(gramsExpr)).as("g"))
+    // df cap: per-doc-distinct grams mean count(*) per g IS doc frequency
+    val rare = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("g"))
+    val gf = grams.join(rare, "g")
+    gf.toDF("g", "doc_a").join(gf.toDF("g", "doc_b"), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -339,7 +390,7 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.band").as("band"), col("b.key").as("key"))
-    bands.as("x").join(bands.as("y"),
+    val pairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -349,6 +400,7 @@ object Dedup {
       .filter(col("hamming") <= HammingThreshold)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+    Caching.materializeAndRelease(pairs, sig)
   }
 
   /** Near-dup pairs by SimHash hamming distance over a bounded id range —

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Term-weighting operators over the `documents` table: TF-IDF and BM25 —
+  * the relevance/quality primitives a training-data pipeline uses for
+  * corpus-vs-reference scoring (e.g. importance resampling against a
+  * high-quality seed corpus) and for search-style retrieval over the corpus.
+  *
+  * Scale design: both are wordcount-shaped. The explode is partition-local;
+  * only (term, partial count) pairs shuffle for DF, and (doc, term, tf)
+  * triples for TF — never document bodies. Corpus-level scalars (N, avgdl)
+  * are single-row aggregates broadcast into the scoring join, not
+  * driver-side collects. Every arithmetic step is rounded where engine
+  * float association could differ, so the DuckDB oracle hash-matches.
+  */
+object TermScoring {
+
+  /** Per-document top-k TF-IDF terms (tf × ln((N+1)/(df+1)), the smoothed
+    * variant that never divides by zero). Tie-break: score desc, term asc. */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")) // tf rows are per-(doc,term) → count = df
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val K1 = 1.2
+  val B = 0.75
+  /** Fixed retrieval query for the harness BM25 ranking. */
+  val QueryTerms: Seq[String] = Seq("table", "spark", "join")
+
+  /** BM25 ranking of all documents against [[QueryTerms]], top `k` by
+    * score. Standard Robertson/Sparck-Jones idf = ln(1 + (N-df+0.5)/(df+0.5));
+    * per-term contributions are rounded before summing so the cross-engine
+    * sum is over identical representable values, and ranking uses the
+    * rounded score with doc_id tie-break — bit-stable row selection. */
+  def bm25(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("dl", size(split(col("text"), " ")))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      round(avg(col("dl")), 6).as("avgdl"))
+    val terms = docs
+      .select(col("doc_id"), col("dl"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(QueryTerms: _*))
+    val tf = terms.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        round(log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6))
+      // per-term contribution in integral micro-units (floor, not round —
+      // DuckDB and Spark agree on floor; their double→int casts differ):
+      // summing BIGINTs is exact and order-independent, where a double sum
+      // could flip last bits under reordered addition (float-sum rule)
+      .withColumn("contrib_u", floor(
+        col("idf") * (col("tf") * (lit(K1) + 1)) /
+          (col("tf") + lit(K1) * (lit(1) - lit(B) + lit(B) * col("dl") / col("avgdl")))
+          * lit(1000000)).cast("bigint"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib_u")) / 1000000.0, 6).as("score"))
+    scored
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

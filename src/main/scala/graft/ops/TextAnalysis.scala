@@ -104,6 +104,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  val SegmentLen = 10
+
+  /** C4-style line-level dedup, applied to fixed 10-token segments (the
+    * synthetic corpus has no newlines, so non-overlapping token segments
+    * stand in for lines; the dataflow is identical). Every occurrence of a
+    * repeated segment except the globally first one — ordered by (doc_id,
+    * segment position) — is removed, and each document is reassembled from
+    * its surviving segments.
+    *
+    * Shape: segments shuffle once keyed by their content (the
+    * first-occurrence window — keyed by the segment itself, not a hash, so
+    * distinct segments can never merge; the row already carries the text,
+    * so the shuffle width is unchanged), then once by doc_id for
+    * reassembly. The window state per key is one row_number — the same two
+    * shuffles at 100 TB, with text moving only where the reassembled
+    * output inherently requires it. */
+  def segmentDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = SegmentLen
+    val segsExpr =
+      s"""transform(sequence(1, greatest(cast(ceil(size(tokens) / $n.0D) AS INT), 1)),
+         |  i -> array_join(slice(tokens, (i - 1) * $n + 1, $n), ' '))"""
+        .stripMargin.replaceAll("\n", " ")
+    val segs = Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(segsExpr)).as(Seq("idx", "seg")))
+    val w = Window
+      .partitionBy(col("seg"))
+      .orderBy(col("doc_id"), col("idx"))
+    segs
+      .withColumn("kept", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_segs"),
+        count(when(col("kept"), 1)).cast("int").as("n_kept"),
+        array_join(
+          expr("transform(array_sort(collect_list(CASE WHEN kept THEN struct(idx, seg) END)), x -> x.seg)"),
+          " ").as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C4-style repetition collapse: drop each token equal to its immediate
     * predecessor ("batch batch batch" → "batch"), emitting the cleaned
     * text plus before/after counts. Expressed as an indexed transform
