@@ -801,6 +801,44 @@ object OracleSql {
          |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // incremental dedup: same hash-bucket split, digest semi-join, and
+    // bipartite band probe recomputed from the shared MinHash constants
+    "dedup_incremental" -> {
+      val bandSelects = (0 until Dedup.NumBands).map { j =>
+        val key = (0 until Dedup.RowsPerBand)
+          .map(r => s"CAST(mh_${j * Dedup.RowsPerBand + r} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, is_inc, $j AS band, $key AS key FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT doc_id, text,
+         |  string_split(text, ' ') AS tokens,
+         |  (${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 10) = 9 AS is_inc
+         |  FROM documents),
+         |sh AS (SELECT doc_id, is_inc, text, $shinglesCase AS sh FROM tok),
+         |mh AS (SELECT doc_id, is_inc, $minhashCols FROM sh),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS ex_id
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.is_inc AND NOT b.is_inc),
+         |near AS (SELECT inc_id, count(*) AS n_near FROM cand
+         |  JOIN sh sa ON sa.doc_id = cand.inc_id
+         |  JOIN sh sb ON sb.doc_id = cand.ex_id
+         |  WHERE round(len(list_distinct(list_intersect(sa.sh, sb.sh))) /
+         |        len(list_distinct(sa.sh || sb.sh)), 4) >= ${Dedup.JaccardThreshold}
+         |  GROUP BY inc_id),
+         |ex_fp AS (SELECT DISTINCT md5(text) AS fp FROM tok WHERE NOT is_inc),
+         |exact AS (SELECT DISTINCT doc_id FROM tok
+         |  WHERE is_inc AND md5(text) IN (SELECT fp FROM ex_fp))
+         |SELECT t.doc_id,
+         |  t.doc_id IN (SELECT doc_id FROM exact) AS is_exact,
+         |  CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near,
+         |  CASE WHEN t.doc_id IN (SELECT doc_id FROM exact) THEN 'exact'
+         |       WHEN COALESCE(n.n_near, 0) > 0 THEN 'near'
+         |       ELSE 'novel' END AS verdict
+         |FROM tok t LEFT JOIN near n ON n.inc_id = t.doc_id
+         |WHERE t.is_inc ORDER BY t.doc_id""".stripMargin
+    },
+
     // exact substring duplication: identical overlapping-gram hashing
     // (clipped slice for short docs), per-doc distinct, df cap, pair join
     "dedup_substring" -> {

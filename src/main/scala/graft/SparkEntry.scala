@@ -114,6 +114,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_lsh" -> (Dedup.simhashLshPairs _),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringGramPairs(s, d)),
+    "dedup_incremental" -> (Dedup.incrementalDedup _),
     // similarity search
     "ann_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),

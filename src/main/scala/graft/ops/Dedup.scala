@@ -91,7 +91,7 @@ object Dedup {
 
   // --- MinHash + LSH -------------------------------------------------------
 
-  private def signaturesFrom(shingled: DataFrame): DataFrame = {
+  private[ops] def signaturesFrom(shingled: DataFrame): DataFrame = {
     val sigCols = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
       expr(s"array_min(transform(hs, h -> pmod($a * pmod(h, ${SharedHash.P}) + $b, ${SharedHash.P})))")
         .as(s"mh_$k")
@@ -116,22 +116,27 @@ object Dedup {
   def minhashPairsFrom(docs: DataFrame): DataFrame =
     minhashPairsRaw(docs).orderBy(col("doc_a"), col("doc_b"))
 
+  /** (doc_id, band, key) rows from a signature frame — band key =
+    * concatenated signature rows of the band. Shared by the self-join pair
+    * path and the bipartite incremental path. */
+  private[ops] def bandsFrom(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until NumBands).map { j =>
+      val keyCols = (0 until RowsPerBand)
+        .map(r => col(s"mh_${j * RowsPerBand + r}"))
+      struct(lit(j).as("band"), concat_ws("_", keyCols: _*).as("key"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+  }
+
   /** Unordered near-dup pair graph — the dataflow-shaped variant. */
   def minhashPairsRaw(docs: DataFrame): DataFrame = {
     val shingled = Dedup.shingled(docs).cache()
     shingled.count() // force: the band self-join + two verify joins are
                      // multiple consumers — unmaterialized, each would
                      // re-run the tokenize+shingle+md5 pass
-    val sigs = signaturesFrom(shingled)
-    // band key = concatenated signature rows of the band
-    val bandStructs = (0 until NumBands).map { j =>
-      val keyCols = (0 until RowsPerBand)
-        .map(r => col(s"mh_${j * RowsPerBand + r}"))
-      struct(lit(j).as("band"), concat_ws("_", keyCols: _*).as("key"))
-    }
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val bands = bandsFrom(signaturesFrom(shingled))
 
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -298,6 +303,65 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // --- incremental dedup (new batch vs existing corpus) --------------------
+
+  /** Dedup a NEW batch against an EXISTING corpus — the shape a continuous
+    * ingestion pipeline actually runs (a crawl delta lands; nothing already
+    * curated may be recomputed). The harness split: hash bucket 9 of doc_id
+    * is the incoming batch, the rest is the standing corpus (same
+    * convention as Corpus.contamination).
+    *
+    * Verdicts per incoming doc:
+    *   - exact: its content digest already exists (16-byte digest semi-join;
+    *     bodies never shuffle)
+    *   - near:  ≥1 standing doc within MinHash-jaccard threshold, found by
+    *     a BIPARTITE band join — incoming bands probe existing bands, so
+    *     work is O(delta × collisions), never O(corpus²); at scale the
+    *     existing side's band table is a precomputed index updated
+    *     incrementally, which this dataflow models
+    *   - novel: neither
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      expr(s"pmod(${SharedHash.spark48("cast(doc_id AS STRING)")}, 10)")
+    val docs = Tables.documents(s, dir).withColumn("b", bucket)
+    val inc = docs.filter(col("b") === 9).drop("b")
+    val ex = docs.filter(col("b") =!= 9).drop("b")
+
+    val exactIds = inc.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(ex.select(md5(col("text")).as("fp")).distinct(), "fp")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_exact", lit(true))
+
+    val shInc = shingled(inc).cache(); shInc.count()
+    val shEx = shingled(ex).cache(); shEx.count()
+    val cands = bandsFrom(signaturesFrom(shInc)).as("x")
+      .join(bandsFrom(signaturesFrom(shEx)).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("inc_id"), col("y.doc_id").as("ex_id"))
+      .distinct()
+    val near = cands
+      .join(shInc.select(col("doc_id").as("inc_id"), col("sh").as("sh_a")), "inc_id")
+      .join(shEx.select(col("doc_id").as("ex_id"), col("sh").as("sh_b")), "ex_id")
+      .filter(round(
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))), 4) >= JaccardThreshold)
+      .groupBy(col("inc_id")).agg(count(lit(1)).as("n_near"))
+      .withColumnRenamed("inc_id", "doc_id")
+
+    val out = inc.select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .withColumn("is_exact", coalesce(col("is_exact"), lit(false)))
+      .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+      .withColumn("verdict",
+        when(col("is_exact"), "exact")
+          .when(col("n_near") > 0, "near")
+          .otherwise("novel"))
+      .orderBy(col("doc_id"))
+    Caching.materializeAndRelease(out, shInc, shEx)
+  }
+
   // --- exact substring duplication (gram-hash join) ------------------------
 
   val SubstrGramLen = 16
@@ -324,20 +388,29 @@ object Dedup {
          |  sequence(1, greatest(size(tokens) - ${gramLen - 1}, 1)),
          |  i -> ${SharedHash.spark48(s"array_join(slice(tokens, i, $gramLen), ' ')")}))"""
         .stripMargin.replaceAll("\n", " ")
+    // (doc_id, hash) pairs only — 16 bytes/row however long the gram is.
+    // Cached + forced: the df aggregate and the join both consume it, and
+    // the tokenize+hash explode is the dominant cost.
     val grams = Tables.documents(s, dir)
       .withColumn("tokens", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(gramsExpr)).as("g"))
+      .cache()
+    grams.count()
     // df cap: per-doc-distinct grams mean count(*) per g IS doc frequency
     val rare = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("g"))
-    val gf = grams.join(rare, "g")
-    gf.toDF("g", "doc_a").join(gf.toDF("g", "doc_b"), "g")
+    // the capped gram set feeds BOTH sides of the self-join — force it too,
+    // or the grams⋈rare join runs once per side
+    val gf = grams.join(rare, "g").cache()
+    gf.count()
+    val pairs = gf.toDF("g", "doc_a").join(gf.toDF("g", "doc_b"), "g")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("doc_a"), col("doc_b"))
+    Caching.materializeAndRelease(pairs, grams, gf)
   }
 
   // --- SimHash -------------------------------------------------------------

@@ -18,6 +18,12 @@ final case class SessionSummary(user_id: Long, n_events: Long,
 private final case class SessionState(n: Long, startMs: Long, endMs: Long,
     total: Double)
 
+/** Emitted when a user first reaches a funnel stage (1=view, 2=click
+  * after view, 3=purchase after that click). */
+final case class StageReached(user_id: Long, stage: Int, ts_ms: Long)
+
+private final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
 /** Per-event anomaly verdict against the user's running mean. */
 final case class ScoredEvent(event_id: Long, user_id: Long, value: Double,
     running_mean: Double, is_anomaly: Boolean)
@@ -48,6 +54,49 @@ class AnomalyProcessor(factor: Double, warmup: Long)
     }
     stats.update(s)
     out.iterator
+  }
+}
+
+/** transformWithState processor for the live funnel: per-user (t1, t2, t3)
+  * earliest-conversion timestamps (0 = not reached), advanced by the same
+  * strict-ordering rule as the batch operator (ops.Analytics.funnel): a
+  * stage-n event converts only strictly after the stored stage-(n-1) time.
+  * Emits one StageReached per first conversion.
+  *
+  * State is three longs per user — bounded regardless of event volume.
+  * Within a batch events are sorted by event time; across batches the
+  * state machine is monotone, so it equals the batch funnel whenever
+  * events arrive batch-ordered (the spec proves this on the real events
+  * table). Under heavy cross-batch reordering a conversion can be missed
+  * (never invented) — the replayable batch query is the reconciliation
+  * path, exactly how production funnel pipelines pair live + batch. */
+class FunnelProcessor
+    extends StatefulProcessor[Long, StreamEvent, StageReached] {
+  @transient private var st: ValueState[FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[FunnelState]("funnel",
+      Encoders.product[FunnelState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[StreamEvent],
+      timerValues: TimerValues): Iterator[StageReached] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var s = if (st.exists()) st.get() else FunnelState(0L, 0L, 0L)
+    val out = Seq.newBuilder[StageReached]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      e.event_type match {
+        case "view" if s.t1 == 0L =>
+          s = s.copy(t1 = t); out += StageReached(key, 1, t)
+        case "click" if s.t1 != 0L && s.t2 == 0L && t > s.t1 =>
+          s = s.copy(t2 = t); out += StageReached(key, 2, t)
+        case "purchase" if s.t2 != 0L && s.t3 == 0L && t > s.t2 =>
+          s = s.copy(t3 = t); out += StageReached(key, 3, t)
+        case _ => ()
+      }
+    }
+    st.update(s)
+    out.result().iterator
   }
 }
 
@@ -126,6 +175,17 @@ object StreamingOps {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new AnomalyProcessor(factor, warmup),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Live conversion funnel — the streaming twin of ops.Analytics.funnel:
+    * emits a StageReached row the moment a user first converts each stage,
+    * with three longs of state per user. Requires RocksDB (see
+    * [[requireRocksDb]]), like all transformWithState operators. */
+  def funnelStages(events: Dataset[StreamEvent]): Dataset[StageReached] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -122,6 +122,69 @@ class Round3Spec extends SparkSpec {
     assert(withTerm === ids.length.toLong)
   }
 
+  // --- incremental dedup ---------------------------------------------------
+
+  test("incremental dedup: covers the full incoming batch, verdicts agree " +
+      "with an independent digest check") {
+    val out = Dedup.incrementalDedup(spark, dir).collect()
+    // independent recomputation of the split + exact verdicts
+    val docs = Tables.documents(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    val (incIds, exIds) = docs.keys.partition(bucket(_) == 9)
+    assert(out.map(_.getLong(0)).toSet === incIds.toSet,
+      "one row per incoming doc")
+    val exDigests = exIds.map(docs(_)).toSet
+    out.foreach { r =>
+      val expectExact = exDigests.contains(docs(r.getLong(0)))
+      assert(r.getBoolean(1) === expectExact,
+        s"doc ${r.getLong(0)} exact-verdict mismatch")
+    }
+    // verdict string is consistent with the flags
+    out.foreach { r =>
+      val v = r.getString(3)
+      if (r.getBoolean(1)) assert(v === "exact")
+      else if (r.getLong(2) > 0) assert(v === "near")
+      else assert(v === "novel")
+    }
+  }
+
+  // --- partitioned corpus layout -------------------------------------------
+
+  test("corpus layout: hive-partitioned write round-trips, and a slice " +
+      "read prunes partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout")
+      .toString + "/corpus"
+    val docs = Tables.documents(spark, dir)
+    CorpusLayout.writePartitioned(docs, tmp, maxRecordsPerFile = 10)
+    val root = new java.io.File(tmp)
+    val srcDirs = root.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(srcDirs.forall(_.startsWith("source=")), srcDirs.mkString(","))
+    // every leaf respects maxRecordsPerFile
+    val leafFiles = root.listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(leafFiles.nonEmpty)
+    val back = spark.read.parquet(tmp)
+    assert(back.count() === docs.count())
+    leafFiles.foreach { f =>
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 10, s"${f.getName} has $n rows > maxRecordsPerFile")
+    }
+    // slice read: partition filters reach the scan (pruned, not scanned)
+    val slice = CorpusLayout.readSlice(spark, tmp, "src0", "en")
+    val plan = slice.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(400))
+    val expected = docs
+      .filter(col("source") === "src0" && col("lang") === "en").count()
+    assert(slice.count() === expected)
+  }
+
   // --- event analytics -----------------------------------------------------
 
   test("cohort retention: offset-0 cell equals cohort size and every cell " +

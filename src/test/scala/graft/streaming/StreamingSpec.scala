@@ -196,4 +196,73 @@ class StreamingSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM deduped").head().getLong(0) === 2)
     } finally q.stop()
   }
+
+  private def withRocksDb(body: => Unit): Unit = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StreamingOps.requireRocksDb(spark)
+    try body finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("live funnel: stage state survives batches and strict ordering is " +
+      "enforced") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    withRocksDb {
+      val input = MemoryStream[StreamEvent]
+      val q = StreamingOps.funnelStages(input.toDS())
+        .writeStream.format("memory").queryName("funnel_live")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // user 1: click BEFORE any view must not convert stage 2
+        // user 2: view in batch 1; click arrives in batch 2 (cross-batch)
+        input.addData(ev(1, 1, 1, "click", 0), ev(2, 2, 1, "view", 0),
+          ev(3, 1, 2, "view", 0))
+        q.processAllAvailable()
+        input.addData(ev(4, 5, 2, "click", 0), ev(5, 6, 2, "purchase", 0),
+          ev(6, 3, 1, "purchase", 0)) // user 1 purchase without click: no-op
+        q.processAllAvailable()
+        val got = spark.sql(
+          "SELECT user_id, stage FROM funnel_live ORDER BY user_id, stage")
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+        assert(got === Seq((1L, 1), (2L, 1), (2L, 2), (2L, 3)))
+      } finally q.stop()
+    }
+  }
+
+  test("live funnel equals the batch funnel on the real events table " +
+      "(time-ordered replay)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    withRocksDb {
+      val dir = "/root/testdata/sf0.001"
+      val rows = graft.ops.Tables.events(spark, dir)
+        .select($"event_id", expr("timestamp_micros(ts div 1000)").as("ts"),
+          $"user_id", $"event_type", $"value")
+        .as[StreamEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      val input = MemoryStream[StreamEvent]
+      val q = StreamingOps.funnelStages(input.toDS())
+        .writeStream.format("memory").queryName("funnel_parity")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // two ordered batches: state must carry the split correctly
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        input.addData(b1.toIndexedSeq: _*)
+        q.processAllAvailable()
+        input.addData(b2.toIndexedSeq: _*)
+        q.processAllAvailable()
+        val streamed = spark.sql(
+          "SELECT stage, count(*) AS n FROM funnel_parity GROUP BY stage")
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val batch = graft.ops.Analytics.funnel(spark, dir)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(streamed.getOrElse(1, 0L) === batch("1_view"))
+        assert(streamed.getOrElse(2, 0L) === batch("2_click"))
+        assert(streamed.getOrElse(3, 0L) === batch("3_purchase"))
+      } finally q.stop()
+    }
+  }
 }
