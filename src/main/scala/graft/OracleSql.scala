@@ -414,6 +414,22 @@ object OracleSql {
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
 
+    // the native-operator twin shares the composed query's oracle verbatim:
+    // same output contract, independently implemented three ways
+    "q_asof_native" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, max_by(value, event_id) AS prior_value
+        |  FROM events WHERE event_id % 10 < 8 GROUP BY user_id, ts),
+        |l AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_id % 10 >= 8)
+        |SELECT l.event_id, l.user_id, l.value,
+        | r.prior_value AS asof_prior_value,
+        | round(l.value - r.prior_value, 4) AS drift
+        |FROM l ASOF JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
     "q_time_window" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
         |  '%Y-%m-%d %H:%M:%S') AS w, event_type,
@@ -879,6 +895,19 @@ object OracleSql {
          |  COALESCE(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE kept), '')
          |    AS kept_text
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // heavy hitters: the sketch stage only GENERATES candidates (provable
+    // superset of true hitters under any merge order); the deterministic
+    // contract is exact count · (k+1) > total, which SQL states directly
+    "text_heavy_hitters" -> {
+      val k = TextAnalysis.HeavyHitterK
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |tot AS (SELECT count(*) AS n_total FROM t)
+         |SELECT token, count(*) AS n FROM t CROSS JOIN tot
+         |GROUP BY token, n_total HAVING count(*) * ${k + 1} > n_total
+         |ORDER BY n DESC, token ASC""".stripMargin
     },
 
     // TF-IDF: same smoothed idf = ln((N+1)/(df+1)), same (score desc,

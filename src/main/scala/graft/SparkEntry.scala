@@ -82,6 +82,7 @@ object SparkEntry {
     "q_unpivot" -> (Relational.unpivotMeasures _),
     "q_subquery" -> (Relational.correlatedSubqueries _),
     "q_asof_join" -> (AsOfJoin.eventsAsOf _),
+    "q_asof_native" -> (AsOfJoin.eventsAsOfNative _),
     "q_cohort_retention" -> (Analytics.cohortRetention _),
     "q_funnel" -> (Analytics.funnel _),
     "q_range_join" -> (RangeJoin.errorContext _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "text_rolling_fp" -> (TextAnalysis.rollingFingerprint _),
     "text_collapse_repeats" -> (TextAnalysis.collapseRepeats _),
     "text_segment_dedup" -> (TextAnalysis.segmentDedup _),
+    "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "text_tfidf" -> ((s: SparkSession, d: String) => TermScoring.tfidfTopTerms(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => TermScoring.bm25(s, d)),
     // dedup

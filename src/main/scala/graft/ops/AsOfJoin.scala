@@ -83,4 +83,24 @@ object AsOfJoin {
         round(col("value") - col("asof_prior_value"), 4).as("drift"))
       .orderBy(col("event_id"))
   }
+
+  /** The same query through the NATIVE as-of operator (custom LogicalPlan →
+    * SparkStrategy → merge-pass SparkPlan, graft.plans.AsOfJoinNative) —
+    * identical output contract, so it shares q_asof_join's DuckDB oracle:
+    * one operator, three independent implementations agreeing bit-for-bit
+    * (window composition, native merge, DuckDB ASOF JOIN). */
+  def eventsAsOfNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val right = ev.filter(pmod(col("event_id"), lit(10)) < 8)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("prior_value"))
+    val left = ev.filter(pmod(col("event_id"), lit(10)) >= 8)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.plans.AsOfJoinNative
+      .asofJoin(left, right, "user_id", "ts", Seq("prior_value"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("prior_value").as("asof_prior_value"),
+        round(col("value") - col("prior_value"), 4).as("drift"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -104,6 +104,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  val HeavyHitterK = 40
+
+  /** Heavy hitters over the token stream: Misra-Gries candidates (custom
+    * TypedImperativeAggregate, ≤ k counters per partial buffer — the full
+    * stream is never shuffled, only O(k) summaries merge) → exact re-count
+    * of the ≤ k broadcast candidates → threshold freq · (k+1) > n. The MG
+    * guarantee makes the candidate set a superset of every true hitter
+    * under any merge order, so the thresholded output is deterministic and
+    * DuckDB-oracle-checkable even though the sketch internals aren't. */
+  def heavyHitters(s: SparkSession, dir: String,
+      k: Int = HeavyHitterK): DataFrame = {
+    graft.functions.MisraGries.register(s)
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val cands = toks
+      .agg(expr(s"misra_gries(token, $k)").as("cand"))
+      .select(explode(col("cand")).as("token"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cands), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * (k + 1) > col("n_total"))
+      .select(col("token"), col("n"))
+      .orderBy(col("n").desc, col("token").asc)
+  }
+
   val SegmentLen = 10
 
   /** C4-style line-level dedup, applied to fixed 10-token segments (the

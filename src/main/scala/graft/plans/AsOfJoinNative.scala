@@ -1,0 +1,197 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** Native as-of join — the custom-operator tier of the preference order
+  * (SURVEY §7.3): Spark has no point-in-time join, and while ops.AsOfJoin
+  * composes one from built-ins (union + ignore-nulls last over a window),
+  * the composed plan must materialize the unioned frame through the window
+  * buffer. This is the whole-operator alternative: a LogicalPlan node, a
+  * SparkStrategy, and a SparkPlan that streams both sorted sides once with
+  * zero per-row buffering — registered through SparkSessionExtensions
+  * (config-time) or GraftSqlShim.addStrategy (runtime).
+  *
+  * Semantics (matching ops.AsOfJoin and DuckDB `ASOF JOIN ... ON l.t >= r.t`):
+  * each left row matches the LAST right row with the same key and
+  * right.time <= left.time (inclusive); `inner` drops unmatched left rows.
+  * The right side must be unique per (key, time) — pre-aggregate if not.
+  *
+  * Scale shape: EnsureRequirements hash-partitions both sides by key and
+  * sorts (key, time) — one exchange + one sort per side, the same cost as
+  * a sort-merge join, after which doExecute is a single forward merge pass
+  * per partition: O(1) state (the current match), no join explosion, no
+  * window buffer. Keys and times are restricted to LongType (the engine's
+  * id/epoch-ns types) so the merge compares primitives without an
+  * interpreted ordering in the inner loop.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute,
+    rightVals: Seq[Attribute], inner: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ rightVals.map(_.withNullability(!inner))
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+      newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, rv, inner) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv, inner) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute,
+    rightVals: Seq[Attribute], inner: Boolean) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightVals.map(_.withNullability(!inner))
+
+  /** Both sides cluster by key; EnsureRequirements makes the two hash
+    * partitionings compatible (same function, same partition count), the
+    * identical contract sort-merge join relies on. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) ::
+      ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  /** (key, time) ascending on both sides — the merge's only precondition. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  /** Rows stream out in the left child's partitioning and order. */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyOrd = lOut.indexWhere(_.exprId == leftKey.exprId)
+    val lTimeOrd = lOut.indexWhere(_.exprId == leftTime.exprId)
+    val rKeyOrd = rOut.indexWhere(_.exprId == rightKey.exprId)
+    val rTimeOrd = rOut.indexWhere(_.exprId == rightTime.exprId)
+    val outAttrs = output
+    val emitUnmatched = !inner
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // right inputs bind as nullable: the unmatched-left path feeds an
+      // all-null row, and a non-nullable binding would skip the null check
+      // and read 0/0.0 instead
+      val proj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      new Iterator[InternalRow] {
+        // single-row merge state: the last right row at or before the
+        // current left row's time, for the current key
+        private var rPending: InternalRow = _ // next right row, unconsumed
+        private var matchRow: InternalRow = _
+        private var matchKey = 0L
+        private var out: InternalRow = _
+        private var ready = false
+
+        private def compute(): Unit = {
+          out = null
+          while (out == null && lIter.hasNext) {
+            val l = lIter.next()
+            val lk = l.getLong(lKeyOrd)
+            val lt = l.getLong(lTimeOrd)
+            if (matchRow != null && matchKey != lk) matchRow = null
+            var scanning = true
+            while (scanning) {
+              if (rPending == null && rIter.hasNext)
+                rPending = rIter.next().copy() // row object is reused by the
+                                               // child iterator — keep a copy
+              if (rPending == null) scanning = false
+              else {
+                val rk = rPending.getLong(rKeyOrd)
+                val rt = rPending.getLong(rTimeOrd)
+                if (rk < lk || (rk == lk && rt <= lt)) {
+                  if (rk == lk) { matchRow = rPending; matchKey = lk }
+                  rPending = null
+                } else scanning = false
+              }
+            }
+            if (matchRow != null && matchKey == lk)
+              out = proj(joined(l, matchRow))
+            else if (emitUnmatched)
+              out = proj(joined(l, nullRight))
+          }
+          ready = true
+        }
+
+        override def hasNext: Boolean = { if (!ready) compute(); out != null }
+        override def next(): InternalRow = {
+          if (!ready) compute()
+          ready = false
+          out
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+      newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Config-time registration: `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+}
+
+/** Public API over the native operator. */
+object AsOfJoinNative {
+
+  /** Register the planner strategy on an already-built session (the
+    * harness builds sessions without `spark.sql.extensions`). Idempotent. */
+  def register(spark: SparkSession): Unit =
+    GraftSqlShim.addStrategy(spark, AsOfJoinStrategy)
+
+  private def attr(p: LogicalPlan, name: String): Attribute =
+    p.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name not in [${p.output.map(_.name).mkString(", ")}]"))
+
+  /** As-of join `left` to the most recent `right` row per `key` with
+    * right.`time` <= left.`time`. Key and time must be LongType on both
+    * sides; `rightVals` are carried to the output (names must not collide
+    * with left's). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      rightVals: Seq[String], inner: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = left.sparkSession
+    register(spark)
+    val lp = left.queryExecution.analyzed
+    // Re-alias every right column: when left and right derive from the same
+    // scan, the analyzer's DeduplicateRelations re-numbers the right
+    // subtree's attributes, and it cannot remap the Attribute fields stored
+    // inside a node type it doesn't know. Alias OUTPUT ids survive that
+    // rewrite (only the alias's child reference is remapped), so anchoring
+    // the node's attributes to fresh aliases keeps them valid whether or
+    // not dedup fires.
+    val rp = right.select(right.columns.toSeq.map(c => col(c).as(c)): _*)
+      .queryExecution.analyzed
+    val (lk, lt) = (attr(lp, key), attr(lp, time))
+    val (rk, rt) = (attr(rp, key), attr(rp, time))
+    require(lk.dataType == LongType && lt.dataType == LongType &&
+      rk.dataType == LongType && rt.dataType == LongType,
+      "as-of key and time columns must be LongType on both sides")
+    val rv = rightVals.map(attr(rp, _))
+    require(rv.map(_.name).intersect(lp.output.map(_.name)).isEmpty,
+      "rightVals must not collide with left column names")
+    GraftSqlShim.ofRows(spark, AsOfJoinPlan(lp, rp, lk, rk, lt, rt, rv, inner))
+  }
+}

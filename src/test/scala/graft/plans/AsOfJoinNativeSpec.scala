@@ -1,0 +1,78 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ops.{AsOfJoin, Tables}
+import org.apache.spark.sql.functions._
+
+/** Specs for the native as-of join operator (custom LogicalPlan →
+  * SparkStrategy → merge-pass SparkPlan). Value-level correctness vs DuckDB
+  * ASOF JOIN is the oracle gate's job (q_asof_native); these pin the plan
+  * shape and cross-implementation agreement. */
+class AsOfJoinNativeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("native as-of equals the composed window implementation row for row") {
+    val native = AsOfJoin.eventsAsOfNative(spark, dir).collect().map(_.toSeq)
+    val composed = AsOfJoin.eventsAsOf(spark, dir).collect().map(_.toSeq)
+    assert(native.length === composed.length)
+    assert(native.toSeq === composed.toSeq)
+  }
+
+  test("native as-of plans as AsOfJoinExec with one exchange + sort per side") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "c"))
+      .toDF("k", "t", "payload")
+    val right = Seq((1L, 5L, 1.0), (1L, 15L, 2.0), (2L, 50L, 3.0))
+      .toDF("k", "t", "v")
+    val df = AsOfJoinNative.asofJoin(left, right, "k", "t", Seq("v"))
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in treeString
+    assert(plan.contains("AsOfJoin"), plan.take(600))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 2, s"expected one hash exchange per side:\n$plan")
+    // behavior on the fixture: inclusive <= match, last-wins, inner drop
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2), r.getDouble(3))).sortBy(x => (x._1, x._2))
+    assert(rows.toSeq === Seq(
+      (1L, 10L, "a", 1.0),   // t=10 matches r t=5
+      (1L, 20L, "b", 2.0)))  // t=20 matches r t=15; k=2 l.t=10 < r.t=50 drops
+  }
+
+  test("outer variant keeps unmatched left rows with null") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (2L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 7.5)).toDF("k", "t", "v")
+    val rows = AsOfJoinNative
+      .asofJoin(left, right, "k", "t", Seq("v"), inner = false)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, Some(7.5)), (2L, None)))
+  }
+
+  test("ties match inclusively and duplicate left times reuse the match") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 10L), (1L, 11L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 1.0), (1L, 11L, 2.0)).toDF("k", "t", "v")
+    val rows = AsOfJoinNative.asofJoin(left, right, "k", "t", Seq("v"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.toSeq === Seq((10L, 1.0), (10L, 1.0), (11L, 2.0)))
+  }
+
+  test("randomized agreement with a brute-force reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = Seq.fill(300)((rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong))
+    val right = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong))
+      .distinct.map { case (k, t) => (k, t, rnd.nextDouble()) }
+    val got = AsOfJoinNative.asofJoin(
+        left.toDF("k", "t"), right.toDF("k", "t", "v"), "k", "t", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(x => (x._1, x._2)).view.mapValues(_.toSeq.sorted).toMap
+    val byKey = right.groupBy(_._1)
+    val expect = left.flatMap { case (k, t) =>
+      byKey.getOrElse(k, Seq.empty).filter(_._2 <= t)
+        .sortBy(_._2).lastOption.map(m => (k, t, m._3))
+    }.groupBy(x => (x._1, x._2)).view.mapValues(_.toSeq.sorted).toMap
+    assert(got === expect)
+  }
+}
