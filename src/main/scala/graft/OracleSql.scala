@@ -952,6 +952,32 @@ object OracleSql {
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
     },
 
+    // MERGE upsert: same modulo-derived changeset, same full-outer fold
+    "q_upsert" ->
+      """WITH snap AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
+        |ch AS (SELECT
+        |  CASE WHEN doc_id % 30 = 9 THEN doc_id - 1
+        |       WHEN doc_id % 30 = 19 THEN doc_id - 2
+        |       ELSE doc_id END AS doc_id,
+        |  CASE WHEN doc_id % 30 = 9 THEN 'delete'
+        |       WHEN doc_id % 30 = 19 THEN 'update'
+        |       ELSE 'insert' END AS op,
+        |  'rev2 ' || text AS text
+        |  FROM documents WHERE doc_id % 10 = 9),
+        |m AS (SELECT COALESCE(s.doc_id, c.doc_id) AS doc_id,
+        |  s.text AS s_text, c.op, c.text AS c_text
+        |  FROM snap s FULL OUTER JOIN ch c ON s.doc_id = c.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN s_text IS NULL THEN 'inserted'
+        |       WHEN op IS NOT NULL THEN 'updated'
+        |       ELSE 'kept' END AS status,
+        |  CAST(length(COALESCE(c_text, s_text)) AS INT) AS n_chars_new
+        |FROM m
+        |WHERE COALESCE(op, '') <> 'delete'
+        |  AND (s_text IS NOT NULL OR op = 'insert')
+        |ORDER BY doc_id""".stripMargin,
+
     // cohort retention: same integer-division day bucketing over the
     // BIGINT epoch-ns timestamps
     "q_cohort_retention" ->

@@ -185,6 +185,39 @@ class Round3Spec extends SparkSpec {
     assert(slice.count() === expected)
   }
 
+  // --- snapshot upsert -----------------------------------------------------
+
+  test("upsert: dispositions follow the changeset — deletes vanish, " +
+      "updates grow by the rev2 prefix, inserts are the new ids") {
+    val out = Upsert.documentsUpsert(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val docs = Tables.documents(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.keys.foreach { id =>
+      (id % 30, id % 10) match {
+        case (9, _) => // change row targeting id-1 as delete
+          assert(!out.contains(id - 1), s"deleted ${id - 1} still present")
+          assert(!out.contains(id), "delete-change row itself must not appear")
+        case (19, _) => // rewrite of id-2 with the CHANGE row's text
+          assert(out(id - 2)._1 === "updated")
+          assert(out(id - 2)._2 === docs(id).length + 5, "rev2-prefixed change text")
+        case (29, _) => // insert of itself
+          assert(out(id)._1 === "inserted")
+          assert(out(id)._2 === docs(id).length + 5)
+        case (_, 9) => // change-batch row not selected as any op target
+          assert(!out.contains(id))
+        case (m30, _) if m30 != 17 && m30 != 8 =>
+          // 17 mod 30 / 8 mod 30 are update/delete TARGETS, covered above
+          if (out.contains(id)) assert(out(id)._1 === "kept")
+        case _ => ()
+      }
+    }
+    // every snapshot row not deleted is present
+    val deleted = docs.keys.filter(_ % 30 == 9).map(_ - 1).toSet
+    val snapshot = docs.keys.filter(_ % 10 != 9).toSet
+    assert((snapshot -- deleted).forall(out.contains))
+  }
+
   // --- event analytics -----------------------------------------------------
 
   test("cohort retention: offset-0 cell equals cohort size and every cell " +
