@@ -952,6 +952,25 @@ object OracleSql {
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
     },
 
+    // Z-order key: the same magic-number spread chain, one CTE per step,
+    // constants emitted from ZOrder2.SpreadSteps so dialects cannot drift
+    "q_zorder_key" -> {
+      import graft.functions.ZOrder2.{Low32Mask, SpreadSteps}
+      val steps = SpreadSteps.zipWithIndex.map { case ((shift, mask), i) =>
+        s"""s${i + 1} AS (SELECT event_id, user_id, bucket,
+           |  ((xa | (xa << $shift)) & $mask) AS xa,
+           |  ((xb | (xb << $shift)) & $mask) AS xb FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT event_id, user_id,
+         |  epoch_ns(ts) // 3600000000000 AS bucket FROM events),
+         |s0 AS (SELECT event_id, user_id, bucket,
+         |  (user_id & $Low32Mask) AS xa, (bucket & $Low32Mask) AS xb FROM e),
+         |$steps
+         |SELECT event_id, user_id, bucket,
+         |  (xa | (xb << 1)) AS zkey
+         |FROM s${SpreadSteps.size} ORDER BY event_id""".stripMargin
+    },
+
     // MERGE upsert: same modulo-derived changeset, same full-outer fold
     "q_upsert" ->
       """WITH snap AS (

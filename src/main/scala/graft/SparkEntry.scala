@@ -85,6 +85,7 @@ object SparkEntry {
     "q_asof_native" -> (AsOfJoin.eventsAsOfNative _),
     "q_cohort_retention" -> (Analytics.cohortRetention _),
     "q_upsert" -> (Upsert.documentsUpsert _),
+    "q_zorder_key" -> (CorpusLayout.zorderKeys _),
     "q_funnel" -> (Analytics.funnel _),
     "q_range_join" -> (RangeJoin.errorContext _),
     "q_salted_agg" -> (Skew.saltedUserAgg _),

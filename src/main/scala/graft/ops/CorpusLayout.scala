@@ -43,4 +43,20 @@ object CorpusLayout {
       lang: String): DataFrame =
     s.read.parquet(path)
       .filter(col("source") === source && col("lang") === lang)
+
+  /** Z-order (Morton) clustering key over (user_id, hour bucket) of the
+    * events table — the multi-dimensional layout lever: files written in
+    * zkey order cover small rectangles in BOTH dimensions, so parquet
+    * min/max stats prune 2-D box predicates where a single-column sort
+    * clusters only its leading column (see ZOrderSpec's span evidence).
+    * The key itself is the native codegen zorder2 expression; bucketing at
+    * one hour keeps both coordinates far below 2^32. */
+  def zorderKeys(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.ZOrder2.register(s)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 3600000000000").as("bucket"))
+      .withColumn("zkey", expr("zorder2(user_id, bucket)"))
+      .orderBy(col("event_id"))
+  }
 }
