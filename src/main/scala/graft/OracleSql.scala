@@ -952,6 +952,20 @@ object OracleSql {
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
     },
 
+    // column profiler: one SELECT per profiled column, string-rendered
+    // min/max (UTC session makes timestamp rendering identical)
+    "q_profile" -> {
+      val selects = graft.ops.Profiler.LineitemCols.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value FROM lineitem"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$selects\nORDER BY "column""""
+    },
+
     // Z-order key: the same magic-number spread chain, one CTE per step,
     // constants emitted from ZOrder2.SpreadSteps so dialects cannot drift
     "q_zorder_key" -> {

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_cohort_retention" -> (Analytics.cohortRetention _),
     "q_upsert" -> (Upsert.documentsUpsert _),
     "q_zorder_key" -> (CorpusLayout.zorderKeys _),
+    "q_profile" -> (Profiler.lineitemProfile _),
     "q_funnel" -> (Analytics.funnel _),
     "q_range_join" -> (RangeJoin.errorContext _),
     "q_salted_agg" -> (Skew.saltedUserAgg _),

@@ -185,6 +185,27 @@ class Round3Spec extends SparkSpec {
     assert(slice.count() === expected)
   }
 
+  // --- column profiler -----------------------------------------------------
+
+  test("profiler: one row per column, stats agree with direct computation") {
+    val rows = Profiler.lineitemProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Profiler.LineitemCols.toSet)
+    val li = Tables.lineitem(spark, dir)
+    val n = li.count()
+    rows.values.foreach { r => assert(r.getLong(1) === n) }
+    val qty = rows("l_quantity")
+    assert(qty.getLong(3) ===
+      li.select("l_quantity").distinct().count())
+    assert(qty.getString(4).toDouble ===
+      li.agg(min(col("l_quantity"))).head().getDouble(0))
+    // single scan: the plan reads lineitem once, not once per column
+    val plan = Profiler.lineitemProfile(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected one scan, got $scans")
+  }
+
   // --- snapshot upsert -----------------------------------------------------
 
   test("upsert: dispositions follow the changeset — deletes vanish, " +
