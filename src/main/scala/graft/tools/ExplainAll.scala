@@ -12,7 +12,11 @@ object ExplainAll {
       "q_agg_lineitem", "q_filter_prefix", "q_join_revenue", "q_sort_limit",
       "q_join_filtered", "q_sessionize", "dedup_exact", "ann_topk",
       "dedup_exact_keep", "dedup_simhash_lsh", "emb_dup_lsh", "corpus_pack",
-      "q_subquery", "q_grouping_sets", "q_salted_join")
+      "q_subquery", "q_grouping_sets", "q_salted_join",
+      // round 3
+      "q_asof_native", "dedup_substring", "dedup_incremental",
+      "text_heavy_hitters", "q_upsert", "q_zorder_key", "q_profile",
+      "q_cohort_retention", "text_segment_dedup", "text_bm25")
     val spark = SparkSession.builder().master("local[4]")
       .appName("graft-explain")
       .config("spark.sql.shuffle.partitions", "4")

@@ -44,6 +44,34 @@ class MisraGriesSpec extends SparkSpec {
       assert(runMg(stream, k).contains("whale"), s"k=$k lost the majority item")
   }
 
+  test("the same aggregate runs in a streaming query: candidates after " +
+      "two batches cover the stream's true hitters") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    MisraGries.register(spark)
+    val k = 5
+    val b1 = Seq.fill(60)("alpha") ++ (1 to 40).map(i => s"rare_$i")
+    val b2 = Seq.fill(80)("beta") ++ (41 to 80).map(i => s"rare_$i")
+    val input = MemoryStream[String]
+    val q = input.toDF().toDF("token")
+      .agg(expr(s"misra_gries(token, $k)").as("cand"))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val cands = spark.sql("SELECT cand FROM mg_stream")
+        .head().getSeq[String](0)
+      val all = b1 ++ b2
+      val exact = all.groupBy(identity).map { case (t, xs) => t -> xs.size }
+      val hitters = exact.filter(_._2 * (k + 1) > all.size).keySet
+      assert(cands.size <= k)
+      assert(hitters.subsetOf(cands.toSet),
+        s"stream candidates missing ${hitters -- cands.toSet}")
+    } finally q.stop()
+  }
+
   test("harness heavy-hitters equals the exact group-by threshold") {
     val dir = "/root/testdata/sf0.001"
     val k = graft.ops.TextAnalysis.HeavyHitterK

@@ -38,4 +38,29 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.collapseRepeats(spark, emptyDir).count() === 0)
     assert(TextAnalysis.vocabulary(spark, emptyDir).count() === 0)
   }
+
+  test("round-3 operators are empty-safe") {
+    assert(Dedup.substringGramPairs(spark, emptyDir).count() === 0)
+    assert(Dedup.incrementalDedup(spark, emptyDir).count() === 0)
+    assert(TextAnalysis.segmentDedup(spark, emptyDir).count() === 0)
+    assert(TextAnalysis.heavyHitters(spark, emptyDir).count() === 0)
+    assert(TermScoring.tfidfTopTerms(spark, emptyDir).count() === 0)
+    assert(TermScoring.bm25(spark, emptyDir).count() === 0)
+    assert(Upsert.documentsUpsert(spark, emptyDir).count() === 0)
+  }
+
+  test("single-doc corpus: pair and dedup operators degrade to no-pairs, " +
+      "not errors") {
+    val tmp = java.nio.file.Files.createTempDirectory("single").toString
+    Seq((0L, "one tiny doc", "en", "src0", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    assert(Dedup.substringGramPairs(spark, tmp).count() === 0)
+    assert(Dedup.minhashPairs(spark, tmp).count() === 0)
+    val seg = TextAnalysis.segmentDedup(spark, tmp).head()
+    assert(seg.getInt(1) === 1 && seg.getInt(2) === 1)
+    assert(seg.getString(3) === "one tiny doc")
+    // one doc, three tokens: every token is a heavy hitter at k=40
+    assert(TextAnalysis.heavyHitters(spark, tmp).count() === 3)
+  }
 }
