@@ -678,6 +678,20 @@ object OracleSql {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // stratified exact-size sample: same hash ordering, same per-stratum
+    // ceil cutoff
+    "corpus_stratified" -> {
+      val h = SharedHash.duck48("CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id, source, $h AS h FROM documents),
+         |r AS (SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |    AS INT) AS rn,
+         |  count(*) OVER (PARTITION BY source) AS n_src FROM d)
+         |SELECT doc_id, source, rn FROM r
+         |WHERE rn <= ceil(n_src * ${Corpus.StratifiedPct} / 100.0)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // clusters: transitive closure of the same pair graph (recursive CTE —
     // an independent implementation of our label-propagation loop)
     "dedup_clusters" ->

@@ -112,6 +112,7 @@ object SparkEntry {
     "corpus_curate" -> (Corpus.curateQuery _),
     "corpus_pack" -> (Corpus.packBins _),
     "corpus_mixture" -> (Corpus.mixtureSample _),
+    "corpus_stratified" -> (Corpus.stratifiedSample _),
     "corpus_contamination" -> (Corpus.contamination _),
     "dedup_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
     "dedup_simhash" -> (Dedup.simhashSignatures _),

@@ -107,6 +107,31 @@ object Corpus {
   def mixtureSample(s: SparkSession, dir: String): DataFrame =
     mixtureFilter(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
+  val StratifiedPct = 20
+
+  /** Stratified EXACT-size sampling: each source keeps exactly
+    * ceil(20% · stratum size) documents — the balanced-subsample
+    * complement to [[mixtureFilter]]'s independent Bernoulli rates (which
+    * only hit the rate in expectation). Selection order is the
+    * engine-stable 48-bit hash of doc_id (tie-broken by doc_id), so the
+    * sample is reproducible across runs, engines, and cluster layouts.
+    * One window shuffle keyed by source; rows carry only (doc_id, source,
+    * 8-byte hash). */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = expr(graft.functions.SharedHash.spark48("cast(doc_id AS STRING)"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    val wc = Window.partitionBy(col("source"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(wc))
+      .filter(col("rn") <= ceil(col("n_src") * StratifiedPct / 100.0))
+      .select(col("doc_id"), col("source"), col("rn").cast("int").as("rn"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Train/eval contamination check — the decontamination pass every LLM
     * eval pipeline needs: for each doc in the (hash-split) eval slice, the
     * fraction of its 8-token shingles that also occur anywhere in the

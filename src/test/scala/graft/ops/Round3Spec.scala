@@ -185,6 +185,24 @@ class Round3Spec extends SparkSpec {
     assert(slice.count() === expected)
   }
 
+  // --- stratified sampling -------------------------------------------------
+
+  test("stratified sample: every stratum keeps exactly ceil(20% of its " +
+      "size), reproducibly") {
+    val bySource = Tables.documents(spark, dir).collect()
+      .groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    val sampled = Corpus.stratifiedSample(spark, dir).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    bySource.foreach { case (src, n) =>
+      assert(sampled(src) === math.ceil(n * Corpus.StratifiedPct / 100.0).toInt,
+        s"stratum $src")
+    }
+    // reproducible: a second run selects the identical ids
+    val ids1 = Corpus.stratifiedSample(spark, dir).collect().map(_.getLong(0)).toSet
+    val ids2 = Corpus.stratifiedSample(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+  }
+
   // --- column profiler -----------------------------------------------------
 
   test("profiler: one row per column, stats agree with direct computation") {
@@ -199,11 +217,13 @@ class Round3Spec extends SparkSpec {
       li.select("l_quantity").distinct().count())
     assert(qty.getString(4).toDouble ===
       li.agg(min(col("l_quantity"))).head().getDouble(0))
-    // single scan: the plan reads lineitem once, not once per column
+    // two scans (typed min/max pass + stacked distinct pass), never one
+    // per column, and no row-multiplying Expand from multi-distinct
     val plan = Profiler.lineitemProfile(spark, dir)
       .queryExecution.executedPlan.toString
     val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans === 1, s"expected one scan, got $scans")
+    assert(scans === 2, s"expected two scans, got $scans")
+    assert(!plan.contains("Expand"), "multi-distinct Expand crept back in")
   }
 
   // --- snapshot upsert -----------------------------------------------------
