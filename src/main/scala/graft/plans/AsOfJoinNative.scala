@@ -168,13 +168,21 @@ object AsOfJoinNative {
   /** As-of join `left` to the most recent `right` row per `key` with
     * right.`time` <= left.`time`. Key and time must be LongType on both
     * sides; `rightVals` are carried to the output (names must not collide
-    * with left's). */
+    * with left's).
+    *
+    * Null semantics (SQL equi-join): a null key or time never matches.
+    * The merge compares primitive longs, so null rows are filtered before
+    * the operator — a null would otherwise read as 0 and falsely match
+    * key 0. Inner drops them outright; outer re-appends null-keyed left
+    * rows with null rightVals, preserving outer-join row counts. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       rightVals: Seq[String], inner: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val spark = left.sparkSession
     register(spark)
-    val lp = left.queryExecution.analyzed
+    val leftNonNull = left.filter(col(key).isNotNull && col(time).isNotNull)
+    val right0 = right.filter(col(key).isNotNull && col(time).isNotNull)
+    val lp = leftNonNull.queryExecution.analyzed
     // Re-alias every right column: when left and right derive from the same
     // scan, the analyzer's DeduplicateRelations re-numbers the right
     // subtree's attributes, and it cannot remap the Attribute fields stored
@@ -182,7 +190,7 @@ object AsOfJoinNative {
     // rewrite (only the alias's child reference is remapped), so anchoring
     // the node's attributes to fresh aliases keeps them valid whether or
     // not dedup fires.
-    val rp = right.select(right.columns.toSeq.map(c => col(c).as(c)): _*)
+    val rp = right0.select(right0.columns.toSeq.map(c => col(c).as(c)): _*)
       .queryExecution.analyzed
     val (lk, lt) = (attr(lp, key), attr(lp, time))
     val (rk, rt) = (attr(rp, key), attr(rp, time))
@@ -192,6 +200,17 @@ object AsOfJoinNative {
     val rv = rightVals.map(attr(rp, _))
     require(rv.map(_.name).intersect(lp.output.map(_.name)).isEmpty,
       "rightVals must not collide with left column names")
-    GraftSqlShim.ofRows(spark, AsOfJoinPlan(lp, rp, lk, rk, lt, rt, rv, inner))
+    val matched =
+      GraftSqlShim.ofRows(spark, AsOfJoinPlan(lp, rp, lk, rk, lt, rt, rv, inner))
+    if (inner) matched
+    else {
+      // outer keeps null-keyed left rows (which can never match) with
+      // null rightVals, so row counts match SQL left-outer semantics
+      val nullLeft = rv.foldLeft(
+          left.filter(col(key).isNull || col(time).isNull)) {
+        case (df, a) => df.withColumn(a.name, lit(null).cast(a.dataType))
+      }
+      matched.unionByName(nullLeft)
+    }
   }
 }

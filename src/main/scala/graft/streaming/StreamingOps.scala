@@ -222,4 +222,22 @@ object StreamingOps {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+
+  /** Stream-static dedup triage — the streaming face of
+    * ops.Dedup.incrementalDedup's exact stage: each incoming document
+    * (stream) is checked against the STANDING corpus's digest set (a
+    * static frame). No streaming state at all: the static side IS the
+    * state, re-planned per micro-batch and broadcast when small — the
+    * standard shape for enriching/filtering a stream against a curated
+    * reference table. Emits (doc_id, is_dup). */
+  def dedupAgainstStatic(incoming: DataFrame,
+      standing: DataFrame): DataFrame = {
+    val digests = standing
+      .select(md5(col("text")).as("fp")).distinct()
+      .withColumn("__hit", lit(1))
+    incoming
+      .withColumn("fp", md5(col("text")))
+      .join(digests, Seq("fp"), "left_outer")
+      .select(col("doc_id"), col("__hit").isNotNull.as("is_dup"))
+  }
 }

@@ -58,6 +58,23 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(rows.toSeq === Seq((10L, 1.0), (10L, 1.0), (11L, 2.0)))
   }
 
+  test("null keys never match (not even key 0) and outer keeps them " +
+      "with null values") {
+    import spark.implicits._
+    val left = Seq((Some(0L), Some(10L)), (None, Some(10L)), (Some(1L), None))
+      .toDF("k", "t")
+    val right = Seq((0L, 5L, 9.9)).toDF("k", "t", "v")
+    val inner = AsOfJoinNative.asofJoin(left, right, "k", "t", Seq("v"))
+      .collect()
+    assert(inner.length === 1 && inner.head.getLong(0) === 0L,
+      "only the real key-0 row matches; null must not read as 0")
+    val outer = AsOfJoinNative
+      .asofJoin(left, right, "k", "t", Seq("v"), inner = false)
+      .collect()
+    assert(outer.length === 3)
+    assert(outer.count(_.isNullAt(2)) === 2, "null-keyed rows keep null v")
+  }
+
   test("randomized agreement with a brute-force reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

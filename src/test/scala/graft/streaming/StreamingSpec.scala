@@ -197,6 +197,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static dedup: incoming docs triage against the standing " +
+      "corpus without streaming state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val standing = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dupText = standing.filter(org.apache.spark.sql.functions.col("doc_id") === 3)
+      .head().getString(1)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupAgainstStatic(
+        input.toDF().toDF("doc_id", "text"), standing)
+      .writeStream.format("memory").queryName("ss_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1000L, dupText), (1001L, "certainly novel text zzz"))
+      q.processAllAvailable()
+      input.addData((1002L, dupText)) // second batch re-probes the static side
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, is_dup FROM ss_dedup ORDER BY doc_id")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toSeq
+      assert(rows === Seq(1000L -> true, 1001L -> false, 1002L -> true))
+    } finally q.stop()
+  }
+
   private def withRocksDb(body: => Unit): Unit = {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     StreamingOps.requireRocksDb(spark)
