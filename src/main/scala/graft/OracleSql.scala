@@ -1036,6 +1036,32 @@ object OracleSql {
          |FROM a JOIN c USING (user_id)
          |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
+    // LOCF gap fill: same per-user day spans, same ignore-nulls carry
+    "q_gapfill" ->
+      s"""WITH daily AS (SELECT user_id,
+         |  epoch_ns(ts) // ${graft.ops.Analytics.NsPerDay} AS day,
+         |  count(*) AS n FROM events GROUP BY 1, 2),
+         |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+         |  FROM daily GROUP BY 1),
+         |days AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM spans),
+         |j AS (SELECT d.user_id, d.day, daily.n FROM days d
+         |  LEFT JOIN daily ON daily.user_id = d.user_id AND daily.day = d.day)
+         |SELECT user_id, day,
+         |  last_value(n IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_events,
+         |  n IS NULL AS is_filled
+         |FROM j ORDER BY user_id, day""".stripMargin,
+
+    // triangle count: same ordered-wedge 3-join over the shared MinHash
+    // pair CTE
+    "dedup_triangles" ->
+      s"""WITH $minhashPairsCte,
+         |good AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  WHERE jaccard >= ${Dedup.JaccardThreshold})
+         |SELECT count(*) AS n_triangles
+         |FROM good e1 JOIN good e2 ON e1.b = e2.a
+         |JOIN good e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin,
+
     // strictly-ordered funnel: same successive conditional-min staging
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),

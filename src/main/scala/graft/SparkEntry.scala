@@ -88,6 +88,8 @@ object SparkEntry {
     "q_zorder_key" -> (CorpusLayout.zorderKeys _),
     "q_profile" -> (Profiler.lineitemProfile _),
     "q_funnel" -> (Analytics.funnel _),
+    "q_gapfill" -> (Analytics.gapFillDaily _),
+    "dedup_triangles" -> (Dedup.minhashTriangles _),
     "q_range_join" -> (RangeJoin.errorContext _),
     "q_salted_agg" -> (Skew.saltedUserAgg _),
     "q_salted_join" -> (Skew.saltedJoinAgg _),

@@ -39,6 +39,32 @@ object Analytics {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Time-series gap fill with last-observation-carried-forward: per user,
+    * the daily event count over the user's own [first, last] active-day
+    * span, with missing days materialized (sequence explode — partition-
+    * local row generation, no shuffle) and filled by the previous observed
+    * value (one ignore-nulls window). The regularization step every
+    * downstream time-series consumer (forecasting, retention curves)
+    * assumes has already happened. Generated rows ∝ span-days, not
+    * events²; one shuffle keys the window by user. */
+  def gapFillDaily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts div $NsPerDay").as("day"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val days = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("is_filled", col("n_events").isNull)
+      .withColumn("n_events", last(col("n_events"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day"), col("n_events"), col("is_filled"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** Strictly-ordered 3-stage conversion funnel (view → click → purchase):
     * a user converts stage n only with an event strictly after their
     * earliest stage-(n-1) conversion time. Computed as successive

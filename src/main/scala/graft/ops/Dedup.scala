@@ -268,6 +268,29 @@ object Dedup {
     connectedComponents(minhashPairsRaw(Tables.documents(s, dir)))
       .orderBy(col("doc_id"))
 
+  /** Triangle count over an undirected pair graph (doc_a < doc_b rows):
+    * the ordered-wedge join — e(a,b) ⋈ e(b,c) builds each wedge with
+    * a<b<c exactly once, and the closing e(a,c) probe makes it a triangle.
+    * Distributed shape: two equi-joins on edge endpoints, each triangle
+    * counted once, no orientation dedup needed because the input is
+    * already ordered. At scale you first re-orient edges by degree
+    * (low-degree endpoint first) so wedge counts are bounded by arboricity
+    * — the standard MapReduce triangle recipe; the joins are unchanged.
+    * Graph metrics like this drive dup-cluster diagnostics (a clique-y
+    * pair graph means near-identical boilerplate families). */
+  def triangleCount(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+      .join(e.as("e3"), col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Harness query: triangles in the MinHash near-dup pair graph. */
+  def minhashTriangles(s: SparkSession, dir: String): DataFrame =
+    triangleCount(minhashPairsRaw(Tables.documents(s, dir)))
+
   // --- exact n-gram jaccard (bounded pairwise, the oracle-able baseline) ---
 
   /** Exact shingle-jaccard over all pairs of a bounded id range — the

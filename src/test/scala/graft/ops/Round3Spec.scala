@@ -185,6 +185,46 @@ class Round3Spec extends SparkSpec {
     assert(slice.count() === expected)
   }
 
+  // --- graph + time series -------------------------------------------------
+
+  test("triangle count: ordered-wedge join counts each triangle exactly " +
+      "once on a known graph") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) plus a dangling edge
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 9L)).toDF("doc_a", "doc_b")
+    assert(Dedup.triangleCount(edges).head().getLong(0) === 4L)
+    // triangle-free path graph
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    assert(Dedup.triangleCount(path).head().getLong(0) === 0L)
+  }
+
+  test("gap fill: every user's span is dense, filled days carry the " +
+      "previous observed count, observed days are untouched") {
+    val rows = Analytics.gapFillDaily(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byUser = rows.groupBy(_._1)
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts div ${Analytics.NsPerDay}").as("day"))
+      .groupBy("user_id", "day").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    byUser.foreach { case (u, ds) =>
+      val days = ds.map(_._2).sorted
+      assert(days.head to days.last forall (days.contains(_)), s"user $u gap")
+      ds.foreach { case (_, day, n, filled) =>
+        daily.get((u, day)) match {
+          case Some(obs) =>
+            assert(!filled && n === obs, s"user $u day $day observed")
+          case None =>
+            assert(filled, s"user $u day $day must be marked filled")
+            val prev = ds.filter(x => x._2 < day && daily.contains((u, x._2)))
+              .maxBy(_._2)
+            assert(n === daily((u, prev._2)), s"user $u day $day LOCF value")
+        }
+      }
+    }
+  }
+
   // --- stratified sampling -------------------------------------------------
 
   test("stratified sample: every stratum keeps exactly ceil(20% of its " +
