@@ -1036,6 +1036,23 @@ object OracleSql {
          |FROM a JOIN c USING (user_id)
          |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
+    // Q5 star join: same local-supplier condition, same integral-cent
+    // revenue (floor before the exact BIGINT sum — float-sum rule)
+    "q_star_join" ->
+      """SELECT n_name, count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin,
+
     // LOCF gap fill: same per-user day spans, same ignore-nulls carry
     "q_gapfill" ->
       s"""WITH daily AS (SELECT user_id,

@@ -48,6 +48,7 @@ object SparkEntry {
     "q_hash_split" -> (Relational.hashSplit _),
     "q_rmse_events" -> (Relational.rmseEvents _),
     "q_join_revenue" -> (Relational.joinRevenue _),
+    "q_star_join" -> (Relational.starJoinRevenue _),
     "q_semi_join" -> (Relational.semiJoin _),
     "q_anti_join" -> (Relational.antiJoin _),
     "q_window_topk" -> (Relational.windowTopK _),

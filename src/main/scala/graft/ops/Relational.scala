@@ -79,6 +79,35 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy($"c_mktsegment")
 
+  /** TPC-H Q5-shaped star join: local-supplier revenue per nation for one
+    * region and a two-year window — six tables, the canonical multi-join
+    * OLAP shape. Plan economics: the date filter pushes into the orders
+    * scan and the region filter prunes nation via two broadcast hops
+    * before any fact-side work; customer⋈orders⋈lineitem are the only
+    * shuffle joins (AQE picks sort-merge or broadcast by runtime size);
+    * supplier joins on (suppkey, nationkey) after the dims collapse.
+    * Revenue follows the float-sum rule: per-line discounted price floors
+    * into integral cents, then the BIGINT sum is exact and
+    * order-independent — join order and partitioning can never flip a
+    * rounding boundary. */
+  def starJoinRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1998-01-01"),
+        $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .join(Tables.supplier(s, dir),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100)
+          .cast("bigint")).as("revenue_cents"))
+      .orderBy($"revenue_cents".desc, $"n_name")
+
   /** Left-semi join (EXISTS): orders having any high-quantity line. */
   def semiJoin(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

@@ -32,6 +32,37 @@ class JoinStrategySpec extends SparkSpec {
     assert(auto.count() === shuffleHash.count())
   }
 
+  test("star join: date filter pushes into the orders scan, dims " +
+      "broadcast, and revenue matches a collected recomputation") {
+    val df = Relational.starJoinRevenue(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("o_orderdate"), "date range must reach the orders scan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      "nation and region must broadcast")
+    // value check against a driver-side recomputation of one nation
+    val rows = df.collect()
+    if (rows.nonEmpty) {
+      val top = rows.head
+      val li = Tables.lineitem(spark, dir)
+      val expect = Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir)
+            .filter(col("o_orderdate") >= "1996-01-01" &&
+              col("o_orderdate") < "1998-01-01"),
+          col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(spark, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.nation(spark, dir).filter(col("n_name") === top.getString(0)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("bigint").as("c"))
+        .collect().map(_.getLong(0)).sum
+      assert(top.getLong(2) === expect)
+    }
+  }
+
   test("correlated subqueries decorrelate into joins (no per-row execution)") {
     val df = Relational.correlatedSubqueries(spark, dir)
     val plan = planOf(df)
