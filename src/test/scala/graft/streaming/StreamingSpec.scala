@@ -197,6 +197,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed file sink is exactly-once across a stop/restart") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    val input = MemoryStream[StreamEvent]
+    def start() = StreamingOps.windowedTypeCounts(input.toDF(), "10 minutes")
+      .select($"window.start".as("ws"), $"event_type", $"n")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    val q1 = start()
+    try {
+      input.addData(ev(1, 0, 1, "click", 1.0), ev(2, 5, 1, "click", 2.0))
+      q1.processAllAvailable()
+      input.addData(ev(3, 300, 1, "click", 3.0)) // closes the first window
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the same checkpoint: the closed window must not be
+    // re-emitted, and new data keeps flowing
+    val q2 = start()
+    try {
+      input.addData(ev(4, 600, 1, "view", 4.0)) // closes the t=300 window
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+    assert(rows.length === rows.distinct.length, "duplicate sink rows after restart")
+    // exactly the two finalized windows: [0,10) with 2 clicks, [300,310) 1 click
+    assert(rows.map(x => (x._2, x._3)).sorted.toSeq === Seq(("click", 1L), ("click", 2L)))
+  }
+
   test("stream-static dedup: incoming docs triage against the standing " +
       "corpus without streaming state") {
     implicit val sql = spark.sqlContext
