@@ -911,6 +911,20 @@ object OracleSql {
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    // dynamic quality gate: same rank-based per-source cutoff (integer
+    // comparison — no interpolated percentile to drift)
+    "text_quality_gate" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  round(len(list_distinct(string_split(text, ' '))) /
+         |        len(string_split(text, ' ')), 6) AS ttr FROM documents),
+         |r AS (SELECT doc_id, source, ttr,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY ttr DESC, doc_id ASC) AS INT) AS rnk,
+         |  count(*) OVER (PARTITION BY source) AS n_src FROM t)
+         |SELECT doc_id, source, ttr FROM r
+         |WHERE rnk * 100 <= n_src * ${TextAnalysis.QualityKeepPct}
+         |ORDER BY doc_id""".stripMargin,
+
     // heavy hitters: the sketch stage only GENERATES candidates (provable
     // superset of true hitters under any merge order); the deterministic
     // contract is exact count · (k+1) > total, which SQL states directly

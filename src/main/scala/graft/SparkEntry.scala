@@ -104,6 +104,7 @@ object SparkEntry {
     "text_collapse_repeats" -> (TextAnalysis.collapseRepeats _),
     "text_segment_dedup" -> (TextAnalysis.segmentDedup _),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
+    "text_quality_gate" -> (TextAnalysis.qualityGateDynamic _),
     "text_tfidf" -> ((s: SparkSession, d: String) => TermScoring.tfidfTopTerms(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => TermScoring.bm25(s, d)),
     // dedup

@@ -82,6 +82,33 @@ object TextAnalysis {
         expr(s"pmod(${SharedHash.spark48("text")}, 1024)").as("shard"))
       .orderBy(col("doc_id"))
 
+  val QualityKeepPct = 75
+
+  /** Distribution-aware quality gate: keep each source's top 75% of
+    * documents by type-token ratio — the rank-based form of a percentile
+    * cutoff, which unlike interpolated percentiles is exactly portable
+    * across engines (no float interpolation; the cutoff is a row count).
+    * This is how real corpus filters set thresholds: per-source, from the
+    * observed distribution, not a global constant (a boilerplate-heavy
+    * source and a prose source need different bars). One window shuffle
+    * keyed by source over (doc_id, ttr) — bodies stay put. */
+  def qualityGateDynamic(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("ttr").desc, col("doc_id").asc)
+    val wc = Window.partitionBy(col("source"))
+    Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        round(expr("size(array_distinct(tokens))") / size(col("tokens")), 6)
+          .as("ttr"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(wc))
+      .filter(col("rnk") * 100 <= col("n_src") * QualityKeepPct)
+      .select(col("doc_id"), col("source"), col("ttr"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Vocabulary extraction: explode tokens → global frequency ranking.
     * The generator (explode) is partition-local; only (token, partial
     * count) pairs shuffle — the classic wordcount shape, which is how a

@@ -225,6 +225,29 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("dynamic quality gate: each source keeps its top 75% by TTR, and " +
+      "every kept doc outranks every dropped doc of the same source") {
+    val all = Tables.documents(spark, dir).collect().map { r =>
+      val toks = r.getString(1).split(" ")
+      (r.getLong(0), r.getString(3),
+        BigDecimal(toks.distinct.length.toDouble / toks.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val kept = TextAnalysis.qualityGateDynamic(spark, dir).collect()
+      .map(r => r.getLong(0)).toSet
+    all.groupBy(_._2).foreach { case (src, docs) =>
+      val expectN = docs.length * TextAnalysis.QualityKeepPct / 100
+      val keptHere = docs.filter(d => kept(d._1))
+      assert(keptHere.length === expectN, s"source $src keep count")
+      val dropped = docs.filterNot(d => kept(d._1))
+      if (dropped.nonEmpty && keptHere.nonEmpty) {
+        val worstKept = keptHere.map(d => (d._3, -d._1)).min
+        val bestDropped = dropped.map(d => (d._3, -d._1)).max
+        assert(worstKept._1 >= bestDropped._1, s"source $src rank inversion")
+      }
+    }
+  }
+
   // --- stratified sampling -------------------------------------------------
 
   test("stratified sample: every stratum keeps exactly ceil(20% of its " +
