@@ -38,7 +38,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per-query map first (it's long — tail-capture may truncate it), then
+    // the total as the FINAL, short line so a captured tail always parses:
+    // the driver's BENCH_r0{1..3}.json all recorded "parsed": null because
+    // the single long line got cut.
+    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val slow = results.toSeq.sortBy(-_._2).take(8)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"slowest":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -62,6 +62,17 @@ object OracleSql {
       s"THEN 1 ELSE -1 END)) >= 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"
   }.mkString("(", " + ", ")")
 
+  /** 64-bit signature terms, accumulated in HUGEINT: DuckDB's BIGINT `<<`
+    * overflows at bit 63 (checked arithmetic), so the sum is built
+    * unsigned-128 and mapped to two's-complement BIGINT by the caller —
+    * the same recipe as text_rolling_fp. Bits 0–47 read `hs`, 48–63 `hs2`,
+    * mirroring Dedup.simhash64Expr term-for-term. */
+  private val simhash64Terms: String = (0 until Dedup.SimHashBits64).map { b =>
+    val (src, bit) = if (b < 48) ("hs", b) else ("hs2", b - 48)
+    s"(CASE WHEN list_sum(list_transform($src, h -> CASE WHEN ((h >> $bit) & 1) = 1 " +
+      s"THEN 1 ELSE -1 END)) >= 0 THEN (CAST(1 AS HUGEINT) << $b) ELSE CAST(0 AS HUGEINT) END)"
+  }.mkString("(", " + ", ")")
+
   /** Left-associated dot-product chain over 1-based DOUBLE[] columns. */
   private def dotChain(a: String, b: String): String =
     (1 to VectorOps.Dim).map(i => s"$a[$i]*$b[$i]").mkString("(", " + ", ")")
@@ -81,6 +92,33 @@ object OracleSql {
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |n AS (SELECT vec_id, e, ${dotChain("e", "e")} AS nrm FROM e)"""
       .stripMargin.replaceAll("\n", " ")
+
+  /** Shared by q_upsert and q_upsert_mor: the MOR read view must be
+    * indistinguishable from the copy-on-write rewrite. */
+  private val upsertSql: String =
+    """WITH snap AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
+      |ch AS (SELECT
+      |  CASE WHEN doc_id % 30 = 9 THEN doc_id - 1
+      |       WHEN doc_id % 30 = 19 THEN doc_id - 2
+      |       ELSE doc_id END AS doc_id,
+      |  CASE WHEN doc_id % 30 = 9 THEN 'delete'
+      |       WHEN doc_id % 30 = 19 THEN 'update'
+      |       ELSE 'insert' END AS op,
+      |  'rev2 ' || text AS text
+      |  FROM documents WHERE doc_id % 10 = 9),
+      |m AS (SELECT COALESCE(s.doc_id, c.doc_id) AS doc_id,
+      |  s.text AS s_text, c.op, c.text AS c_text
+      |  FROM snap s FULL OUTER JOIN ch c ON s.doc_id = c.doc_id)
+      |SELECT doc_id,
+      |  CASE WHEN s_text IS NULL THEN 'inserted'
+      |       WHEN op IS NOT NULL THEN 'updated'
+      |       ELSE 'kept' END AS status,
+      |  CAST(length(COALESCE(c_text, s_text)) AS INT) AS n_chars_new
+      |FROM m
+      |WHERE COALESCE(op, '') <> 'delete'
+      |  AND (s_text IS NOT NULL OR op = 'insert')
+      |ORDER BY doc_id""".stripMargin
 
   // -----------------------------------------------------------------------
   val sql: Map[String, String] = Map(
@@ -758,6 +796,25 @@ object OracleSql {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.HammingThreshold}
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // 64-bit twin: same full-range pairwise oracle (banded recall is exact
+    // by the same pigeonhole), signature packed via HUGEINT then mapped to
+    // two's-complement BIGINT so bit 63 survives DuckDB's checked shifts.
+    "dedup_simhash_lsh64" ->
+      s"""WITH t AS ($tokensCte),
+         |hh AS (SELECT doc_id,
+         |  list_transform(tokens, t -> ${SharedHash.duck48("t")}) AS hs,
+         |  list_transform(tokens, t -> ${SharedHash.duck48b("t")}) AS hs2 FROM t),
+         |sigu AS (SELECT doc_id, $simhash64Terms AS h FROM hh),
+         |sig AS (SELECT doc_id,
+         |  CASE WHEN h >= 9223372036854775808::HUGEINT
+         |       THEN CAST(h - 18446744073709551616::HUGEINT AS BIGINT)
+         |       ELSE CAST(h AS BIGINT) END AS simhash FROM sigu)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.HammingThreshold}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // --- similarity ------------------------------------------------------
     "ann_topk" ->
       s"""WITH $embCte,
@@ -1014,30 +1071,12 @@ object OracleSql {
     },
 
     // MERGE upsert: same modulo-derived changeset, same full-outer fold
-    "q_upsert" ->
-      """WITH snap AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
-        |ch AS (SELECT
-        |  CASE WHEN doc_id % 30 = 9 THEN doc_id - 1
-        |       WHEN doc_id % 30 = 19 THEN doc_id - 2
-        |       ELSE doc_id END AS doc_id,
-        |  CASE WHEN doc_id % 30 = 9 THEN 'delete'
-        |       WHEN doc_id % 30 = 19 THEN 'update'
-        |       ELSE 'insert' END AS op,
-        |  'rev2 ' || text AS text
-        |  FROM documents WHERE doc_id % 10 = 9),
-        |m AS (SELECT COALESCE(s.doc_id, c.doc_id) AS doc_id,
-        |  s.text AS s_text, c.op, c.text AS c_text
-        |  FROM snap s FULL OUTER JOIN ch c ON s.doc_id = c.doc_id)
-        |SELECT doc_id,
-        |  CASE WHEN s_text IS NULL THEN 'inserted'
-        |       WHEN op IS NOT NULL THEN 'updated'
-        |       ELSE 'kept' END AS status,
-        |  CAST(length(COALESCE(c_text, s_text)) AS INT) AS n_chars_new
-        |FROM m
-        |WHERE COALESCE(op, '') <> 'delete'
-        |  AND (s_text IS NOT NULL OR op = 'insert')
-        |ORDER BY doc_id""".stripMargin,
+    "q_upsert" -> upsertSql,
+
+    // Merge-on-read twin: the reconciling read view must be
+    // indistinguishable from the copy-on-write rewrite, so the oracle is
+    // q_upsert's SQL — the same string, so the two can never drift.
+    "q_upsert_mor" -> upsertSql,
 
     // cohort retention: same integer-division day bucketing over the
     // BIGINT epoch-ns timestamps

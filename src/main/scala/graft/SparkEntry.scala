@@ -86,6 +86,7 @@ object SparkEntry {
     "q_asof_native" -> (AsOfJoin.eventsAsOfNative _),
     "q_cohort_retention" -> (Analytics.cohortRetention _),
     "q_upsert" -> (Upsert.documentsUpsert _),
+    "q_upsert_mor" -> (Upsert.documentsUpsertMor _),
     "q_zorder_key" -> (CorpusLayout.zorderKeys _),
     "q_profile" -> (Profiler.lineitemProfile _),
     "q_funnel" -> (Analytics.funnel _),
@@ -123,6 +124,7 @@ object SparkEntry {
     "dedup_editdist" -> ((s: SparkSession, d: String) => Dedup.editDistancePairs(s, d)),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_lsh" -> (Dedup.simhashLshPairs _),
+    "dedup_simhash_lsh64" -> (Dedup.simhashLshPairs64 _),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringGramPairs(s, d)),
     "dedup_incremental" -> (Dedup.incrementalDedup _),
     // similarity search

@@ -44,6 +44,14 @@ final class ParquetTableStore(spark: SparkSession, root: String) extends TableSt
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
     fs.mkdirs(path)
+    // Persist the declared schema as a sidecar (underscore prefix = hidden
+    // from parquet file listing) so V2 readers — and store instances in
+    // other JVMs — can resolve an empty table's schema without footers.
+    schemas.get(table).foreach { s =>
+      val out = fs.create(ParquetTableStore.sidecarPath(dir(table)), true)
+      try out.write(s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   override def append(table: String, df: DataFrame): Unit = {
@@ -56,7 +64,12 @@ final class ParquetTableStore(spark: SparkSession, root: String) extends TableSt
   }
 
   override def scan(table: String): DataFrame = {
-    val reader = schemas.get(table) match {
+    // Schema resolution order: in-memory declaration, then the _schema.json
+    // sidecar (lets a fresh store instance — another JVM — scan a table it
+    // didn't create), then footer inference.
+    val declared = schemas.get(table).orElse(
+      ParquetTableStore.readSidecar(spark, dir(table)))
+    val reader = declared match {
       case Some(s) => spark.read.schema(s)
       case None    => spark.read
     }
@@ -66,8 +79,30 @@ final class ParquetTableStore(spark: SparkSession, root: String) extends TableSt
     // failure (e.g. a corrupted file) must surface, not read as empty.
     try reader.parquet(dir(table))
     catch {
-      case _: org.apache.spark.sql.AnalysisException if schemas.contains(table) =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemas(table))
+      case _: org.apache.spark.sql.AnalysisException if declared.isDefined =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared.get)
+    }
+  }
+}
+
+object ParquetTableStore {
+  /** Sidecar file carrying the declared schema; the `_` prefix keeps it
+    * invisible to parquet's file listing, the same convention as
+    * `_SUCCESS` / `_metadata`. */
+  def sidecarPath(tableDir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(tableDir, "_schema.json")
+
+  def readSidecar(spark: SparkSession, tableDir: String): Option[StructType] = {
+    val p = sidecarPath(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType])
     }
   }
 }

@@ -28,6 +28,13 @@ object SharedHash {
   def spark48(e: String): String =
     s"cast(conv(substring(md5($e), 1, 12), 16, 10) as bigint)"
 
+  /** Second independent 48-bit base hash: hex chars 13–24 of the same md5.
+    * Lets 64-bit sketches (SimHash64) draw bits 48–63 without a second
+    * digest pass; independence comes from md5's avalanche across its
+    * output, the same assumption spark48 already makes. */
+  def spark48b(e: String): String =
+    s"cast(conv(substring(md5($e), 13, 12), 16, 10) as bigint)"
+
   /** Family member k applied to expression `e` (Spark dialect). */
   def sparkK(e: String, a: Long, b: Long): String =
     s"pmod($a * pmod(${spark48(e)}, $P) + $b, $P)"
@@ -36,6 +43,10 @@ object SharedHash {
   /** 48-bit positive base hash of expression `e` (DuckDB dialect). */
   def duck48(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 12)) AS BIGINT)"
+
+  /** Second 48-bit base hash (DuckDB dialect), twin of [[spark48b]]. */
+  def duck48b(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 13, 12)) AS BIGINT)"
 
   /** Family member k applied to expression `e` (DuckDB dialect). */
   def duckK(e: String, a: Long, b: Long): String =

@@ -27,6 +27,7 @@ object Dedup {
   val RowsPerBand: Int = NumMinHash / NumBands
   val JaccardThreshold = 0.5
   val SimHashBits = 32
+  val SimHashBits64 = 64
   val HammingThreshold = 2
 
   val minhashSeeds: IndexedSeq[(Long, Long)] = SharedHash.seeds(NumMinHash)
@@ -168,6 +169,12 @@ object Dedup {
     * This is what turns pair output into an actual dedup decision: one
     * keeper (the cluster id = min doc_id) per transitive duplicate group.
     */
+  /** Rounds the last distributed (label-propagation) run took to converge;
+    * -1 until a distributed run happens. Diagnostic only — read by
+    * CcScaleDemo to report round counts against the pointer-doubling
+    * O(log diameter) bound. */
+  @volatile private[graft] var lastDistributedRounds: Int = -1
+
   def connectedComponents(pairs: DataFrame,
       driverThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
@@ -255,6 +262,7 @@ object Dedup {
       require(changed == 0,
         s"connectedComponents: min-label propagation did not converge after " +
           s"$iter rounds ($changed labels still changing)")
+      lastDistributedRounds = iter
       labels.select(col("node").as("doc_id"), col("label").as("cluster"))
     }
     edges.unpersist()
@@ -268,22 +276,69 @@ object Dedup {
     connectedComponents(minhashPairsRaw(Tables.documents(s, dir)))
       .orderBy(col("doc_id"))
 
+  /** Degree-oriented edges of an undirected pair graph (doc_a < doc_b
+    * rows): each edge points from its lower endpoint to its higher under
+    * the total order (degree, id). Out-degrees are then bounded by
+    * O(√m) / graph arboricity — a hub of degree d has ALL its edges
+    * pointing in, so no node ever pairs more than O(√m) out-neighbors in
+    * the wedge join. Columns: src, dst, plus dst's rank (dstD, dst) so the
+    * wedge join can order out-neighbors without re-joining degrees. */
+  def orientEdges(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // deg is one row per distinct node — tiny next to the edge list (and
+    // ∝ documents with at least one near-dup, not the corpus); AQE
+    // broadcasts it, so orientation adds no extra edge shuffle.
+    und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dstD")))
+          .otherwise(
+            struct(col("v").as("src"), col("u").as("dst"), col("du").as("dstD")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dstD").as("dstD"))
+  }
+
+  /** Wedges of the degree-oriented graph: for each node, ordered pairs of
+    * its out-neighbors — (x, y) with x before y under (degree, id). Every
+    * triangle {a,b,c} (ordered a<b<c by rank) produces exactly one wedge,
+    * centered at its minimum-rank node a; closing it needs edge x→y, which
+    * orientation guarantees points that way. Cardinality per center is
+    * C(out-degree, 2), arboricity-bounded by [[orientEdges]]. */
+  def orientedWedges(pairs: DataFrame): DataFrame =
+    wedgesOf(orientEdges(pairs))
+
+  private def wedgesOf(oriented: DataFrame): DataFrame =
+    oriented.as("o1")
+      .join(oriented.as("o2"),
+        col("o1.src") === col("o2.src") &&
+          (col("o1.dstD") < col("o2.dstD") ||
+            (col("o1.dstD") === col("o2.dstD") &&
+              col("o1.dst") < col("o2.dst"))))
+      .select(col("o1.dst").as("x"), col("o2.dst").as("y"))
+
   /** Triangle count over an undirected pair graph (doc_a < doc_b rows):
-    * the ordered-wedge join — e(a,b) ⋈ e(b,c) builds each wedge with
-    * a<b<c exactly once, and the closing e(a,c) probe makes it a triangle.
-    * Distributed shape: two equi-joins on edge endpoints, each triangle
-    * counted once, no orientation dedup needed because the input is
-    * already ordered. At scale you first re-orient edges by degree
-    * (low-degree endpoint first) so wedge counts are bounded by arboricity
-    * — the standard MapReduce triangle recipe; the joins are unchanged.
-    * Graph metrics like this drive dup-cluster diagnostics (a clique-y
-    * pair graph means near-identical boilerplate families). */
+    * the standard MapReduce recipe — orient edges low-degree→high-degree,
+    * build wedges at each node's out-neighborhood, close each wedge with
+    * the oriented edge probe. Two equi-joins on edge endpoints; each
+    * triangle counted exactly once (at its minimum-rank corner). The
+    * orientation bounds per-key wedge cardinality by arboricity, so a
+    * skewed hub (a boilerplate family every document pairs with) generates
+    * ZERO wedges at the hub instead of O(deg²) — see the star-graph case
+    * in Round4Spec. Graph metrics like this drive dup-cluster diagnostics
+    * (a clique-y pair graph means near-identical boilerplate families). */
   def triangleCount(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-    e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
-      .join(e.as("e3"), col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+    // One oriented-edge plan feeds all three join legs (the two wedge
+    // sides and the close probe); the shuffles below it are identical, so
+    // Spark's ReuseExchange collapses them to one physical exchange.
+    val o = orientEdges(pairs)
+    wedgesOf(o)
+      .join(o.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
       .agg(count(lit(1)).as("n_triangles"))
   }
 
@@ -448,6 +503,21 @@ object Dedup {
       .stripMargin.replaceAll("\n", " ")
   }.mkString("(", " + ", ")")
 
+  /** 64-bit SimHash signature expression: bits 0–47 sign-aggregate the
+    * first 48-bit base hash (`hs`, same terms as [[simhashExpr]] — so the
+    * low 32 bits coincide with the 32-bit signature), bits 48–63 the
+    * second base hash (`hs2`, [[graft.functions.SharedHash.spark48b]]).
+    * The scale variant the 32-bit scaladoc promises: 4×16-bit bands give
+    * 65 536 buckets per band, so bucket collision counts keep shrinking as
+    * the corpus grows past what 256-bucket bands can spread. */
+  val simhash64Expr: String = (0 until SimHashBits64).map { b =>
+    val (src, bit) = if (b < 48) ("hs", b) else ("hs2", b - 48)
+    s"""(CASE WHEN aggregate($src, 0, (acc, h) -> acc +
+       | (CASE WHEN (shiftright(h, $bit) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+       | THEN shiftleft(cast(1 AS BIGINT), $b) ELSE cast(0 AS BIGINT) END)"""
+      .stripMargin.replaceAll("\n", " ")
+  }.mkString("(", " + ", ")")
+
   private def simhashSignaturesRaw(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("tokens", split(col("text"), " "))
@@ -457,29 +527,32 @@ object Dedup {
   def simhashSignatures(s: SparkSession, dir: String): DataFrame =
     simhashSignaturesRaw(s, dir).orderBy(col("doc_id"))
 
+  private def simhashSignatures64Raw(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("hs", expr(s"transform(tokens, t -> ${SharedHash.spark48("t")})"))
+      .withColumn("hs2", expr(s"transform(tokens, t -> ${SharedHash.spark48b("t")})"))
+      .select(col("doc_id"), expr(simhash64Expr).as("simhash"))
+
+  /** 64-bit signatures, presentation-sorted (spec + debugging surface). */
+  def simhashSignatures64(s: SparkSession, dir: String): DataFrame =
+    simhashSignatures64Raw(s, dir).orderBy(col("doc_id"))
+
   val SimHashBands = 4
   val SimHashBandBits: Int = SimHashBits / SimHashBands
+  val SimHashBandBits64: Int = SimHashBits64 / SimHashBands
 
-  /** Banded SimHash near-dup pairs — the scale path for [[simhashPairs]]:
-    * the 32-bit signature splits into 4 disjoint 8-bit band keys; only
-    * pairs agreeing on at least one band become candidates (a bucket
-    * self-join, candidates ∝ collisions), then candidates are verified by
-    * exact hamming distance.
-    *
-    * Recall is EXACT here, not approximate: a pair within
-    * HammingThreshold=2 differs in ≤2 of the 4 bands, so by pigeonhole it
-    * shares an intact band and always collides. Output is therefore
-    * identical to the full pairwise scan — which is what the DuckDB oracle
-    * computes — while the Spark plan does O(collisions) work instead of
-    * O(n²). (At 100 TB you'd widen the signature — e.g. 64-bit with 4×16-bit
-    * bands — so bucket counts scale past this demo's 256 per band; the
-    * dataflow shape is unchanged.) */
-  def simhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSignaturesRaw(s, dir).cache()
+  /** Shared banded-LSH hamming-pair pipeline over a (doc_id, simhash)
+    * frame: split the signature into [[SimHashBands]] disjoint band keys,
+    * bucket self-join on (band, key), verify candidates by exact hamming.
+    * The arithmetic `>>` on a negative 64-bit signature is harmless — the
+    * band mask strips the sign extension. */
+  private def bandedHammingPairs(sigRaw: DataFrame, bandBits: Int): DataFrame = {
+    val sig = sigRaw.cache()
     sig.count() // force before the band self-join's two consumers
     val bandStructs = (0 until SimHashBands).map { j =>
       struct(lit(j).as("band"),
-        expr(s"(simhash >> ${j * SimHashBandBits}) & ${(1 << SimHashBandBits) - 1}")
+        expr(s"(simhash >> ${j * bandBits}) & ${(1L << bandBits) - 1}")
           .as("key"))
     }
     val bands = sig
@@ -498,6 +571,31 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
     Caching.materializeAndRelease(pairs, sig)
   }
+
+  /** Banded SimHash near-dup pairs — the scale path for [[simhashPairs]]:
+    * the 32-bit signature splits into 4 disjoint 8-bit band keys; only
+    * pairs agreeing on at least one band become candidates (a bucket
+    * self-join, candidates ∝ collisions), then candidates are verified by
+    * exact hamming distance.
+    *
+    * Recall is EXACT here, not approximate: a pair within
+    * HammingThreshold=2 differs in ≤2 of the 4 bands, so by pigeonhole it
+    * shares an intact band and always collides. Output is therefore
+    * identical to the full pairwise scan — which is what the DuckDB oracle
+    * computes — while the Spark plan does O(collisions) work instead of
+    * O(n²). [[simhashLshPairs64]] is the widened production variant. */
+  def simhashLshPairs(s: SparkSession, dir: String): DataFrame =
+    bandedHammingPairs(simhashSignaturesRaw(s, dir), SimHashBandBits)
+
+  /** 64-bit banded SimHash near-dup pairs: identical pipeline to
+    * [[simhashLshPairs]] with the widened signature and 4×16-bit bands.
+    * The pigeonhole recall argument is width-independent (hamming ≤ 2
+    * corrupts ≤ 2 of the 4 bands), so output still equals the full 64-bit
+    * pairwise scan — the DuckDB oracle recomputes it via HUGEINT bit
+    * packing. At 100 TB this is the band width you want: 2¹⁶ buckets per
+    * band keeps collision lists short when 2⁸ would degenerate. */
+  def simhashLshPairs64(s: SparkSession, dir: String): DataFrame =
+    bandedHammingPairs(simhashSignatures64Raw(s, dir), SimHashBandBits64)
 
   /** Near-dup pairs by SimHash hamming distance over a bounded id range —
     * the exact pairwise baseline; [[simhashLshPairs]] is the banded scale

@@ -145,13 +145,17 @@ object TextAnalysis {
     graft.functions.MisraGries.register(s)
     val toks = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("token"))
+    // One tokenize pass computes the MG sketch AND the total token count in
+    // the same (object-hash) aggregate; the only other pass over the text
+    // is the candidate re-count join below. Two corpus scans total — the
+    // sketch's candidate set is tiny (≤k) so it broadcasts with its
+    // n_total epilogue attached, no crossJoin needed.
     val cands = toks
-      .agg(expr(s"misra_gries(token, $k)").as("cand"))
-      .select(explode(col("cand")).as("token"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+      .agg(expr(s"misra_gries(token, $k)").as("cand"),
+        count(lit(1)).as("n_total"))
+      .select(explode(col("cand")).as("token"), col("n_total"))
     toks.join(broadcast(cands), "token")
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(total))
+      .groupBy(col("token"), col("n_total")).agg(count(lit(1)).as("n"))
       .filter(col("n") * (k + 1) > col("n_total"))
       .select(col("token"), col("n"))
       .orderBy(col("n").desc, col("token").asc)

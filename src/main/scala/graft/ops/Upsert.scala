@@ -40,14 +40,65 @@ object Upsert {
           .otherwise("kept").as("status"))
   }
 
-  /** Harness query: deterministic changeset over the documents snapshot.
-    * Rows with doc_id % 10 == 9 form the changeset (the rest is the
-    * snapshot); their disposition cycles by doc_id % 30: 9 → delete the
-    * neighbor doc_id-1, 19 → rewrite the neighbor doc_id-2's text, 29 →
-    * insert themselves as new. Everything is integer arithmetic, so the
-    * DuckDB oracle restates it verbatim. */
-  def documentsUpsert(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  /** Merge-on-read read view: fold an ordered sequence of change batches
+    * into the base scan at READ time — base files are never rewritten
+    * (that's the whole point: a 100 TB snapshot takes a multi-TB rewrite
+    * per changeset under copy-on-write; under merge-on-read each changeset
+    * is an O(delta) append and readers pay one reconcile join).
+    *
+    * Semantics are exactly sequential [[merge]] application: per key, the
+    * op log (batch-ordered) is folded through the same present/absent
+    * state machine — delete removes, update only touches a present row,
+    * insert upserts. Implemented as collect_list per key (one shuffle of
+    * the DELTA only — the log is ∝ changes, not the snapshot) + a SQL
+    * `aggregate` fold, then the same full-outer reconcile join as
+    * copy-on-write. `status` is the disposition relative to the base
+    * snapshot: kept / updated / inserted.
+    *
+    * At scale the refinements are layout-side, dataflow unchanged:
+    * bucket base and delta on the key so the reconcile join is
+    * exchange-free, and compact the log back into base (this view IS the
+    * compaction job's plan) when it outgrows its read amortization. */
+  def readView(base: DataFrame, deltas: Seq[DataFrame], key: String,
+      payload: String): DataFrame = {
+    require(deltas.nonEmpty, "merge-on-read needs at least one delta batch")
+    val log = deltas.zipWithIndex.map { case (d, i) =>
+      d.select(col(key), col("op"), col(payload).as("__c_payload"),
+        lit(i).as("__batch"))
+    }.reduce(_ unionByName _)
+    // array_sort on structs orders by leading field = __batch: the fold
+    // sees ops in batch order
+    val opsPerKey = log.groupBy(col(key)).agg(
+      array_sort(collect_list(
+        struct(col("__batch"), col("op"), col("__c_payload")))).as("__ops"))
+    val folded = expr(
+      s"""aggregate(__ops,
+         |  named_struct('present', __s_payload IS NOT NULL,
+         |               'payload', __s_payload),
+         |  (acc, x) -> CASE
+         |    WHEN x.op = 'delete' THEN
+         |      named_struct('present', false, 'payload', CAST(NULL AS STRING))
+         |    WHEN x.op = 'update' THEN IF(acc.present,
+         |      named_struct('present', true, 'payload', x.__c_payload), acc)
+         |    ELSE named_struct('present', true, 'payload', x.__c_payload)
+         |  END)""".stripMargin.replaceAll("\n", " "))
+    base.select(col(key), col(payload).as("__s_payload"))
+      .join(opsPerKey, Seq(key), "full_outer")
+      // untouched base rows have no op log (null __ops from the outer
+      // join): they pass through as present — don't feed null into the fold
+      .withColumn("__state", when(col("__ops").isNull,
+          struct(col("__s_payload").isNotNull.as("present"),
+            col("__s_payload").as("payload")))
+        .otherwise(folded))
+      .filter(col("__state.present"))
+      .select(col(key),
+        col("__state.payload").as(payload),
+        when(col("__s_payload").isNull, "inserted")
+          .when(col("__ops").isNotNull, "updated")
+          .otherwise("kept").as("status"))
+  }
+
+  private def changesetOf(docs: DataFrame): (DataFrame, DataFrame) = {
     val snapshot = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
       .select(col("doc_id"), col("text"))
     val changes = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
@@ -59,7 +110,38 @@ object Upsert {
           .when(pmod(col("doc_id"), lit(30)) === 19, "update")
           .otherwise("insert").as("op"),
         concat(lit("rev2 "), col("text")).as("text"))
+    (snapshot, changes)
+  }
+
+  /** Harness query: deterministic changeset over the documents snapshot.
+    * Rows with doc_id % 10 == 9 form the changeset (the rest is the
+    * snapshot); their disposition cycles by doc_id % 30: 9 → delete the
+    * neighbor doc_id-1, 19 → rewrite the neighbor doc_id-2's text, 29 →
+    * insert themselves as new. Everything is integer arithmetic, so the
+    * DuckDB oracle restates it verbatim. */
+  def documentsUpsert(s: SparkSession, dir: String): DataFrame = {
+    val (snapshot, changes) = changesetOf(Tables.documents(s, dir))
     merge(snapshot, changes, "doc_id", "text")
+      .select(col("doc_id"), col("status"),
+        length(col("text")).as("n_chars_new"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Harness query: the SAME changeset applied merge-on-read — base and
+    * delta are materialized through the ParquetTableStore (base parquet
+    * untouched by the change, delta appended as its own table, the
+    * Hudi/Iceberg MOR layout in miniature), then [[readView]] reconciles
+    * at scan time. Oracle = q_upsert's SQL verbatim: the two variants must
+    * be indistinguishable to a reader. */
+  def documentsUpsertMor(s: SparkSession, dir: String): DataFrame = {
+    val (snapshot, changes) = changesetOf(Tables.documents(s, dir))
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_mor_store"
+    val store = new graft.collab.ParquetTableStore(s, root)
+    store.create("base", org.apache.spark.sql.types.StructType(snapshot.schema.fields))
+    store.append("base", snapshot)
+    store.create("delta", org.apache.spark.sql.types.StructType(changes.schema.fields))
+    store.append("delta", changes)
+    readView(store.scan("base"), Seq(store.scan("delta")), "doc_id", "text")
       .select(col("doc_id"), col("status"),
         length(col("text")).as("n_chars_new"))
       .orderBy(col("doc_id"))

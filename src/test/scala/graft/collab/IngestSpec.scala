@@ -75,4 +75,18 @@ class TableStoreSpec extends SparkSpec {
       store.append("ratings", Seq((1, "x")).toDF("user", "junk"))
     }
   }
+
+  test("_schema.json sidecar lets a fresh store instance scan an empty " +
+      "table it didn't create (cross-JVM recovery)") {
+    val root = java.nio.file.Files.createTempDirectory("store").toString
+    new ParquetTableStore(spark, root).create("ratings", Schemas.ratingSchema)
+    // a second instance has no in-memory declaration — only the sidecar
+    val other = new ParquetTableStore(spark, root)
+    val scanned = other.scan("ratings")
+    assert(scanned.count() === 0)
+    // name+type comparison: Spark file sources force nullable=true on a
+    // user-supplied read schema, same contract append() enforces
+    assert(scanned.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Schemas.ratingSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
 }

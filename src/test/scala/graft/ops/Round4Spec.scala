@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-4 work: degree-oriented triangle
+  * counting (arboricity-bounded wedges), the 64-bit SimHash widening, and
+  * merge-on-read upsert equivalence. Value-level correctness is the DuckDB
+  * oracle gate's job; these pin the scale properties the oracles can't
+  * see. */
+class Round4Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // --- degree-oriented triangle counting ----------------------------------
+
+  private def pairsDf(es: Seq[(Long, Long)]) =
+    es.toDF("doc_a", "doc_b")
+
+  test("triangleCount: K4 has exactly 4 triangles, K5 has 10") {
+    def clique(n: Long) =
+      for (a <- 0L until n; b <- (a + 1) until n) yield (a, b)
+    assert(Dedup.triangleCount(pairsDf(clique(4))).head().getLong(0) === 4)
+    assert(Dedup.triangleCount(pairsDf(clique(5))).head().getLong(0) === 10)
+  }
+
+  test("triangleCount: triangle + pendant edge counts 1; pure star counts 0") {
+    val tri = pairsDf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    assert(Dedup.triangleCount(tri).head().getLong(0) === 1)
+    val star = pairsDf((1L to 50L).map(i => (math.min(i, 60L), 60L)))
+    assert(Dedup.triangleCount(star).head().getLong(0) === 0)
+  }
+
+  test("degree orientation bounds wedges: a 1000-leaf star (hub mid-range " +
+      "by id) generates ZERO wedges, where id-ordered wedging would give " +
+      "~250k") {
+    // hub id 500 sits in the middle of the leaf id range, so the OLD
+    // id-ordered formulation would build a wedge for every (low leaf,
+    // high leaf) pair through the hub: 499*500 ≈ 250k. Degree orientation
+    // points every edge leaf→hub (leaves have degree 1), so no node has
+    // two out-neighbors and the wedge set is empty.
+    val hub = 500L
+    val leaves = (1L to 1001L).filterNot(_ == hub)
+    val star = pairsDf(leaves.map(l => (math.min(l, hub), math.max(l, hub))))
+    assert(Dedup.orientedWedges(star).count() === 0L)
+    assert(Dedup.triangleCount(star).head().getLong(0) === 0L)
+  }
+
+  test("orientEdges: every input edge appears exactly once, pointing " +
+      "low-rank → high-rank under (degree, id)") {
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 5L))
+    val o = Dedup.orientEdges(pairsDf(es)).collect()
+    assert(o.length === es.length)
+    // degrees: 1→2, 2→3, 3→3, 4→1, 5→1; rank = (deg, id)
+    val deg = Map(1L -> 2, 2L -> 3, 3L -> 3, 4L -> 1, 5L -> 1)
+    o.foreach { r =>
+      val (s, d) = (r.getLong(0), r.getLong(1))
+      assert(deg(s) < deg(d) || (deg(s) == deg(d) && s < d),
+        s"edge $s->$d not low-rank to high-rank")
+      assert(r.getLong(2) === deg(d).toLong, "dstD carries dst's degree")
+    }
+    assert(o.map(r => (math.min(r.getLong(0), r.getLong(1)),
+      math.max(r.getLong(0), r.getLong(1)))).toSet === es.toSet)
+  }
+
+  // --- 64-bit SimHash ------------------------------------------------------
+
+  test("simhash64: low 32 bits coincide with the 32-bit signature (same " +
+      "base-hash terms, bit for bit)") {
+    val s32 = Dedup.simhashSignatures(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s64 = Dedup.simhashSignatures64(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s64.keySet === s32.keySet)
+    s64.foreach { case (id, sig) =>
+      assert((sig & 0xFFFFFFFFL) === s32(id), s"doc $id low-32 mismatch")
+    }
+    // the widened half must actually carry information: some doc uses a
+    // bit above 31 (overwhelmingly likely; guards against a silent
+    // all-zero hs2 regression)
+    assert(s64.values.exists(v => (v >>> 32) != 0L))
+  }
+
+  test("simhash64 banded LSH ≡ exact 64-bit pairwise scan (pigeonhole " +
+      "recall at hamming ≤ 2 is width-independent)") {
+    val sigs = Dedup.simhashSignatures64(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exact = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= Dedup.HammingThreshold
+    } yield {
+      val (a, b) = (sigs(i)._1, sigs(j)._1)
+      (math.min(a, b), math.max(a, b), h)
+    }).toSet
+    val banded = Dedup.simhashLshPairs64(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === exact)
+  }
+
+  // --- merge-on-read upsert ------------------------------------------------
+
+  private def baseDf(rows: (Long, String)*) = rows.toDF("k", "v")
+  private def chDf(rows: (Long, String, String)*) =
+    rows.map { case (k, op, v) => (k, op, v) }.toDF("k", "op", "v")
+
+  test("readView single batch ≡ copy-on-write merge, row for row " +
+      "(including status)") {
+    val base = baseDf(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+    val ch = chDf((2L, "update", "B"), (3L, "delete", null),
+      (5L, "insert", "E"), (6L, "update", "ghost"), (7L, "delete", null))
+    val cow = Upsert.merge(base, ch, "k", "v").collect().toSet
+    val mor = Upsert.readView(base, Seq(ch), "k", "v").collect().toSet
+    assert(mor === cow)
+  }
+
+  test("readView multi-batch sequencing ≡ sequential merge application " +
+      "(delete-then-update is a no-op, delete-then-insert resurrects)") {
+    val base = baseDf(1L -> "a", 2L -> "b", 3L -> "c")
+    val b1 = chDf((1L, "delete", null), (2L, "delete", null),
+      (3L, "update", "c1"))
+    val b2 = chDf((1L, "update", "ghost"), // update after delete: no-op
+      (2L, "insert", "b2"), // insert after delete: resurrects
+      (3L, "update", "c2")) // second update wins
+    val sequential = Seq(b1, b2)
+      .foldLeft(base) { (snap, ch) =>
+        Upsert.merge(snap.select(col("k"), col("v")), ch, "k", "v")
+      }
+      .select(col("k"), col("v")).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val mor = Upsert.readView(base, Seq(b1, b2), "k", "v")
+      .select(col("k"), col("v")).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(mor === sequential)
+    assert(mor === Set(2L -> "b2", 3L -> "c2"))
+  }
+
+  test("q_upsert_mor harness query ≡ q_upsert on the real corpus (the MOR " +
+      "view is indistinguishable from the rewrite)") {
+    val cow = Upsert.documentsUpsert(spark, dir).collect().toSeq
+    val mor = Upsert.documentsUpsertMor(spark, dir).collect().toSeq
+    assert(mor === cow)
+  }
+
+  test("triangle count on the real minhash pair graph matches a driver-side " +
+      "exact recount") {
+    val pairs = Dedup.minhashPairsRaw(Tables.documents(spark, dir))
+    val adj = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = adj.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2).map { case (k, v) => k -> v.toSet }
+    val exact = adj.map { case (a, b) =>
+      (nbrs(a) intersect nbrs(b)).count(c => c > b)
+    }.sum
+    assert(Dedup.triangleCount(pairs).head().getLong(0) === exact.toLong)
+  }
+}
