@@ -613,6 +613,19 @@ object OracleSql {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    // SQL-text surface over the custom tier: same HUGEINT fold, shard
+    // histogram — pmod(signed, 64) ≡ unsigned % 64 since 64 | 2^64
+    "q_sql_custom" ->
+      """WITH rh AS (SELECT doc_id, list_reduce(
+        |    list_prepend(1125899906842597::HUGEINT,
+        |      list_transform(range(1, len(text)+1),
+        |        i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS HUGEINT))),
+        |    (acc, x) -> (31*acc + x) % 18446744073709551616::HUGEINT) AS h
+        |  FROM documents)
+        |SELECT CAST(h % 64 AS BIGINT) AS shard,
+        |  count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM rh GROUP BY shard ORDER BY shard""".stripMargin,
+
     // --- dedup -----------------------------------------------------------
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies

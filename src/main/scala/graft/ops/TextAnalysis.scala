@@ -131,6 +131,23 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** SQL-text surface for the custom expression tier: the literal string
+    * Spark's parser compiles, with the session set up by
+    * [[graft.functions.GraftFunctions.registerAll]] — proving a SQL-only
+    * user reaches the native codegen expressions. Shard = pmod(h, 64) on
+    * the signed 64-bit hash ≡ unsigned h mod 64 (64 divides 2⁶⁴), which
+    * is what the HUGEINT oracle computes. */
+  val CustomSqlText: String =
+    """SELECT pmod(rolling_hash64(text), 64) AS shard,
+      | count(*) AS n_docs, min(doc_id) AS first_doc
+      |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+
+  def customSqlSurface(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+    s.sql(CustomSqlText)
+  }
+
   val HeavyHitterK = 40
 
   /** Heavy hitters over the token stream: Misra-Gries candidates (custom

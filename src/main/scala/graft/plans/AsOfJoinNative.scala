@@ -146,10 +146,36 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 }
 
-/** Config-time registration: `spark.sql.extensions=graft.plans.GraftExtensions`. */
+/** Config-time registration: `spark.sql.extensions=graft.plans.GraftExtensions`
+  * wires the full custom tier — the as-of-join planner strategy plus every
+  * custom expression/aggregate — into each session at build time, so SQL
+  * text reaches them with no per-session register calls. (Runtime
+  * equivalent for an already-built session:
+  * `graft.functions.GraftFunctions.registerAll`.) */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import graft.functions.{MisraGries, RollingHash64, VecDot, ZOrder2}
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectFunction((FunctionIdentifier("rolling_hash64"),
+      info("rolling_hash64", "rolling_hash64(str) - 64-bit polynomial rolling hash"),
+      (exprs: Seq[Expression]) => RollingHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("zorder2"),
+      info("zorder2", "zorder2(a, b) - bit-interleaved Z-order key of two 32-bit ints"),
+      (exprs: Seq[Expression]) => ZOrder2(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float arrays"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("misra_gries"),
+      info("misra_gries", "misra_gries(col, k) - heavy-hitter candidate sketch"),
+      (exprs: Seq[Expression]) => MisraGries(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+  }
 }
 
 /** Public API over the native operator. */

@@ -32,8 +32,10 @@ object CcScaleDemo {
       val t0 = System.nanoTime()
       val out = graft.ops.Dedup.connectedComponents(edges, threshold)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rounds = if (threshold == 0L)
+        s", ${graft.ops.Dedup.lastDistributedRounds} rounds" else ""
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
-        s"${out.values.toSet.size} components over ${out.size} nodes")
+        s"${out.values.toSet.size} components over ${out.size} nodes$rounds")
       out
     }
     val uf = run("union-find (driver)", Long.MaxValue)

@@ -1,0 +1,47 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+
+/** Config-time wiring: a session built with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` reaches the custom
+  * expression tier from literal SQL text with no register calls. The
+  * session shares the test SparkContext (getOrCreate reuses it), so it is
+  * never stopped here — only the active/default session slots are swapped
+  * and restored. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("spark.sql.extensions=GraftExtensions exposes the custom functions " +
+      "to SQL text at session build") {
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT rolling_hash64('ab') AS h, " +
+          "zorder2(CAST(5 AS BIGINT), CAST(3 AS BIGINT)) AS z, " +
+          "vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .head()
+      assert(r.getLong(0) === graft.functions.RollingHashImpl.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString("ab")))
+      assert(r.getLong(1) === graft.functions.ZOrderImpl.interleave(5L, 3L))
+      assert(math.abs(r.getDouble(2) - 11.0) < 1e-9)
+      // the aggregate injects too
+      import s2.implicits._
+      val hh = Seq("a", "b", "a", "a").toDF("t")
+      hh.createOrReplaceTempView("hh_ext")
+      val cand = s2.sql("SELECT misra_gries(t, 2) AS c FROM hh_ext")
+        .head().getSeq[String](0)
+      assert(cand.contains("a"))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prev.foreach(SparkSession.setDefaultSession)
+      prev.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
