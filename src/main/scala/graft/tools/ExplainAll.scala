@@ -16,7 +16,10 @@ object ExplainAll {
       // round 3
       "q_asof_native", "dedup_substring", "dedup_incremental",
       "text_heavy_hitters", "q_upsert", "q_zorder_key", "q_profile",
-      "q_cohort_retention", "text_segment_dedup", "text_bm25")
+      "q_cohort_retention", "text_segment_dedup", "text_bm25",
+      // round 4
+      "dedup_triangles", "dedup_simhash_lsh64", "q_upsert_mor",
+      "q_sql_custom")
     val spark = SparkSession.builder().master("local[4]")
       .appName("graft-explain")
       .config("spark.sql.shuffle.partitions", "4")

@@ -3,23 +3,26 @@ package graft.plans
 import graft.SparkSpec
 import org.apache.spark.sql.SparkSession
 
-/** Config-time wiring: a session built with
-  * `spark.sql.extensions=graft.plans.GraftExtensions` reaches the custom
-  * expression tier from literal SQL text with no register calls. The
-  * session shares the test SparkContext (getOrCreate reuses it), so it is
-  * never stopped here — only the active/default session slots are swapped
-  * and restored. */
+/** Build-time wiring: a session built with the GraftExtensions
+  * configurator reaches the custom expression tier from literal SQL text
+  * with no register calls. Applied via `builder.withExtensions` — the
+  * same injection path `spark.sql.extensions=graft.plans.GraftExtensions`
+  * takes, but testable against a pre-existing SparkContext (the config
+  * form is a static conf read from the CONTEXT's conf, so it only takes
+  * effect when the session builder also creates the context). The new
+  * session shares the test SparkContext, so it is never stopped here —
+  * only the active/default session slots are swapped and restored. */
 class GraftExtensionsSpec extends SparkSpec {
 
-  test("spark.sql.extensions=GraftExtensions exposes the custom functions " +
-      "to SQL text at session build") {
+  test("a GraftExtensions-built session exposes the custom functions " +
+      "to SQL text (the spark.sql.extensions injection path)") {
     val prev = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
       val s2 = SparkSession.builder()
         .master("local[2]")
-        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .withExtensions(new GraftExtensions())
         .getOrCreate()
       val r = s2.sql(
         "SELECT rolling_hash64('ab') AS h, " +
