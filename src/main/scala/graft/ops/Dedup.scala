@@ -530,8 +530,13 @@ object Dedup {
   private def simhashSignatures64Raw(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("tokens", split(col("text"), " "))
-      .withColumn("hs", expr(s"transform(tokens, t -> ${SharedHash.spark48("t")})"))
-      .withColumn("hs2", expr(s"transform(tokens, t -> ${SharedHash.spark48b("t")})"))
+      // one md5 per token feeds BOTH 48-bit halves (the digest dominates
+      // the signature cost; spark48/spark48b only differ in the substring)
+      .withColumn("m", expr("transform(tokens, t -> md5(t))"))
+      .withColumn("hs", expr(
+        "transform(m, x -> cast(conv(substring(x, 1, 12), 16, 10) as bigint))"))
+      .withColumn("hs2", expr(
+        "transform(m, x -> cast(conv(substring(x, 13, 12), 16, 10) as bigint))"))
       .select(col("doc_id"), expr(simhash64Expr).as("simhash"))
 
   /** 64-bit signatures, presentation-sorted (spec + debugging surface). */

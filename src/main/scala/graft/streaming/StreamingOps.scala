@@ -240,4 +240,42 @@ object StreamingOps {
       .join(digests, Seq("fp"), "left_outer")
       .select(col("doc_id"), col("__hit").isNotNull.as("is_dup"))
   }
+
+  /** CDC-style streaming upsert sink: a stream of (key, op, payload)
+    * change rows maintains a keyed snapshot table via foreachBatch +
+    * [[graft.ops.Upsert.merge]] — each micro-batch is one MERGE applied
+    * in arrival order, so the maintained table always equals the batch
+    * fold of every batch seen so far (the equivalence Round4Spec proves
+    * for [[graft.ops.Upsert.readView]]).
+    *
+    * foreachBatch is the right tool, not a custom sink: the merge needs
+    * to READ the current snapshot, which a StreamingWrite cannot.
+    * Micro-batch replays after a crash re-run the merge on the same
+    * batch — idempotent for this fold (delete/update of an applied batch
+    * re-applies to the same end state; insert behaves as upsert by
+    * design), which is the standard exactly-once-effect argument for
+    * foreachBatch sinks. At scale the snapshot rewrite inside each batch
+    * becomes the merge-on-read append ([[graft.ops.Upsert.readView]]) —
+    * same per-batch dataflow, O(delta) writes. */
+  def upsertSink(changes: DataFrame, store: graft.collab.TableStore,
+      table: String, key: String, payload: String)(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val snapshot = store.scan(table).select(col(key), col(payload))
+        // localCheckpoint(eager): materialize the merge DISTRIBUTED (pinned
+        // on executors) before truncate deletes the files it was read from
+        // — no driver funnel. A cluster deployment hardens the swap into a
+        // versioned-directory flip (or the MOR delta append) so an
+        // executor loss mid-swap cannot drop pinned blocks.
+        val merged = graft.ops.Upsert
+          .merge(snapshot, batch, key, payload)
+          .select(col(key), col(payload))
+          .localCheckpoint(true)
+        store.truncate(table)
+        store.append(table, merged)
+      }
+      .start()
 }

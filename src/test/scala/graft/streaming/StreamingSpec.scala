@@ -324,4 +324,36 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("CDC upsert sink: a change stream maintains the store snapshot " +
+      "equal to the sequential batch merge of every batch seen") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val store = new graft.collab.ParquetTableStore(spark, root)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    store.create("snap", schema)
+    store.append("snap", Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("k", "v"))
+
+    val input = MemoryStream[(Long, String, String)]
+    val changes = input.toDF().toDF("k", "op", "v")
+    val q = StreamingOps.upsertSink(changes, store, "snap", "k", "v")(
+      s"$root/ckpt")
+    try {
+      input.addData((2L, "update", "B"), (4L, "insert", "D"))
+      q.processAllAvailable()
+      assert(store.scan("snap").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet ===
+        Set(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+      // second batch: delete + update-after-delete no-op + resurrect-insert
+      input.addData((1L, "delete", null), (5L, "update", "ghost"),
+        (4L, "update", "D2"))
+      q.processAllAvailable()
+      assert(store.scan("snap").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet ===
+        Set(2L -> "B", 3L -> "c", 4L -> "D2"))
+    } finally q.stop()
+  }
 }
