@@ -333,13 +333,18 @@ object Dedup {
     * in Round4Spec. Graph metrics like this drive dup-cluster diagnostics
     * (a clique-y pair graph means near-identical boilerplate families). */
   def triangleCount(pairs: DataFrame): DataFrame = {
-    // One oriented-edge plan feeds all three join legs (the two wedge
-    // sides and the close probe); the shuffles below it are identical, so
-    // Spark's ReuseExchange collapses them to one physical exchange.
-    val o = orientEdges(pairs)
-    wedgesOf(o)
+    // The oriented-edge frame feeds three join legs (two wedge sides +
+    // the close probe); cache + force so the orientation (degree agg +
+    // two joins) computes once, not per leg — plan-audited: uncached, the
+    // whole subplan triplicates. The count result is one row, so
+    // materializeAndRelease hands back a self-contained frame and drops
+    // the cache before returning.
+    val o = orientEdges(pairs).cache()
+    o.count()
+    val out = wedgesOf(o)
       .join(o.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
       .agg(count(lit(1)).as("n_triangles"))
+    Caching.materializeAndRelease(out, o)
   }
 
   /** Harness query: triangles in the MinHash near-dup pair graph. */
