@@ -62,10 +62,21 @@ object Upsert {
   def readView(base: DataFrame, deltas: Seq[DataFrame], key: String,
       payload: String): DataFrame = {
     require(deltas.nonEmpty, "merge-on-read needs at least one delta batch")
-    val log = deltas.zipWithIndex.map { case (d, i) =>
-      d.select(col(key), col("op"), col(payload).as("__c_payload"),
-        lit(i).as("__batch"))
-    }.reduce(_ unionByName _)
+    readViewLog(base,
+      deltas.zipWithIndex.map { case (d, i) =>
+        d.select(col(key), col("op"), col(payload),
+          lit(i.toLong).as("__batch"))
+      }.reduce(_ unionByName _),
+      key, payload)
+  }
+
+  /** [[readView]] over an already-stamped log: `log` carries (key, op,
+    * payload, __batch) with the batch sequence persisted — the shape the
+    * streaming MOR sink appends. */
+  def readViewLog(base: DataFrame, log0: DataFrame, key: String,
+      payload: String): DataFrame = {
+    val log = log0.select(col(key), col("op"),
+      col(payload).as("__c_payload"), col("__batch"))
     // array_sort on structs orders by leading field = __batch: the fold
     // sees ops in batch order
     val opsPerKey = log.groupBy(col(key)).agg(
@@ -96,6 +107,30 @@ object Upsert {
         when(col("__s_payload").isNull, "inserted")
           .when(col("__ops").isNotNull, "updated")
           .otherwise("kept").as("status"))
+  }
+
+  /** Merge-on-read compaction: fold the accumulated delta log back into
+    * the base table and truncate the log — [[readView]] IS the compaction
+    * plan, materialized. Run it when the log outgrows its read
+    * amortization; between compactions, writers stay O(delta) and readers
+    * pay the one reconcile join. The materialize-before-truncate swap is
+    * the same localCheckpoint pattern as the streaming sink (a cluster
+    * deployment hardens it into a versioned-directory flip). */
+  def compact(store: graft.collab.TableStore, baseTable: String,
+      deltaTable: String, key: String, payload: String): Unit = {
+    val base = store.scan(baseTable).select(col(key), col(payload))
+    val delta = store.scan(deltaTable)
+    // a streaming-MOR log carries persisted __batch stamps — honor them;
+    // an unstamped delta is a single batch
+    val view =
+      if (delta.columns.contains("__batch")) readViewLog(base, delta, key, payload)
+      else readView(base, Seq(delta), key, payload)
+    val folded = view
+      .select(col(key), col(payload))
+      .localCheckpoint(true)
+    store.truncate(baseTable)
+    store.append(baseTable, folded)
+    store.truncate(deltaTable)
   }
 
   private def changesetOf(docs: DataFrame): (DataFrame, DataFrame) = {

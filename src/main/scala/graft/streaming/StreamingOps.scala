@@ -278,4 +278,38 @@ object StreamingOps {
         store.append(table, merged)
       }
       .start()
+
+  /** Merge-on-read CDC sink — the scale-honest variant of [[upsertSink]]:
+    * each micro-batch APPENDS to the delta-log table (an O(delta)
+    * distributed parquet write; the base snapshot's files are never
+    * touched) stamped with the micro-batch id, so the log preserves
+    * arrival order for [[graft.ops.Upsert.readView]]'s per-key fold.
+    * Readers reconcile via readView(base, [delta log]);
+    * [[graft.ops.Upsert.compact]] folds the log back into base when it
+    * outgrows its read amortization. Batch replays after a crash would
+    * re-append; dedup by `__batch` (max-applied watermark or a
+    * read-side `dropDuplicates(key, op, __batch)`) is the standard
+    * foreachBatch idempotence recipe — the spec pins normal-path
+    * semantics. */
+  def upsertSinkMor(changes: DataFrame, store: graft.collab.TableStore,
+      deltaTable: String, key: String, payload: String)(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.append(deltaTable,
+          batch.select(col(key), col("op"), col(payload),
+            lit(batchId).cast("long").as("__batch")))
+      }
+      .start()
+
+  /** Read the reconciled view of a base + MOR delta-log pair maintained
+    * by [[upsertSinkMor]]: the log (already batch-stamped) folds per key
+    * in `__batch` order through Upsert.readView's state machine. */
+  def morSnapshot(store: graft.collab.TableStore, baseTable: String,
+      deltaTable: String, key: String, payload: String): DataFrame =
+    graft.ops.Upsert.readViewLog(
+      store.scan(baseTable).select(col(key), col(payload)),
+      store.scan(deltaTable), key, payload)
 }

@@ -356,4 +356,50 @@ class StreamingSpec extends SparkSpec {
         Set(2L -> "B", 3L -> "c", 4L -> "D2"))
     } finally q.stop()
   }
+
+  test("MOR CDC sink: O(delta) appends + reconciled read view + compaction " +
+      "— base files untouched between compactions") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-mor-cdc").toString
+    val store = new graft.collab.ParquetTableStore(spark, root)
+    store.create("base", StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType))))
+    store.append("base", Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("k", "v"))
+    store.create("delta", StructType(Seq(StructField("k", LongType),
+      StructField("op", StringType), StructField("v", StringType),
+      StructField("__batch", LongType))))
+    def baseFiles() = new java.io.File(s"$root/base").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+
+    val filesBefore = baseFiles()
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.upsertSinkMor(input.toDF().toDF("k", "op", "v"),
+      store, "delta", "k", "v")(s"$root/ckpt")
+    try {
+      input.addData((2L, "update", "B"), (4L, "insert", "D"))
+      q.processAllAvailable()
+      input.addData((1L, "delete", null), (4L, "update", "D2"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // base files byte-for-byte untouched by two change batches
+    assert(baseFiles() === filesBefore, "MOR must not rewrite base files")
+    val view = StreamingOps.morSnapshot(store, "base", "delta", "k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(view === Set((2L, "B", "updated"), (3L, "c", "kept"),
+      (4L, "D2", "inserted")))
+
+    // compaction folds the stamped log into base and empties it
+    graft.ops.Upsert.compact(store, "base", "delta", "k", "v")
+    assert(store.scan("delta").count() === 0)
+    assert(store.scan("base").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet ===
+      Set(2L -> "B", 3L -> "c", 4L -> "D2"))
+    // and the view over the compacted pair is unchanged (all rows now kept)
+    val after = StreamingOps.morSnapshot(store, "base", "delta", "k", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(after === Set(2L -> "B", 3L -> "c", 4L -> "D2"))
+  }
 }
