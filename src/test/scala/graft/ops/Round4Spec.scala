@@ -134,6 +134,55 @@ class Round4Spec extends SparkSpec {
     assert(mor === Set(2L -> "b2", 3L -> "c2"))
   }
 
+  test("partition-pruned COW merge rewrites ONLY partitions containing " +
+      "change keys; untouched partition files stay byte-identical") {
+    val tmp = java.nio.file.Files.createTempDirectory("pruned-cow")
+      .toString + "/table"
+    val snap = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    snap.write.partitionBy("source").parquet(tmp)
+    val sources = snap.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val target = sources.head
+    def files(src: String) = {
+      val d = new java.io.File(s"$tmp/source=$src")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified, f.length)).toSet
+    }
+    val untouchedBefore = sources.tail.map(s => s -> files(s)).toMap
+
+    // changeset confined to the target partition: update one doc, delete
+    // one, insert a new key
+    val ids = snap.filter(col("source") === target)
+      .select("doc_id").orderBy("doc_id").limit(2)
+      .collect().map(_.getLong(0))
+    import spark.implicits._
+    val changes = Seq(
+      (ids(0), target, "update", "rewritten text"),
+      (ids(1), target, "delete", null),
+      (999999L, target, "insert", "brand new doc"))
+      .toDF("doc_id", "source", "op", "text")
+
+    val touched = Upsert.mergePrunedCow(spark, tmp, changes,
+      "doc_id", "text", "source")
+    assert(touched === Seq(target))
+    // untouched partitions: files byte-identical (name, mtime, size)
+    sources.tail.foreach { s =>
+      assert(files(s) === untouchedBefore(s), s"partition $s was rewritten")
+    }
+    // the rewritten table equals the unpruned merge of the full snapshot
+    val expected = Upsert.merge(
+      snap.select(col("doc_id"), col("text")),
+      changes.select(col("doc_id"), col("op"), col("text")),
+      "doc_id", "text")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    val actual = spark.read.parquet(tmp)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(actual === expected)
+  }
+
   test("q_upsert_mor harness query ≡ q_upsert on the real corpus (the MOR " +
       "view is indistinguishable from the rewrite)") {
     val cow = Upsert.documentsUpsert(spark, dir).collect().toSeq
