@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * Dataflow: ONE full-outer equi-join on the key (full outer because every
   * disposition needs both sides: update/delete must see the matched
   * snapshot row, insert must see the unmatched change, keep must pass
-  * snapshot rows through). This is the copy-on-write variant — the
-  * rewritten snapshot is the output. At 100 TB the standard refinements
-  * keep the same dataflow: partition-prune the rewrite to partitions that
-  * contain change keys (changes ∝ delta, so most partitions pass through
-  * untouched), or go merge-on-read by writing the changeset as a delta
-  * file and folding this join into the scan.
+  * snapshot rows through). [[merge]] is the plain copy-on-write variant —
+  * the rewritten snapshot is the output. Both 100 TB refinements keep the
+  * same join and are implemented here: [[mergePrunedCow]] partition-prunes
+  * the rewrite to partitions containing change keys (changes ∝ delta, so
+  * most partitions pass through untouched), and [[readView]] /
+  * [[readViewLog]] / [[compact]] are the merge-on-read path — the
+  * changeset lands as an O(delta) delta-log append and the join folds
+  * into the scan (streaming face:
+  * [[graft.streaming.StreamingOps.upsertSinkMor]]).
   */
 object Upsert {
 
