@@ -312,4 +312,18 @@ object StreamingOps {
     graft.ops.Upsert.readViewLog(
       store.scan(baseTable).select(col(key), col(payload)),
       store.scan(deltaTable), key, payload)
+
+  /** Time travel over the CDC log: the snapshot AS OF micro-batch
+    * `maxBatch` is just the read view over the log prefix — the batch
+    * stamps the sink persists double as version numbers, exactly how a
+    * transaction-log table format reconstructs historical versions. The
+    * prefix filter prunes at the scan when the log is partitioned or
+    * sorted by `__batch`. */
+  def morSnapshotAt(store: graft.collab.TableStore, baseTable: String,
+      deltaTable: String, key: String, payload: String,
+      maxBatch: Long): DataFrame =
+    graft.ops.Upsert.readViewLog(
+      store.scan(baseTable).select(col(key), col(payload)),
+      store.scan(deltaTable).filter(col("__batch") <= maxBatch),
+      key, payload)
 }

@@ -390,6 +390,10 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(view === Set((2L, "B", "updated"), (3L, "c", "kept"),
       (4L, "D2", "inserted")))
+    // time travel: AS OF batch 0 shows the state before the second batch
+    val asOf0 = StreamingOps.morSnapshotAt(store, "base", "delta", "k", "v", 0L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(asOf0 === Set(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
 
     // compaction folds the stamped log into base and empties it
     graft.ops.Upsert.compact(store, "base", "delta", "k", "v")
