@@ -47,11 +47,37 @@ final class ParquetTableStore(spark: SparkSession, root: String) extends TableSt
     // Persist the declared schema as a sidecar (underscore prefix = hidden
     // from parquet file listing) so V2 readers — and store instances in
     // other JVMs — can resolve an empty table's schema without footers.
-    schemas.get(table).foreach { s =>
-      val out = fs.create(ParquetTableStore.sidecarPath(dir(table)), true)
-      try out.write(s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    schemas.get(table).foreach(writeSidecar(table, _))
+  }
+
+  private def writeSidecar(table: String, s: StructType): Unit = {
+    val p = ParquetTableStore.sidecarPath(dir(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Schema evolution, add-column form: extend the DECLARED schema; no
+    * data files are touched (existing rows read back null for the new
+    * column — parquet's missing-column semantics under a user-supplied
+    * read schema, the same mechanism every table format's cheap ADD
+    * COLUMN rides on). The sidecar is rewritten, so V2 readers and other
+    * store instances see the widened schema immediately; appends are then
+    * checked against it, so old-schema writers fail fast instead of
+    * silently forking the layout. */
+  def addColumn(table: String, field: org.apache.spark.sql.types.StructField): Unit = {
+    val cur = schemas.get(table)
+      .orElse(ParquetTableStore.readSidecar(spark, dir(table)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"addColumn: no declared schema for table $table"))
+    require(!cur.fieldNames.contains(field.name),
+      s"addColumn: column ${field.name} already exists in $table")
+    require(field.nullable,
+      s"addColumn: ${field.name} must be nullable — existing files have no values for it")
+    val next = StructType(cur.fields :+ field)
+    schemas(table) = next
+    writeSidecar(table, next)
   }
 
   override def append(table: String, df: DataFrame): Unit = {

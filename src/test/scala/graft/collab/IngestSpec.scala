@@ -76,6 +76,47 @@ class TableStoreSpec extends SparkSpec {
     }
   }
 
+  test("addColumn schema evolution: no file rewrite, old rows read null, " +
+      "new appends carry the column, V2 reads see it immediately") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("store-evo").toString
+    val store = new ParquetTableStore(spark, root)
+    store.create("ratings", Schemas.ratingSchema)
+    store.append("ratings", Seq(Rating(1, 1, 4.0), Rating(2, 3, 5.0)).toDF())
+    val filesBefore = new java.io.File(s"$root/ratings").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+
+    store.addColumn("ratings", StructField("score", DoubleType, nullable = true))
+    // data files untouched; old rows read back null for the new column
+    assert(new java.io.File(s"$root/ratings").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet === filesBefore)
+    val scanned = store.scan("ratings")
+    assert(scanned.columns.toSeq === Seq("user", "product", "rating", "score"))
+    assert(scanned.filter(col("score").isNull).count() === 2)
+
+    // new-schema appends carry values; old-schema appends fail fast
+    store.append("ratings",
+      Seq((7, 2, 1.0, 0.9)).toDF("user", "product", "rating", "score"))
+    assert(store.scan("ratings").filter(col("score") === 0.9).count() === 1)
+    intercept[IllegalArgumentException] {
+      store.append("ratings", Seq(Rating(9, 9, 2.0)).toDF())
+    }
+    // a second instance (sidecar only) and the V2 source both see it
+    assert(new ParquetTableStore(spark, root).scan("ratings")
+      .columns.contains("score"))
+    assert(spark.read.format("graft").option("root", root)
+      .option("table", "ratings").load().columns.contains("score"))
+    // duplicate / non-nullable additions rejected
+    intercept[IllegalArgumentException] {
+      store.addColumn("ratings", StructField("score", DoubleType))
+    }
+    intercept[IllegalArgumentException] {
+      store.addColumn("ratings", StructField("x", IntegerType, nullable = false))
+    }
+  }
+
   test("_schema.json sidecar lets a fresh store instance scan an empty " +
       "table it didn't create (cross-JVM recovery)") {
     val root = java.nio.file.Files.createTempDirectory("store").toString
