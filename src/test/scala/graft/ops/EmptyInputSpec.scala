@@ -49,6 +49,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(Upsert.documentsUpsert(spark, emptyDir).count() === 0)
   }
 
+  test("round-4 operators are empty-safe") {
+    assert(Dedup.simhashLshPairs64(spark, emptyDir).count() === 0)
+    assert(Dedup.triangleCount(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).head().getLong(0) === 0)
+    assert(Dedup.orientedWedges(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() === 0)
+    // MOR read view over an empty base and an empty change batch
+    val eBase = Seq.empty[(Long, String)].toDF("k", "v")
+    val eCh = Seq.empty[(Long, String, String)].toDF("k", "op", "v")
+    assert(Upsert.readView(eBase, Seq(eCh), "k", "v").count() === 0)
+    assert(Upsert.documentsUpsertMor(spark, emptyDir).count() === 0)
+    assert(TextAnalysis.customSqlSurface(spark, emptyDir).count() === 0)
+  }
+
   test("single-doc corpus: pair and dedup operators degrade to no-pairs, " +
       "not errors") {
     val tmp = java.nio.file.Files.createTempDirectory("single").toString
