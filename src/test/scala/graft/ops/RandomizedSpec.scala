@@ -141,4 +141,61 @@ class RandomizedSpec extends SparkSpec {
       assert(math.abs(s.getDouble(2) - total) < 1e-6)
     }
   }
+
+  test("degree-oriented triangleCount equals brute-force enumeration on " +
+      "random graphs, and out-degrees respect the √(2m) bound (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 300)
+      val n = 60
+      val edges = (1 to 300).map { _ =>
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      val nbrs = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupMap(_._1)(_._2).map { case (k, v) => k -> v.toSet }
+      // NB: .count on the Set, not a for-yield over it — a Set inner
+      // generator dedups the yielded constants and silently undercounts
+      val brute = edges.map { case (a, b) =>
+        (nbrs(a) intersect nbrs(b)).count(c => c > b)
+      }.sum.toLong
+      val df = edges.toDF("doc_a", "doc_b")
+      assert(Dedup.triangleCount(df).head().getLong(0) === brute, s"seed=$seed")
+      val maxOut = Dedup.orientEdges(df)
+        .groupBy("src").count().agg(org.apache.spark.sql.functions.max("count"))
+        .head().getLong(0)
+      assert(maxOut <= math.ceil(math.sqrt(2.0 * edges.size)).toLong + 1,
+        s"seed=$seed: out-degree $maxOut exceeds arboricity bound")
+    }
+  }
+
+  test("MOR readView over random multi-batch op logs equals the sequential " +
+      "in-memory fold (5 seeds)") {
+    val ops = Array("insert", "update", "delete")
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 400)
+      val base = (0 until 30).filter(_ => rnd.nextBoolean())
+        .map(k => k.toLong -> s"v$k")
+      val batches = (0 until 4).map { b =>
+        (0 until 12).map { _ =>
+          (rnd.nextInt(40).toLong, ops(rnd.nextInt(3)), s"p$b-${rnd.nextInt(99)}")
+        }.distinctBy(_._1) // ≤1 op per key per batch (duplicate keys within
+                           // one changeset are undefined for MERGE, as for
+                           // every table format's MERGE INTO)
+      }
+      // in-memory sequential fold of the same state machine
+      var state = base.toMap
+      batches.foreach(_.foreach { case (k, op, p) =>
+        op match {
+          case "delete" => state -= k
+          case "update" => if (state.contains(k)) state += (k -> p)
+          case "insert" => state += (k -> p)
+        }
+      })
+      val out = Upsert.readView(
+        base.toDF("k", "v"),
+        batches.map(_.toDF("k", "op", "v")), "k", "v")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out === state, s"seed=$seed")
+    }
+  }
 }
