@@ -958,6 +958,23 @@ object OracleSql {
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
     },
 
+    // overlapped token chunking: same window arithmetic, DuckDB's
+    // end-inclusive list slice mirrors Spark's (start, length) slice
+    "text_chunks" -> {
+      val (c, st) = (TextAnalysis.ChunkTokens, TextAnalysis.ChunkStride)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens
+         |  FROM documents),
+         |c0 AS (SELECT doc_id, unnest(list_transform(
+         |    range(0, greatest(CAST(ceil((len(tokens) - $c) / $st.0) AS BIGINT), 0) + 1),
+         |    i -> {'idx': i,
+         |          'chunk': array_to_string(tokens[i*$st+1:i*$st+$c], ' ')})) AS s
+         |  FROM t)
+         |SELECT doc_id, CAST(s.idx AS INT) AS chunk_idx,
+         |  CAST(len(string_split(s.chunk, ' ')) AS INT) AS n_tokens,
+         |  s.chunk AS chunk_text
+         |FROM c0 ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+
     // C4-style segment dedup: same non-overlapping 10-token segmentation,
     // same global first-occurrence rule (ORDER BY doc_id, idx), same
     // in-order reassembly

@@ -103,6 +103,7 @@ object SparkEntry {
     "text_vocab" -> ((s: SparkSession, d: String) => TextAnalysis.vocabulary(s, d)),
     "text_rolling_fp" -> (TextAnalysis.rollingFingerprint _),
     "q_sql_custom" -> (TextAnalysis.customSqlSurface _),
+    "text_chunks" -> (TextAnalysis.chunk _),
     "text_collapse_repeats" -> (TextAnalysis.collapseRepeats _),
     "text_segment_dedup" -> (TextAnalysis.segmentDedup _),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),

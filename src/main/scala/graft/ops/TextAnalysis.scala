@@ -178,6 +178,31 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
   }
 
+  val ChunkTokens = 64
+  val ChunkStride = 48 // 16-token overlap between consecutive chunks
+
+  /** Fixed-size token chunking with overlap — the pre-embedding step of
+    * every retrieval/pretraining pipeline: 64-token windows advancing by
+    * 48, so consecutive chunks share 16 tokens of context and no token
+    * falls on a hard boundary. One narrow codegen'd pass (sequence +
+    * slice + explode), no shuffle before the presentation sort; at scale
+    * chunk rows carry only (doc_id, idx, text-slice), so downstream
+    * embedding jobs partition freely. Chunk count = 1 + ⌈(n−64)/48⌉,
+    * min 1 — a short doc is one (short) chunk. */
+  def chunk(s: SparkSession, dir: String): DataFrame = {
+    val (c, st) = (ChunkTokens, ChunkStride)
+    val chunksExpr =
+      s"""transform(sequence(0, greatest(cast(ceil((size(tokens) - $c) / $st.0D) AS INT), 0)),
+         |  i -> array_join(slice(tokens, i * $st + 1, $c), ' '))"""
+        .stripMargin.replaceAll("\n", " ")
+    Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(chunksExpr)).as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(split(col("chunk_text"), " ")).as("n_tokens"), col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val SegmentLen = 10
 
   /** C4-style line-level dedup, applied to fixed 10-token segments (the

@@ -99,6 +99,39 @@ class Round4Spec extends SparkSpec {
     assert(banded === exact)
   }
 
+  // --- overlapped chunking -------------------------------------------------
+
+  test("chunking: consecutive chunks overlap by exactly 16 tokens, every " +
+      "token is covered, short docs yield one chunk") {
+    val rows = TextAnalysis.chunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val byDoc = rows.groupBy(_._1)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    assert(byDoc.keySet === docs.keySet)
+    byDoc.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === sorted.indices.toSeq, "dense chunk_idx")
+      val toks = docs(id)
+      // reconstruction: chunk i starts at i*48 and covers 64 tokens
+      sorted.foreach { case (_, i, n, text) =>
+        val expect = toks.slice(i * 48, i * 48 + 64)
+        assert(text.split(" ").toSeq === expect.toSeq, s"doc $id chunk $i")
+        assert(n === expect.length)
+      }
+      // overlap: last 16 of chunk i == first 16 of chunk i+1 (full chunks)
+      sorted.sliding(2).foreach {
+        case Array((_, _, n1, t1), (_, _, _, t2)) if n1 == 64 =>
+          assert(t1.split(" ").takeRight(16).toSeq ===
+            t2.split(" ").take(16).toSeq)
+        case _ =>
+      }
+      // coverage: the union of chunks spans all tokens
+      val last = sorted.last
+      assert(last._2 * 48 + last._3 >= toks.length, s"doc $id tail uncovered")
+    }
+  }
+
   // --- merge-on-read upsert ------------------------------------------------
 
   private def baseDf(rows: (Long, String)*) = rows.toDF("k", "v")
