@@ -958,6 +958,24 @@ object OracleSql {
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
     },
 
+    // char entropy: the identical char-sorted fold (list_sort +
+    // list_reduce), so the float sum is order-deterministic in both
+    // engines; `/` is float division in DuckDB, matching Spark's
+    // bigint/bigint → double
+    "text_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, len(text) + 1), i -> substr(text, CAST(i AS INT), 1))) AS ch
+        |  FROM documents),
+        |g AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+        |  list_sort(list({'ch': ch, 'cnt': cnt})) AS cs
+        |  FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(n AS INT) AS n_chars,
+        |  round(-list_reduce(
+        |    list_prepend(0.0, list_transform(cs, x -> (x.cnt / n) * ln(x.cnt / n))),
+        |    (acc, v) -> acc + v), 6) AS char_entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
+
     // overlapped token chunking: same window arithmetic, DuckDB's
     // end-inclusive list slice mirrors Spark's (start, length) slice
     "text_chunks" -> {

@@ -104,6 +104,7 @@ object SparkEntry {
     "text_rolling_fp" -> (TextAnalysis.rollingFingerprint _),
     "q_sql_custom" -> (TextAnalysis.customSqlSurface _),
     "text_chunks" -> (TextAnalysis.chunk _),
+    "text_entropy" -> (TextAnalysis.charEntropy _),
     "text_collapse_repeats" -> (TextAnalysis.collapseRepeats _),
     "text_segment_dedup" -> (TextAnalysis.segmentDedup _),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),

@@ -178,6 +178,30 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
   }
 
+  /** Character-entropy quality signal (perplexity proxy without a model):
+    * H = −Σ p(c)·ln p(c) over each document's character distribution.
+    * Low entropy flags degenerate text (repeated boilerplate, single-char
+    * floods) the length/stopword gates miss. Float discipline: the sum
+    * folds over the CHAR-SORTED count list (collect_list → array_sort →
+    * `aggregate`), so addition order is deterministic and engine-independent
+    * — the DuckDB oracle replays the identical fold and the result
+    * hash-matches at any parallelism (the same rule as BM25's micro-units:
+    * never hash an order-dependent float reduction). Wordcount-shaped:
+    * one shuffle of (doc_id, char) counts, chars never leave their doc. */
+  def charEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n"),
+        array_sort(collect_list(struct(col("ch"), col("cnt")))).as("cs"))
+      .select(col("doc_id"),
+        col("n").cast("int").as("n_chars"),
+        round(expr(
+          "-aggregate(cs, 0.0D, (acc, x) -> acc + (x.cnt / n) * ln(x.cnt / n))"),
+          6).as("char_entropy"))
+      .orderBy(col("doc_id"))
+
   val ChunkTokens = 64
   val ChunkStride = 48 // 16-token overlap between consecutive chunks
 

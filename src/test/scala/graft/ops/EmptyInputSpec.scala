@@ -61,6 +61,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Upsert.readView(eBase, Seq(eCh), "k", "v").count() === 0)
     assert(Upsert.documentsUpsertMor(spark, emptyDir).count() === 0)
     assert(TextAnalysis.customSqlSurface(spark, emptyDir).count() === 0)
+    assert(TextAnalysis.chunk(spark, emptyDir).count() === 0)
+    assert(TextAnalysis.charEntropy(spark, emptyDir).count() === 0)
   }
 
   test("single-doc corpus: pair and dedup operators degrade to no-pairs, " +

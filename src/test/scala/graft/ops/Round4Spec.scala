@@ -132,6 +132,31 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  // --- char entropy --------------------------------------------------------
+
+  test("charEntropy: 0 for single-char docs, ln(k) for uniform text, " +
+      "bounded by ln(distinct chars) on the real corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("ent").toString
+    Seq((1L, "aaaa", "en", "s", 4L), (2L, "abab", "en", "s", 4L),
+      (3L, "abcd", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val h = TextAnalysis.charEntropy(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(h(1L) === 0.0)
+    assert(math.abs(h(2L) - math.log(2)) < 1e-6)
+    assert(math.abs(h(3L) - math.log(4)) < 1e-6)
+    // real corpus: 0 < H <= ln(#distinct chars in the doc)
+    val real = TextAnalysis.charEntropy(spark, dir).collect()
+    val distinctChars = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(array_distinct(split(col("text"), ""))).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    real.foreach { r =>
+      val (id, e) = (r.getLong(0), r.getDouble(2))
+      assert(e > 0.0 && e <= math.log(distinctChars(id)) + 1e-6, s"doc $id")
+    }
+  }
+
   // --- merge-on-read upsert ------------------------------------------------
 
   private def baseDf(rows: (Long, String)*) = rows.toDF("k", "v")
