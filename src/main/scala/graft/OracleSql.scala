@@ -1060,6 +1060,30 @@ object OracleSql {
          |SELECT doc_id, rnk, term, score FROM r WHERE rnk <= 3
          |ORDER BY doc_id, rnk""".stripMargin,
 
+    // lexical cosine: BIGINT milli-unit weights → exact dot/norm sums;
+    // one deterministic double expression per pair (float-sum rule)
+    "dedup_lexical_cosine" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |wu AS (SELECT doc_id, term,
+         |  CAST(floor(tf * ln((n_docs + 1) / (df + 1)) * 1000) AS BIGINT) AS w
+         |  FROM tf JOIN df USING (term) CROSS JOIN n WHERE df * 10 <= n_docs),
+         |nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nr
+         |  FROM wu GROUP BY 1),
+         |dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(sum(a.w * b.w) AS BIGINT) AS d
+         |  FROM wu a JOIN wu b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(d / (sqrt(na.nr) * sqrt(nb.nr)), 6) AS cosine
+         |FROM dot JOIN nrm na ON na.doc_id = doc_a
+         |         JOIN nrm nb ON nb.doc_id = doc_b
+         |WHERE round(d / (sqrt(na.nr) * sqrt(nb.nr)), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // BM25: identical constant expressions (emitted unevaluated so both
     // engines fold 1.2 + 1 in IEEE double the same way), per-term
     // contributions floored into integral micro-units before the exact

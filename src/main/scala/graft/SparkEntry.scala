@@ -105,6 +105,7 @@ object SparkEntry {
     "q_sql_custom" -> (TextAnalysis.customSqlSurface _),
     "text_chunks" -> (TextAnalysis.chunk _),
     "text_entropy" -> (TextAnalysis.charEntropy _),
+    "dedup_lexical_cosine" -> ((s: SparkSession, d: String) => TermScoring.lexicalCosinePairs(s, d)),
     "text_collapse_repeats" -> (TextAnalysis.collapseRepeats _),
     "text_segment_dedup" -> (TextAnalysis.segmentDedup _),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),

@@ -80,4 +80,50 @@ object TermScoring {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Sparse lexical-cosine near-dup pairs — the third similarity modality
+    * next to dense embedding-cosine ([[Similarity.cosineDupPairs]]) and
+    * set-jaccard ([[Dedup.minhashPairs]]): documents as tf-idf vectors in
+    * an inverted index, pairwise dot products via the per-term self-join.
+    *
+    * The vector space is the df ≤ n_docs/`dfFrac` vocabulary — a
+    * RELATIVE document-frequency cap, so the same operator definition
+    * holds at every corpus size (an absolute cap silently empties the
+    * vocabulary as the corpus grows). Rare terms carry the signal;
+    * dropping boilerplate terms by df is stopwording AND the join's skew
+    * guard — each term contributes at most C(cap, 2) candidate pairs, so
+    * the inverted-index join is O(collisions), never O(n²). Dot products
+    * and norms sum BIGINT milli-unit weights (floor(w·1000)) — exact,
+    * order-independent sums per the float-sum rule — and the final cosine
+    * is one deterministic double expression per pair, so the DuckDB
+    * oracle hash-matches. Bodies never shuffle: only (doc, term-weight)
+    * pairs move. */
+  def lexicalCosinePairs(s: SparkSession, dir: String, dfFrac: Int = 10,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val wu = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .filter(col("df") * dfFrac <= col("n_docs"))
+      .select(col("doc_id"), col("term"),
+        floor(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)) * 1000)
+          .cast("bigint").as("w"))
+    val nrm = wu.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("nrm"))
+    wu.toDF("doc_a", "term", "wa").join(wu.toDF("doc_b", "term", "wb"), "term")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(nrm.toDF("doc_a", "na"), "doc_a")
+      .join(nrm.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("cosine",
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -157,6 +157,44 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  // --- lexical cosine ------------------------------------------------------
+
+  test("lexical cosine pairs: driver-side recomputation from raw text " +
+      "agrees pair-for-pair; scores in (0, 1]") {
+    val got = TermScoring.lexicalCosinePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty, "corpus has near-dups; the operator must find some")
+    assert(got.values.forall(c => c > 0.0 && c <= 1.000001))
+    // independent model: same relative df cap, same milli-unit floor
+    val texts = Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val nDocs = texts.size
+    val tf = texts.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (t, o) => t -> o.length }
+    }
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity).map { case (t, o) => t -> o.size }
+    val w = tf.map { case (id, m) =>
+      id -> m.collect {
+        case (t, f) if dfm(t) * 10 <= nDocs =>
+          t -> math.floor(f * math.log((nDocs + 1.0) / (dfm(t) + 1)) * 1000).toLong
+      }.toMap
+    }
+    val ids = texts.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      (a, b) = (ids(i), ids(j))
+      shared = w(a).keySet intersect w(b).keySet if shared.nonEmpty
+      dot = shared.toSeq.map(t => w(a)(t) * w(b)(t)).sum
+      na = w(a).values.map(x => x * x).sum
+      nb = w(b).values.map(x => x * x).sum
+      c = BigDecimal(dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.5
+    } yield (a, b) -> c).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, c) => assert(math.abs(c - expected(k)) < 2e-6, s"$k") }
+  }
+
   // --- merge-on-read upsert ------------------------------------------------
 
   private def baseDf(rows: (Long, String)*) = rows.toDF("k", "v")
