@@ -157,6 +157,16 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  // --- heavy hitters plan shape --------------------------------------------
+
+  test("heavyHitters scans the documents table at most twice (sketch+total " +
+      "fused into one aggregate; candidate re-count is the only other pass)") {
+    val plan = TextAnalysis.heavyHitters(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 2, s"expected ≤2 parquet scans, found $scans:\n$plan")
+  }
+
   // --- lexical cosine ------------------------------------------------------
 
   test("lexical cosine pairs: driver-side recomputation from raw text " +
