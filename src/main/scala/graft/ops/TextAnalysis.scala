@@ -213,18 +213,23 @@ object TextAnalysis {
     * chunk rows carry only (doc_id, idx, text-slice), so downstream
     * embedding jobs partition freely. Chunk count = 1 + ⌈(n−64)/48⌉,
     * min 1 — a short doc is one (short) chunk. */
-  def chunk(s: SparkSession, dir: String): DataFrame = {
+  def chunk(s: SparkSession, dir: String): DataFrame =
+    chunkOf(Tables.documents(s, dir)).orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Sortless chunking core over any (doc_id, text) frame — stateless, so
+    * it runs unchanged on a stream (StreamingSpec asserts batch↔stream
+    * equality): streaming ingestion → chunk → embed needs no extra code. */
+  def chunkOf(docs: DataFrame): DataFrame = {
     val (c, st) = (ChunkTokens, ChunkStride)
     val chunksExpr =
       s"""transform(sequence(0, greatest(cast(ceil((size(tokens) - $c) / $st.0D) AS INT), 0)),
          |  i -> array_join(slice(tokens, i * $st + 1, $c), ' '))"""
         .stripMargin.replaceAll("\n", " ")
-    Tables.documents(s, dir)
+    docs
       .withColumn("tokens", split(col("text"), " "))
       .select(col("doc_id"), posexplode(expr(chunksExpr)).as(Seq("chunk_idx", "chunk_text")))
       .select(col("doc_id"), col("chunk_idx"),
         size(split(col("chunk_text"), " ")).as("n_tokens"), col("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   val SegmentLen = 10

@@ -182,6 +182,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunking: the same stateless transform on a stream equals the " +
+      "batch output (streaming ingestion → chunk → embed path)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+    val rows = docs.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.TextAnalysis.chunkOf(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, chunk_idx, n_tokens, chunk_text FROM chunk_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+      val batch = graft.ops.TextAnalysis.chunk(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
