@@ -21,6 +21,7 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     MisraGries.register(spark)
     RollingHash64.register(spark)
+    SimHash64.register(spark)
     ZOrder2.register(spark)
     VecDot.register(spark)
     graft.plans.AsOfJoinNative.register(spark)

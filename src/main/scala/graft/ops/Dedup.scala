@@ -526,16 +526,30 @@ object Dedup {
       .stripMargin.replaceAll("\n", " ")
   }.mkString("(", " + ", ")")
 
-  private def simhashSignaturesRaw(s: SparkSession, dir: String): DataFrame =
+  /** SQL formulation of the 32-bit signature — the oracle's structural
+    * twin; Round4Spec pins the native expression against it. */
+  private[graft] def simhashSignaturesSql(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("tokens", split(col("text"), " "))
       .withColumn("hs", expr(s"transform(tokens, t -> ${SharedHash.spark48("t")})"))
       .select(col("doc_id"), expr(simhashExpr).as("simhash"))
 
+  private def simhashSignaturesRaw(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SimHash64.register(s)
+    Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"), expr("simhash32(tokens)").as("simhash"))
+  }
+
   def simhashSignatures(s: SparkSession, dir: String): DataFrame =
     simhashSignaturesRaw(s, dir).orderBy(col("doc_id"))
 
-  private def simhashSignatures64Raw(s: SparkSession, dir: String): DataFrame =
+  /** The SQL formulation of the 64-bit signature — the DuckDB oracle's
+    * structural twin and the reference [[simhashSignatures64Raw]]'s native
+    * expression is spec-checked against (Round4Spec, bit-for-bit). Not the
+    * production path: 64 higher-order `aggregate` lambdas never enter
+    * codegen, so the native [[graft.functions.SimHash64]] is ~4× faster. */
+  private[graft] def simhashSignatures64Sql(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("tokens", split(col("text"), " "))
       // one md5 per token feeds BOTH 48-bit halves (the digest dominates
@@ -546,6 +560,13 @@ object Dedup {
       .withColumn("hs2", expr(
         "transform(m, x -> cast(conv(substring(x, 13, 12), 16, 10) as bigint))"))
       .select(col("doc_id"), expr(simhash64Expr).as("simhash"))
+
+  private def simhashSignatures64Raw(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SimHash64.register(s)
+    Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"), expr("simhash64(tokens)").as("simhash"))
+  }
 
   /** 64-bit signatures, presentation-sorted (spec + debugging surface). */
   def simhashSignatures64(s: SparkSession, dir: String): DataFrame =

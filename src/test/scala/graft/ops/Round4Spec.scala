@@ -82,6 +82,24 @@ class Round4Spec extends SparkSpec {
     assert(s64.values.exists(v => (v >>> 32) != 0L))
   }
 
+  test("native SimHash64 expression ≡ the SQL formulation bit-for-bit on " +
+      "the whole corpus (the oracle's twin)") {
+    val sql = Dedup.simhashSignatures64Sql(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = Dedup.simhashSignatures64(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === sql)
+  }
+
+  test("native SimHash32 expression ≡ the 32-bit SQL formulation " +
+      "bit-for-bit on the whole corpus") {
+    val sql = Dedup.simhashSignaturesSql(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = Dedup.simhashSignatures(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === sql)
+  }
+
   test("simhash64 banded LSH ≡ exact 64-bit pairwise scan (pigeonhole " +
       "recall at hamming ≤ 2 is width-independent)") {
     val sigs = Dedup.simhashSignatures64(spark, dir).collect()
