@@ -41,14 +41,28 @@ object Dedup {
       |              element_at(tokens, i + 2)))
       |ELSE array(text) END""".stripMargin
 
-  /** doc_id + shingle array + base-hash array (md5 once per shingle — the
-    * hash family then reuses `hs`, not 1 md5 per family member). */
-  def shingled(docs: DataFrame): DataFrame =
+  /** SQL formulation of the shingle hashes — the oracle's structural twin;
+    * Round4Spec pins the native expression against it bit-for-bit. */
+  private[ops] def shingledSql(docs: DataFrame): DataFrame =
     docs
       .withColumn("tokens", split(col("text"), " "))
       .withColumn("sh", expr(shingleExpr))
       .withColumn("hs", expr(s"transform(sh, x -> ${SharedHash.spark48("x")})"))
       .select(col("doc_id"), col("text"), col("sh"), col("hs"))
+
+  /** doc_id + shingle array + base-hash array. The hashes come from the
+    * native [[graft.functions.ShingleHashes]] expression (one pass, digest
+    * fed token bytes directly — no interpreted lambdas, no per-shingle
+    * string materialization on the hash path); the `sh` strings are still
+    * built for the exact-jaccard verify joins that need them. */
+  def shingled(docs: DataFrame): DataFrame = {
+    graft.functions.ShingleHashes.register(docs.sparkSession)
+    docs
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("sh", expr(shingleExpr))
+      .withColumn("hs", expr("shingle_hashes(tokens, text)"))
+      .select(col("doc_id"), col("text"), col("sh"), col("hs"))
+  }
 
   def withShingles(s: SparkSession, dir: String): DataFrame =
     shingled(Tables.documents(s, dir))
@@ -92,12 +106,25 @@ object Dedup {
 
   // --- MinHash + LSH -------------------------------------------------------
 
-  private[ops] def signaturesFrom(shingled: DataFrame): DataFrame = {
+  /** SQL formulation of the signature — the oracle's structural twin;
+    * DedupSpec pins the native expression against it bit-for-bit. */
+  private[ops] def signaturesFromSql(shingled: DataFrame): DataFrame = {
     val sigCols = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
       expr(s"array_min(transform(hs, h -> pmod($a * pmod(h, ${SharedHash.P}) + $b, ${SharedHash.P})))")
         .as(s"mh_$k")
     }
     shingled.select(col("doc_id") +: sigCols: _*)
+  }
+
+  private[ops] def signaturesFrom(shingled: DataFrame): DataFrame = {
+    graft.functions.MinHashSigs.register(shingled.sparkSession)
+    require(graft.functions.MinHashSigsImpl.K == NumMinHash,
+      "native MinHash family size drifted from Dedup.NumMinHash")
+    val sigCols = (0 until NumMinHash).map(k =>
+      element_at(col("__mh"), k + 1).as(s"mh_$k"))
+    shingled
+      .withColumn("__mh", expr("minhash_sigs(hs)"))
+      .select(col("doc_id") +: sigCols: _*)
   }
 
   /** doc_id + the full MinHash signature (one column per hash function). */

@@ -155,7 +155,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.{MisraGries, RollingHash64, SimHash64, VecDot, ZOrder2}
+  import graft.functions.{MinHashSigs, MisraGries, RollingHash64, ShingleHashes, SimHash64, VecDot, ZOrder2}
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
@@ -165,6 +165,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("rolling_hash64"),
       info("rolling_hash64", "rolling_hash64(str) - 64-bit polynomial rolling hash"),
       (exprs: Seq[Expression]) => RollingHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(tokens, text) - 3-token shingle base hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_sigs"),
+      info("minhash_sigs", "minhash_sigs(hashes) - full MinHash signature array in one pass"),
+      (exprs: Seq[Expression]) => MinHashSigs(exprs.head)))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash signature of a token array"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))

@@ -91,6 +91,29 @@ class Round4Spec extends SparkSpec {
     assert(native === sql)
   }
 
+  test("native shingle_hashes expression ≡ the SQL formulation bit-for-bit " +
+      "on the whole corpus (incl. the <3-token fallback)") {
+    val docs = Tables.documents(spark, dir)
+    import spark.implicits._
+    val short = Seq((9001L, "two tokens"), (9002L, "one")).toDF("doc_id", "text")
+    val all = docs.select("doc_id", "text").unionByName(short)
+    val sql = Dedup.shingledSql(all).select("doc_id", "hs").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = Dedup.shingled(all).select("doc_id", "hs").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native === sql)
+  }
+
+  test("native minhash_sigs expression ≡ the SQL formulation bit-for-bit " +
+      "on the whole corpus") {
+    val sh = Dedup.withShingles(spark, dir)
+    val sql = Dedup.signaturesFromSql(sh).collect()
+      .map(r => r.getLong(0) -> (1 to Dedup.NumMinHash).map(r.getLong)).toMap
+    val native = Dedup.signaturesFrom(sh).collect()
+      .map(r => r.getLong(0) -> (1 to Dedup.NumMinHash).map(r.getLong)).toMap
+    assert(native === sql)
+  }
+
   test("native SimHash32 expression ≡ the 32-bit SQL formulation " +
       "bit-for-bit on the whole corpus") {
     val sql = Dedup.simhashSignaturesSql(spark, dir).collect()
