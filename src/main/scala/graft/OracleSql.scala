@@ -579,6 +579,16 @@ object OracleSql {
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
 
+    // n-gram LM counts: identical clipped-slice gram construction
+    // (dedup_substring's convention), every occurrence counted, cutoff-pruned
+    "text_ngrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT unnest(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS gram FROM t)
+        |SELECT gram, count(*) AS n FROM g GROUP BY gram
+        |HAVING count(*) >= 5 ORDER BY n DESC, gram ASC""".stripMargin,
+
     // identical indexed-transform + non-null-filter construction
     "text_collapse_repeats" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens
@@ -938,6 +948,18 @@ object OracleSql {
          |FROM tok t LEFT JOIN near n ON n.inc_id = t.doc_id
          |WHERE t.is_inc ORDER BY t.doc_id""".stripMargin
     },
+
+    // bloom-gated exact triage: the gate is correctness-neutral (no false
+    // negatives; positives are exact-verified), so the oracle is the plain
+    // gate-free membership semi-join
+    "dedup_bloom_gate" ->
+      s"""WITH t AS (SELECT doc_id, md5(text) AS fp,
+         |  (${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 10) = 9 AS is_inc
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN fp IN (SELECT fp FROM t WHERE NOT is_inc)
+         |       THEN 'dup' ELSE 'novel' END AS verdict
+         |FROM t WHERE is_inc ORDER BY doc_id""".stripMargin,
 
     // exact substring duplication: identical overlapping-gram hashing
     // (clipped slice for short docs), per-doc distinct, df cap, pair join

@@ -101,6 +101,7 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_vocab" -> ((s: SparkSession, d: String) => TextAnalysis.vocabulary(s, d)),
+    "text_ngrams" -> ((s: SparkSession, d: String) => TextAnalysis.ngramCounts(s, d)),
     "text_rolling_fp" -> (TextAnalysis.rollingFingerprint _),
     "q_sql_custom" -> (TextAnalysis.customSqlSurface _),
     "text_chunks" -> (TextAnalysis.chunk _),
@@ -131,6 +132,7 @@ object SparkEntry {
     "dedup_simhash_lsh64" -> (Dedup.simhashLshPairs64 _),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringGramPairs(s, d)),
     "dedup_incremental" -> (Dedup.incrementalDedup _),
+    "dedup_bloom_gate" -> (BloomGate.incrementalExactTriage _),
     // similarity search
     "ann_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),

@@ -26,6 +26,7 @@ object GraftFunctions {
     SimHash64.register(spark)
     ZOrder2.register(spark)
     VecDot.register(spark)
+    BloomFilterFns.register(spark)
     graft.plans.AsOfJoinNative.register(spark)
   }
 }

@@ -120,6 +120,28 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(topK)
 
+  /** N-gram language-model counts with a frequency cutoff — the KenLM-style
+    * corpus statistics pass (count every n-gram occurrence, keep those above
+    * the pruning threshold). Same scale shape as [[vocabulary]]: the n-gram
+    * generator is partition-local (one narrow codegen pass over the token
+    * array — no string blow-up survives past the map-side partial count),
+    * and only (gram, partial count) pairs shuffle. Docs shorter than n
+    * contribute one clipped gram, mirroring dedup_substring's convention.
+    * Cutoff pruning is what keeps the result set (and any downstream
+    * backoff-model join) bounded at 100 TB — raw trigram counts are
+    * corpus-sized; pruned ones are vocabulary-sized. */
+  def ngramCounts(s: SparkSession, dir: String, n: Int = 3,
+      minCount: Long = 5): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(explode(expr(
+        s"""transform(sequence(1, greatest(size(tokens) - ${n - 1}, 1)),
+           |  i -> array_join(slice(tokens, i, $n), ' '))"""
+          .stripMargin.replaceAll("\n", " "))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("gram").asc)
+
   /** Fingerprinting via the native codegen RollingHash64 expression —
     * cheap-hash variant of `fingerprint` (oracle: HUGEINT mod-2^64 fold). */
   def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {

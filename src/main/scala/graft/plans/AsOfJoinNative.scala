@@ -184,6 +184,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("misra_gries", "misra_gries(col, k) - heavy-hitter candidate sketch"),
       (exprs: Seq[Expression]) => MisraGries(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", "bloom_agg(hash, bits, k) - bloom filter over pre-hashed keys"),
+      (exprs: Seq[Expression]) => graft.functions.BloomAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("bloom_contains"),
+      info("bloom_contains", "bloom_contains(bf, hash) - bloom membership probe"),
+      (exprs: Seq[Expression]) => graft.functions.BloomContains(exprs(0), exprs(1))))
   }
 }
 

@@ -337,6 +337,31 @@ class Round4Spec extends SparkSpec {
     assert(mor === cow)
   }
 
+  test("ngramCounts: driver-side recomputation from raw text agrees " +
+      "(clipped grams, every occurrence counted, cutoff applied)") {
+    val minCount = 2L
+    val docs = Tables.documents(spark, dir).select("text").as[String].collect()
+    val expected = docs.flatMap { t =>
+      val toks = t.split(" ", -1)
+      (1 to math.max(toks.length - 2, 1)).map(i =>
+        toks.slice(i - 1, math.min(i + 2, toks.length)).mkString(" "))
+    }.groupMapReduce(identity)(_ => 1L)(_ + _)
+      .filter(_._2 >= minCount)
+    val got = TextAnalysis.ngramCounts(spark, dir, minCount = minCount)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture corpus should repeat some trigram")
+  }
+
+  test("ngramCounts output is sorted (n desc, gram asc) and never below " +
+      "the cutoff") {
+    val rows = TextAnalysis.ngramCounts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.forall(_._2 >= 5L))
+    val resorted = rows.sortBy { case (g, n) => (-n, g) }
+    assert(rows.toSeq === resorted.toSeq)
+  }
+
   test("triangle count on the real minhash pair graph matches a driver-side " +
       "exact recount") {
     val pairs = Dedup.minhashPairsRaw(Tables.documents(spark, dir))
