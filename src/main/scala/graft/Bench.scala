@@ -43,9 +43,14 @@ object Bench {
     // the driver's BENCH_r0{1..3}.json all recorded "parsed": null because
     // the single long line got cut.
     println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Locale.ROOT: the f-interpolator formats with the JVM default locale,
+    // and a comma-decimal locale would emit invalid JSON ("0,29"), silently
+    // re-breaking the tail-parse guarantee this layout exists for
+    def num(v: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
     val slow = results.toSeq.sortBy(-_._2).take(8)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"slowest":$slow,"sf":"$sfDir"}""")
+      .map { case (k, v) => s"\"" + k + "\":" + num(v, 2) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"slowest":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

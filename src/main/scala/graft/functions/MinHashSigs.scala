@@ -22,20 +22,29 @@ object MinHashSigsImpl {
     * b) mod P))` columns, which are interpreted lambdas (no codegen) and
     * traverse the array K times with per-element allocations. Base hashes
     * are 48-bit positive, so plain `%` equals pmod and a·h+b stays below
-    * 2⁶². */
+    * 2⁶².
+    *
+    * Empty input yields the MaxValue-filled signature (the min over an
+    * empty set is the fold identity) rather than null: `defineCodeGen`
+    * only propagates the CHILD's null flag, so a null produced here would
+    * flow downstream tagged isNull=false and NPE the consumer — reachable
+    * via the registered SQL function as `minhash_sigs(array())`. Null
+    * elements are skipped for the same reason (never produced by
+    * shingle_hashes, but the SQL surface admits them). */
   def sigs(hs: ArrayData): ArrayData = {
     val n = hs.numElements()
-    if (n == 0) return null
     val out = new Array[Long](K)
     java.util.Arrays.fill(out, Long.MaxValue)
     var i = 0
     while (i < n) {
-      val hm = hs.getLong(i) % P
-      var k = 0
-      while (k < K) {
-        val v = (seedA(k) * hm + seedB(k)) % P
-        if (v < out(k)) out(k) = v
-        k += 1
+      if (!hs.isNullAt(i)) {
+        val hm = hs.getLong(i) % P
+        var k = 0
+        while (k < K) {
+          val v = (seedA(k) * hm + seedB(k)) % P
+          if (v < out(k)) out(k) = v
+          k += 1
+        }
       }
       i += 1
     }

@@ -39,12 +39,22 @@ object ShingleHashesImpl {
       val out = new Array[Long](n - 2)
       var i = 0
       while (i < n - 2) {
+        // null tokens are skipped along with their separator — exactly
+        // concat_ws's null rule, so the digest stays byte-identical to the
+        // SQL twin even on containsNull arrays (split() never yields
+        // nulls, but the registered SQL surface admits them and a null
+        // element must not NPE the digest)
         digestOf.reset()
-        digestOf.update(tokens.getUTF8String(i).getBytes)
-        digestOf.update(Space)
-        digestOf.update(tokens.getUTF8String(i + 1).getBytes)
-        digestOf.update(Space)
-        digestOf.update(tokens.getUTF8String(i + 2).getBytes)
+        var first = true
+        var j = i
+        while (j < i + 3) {
+          if (!tokens.isNullAt(j)) {
+            if (!first) digestOf.update(Space)
+            digestOf.update(tokens.getUTF8String(j).getBytes)
+            first = false
+          }
+          j += 1
+        }
         out(i) = bits48(digestOf.digest())
         i += 1
       }

@@ -44,18 +44,24 @@ object SimHash64Impl {
     var i = 0
     val n = tokens.numElements()
     while (i < n) {
-      digestOf.reset()
-      val d = digestOf.digest(tokens.getUTF8String(i).getBytes)
-      val h1 = bits48(d, 0)
-      var b = 0
-      while (b < lowBits) {
-        counts(b) += (if (((h1 >>> b) & 1L) == 1L) 1 else -1); b += 1
-      }
-      if (nBits > 48) {
-        val h2 = bits48(d, 6)
-        b = 0
-        while (b < nBits - 48) {
-          counts(48 + b) += (if (((h2 >>> b) & 1L) == 1L) 1 else -1); b += 1
+      // skip null elements: split() never yields them, but the registered
+      // SQL surface admits containsNull arrays and a null token must not
+      // NPE the digest — a skipped token contributes nothing, like an
+      // absent term
+      if (!tokens.isNullAt(i)) {
+        digestOf.reset()
+        val d = digestOf.digest(tokens.getUTF8String(i).getBytes)
+        val h1 = bits48(d, 0)
+        var b = 0
+        while (b < lowBits) {
+          counts(b) += (if (((h1 >>> b) & 1L) == 1L) 1 else -1); b += 1
+        }
+        if (nBits > 48) {
+          val h2 = bits48(d, 6)
+          b = 0
+          while (b < nBits - 48) {
+            counts(48 + b) += (if (((h2 >>> b) & 1L) == 1L) 1 else -1); b += 1
+          }
         }
       }
       i += 1

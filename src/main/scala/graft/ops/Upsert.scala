@@ -75,16 +75,30 @@ object Upsert {
 
   /** [[readView]] over an already-stamped log: `log` carries (key, op,
     * payload, __batch) with the batch sequence persisted — the shape the
-    * streaming MOR sink appends. */
+    * streaming MOR sink appends — plus an optional `__seq` column ordering
+    * ops WITHIN a batch. Without `__seq`, same-key ops inside one batch
+    * would tie on `__batch` and fall through to the struct sort's next
+    * field, replaying e.g. insert-then-delete as delete-then-insert
+    * ('delete' < 'insert' alphabetically) — so when the column is absent a
+    * sequence is stamped from the log's partition-major row order (file
+    * order for a persisted log, source order for an in-memory batch),
+    * which is arrival order for every writer in this codebase. Writers
+    * with a stronger ordering authority (a CDC source with offsets)
+    * should persist their own `__seq`. */
   def readViewLog(base: DataFrame, log0: DataFrame, key: String,
       payload: String): DataFrame = {
+    val seq0 =
+      if (log0.columns.contains("__seq")) col("__seq")
+      else monotonically_increasing_id()
     val log = log0.select(col(key), col("op"),
-      col(payload).as("__c_payload"), col("__batch"))
-    // array_sort on structs orders by leading field = __batch: the fold
-    // sees ops in batch order
+      col(payload).as("__c_payload"), col("__batch"), seq0.as("__seq"))
+    // array_sort on structs orders field-by-field: __batch first, then
+    // __seq breaks intra-batch ties in arrival order — the fold sees ops
+    // exactly as they were applied
     val opsPerKey = log.groupBy(col(key)).agg(
       array_sort(collect_list(
-        struct(col("__batch"), col("op"), col("__c_payload")))).as("__ops"))
+        struct(col("__batch"), col("__seq"), col("op"),
+          col("__c_payload")))).as("__ops"))
     val folded = expr(
       s"""aggregate(__ops,
          |  named_struct('present', __s_payload IS NOT NULL,
@@ -152,6 +166,24 @@ object Upsert {
     merged.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(dir)
+    // Dynamic overwrite only rewrites partitions PRESENT in `merged`: a
+    // changeset that deletes every surviving row of a touched partition
+    // leaves zero merged rows for it, the overwrite never touches it, and
+    // the deleted rows would resurface on the next scan. Diff touched
+    // against the survivors and drop the emptied partition directories
+    // explicitly (bounded by the delta's partition count, like `touched`).
+    val survivors = merged.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    val dead = touched.filterNot(v => v == null || survivors.contains(v))
+    if (dead.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      dead.foreach { v =>
+        val leaf = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(partCol, String.valueOf(v))
+        fs.delete(new org.apache.hadoop.fs.Path(root, leaf), true)
+      }
+    }
     touched.map(String.valueOf)
   }
 
@@ -216,7 +248,12 @@ object Upsert {
     * be indistinguishable to a reader. */
   def documentsUpsertMor(s: SparkSession, dir: String): DataFrame = {
     val (snapshot, changes) = changesetOf(Tables.documents(s, dir))
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_mor_store"
+    // unique per application: a fixed path races concurrent harness runs
+    // on one machine (create() would delete the directory out from under
+    // the other run's scan); the returned view reads the store lazily, so
+    // the directory must outlive this call — it lives with the app
+    val root = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_mor_store_${s.sparkContext.applicationId}"
     val store = new graft.collab.ParquetTableStore(s, root)
     store.create("base", org.apache.spark.sql.types.StructType(snapshot.schema.fields))
     store.append("base", snapshot)

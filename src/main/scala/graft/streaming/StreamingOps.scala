@@ -298,9 +298,13 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // __seq persists intra-batch arrival order durably: without it,
+        // same-key ops inside one micro-batch would tie on __batch in the
+        // read view's fold and replay in an order the source never saw
         store.append(deltaTable,
           batch.select(col(key), col("op"), col(payload),
-            lit(batchId).cast("long").as("__batch")))
+            lit(batchId).cast("long").as("__batch"),
+            monotonically_increasing_id().as("__seq")))
       }
       .start()
 

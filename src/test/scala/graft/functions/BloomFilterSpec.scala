@@ -72,7 +72,13 @@ class BloomFilterSpec extends SparkSpec {
       .withColumn("fp", md5(col("text")))
       .select(col("doc_id"), col("fp"))
     val left = docs.filter(col("doc_id") % 10 === 0)
+    // the synthetic corpus has NO exact text duplicates (every md5 group is
+    // a singleton), so a cross-bucket overlap must be constructed: plant
+    // half of left's digests on the right side so both probe outcomes are
+    // exercised deterministically
+    val planted = left.filter(col("doc_id") % 20 === 0).select(col("fp"))
     val right = docs.filter(col("doc_id") % 10 =!= 0).select(col("fp"))
+      .unionByName(planted)
     val gated = BloomGate.membership(left, right, "fp")
       .select(col("doc_id"), col("in_right"))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
@@ -80,8 +86,8 @@ class BloomFilterSpec extends SparkSpec {
     val expected = left.collect()
       .map(r => r.getLong(0) -> rightSet.contains(r.getString(1))).toMap
     assert(gated === expected)
-    assert(expected.values.exists(identity),
-      "fixture should contain at least one cross-bucket exact duplicate")
+    assert(expected.values.exists(identity), "planted overlap must probe true")
+    assert(!expected.values.forall(identity), "non-planted keys must probe false")
   }
 
   test("gate prunes definite misses before the exact join") {

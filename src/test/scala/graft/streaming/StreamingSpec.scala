@@ -394,7 +394,7 @@ class StreamingSpec extends SparkSpec {
     store.append("base", Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("k", "v"))
     store.create("delta", StructType(Seq(StructField("k", LongType),
       StructField("op", StringType), StructField("v", StringType),
-      StructField("__batch", LongType))))
+      StructField("__batch", LongType), StructField("__seq", LongType))))
     def baseFiles() = new java.io.File(s"$root/base").listFiles()
       .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
 
