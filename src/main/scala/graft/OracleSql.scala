@@ -1227,6 +1227,13 @@ object OracleSql {
          |JOIN good e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin,
 
     // strictly-ordered funnel: same successive conditional-min staging
+    // Count-Min / HLL: the sketch states commute (integer sums / register
+    // maxima over the SharedHash family), so the oracle recomputes them as
+    // plain GROUP BYs and runs the identical estimator text — full hash
+    // checks for sketch OUTPUTS (the built-in Murmur sketches stay rows-only)
+    "text_count_min" -> graft.ops.Sketches.countMinOracle,
+    "q_hll_distinct" -> graft.ops.Sketches.hllOracle,
+
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
         |t1 AS (SELECT user_id, min(ts) AS t1 FROM ev

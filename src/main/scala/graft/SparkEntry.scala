@@ -111,6 +111,8 @@ object SparkEntry {
     "text_segment_dedup" -> (TextAnalysis.segmentDedup _),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "text_quality_gate" -> (TextAnalysis.qualityGateDynamic _),
+    "text_count_min" -> (Sketches.countMinProbes _),
+    "q_hll_distinct" -> (Sketches.hllDistinct _),
     "text_tfidf" -> ((s: SparkSession, d: String) => TermScoring.tfidfTopTerms(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => TermScoring.bm25(s, d)),
     // dedup

@@ -20,6 +20,8 @@ import org.apache.spark.sql.SparkSession
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     MisraGries.register(spark)
+    CountMin.register(spark)
+    HllRegs.register(spark)
     MinHashSigs.register(spark)
     ShingleHashes.register(spark)
     RollingHash64.register(spark)

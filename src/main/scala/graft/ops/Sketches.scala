@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.SharedHash
+
+/** Sketch-powered summary queries whose OUTPUTS are hash-checked against
+  * DuckDB — possible because both sketches ([[graft.functions.CountMin]],
+  * [[graft.functions.HllRegs]]) are built on the cross-engine
+  * [[SharedHash]] family and commute under merge (integer sums / maxima),
+  * unlike Spark's built-in Murmur/xxHash sketches which are rows-only
+  * checkable.
+  *
+  * Scale shape shared by both: ONE narrow scan of the token stream feeds
+  * a fixed-size aggregate state (KiB per partial buffer, merged
+  * tree-wise); the stream itself never shuffles. The exact-count side each
+  * query carries exists only to verify the estimates — a production run
+  * drops it and keeps the sketch-only cost.
+  */
+object Sketches {
+
+  val CmDepth = 4
+  val CmWidth = 1024
+  val CmProbes = 30
+
+  val HllP = 10
+  private val HllM = 1 << HllP // 1024
+  private val HllMaxRho = 48 - HllP + 1 // 39
+  // shift base keeping 2^(Q - rho) integral for rho in [0, 39]; sums of
+  // 1024 terms ≤ 2^50 stay < 2^63 (exact, order-independent)
+  private val HllQ = 50
+
+  // The estimator body (identical TEXT in both dialects so IEEE folding
+  // agrees): alpha_m * m^2 * 2^Q / isum, with linear-counting fallback
+  // below 2.5m when empty registers remain.
+  private def hllEstimateSql(isum: String, v: String): String =
+    s"""round(CASE WHEN (0.7213 / (1 + 1.079 / $HllM.0)) * $HllM * $HllM * 1125899906842624 / $isum <= 2.5 * $HllM AND $v > 0
+       |  THEN $HllM * ln($HllM.0 / $v)
+       |  ELSE (0.7213 / (1 + 1.079 / $HllM.0)) * $HllM * $HllM * 1125899906842624 / $isum END, 4)""".stripMargin
+
+  /** Count-Min frequency estimates for the corpus's top-[[CmProbes]]
+    * tokens, next to their exact counts (est ≥ n always; equality in the
+    * common unsaturated case). The sketch is ONE 4×1024 Long matrix for
+    * the whole corpus. */
+  def countMinProbes(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CountMin.register(s)
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+    val ests = SharedHash.seeds(CmDepth).zipWithIndex.map { case ((a, b), j) =>
+      s"element_at(cells, CAST($j * $CmWidth + (($a * (h48 % ${SharedHash.P}) + $b) % ${SharedHash.P}) % $CmWidth + 1 AS INT))"
+    }
+    s.sql(
+      s"""WITH t AS (SELECT explode(split(text, ' ')) AS token FROM documents),
+         |h AS (SELECT token, ${SharedHash.spark48("token")} AS h48 FROM t),
+         |sk AS (SELECT count_min(h48, $CmDepth, $CmWidth) AS cells FROM h),
+         |probes AS (
+         |  SELECT token, h48, count(*) AS n FROM h GROUP BY token, h48
+         |  ORDER BY n DESC, token ASC LIMIT $CmProbes)
+         |SELECT token, n, least(${ests.mkString(", ")}) AS est
+         |FROM probes CROSS JOIN sk
+         |ORDER BY n DESC, token ASC""".stripMargin)
+  }
+
+  /** DuckDB twin of [[countMinProbes]]: the cell matrix is recomputed as a
+    * plain GROUP BY over the same hash family (sums commute — the sketch
+    * IS this aggregation), probes re-derive their 4 buckets and take the
+    * min cell. */
+  def countMinOracle: String = {
+    val P = SharedHash.P
+    val bucketCase = SharedHash.seeds(CmDepth).zipWithIndex.map { case ((a, b), j) =>
+      s"WHEN $j THEN (($a * (h48 % $P) + $b) % $P) % $CmWidth"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |h AS (SELECT token, ${SharedHash.duck48("token")} AS h48 FROM t),
+       |js AS (SELECT unnest(range(0, $CmDepth)) AS j),
+       |cells AS (
+       |  SELECT j, CASE j $bucketCase END AS bucket, count(*) AS c
+       |  FROM h CROSS JOIN js GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT token, h48, count(*) AS n FROM h GROUP BY token, h48
+       |  ORDER BY n DESC, token ASC LIMIT $CmProbes),
+       |pj AS (SELECT token, n, j, CASE j $bucketCase END AS bucket
+       |  FROM probes CROSS JOIN js)
+       |SELECT token, n, min(c) AS est
+       |FROM pj JOIN cells USING (j, bucket)
+       |GROUP BY token, n
+       |ORDER BY n DESC, token ASC""".stripMargin
+  }
+
+  /** Per-source distinct-token cardinality: exact count next to the HLL
+    * estimate computed FROM THE EMITTED REGISTERS by the shared estimator
+    * text. The register vector is 1 KiB per source regardless of corpus
+    * size. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HllRegs.register(s)
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+    s.sql(
+      s"""WITH t AS (SELECT source, explode(split(text, ' ')) AS token FROM documents),
+         |h AS (SELECT source, token, ${SharedHash.spark48("token")} AS h48 FROM t),
+         |r AS (SELECT source, hll_regs(h48, $HllP) AS regs FROM h GROUP BY source),
+         |ex AS (SELECT source, count(DISTINCT token) AS n_exact FROM h GROUP BY source),
+         |e AS (SELECT source,
+         |  aggregate(regs, CAST(0 AS BIGINT),
+         |    (acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), $HllQ - x)) AS isum,
+         |  size(filter(regs, x -> x = 0)) AS v
+         |  FROM r)
+         |SELECT ex.source, ex.n_exact, ${hllEstimateSql("isum", "v")} AS hll_est
+         |FROM ex JOIN e ON ex.source = e.source
+         |ORDER BY ex.source""".stripMargin)
+  }
+
+  /** DuckDB twin of [[hllDistinct]]: registers via GROUP BY bucket →
+    * max(rho) (max commutes — the sketch IS this aggregation), empty
+    * buckets restored by a range() scaffold, then the identical estimator
+    * text. rho uses trailing zeros so `log2(r & -r)` is exact. */
+  def hllOracle: String =
+    s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+       |h AS (SELECT source, token, ${SharedHash.duck48("token")} AS h48 FROM t),
+       |br AS (SELECT source, h48 % $HllM AS bucket,
+       |  CASE WHEN h48 // $HllM = 0 THEN $HllMaxRho
+       |       ELSE CAST(log2((h48 // $HllM) & -(h48 // $HllM)) AS INT) + 1
+       |  END AS rho FROM h),
+       |mx AS (SELECT source, bucket, max(rho) AS rho FROM br GROUP BY 1, 2),
+       |allb AS (SELECT s.source, g.bucket, coalesce(m.rho, 0) AS rho
+       |  FROM (SELECT DISTINCT source FROM documents) s
+       |  CROSS JOIN (SELECT unnest(range(0, $HllM)) AS bucket) g
+       |  LEFT JOIN mx m ON m.source = s.source AND m.bucket = g.bucket),
+       |e AS (SELECT source,
+       |  CAST(sum(CAST(1 AS BIGINT) << ($HllQ - rho)) AS BIGINT) AS isum,
+       |  CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS INT) AS v
+       |  FROM allb GROUP BY source),
+       |ex AS (SELECT source, count(DISTINCT token) AS n_exact FROM h GROUP BY source)
+       |SELECT ex.source, ex.n_exact, ${hllEstimateSql("isum", "v")} AS hll_est
+       |FROM ex JOIN e ON ex.source = e.source
+       |ORDER BY ex.source""".stripMargin
+}

@@ -184,6 +184,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("misra_gries", "misra_gries(col, k) - heavy-hitter candidate sketch"),
       (exprs: Seq[Expression]) => MisraGries(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("count_min"),
+      info("count_min", "count_min(h48, depth, width) - Count-Min counter matrix over SharedHash values"),
+      (exprs: Seq[Expression]) => graft.functions.CountMin(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("hll_regs"),
+      info("hll_regs", "hll_regs(h48, p) - HyperLogLog register maxima over SharedHash values"),
+      (exprs: Seq[Expression]) => graft.functions.HllRegs(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((FunctionIdentifier("bloom_agg"),
       info("bloom_agg", "bloom_agg(hash, bits, k) - bloom filter over pre-hashed keys"),
       (exprs: Seq[Expression]) => graft.functions.BloomAgg(exprs(0),
