@@ -1226,6 +1226,37 @@ object OracleSql {
          |FROM good e1 JOIN good e2 ON e1.b = e2.a
          |JOIN good e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin,
 
+    // integer PageRank: the same fixed-point trajectory unrolled as one
+    // chained CTE per round (recursive CTEs can't aggregate in the
+    // recursive term). CAST(s AS BIGINT) because sum(BIGINT) is HUGEINT
+    // in DuckDB and would otherwise poison the damping arithmetic's type.
+    "graph_pagerank" -> {
+      import graft.ops.PageRank._
+      val rounds = (1 to Iters).map { k =>
+        s"""r$k AS (SELECT n.doc_id,
+           |  (($BaseNum * ($TotalMass // nn.n) + $DampNum * coalesce(CAST(c.s AS BIGINT), 0)) // 100) AS rank
+           |  FROM nodes n CROSS JOIN nn LEFT JOIN (
+           |    SELECT e.dst AS doc_id, sum(r.rank // d.deg) AS s
+           |    FROM edges e JOIN r${k - 1} r ON e.src = r.doc_id
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) c ON c.doc_id = n.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minhashPairsCte,
+         |good AS (SELECT doc_a, doc_b FROM pairs
+         |  WHERE jaccard >= ${graft.ops.Dedup.JaccardThreshold}),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+         |  UNION ALL SELECT doc_b, doc_a FROM good),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT doc_id, ($TotalMass // nn.n) AS rank
+         |  FROM nodes CROSS JOIN nn),
+         |$rounds
+         |SELECT r.doc_id, r.rank, d.deg
+         |FROM r$Iters r JOIN deg d ON d.src = r.doc_id
+         |ORDER BY r.rank DESC, r.doc_id""".stripMargin
+    },
+
     // strictly-ordered funnel: same successive conditional-min staging
     // Count-Min / HLL: the sketch states commute (integer sums / register
     // maxima over the SharedHash family), so the oracle recomputes them as

@@ -92,6 +92,7 @@ object SparkEntry {
     "q_funnel" -> (Analytics.funnel _),
     "q_gapfill" -> (Analytics.gapFillDaily _),
     "dedup_triangles" -> (Dedup.minhashTriangles _),
+    "graph_pagerank" -> (PageRank.dupGraphRank _),
     "q_range_join" -> (RangeJoin.errorContext _),
     "q_salted_agg" -> (Skew.saltedUserAgg _),
     "q_salted_join" -> (Skew.saltedJoinAgg _),

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixed-point integer PageRank over the near-duplicate graph — the
+  * centrality diagnostic a dedup pipeline runs to find template/boilerplate
+  * hubs (documents near-duplicating MANY others score high even when no
+  * single pair crosses a cluster threshold).
+  *
+  * All arithmetic is integer (micro-units of 1e-12 total mass, floor
+  * division for contributions and damping), so the trajectory is
+  * bit-identical under any partitioning/merge order AND in the DuckDB
+  * oracle, which unrolls the same [[Iters]] rounds as chained CTEs —
+  * float PageRank could never hash-match cross-engine (sum order flips
+  * rounding).
+  *
+  * Scale shape: classic Pregel-style iteration. The (src, dst, deg) edge
+  * frame is computed once, degree pre-joined, lineage-truncated, and
+  * cached; each round is one shuffle keyed by doc_id (contribution sum)
+  * plus a broadcast-sized rank join — O(E) per round, no all-pairs
+  * anything. Ranks are localCheckpoint-truncated per round: plan size,
+  * optimizer time, and task-serialization cost stay O(1) in the round
+  * count (same discipline as Dedup.connectedComponents). At 1000
+  * executors the edge frame would be hash-partitioned by src once and
+  * reused every round with no further movement.
+  */
+object PageRank {
+
+  val Iters = 10
+  val TotalMass = 1000000000000L // 1e12 micro-units
+  val DampNum = 85 // damping 0.85 as an integer percentage
+  val BaseNum = 15
+
+  /** pairs(doc_a, doc_b) undirected → (doc_id, rank, deg), every node of
+    * the graph, ranks in micro-units after [[Iters]] rounds. */
+  def pageRank(pairs: DataFrame, iters: Int = Iters): DataFrame = {
+    val spark = pairs.sparkSession
+    val dir1 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val dir2 = pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))
+    val edges = dir1.union(dir2)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // degree rides along with each edge so the per-round join is single
+    val edgesDeg = edges.join(deg, "src").localCheckpoint(true)
+
+    val nodes = edgesDeg.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pagerank needs a non-empty graph")
+    val base = TotalMass / n
+
+    var ranks = nodes.withColumn("rank", lit(base))
+    for (_ <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("doc_id"))
+        .select(col("dst").as("doc_id"), expr("rank div deg").as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contribs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr(s"($BaseNum * ${base}L + $DampNum * coalesce(s, 0L)) div 100")
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    // re-derive degree from the CHECKPOINTED edge frame — `deg` itself
+    // still carries the full LSH lineage and would recompute the pair scan
+    val degFinal = edgesDeg.select(col("src"), col("deg")).distinct()
+    ranks.join(degFinal, ranks("doc_id") === degFinal("src"))
+      .select(col("doc_id"), col("rank"), col("deg"))
+      .orderBy(col("rank").desc, col("doc_id"))
+  }
+
+  /** Harness query: PageRank over the MinHash near-dup pair graph (same
+    * thresholded pair set the cluster/triangle queries consume). */
+  def dupGraphRank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashPairsRaw(Tables.documents(s, dir))
+      .filter(col("jaccard") >= Dedup.JaccardThreshold)
+    pageRank(pairs)
+  }
+}
