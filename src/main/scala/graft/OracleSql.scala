@@ -1226,6 +1226,17 @@ object OracleSql {
          |FROM good e1 JOIN good e2 ON e1.b = e2.a
          |JOIN good e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin,
 
+    // zone-map pruned range scan: the oracle is the plain predicate over
+    // the full table — a hash match proves the file-skipping read set
+    // loses no rows (the Spark side `require`s that it DID skip files)
+    "q_zonemap_scan" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |WHERE doc_id BETWEEN ${graft.sources.ZoneMaps.ScanLo}
+         |  AND ${graft.sources.ZoneMaps.ScanHi}
+         |GROUP BY source ORDER BY source""".stripMargin,
+
     // integer PageRank: the same fixed-point trajectory unrolled as one
     // chained CTE per round (recursive CTEs can't aggregate in the
     // recursive term). CAST(s AS BIGINT) because sum(BIGINT) is HUGEINT

@@ -88,6 +88,7 @@ object SparkEntry {
     "q_upsert" -> (Upsert.documentsUpsert _),
     "q_upsert_mor" -> (Upsert.documentsUpsertMor _),
     "q_zorder_key" -> (CorpusLayout.zorderKeys _),
+    "q_zonemap_scan" -> (graft.sources.ZoneMaps.zonemapScan _),
     "q_profile" -> (Profiler.lineitemProfile _),
     "q_funnel" -> (Analytics.funnel _),
     "q_gapfill" -> (Analytics.gapFillDaily _),

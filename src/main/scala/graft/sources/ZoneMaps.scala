@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone maps (min/max manifest) for a parquet table directory —
+  * the Iceberg/Delta-style data-skipping layer the bare file source lacks.
+  *
+  * Parquet already carries row-group stats, but Spark must still LIST and
+  * OPEN every file's footer to use them; at 100 TB that is millions of
+  * driver-side footer reads per query. A manifest sidecar collapses that
+  * to one small read: files whose [min, max] band cannot intersect the
+  * predicate are dropped from the read plan entirely — never listed,
+  * opened, or scheduled. Combined with a range-clustered write layout
+  * ([[graft.ops.CorpusLayout]], repartitionByRange) the bands are narrow
+  * and skipping approaches partition-pruning effectiveness without the
+  * directory explosion of fine-grained hive partitioning.
+  *
+  * The manifest is built DISTRIBUTED (one `_metadata.file_path` aggregate —
+  * each file's stats come from the executors that read it; only the
+  * file-count-sized result lands on the driver) and stored as a
+  * `_zonemap.tsv` sidecar, invisible to parquet's listing like
+  * `_schema.json`. Numeric (long) columns only — the band test is a plain
+  * integer interval check on both build and prune sides.
+  */
+object ZoneMaps {
+
+  def manifestPath(tableDir: String): Path = new Path(tableDir, "_zonemap.tsv")
+
+  /** Scan the directory once and persist per-file min/max bands for
+    * `cols` (long-typed). */
+  def build(spark: SparkSession, tableDir: String, cols: Seq[String]): Unit = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long").as(s"min_$c"), max(col(c)).cast("long").as(s"max_$c")))
+    val rows = spark.read.parquet(tableDir)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val lines = rows.flatMap { r =>
+      val file = r.getString(0)
+      cols.zipWithIndex.map { case (c, i) =>
+        s"$file\t$c\t${r.getLong(1 + 2 * i)}\t${r.getLong(2 + 2 * i)}"
+      }
+    }
+    val p = manifestPath(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readManifest(spark: SparkSession, tableDir: String): Seq[(String, String, Long, Long)] = {
+    val p = manifestPath(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no zone map manifest at $p — run ZoneMaps.build first")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(f, c, lo, hi) = l.split('\t')
+      (f, c, lo.toLong, hi.toLong)
+    }.toSeq
+  }
+
+  /** Files whose band intersects [lo, hi] for `column` — the read set a
+    * pruned scan schedules. */
+  def candidateFiles(spark: SparkSession, tableDir: String, column: String,
+      lo: Long, hi: Long): Seq[String] = {
+    val entries = readManifest(spark, tableDir).filter(_._2 == column)
+    require(entries.nonEmpty, s"column $column not in zone map manifest")
+    entries.collect { case (f, _, mn, mx) if mx >= lo && mn <= hi => f }
+  }
+
+  /** Range scan reading ONLY manifest-surviving files, with the residual
+    * predicate still applied (bands are necessary, not sufficient). */
+  def prunedScan(spark: SparkSession, tableDir: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    val files = candidateFiles(spark, tableDir, column, lo, hi)
+    val all = spark.read.parquet(tableDir)
+    if (files.isEmpty) all.limit(0)
+    else spark.read.schema(all.schema).parquet(files: _*)
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  // --- harness query -------------------------------------------------------
+
+  val ScanLo = 100L
+  val ScanHi = 199L
+  val LayoutFiles = 8
+
+  /** q_zonemap_scan: lay the documents table out range-clustered by doc_id
+    * (8 files), build the manifest, then answer a range aggregate from the
+    * pruned read set. The `require` makes the skipping LOAD-BEARING: if
+    * pruning ever stopped dropping files the query fails, and if it ever
+    * dropped a file it shouldn't, the DuckDB hash check catches the lost
+    * rows. Per-application scratch path — concurrent harness runs don't
+    * race (same discipline as Upsert.documentsUpsertMor). */
+  def zonemapScan(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_zonemap_${s.sparkContext.applicationId}"
+    val docs = graft.ops.Tables.documents(s, dir)
+    docs.repartitionByRange(LayoutFiles, col("doc_id"))
+      .write.mode("overwrite").parquet(root)
+    build(s, root, Seq("doc_id"))
+    val total = s.read.parquet(root).inputFiles.length
+    val kept = candidateFiles(s, root, "doc_id", ScanLo, ScanHi).length
+    require(kept < total,
+      s"zone map pruned nothing ($kept of $total files) — skipping is broken")
+    prunedScan(s, root, "doc_id", ScanLo, ScanHi)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+}
