@@ -1226,6 +1226,27 @@ object OracleSql {
          |FROM good e1 JOIN good e2 ON e1.b = e2.a
          |JOIN good e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin,
 
+    // bigram LM score: identical conditional-MLE model (prefix occurrences
+    // as denominator), micro-unit floor before the per-doc sum (float-sum
+    // rule), parallel unnests zip in DuckDB. ln(), not log() — DuckDB's
+    // log() is base 10.
+    "text_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         |bi AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, CAST(len(toks) AS BIGINT)), i -> toks[i])) AS a,
+         |  unnest(list_transform(range(1, CAST(len(toks) AS BIGINT)), i -> toks[i + 1])) AS b
+         |  FROM tok),
+         |cnt2 AS (SELECT a, b, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         |cnt1 AS (SELECT a, count(*) AS c1 FROM bi GROUP BY 1),
+         |model AS (SELECT a, b,
+         |  CAST(floor(ln(c2 / c1) * ${graft.ops.TermScoring.LmUnit}) AS BIGINT) AS w_u
+         |  FROM cnt2 JOIN cnt1 USING (a))
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(CAST(sum(w_u) AS BIGINT) / (count(*) * 1000000.0), 4) AS lm_score
+         |FROM bi JOIN model USING (a, b)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // zone-map pruned range scan: the oracle is the plain predicate over
     // the full table — a hash match proves the file-skipping read set
     // loses no rows (the Spark side `require`s that it DID skip files)

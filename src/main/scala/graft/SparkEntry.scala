@@ -117,6 +117,7 @@ object SparkEntry {
     "q_hll_distinct" -> (Sketches.hllDistinct _),
     "text_tfidf" -> ((s: SparkSession, d: String) => TermScoring.tfidfTopTerms(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => TermScoring.bm25(s, d)),
+    "text_lm_score" -> (TermScoring.lmScore _),
     // dedup
     "dedup_exact" -> (Dedup.exactGroups _),
     "dedup_exact_keep" -> (Dedup.exactKeep _),

@@ -126,4 +126,43 @@ object TermScoring {
       .select(col("doc_a"), col("doc_b"), col("cosine"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  val LmUnit = 1000000L
+
+  /** Bigram language-model quality score — the KenLM-style perplexity
+    * filter of LLM data pipelines (CCNet, Gopher/MassiveText rules):
+    * score(doc) = mean over its bigrams of ln p(b|a), with p estimated
+    * from the corpus itself (occurrences of `a` as a bigram prefix as the
+    * denominator — the exact conditional MLE). High-scoring docs are
+    * "typical"; low scores flag noise/garble for gating.
+    *
+    * Scale design: wordcount-shaped like TF-IDF — the bigram stream is a
+    * partition-local explode, the model (vocab² rows at most) broadcasts
+    * back into the stream, and per-doc totals sum INTEGRAL micro-units
+    * (floor(1e6·ln p)) so the cross-engine sum is exact and
+    * order-independent (float-sum rule); the single double division per
+    * doc happens on already-exact integers.
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    // 1-based element_at mirrors the oracle's DuckDB list indexing
+    val bi = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> named_struct('a', element_at(toks, i), 'b', element_at(toks, i + 1)))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val cnt2 = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val cnt1 = bi.groupBy(col("a")).agg(count(lit(1)).as("c1"))
+    val model = cnt2.join(cnt1, "a")
+      .select(col("a"), col("b"),
+        floor(log(col("c2") / col("c1")) * LmUnit).cast("bigint").as("w_u"))
+    bi.join(broadcast(model), Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w_u")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s") / (col("n_bigrams") * lit(1000000.0)), 4).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
 }

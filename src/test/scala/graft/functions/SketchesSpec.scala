@@ -73,6 +73,28 @@ class SketchesSpec extends SparkSpec {
     assert(regs.count(_ != 0) === 1)
   }
 
+  test("count_min runs state-store-backed in a streaming query: cells after two batches equal the batch sketch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    GraftFunctions.registerAll(spark)
+    val b1 = Seq.fill(40)(7L) ++ (1L to 30L)
+    val b2 = Seq.fill(25)(9L) ++ (31L to 60L)
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("h48")
+      .agg(expr("count_min(h48, 4, 64)").as("cells"))
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.sql("SELECT cells FROM cm_stream").head.getSeq[Long](0)
+      val batch = (b1 ++ b2).toDF("h48")
+        .agg(expr("count_min(h48, 4, 64)")).head.getSeq[Long](0)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("count_min SQL twin: harness query output re-derives exact top-30 (est equals n when cells are unsaturated at tiny SF)") {
     val out = Sketches.countMinProbes(spark, dir).collect()
     assert(out.length === 30)
