@@ -1226,6 +1226,52 @@ object OracleSql {
          |FROM good e1 JOIN good e2 ON e1.b = e2.a
          |JOIN good e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin,
 
+    // SCD2 history: same lag-collapse / lead-close staging over the same
+    // integer-arithmetic changelog
+    "q_scd2" ->
+      """WITH v AS (
+        |  SELECT doc_id, n_chars AS val, 0 AS batch FROM documents
+        |  UNION ALL SELECT doc_id, n_chars + 10, 1 FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id, n_chars + 20, 2 FROM documents WHERE doc_id % 7 = 0),
+        |c AS (SELECT doc_id, val, batch,
+        |  lag(val) OVER (PARTITION BY doc_id ORDER BY batch) AS prev FROM v),
+        |iv AS (SELECT doc_id, val, batch AS valid_from FROM c
+        |  WHERE prev IS NULL OR val <> prev)
+        |SELECT doc_id, val, valid_from, valid_to, valid_to IS NULL AS is_current
+        |FROM (SELECT doc_id, val, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY doc_id ORDER BY valid_from) - 1 AS valid_to
+        |  FROM iv)
+        |ORDER BY doc_id, valid_from""".stripMargin,
+
+    // data-quality expectations: same fused per-table conditional
+    // aggregates, NOT EXISTS for the referential check (key columns are
+    // null-free, but EXISTS dodges the NOT IN null trap on principle)
+    "q_dq_report" ->
+      """WITH lia AS (SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+        |  CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_range,
+        |  CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price,
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS discount_range
+        |  FROM lineitem),
+        |orda AS (SELECT count(*) AS n,
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_pk,
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS status_domain,
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_total
+        |  FROM orders),
+        |orph AS (SELECT (SELECT count(*) FROM lineitem) AS n, CAST(count(*) AS BIGINT) AS orphans
+        |  FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT 'lineitem_discount_in_[0,1]' AS "check", 'lineitem' AS "table",
+        |  n AS n_checked, discount_range AS n_violations, discount_range = 0 AS pass FROM lia
+        |UNION ALL SELECT 'lineitem_orderkey_not_null', 'lineitem', n, null_orderkey, null_orderkey = 0 FROM lia
+        |UNION ALL SELECT 'lineitem_price_non_negative', 'lineitem', n, neg_price, neg_price = 0 FROM lia
+        |UNION ALL SELECT 'lineitem_quantity_in_(0,50]', 'lineitem', n, qty_range, qty_range = 0 FROM lia
+        |UNION ALL SELECT 'lineitem_refs_existing_order', 'lineitem', n, orphans, orphans = 0 FROM orph
+        |UNION ALL SELECT 'orders_pk_unique', 'orders', n, dup_pk, dup_pk = 0 FROM orda
+        |UNION ALL SELECT 'orders_status_in_domain', 'orders', n, status_domain, status_domain = 0 FROM orda
+        |UNION ALL SELECT 'orders_totalprice_positive', 'orders', n, nonpos_total, nonpos_total = 0 FROM orda
+        |ORDER BY "check"""".stripMargin,
+
     // bigram LM score: identical conditional-MLE model (prefix occurrences
     // as denominator), micro-unit floor before the per-doc sum (float-sum
     // rule), parallel unnests zip in DuckDB. ln(), not log() — DuckDB's

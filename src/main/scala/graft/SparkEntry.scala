@@ -85,11 +85,13 @@ object SparkEntry {
     "q_asof_join" -> (AsOfJoin.eventsAsOf _),
     "q_asof_native" -> (AsOfJoin.eventsAsOfNative _),
     "q_cohort_retention" -> (Analytics.cohortRetention _),
+    "q_scd2" -> (Analytics.scd2Documents _),
     "q_upsert" -> (Upsert.documentsUpsert _),
     "q_upsert_mor" -> (Upsert.documentsUpsertMor _),
     "q_zorder_key" -> (CorpusLayout.zorderKeys _),
     "q_zonemap_scan" -> (graft.sources.ZoneMaps.zonemapScan _),
     "q_profile" -> (Profiler.lineitemProfile _),
+    "q_dq_report" -> (DataQuality.qualityReport _),
     "q_funnel" -> (Analytics.funnel _),
     "q_gapfill" -> (Analytics.gapFillDaily _),
     "dedup_triangles" -> (Dedup.minhashTriangles _),

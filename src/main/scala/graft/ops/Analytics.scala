@@ -91,4 +91,49 @@ object Analytics {
       .reduce(_.union(_))
       .orderBy(col("stage"))
   }
+
+  /** Type-2 slowly-changing-dimension history: collapse a batch-stamped
+    * changelog of observed attribute states into validity intervals
+    * (valid_from, valid_to, is_current) — the warehouse-standard dimension
+    * versioning that pairs with [[Upsert]]'s snapshot maintenance (MERGE
+    * keeps only the latest state; SCD2 keeps when each state held).
+    *
+    * Two windows over the same (key, batch) ordering: lag() drops
+    * no-change observations (idempotent re-observations collapse into the
+    * open interval), lead() closes each interval at the next change.
+    *
+    * Scale shape: everything is per-key windowing — ONE shuffle keyed by
+    * the dimension key covers both window passes (same partitioning, no
+    * re-exchange between them), and changelog rows are (key, value,
+    * batch) triples, never wide dimension payloads.
+    */
+  def scd2History(versions: DataFrame, key: String, value: String,
+      batch: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBatch = Window.partitionBy(col(key)).orderBy(col(batch))
+    val changes = versions
+      .withColumn("__prev", lag(col(value), 1).over(byBatch))
+      .filter(col("__prev").isNull || col(value) =!= col("__prev"))
+      .select(col(key), col(value), col(batch).as("valid_from"))
+    val byFrom = Window.partitionBy(col(key)).orderBy(col("valid_from"))
+    changes
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom) - 1)
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col(key), col("valid_from"))
+  }
+
+  /** Harness query: a deterministic 3-batch changelog over documents
+    * (batch 1 re-observes every doc_id % 5 == 0 with n_chars+10, batch 2
+    * every doc_id % 7 == 0 with n_chars+20 — pure integer arithmetic the
+    * oracle restates verbatim), collapsed by [[scd2History]]. */
+  def scd2Documents(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val versions = docs
+      .select(col("doc_id"), col("n_chars").as("val"), lit(0).as("batch"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), (col("n_chars") + 10).as("val"), lit(1).as("batch")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), (col("n_chars") + 20).as("val"), lit(2).as("batch")))
+    scd2History(versions, "doc_id", "val", "batch")
+  }
 }
