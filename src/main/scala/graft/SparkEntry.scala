@@ -8,11 +8,12 @@ import graft.ops._
   * Every SQL-expressible query has a DuckDB oracle in OracleSql (identical
   * aliases / ordering / rounding — see the determinism contract there).
   * Rows-only queries (no oracle): ALS fit/score/recommend (not
-  * SQL-expressible), IVF ANN (KMeans quantizer), approximate sketches
-  * (HLL / t-digest internals), and the stubbed multimodal decode. The
-  * deterministic sketch paths — minhash, simhash (incl. banding),
-  * hyperplane LSH buckets/top-k/near-dup, the rolling-hash fingerprint —
-  * are all hash-checked.
+  * SQL-expressible), IVF ANN + SemDeDup (KMeans quantizer), Spark's
+  * built-in approx sketches (Murmur/xxHash internals), and the stubbed
+  * multimodal decode. The deterministic sketch paths — minhash, simhash
+  * (incl. banding), hyperplane LSH buckets/top-k/near-dup, the
+  * rolling-hash fingerprint, and the SharedHash-based count_min /
+  * hll_regs (estimator included) — are all hash-checked.
   */
 object SparkEntry {
 
@@ -147,6 +148,7 @@ object SparkEntry {
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "emb_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineDupPairs(s, d)),
     "emb_dup_lsh" -> ((s: SparkSession, d: String) => Similarity.cosineDupLsh(s, d)),
+    "emb_semdedup" -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
     // multimodal plumbing (decode stubbed)
     "mm_features" -> (Multimodal.featuresQuery _),
     "mm_ann" -> ((s: SparkSession, d: String) => Multimodal.assetAnn(s, d)),

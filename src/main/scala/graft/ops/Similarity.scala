@@ -236,4 +236,53 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup by clustering the
+    * embedding space with a coarse k-means quantizer, then deduplicating
+    * WITHIN each cluster — cosine pairs above `eps` form groups (connected
+    * components, reusing the MinHash clusters' machinery) and only each
+    * group's min-id survives. The third member of the near-dup family:
+    * lexical ([[graft.ops.Dedup]] MinHash), bucketed-exact
+    * ([[cosineDupLsh]] hyperplanes), semantic (this — centroids adapt to
+    * the data where hyperplanes are oblivious).
+    *
+    * Scale shape: IVF economics — pair generation is per-cell
+    * (O(Σ|cell|²), the SemDeDup paper's own trick for web scale), the
+    * centroid model is driver-small and broadcast by ml's transform, and
+    * the CC runs on the sparse above-eps graph only. Seeded KMeans makes
+    * the run deterministic, but the quantizer isn't SQL-expressible →
+    * rows-only harness check; the semantic invariants (keeper closure,
+    * within-cell recall vs the exact scan) are spec-asserted instead.
+    */
+  def semDedup(s: SparkSession, dir: String, nCells: Int = 16,
+      eps: Double = 0.35): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val e = embedded(s, dir)
+      .withColumn("fv", array_to_vector(col("e"))).cache()
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell")).cache()
+    assigned.count() // multi-consumer: both pair sides + the final join
+
+    val pairs = assigned.select(col("vec_id").as("id_a"), col("e").as("e_a"),
+        col("nrm").as("n_a"), col("cell"))
+      .join(assigned.select(col("vec_id").as("id_b"), col("e").as("e_b"),
+        col("nrm").as("n_b"), col("cell")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(
+        expr("vec_dot(e_a, e_b)") / (sqrt(col("n_a")) * sqrt(col("n_b"))), 6))
+      .filter(col("sim") >= eps)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val comps = Dedup.connectedComponents(pairs) // (doc_id, cluster=min id)
+    val out = assigned.select(col("vec_id"), col("cell"))
+      .join(comps, assigned("vec_id") === comps("doc_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster"), col("vec_id")).as("keeper"))
+      .withColumn("kept", col("keeper") === col("vec_id"))
+      .orderBy(col("vec_id"))
+    Caching.materializeAndRelease(out, e, assigned)
+  }
 }

@@ -50,6 +50,42 @@ object ZoneMaps {
     finally out.close()
   }
 
+  /** Incremental maintenance after an append: stat ONLY files absent from
+    * the manifest and add their bands — the existing entries are immutable
+    * (parquet files never change in place), so maintenance cost is
+    * ∝ the delta, not the table. Columns must match the manifest's. */
+  def update(spark: SparkSession, tableDir: String, cols: Seq[String]): Unit = {
+    val existing = readManifest(spark, tableDir)
+    val manifestCols = existing.map(_._2).distinct.sorted
+    require(manifestCols == cols.sorted,
+      s"zone map update columns $cols don't match manifest $manifestCols")
+    // _metadata.file_path renders file:///x where inputFiles renders
+    // file:/x — compare through Hadoop Path normalization
+    def norm(s: String) = new Path(s).toString
+    val known = existing.map(e => norm(e._1)).toSet
+    val fresh = spark.read.parquet(tableDir).inputFiles
+      .filterNot(f => known(norm(f)))
+    if (fresh.nonEmpty) {
+      val aggs = cols.flatMap(c =>
+        Seq(min(col(c)).cast("long").as(s"min_$c"), max(col(c)).cast("long").as(s"max_$c")))
+      val rows = spark.read.parquet(fresh: _*)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val lines = existing.map { case (f, c, lo, hi) => s"$f\t$c\t$lo\t$hi" } ++
+        rows.flatMap { r =>
+          cols.zipWithIndex.map { case (c, i) =>
+            s"${r.getString(0)}\t$c\t${r.getLong(1 + 2 * i)}\t${r.getLong(2 + 2 * i)}"
+          }
+        }
+      val p = manifestPath(tableDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write((lines.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   private def readManifest(spark: SparkSession, tableDir: String): Seq[(String, String, Long, Long)] = {
     val p = manifestPath(tableDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

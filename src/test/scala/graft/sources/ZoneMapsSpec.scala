@@ -52,6 +52,31 @@ class ZoneMapsSpec extends SparkSpec {
     }
   }
 
+  test("incremental update stats only appended files; pruned scan stays exact across the append") {
+    val dir = layout()
+    val before = spark.read.parquet(dir).inputFiles.toSet
+    // append a disjoint high range as new files
+    sf("documents").withColumn("doc_id", col("doc_id") + 10000L)
+      .repartitionByRange(4, col("doc_id"))
+      .write.mode("append").parquet(dir)
+    ZoneMaps.update(spark, dir, Seq("doc_id", "n_chars"))
+    val after = spark.read.parquet(dir).inputFiles.toSet
+    assert(after.size > before.size)
+    // manifest now covers every file
+    assert(ZoneMaps.candidateFiles(spark, dir, "doc_id", Long.MinValue, Long.MaxValue)
+      .length === after.size)
+    // a scan over the appended range touches only new files, and is exact
+    val pruned = ZoneMaps.prunedScan(spark, dir, "doc_id", 10100L, 10199L)
+    assert(pruned.inputFiles.forall(f => !before.contains(f)),
+      "pruned scan of the appended range read pre-append files")
+    assert(pruned.count() ===
+      spark.read.parquet(dir).filter(col("doc_id").between(10100, 10199)).count())
+    // mismatched column set is rejected
+    intercept[IllegalArgumentException] {
+      ZoneMaps.update(spark, dir, Seq("doc_id"))
+    }
+  }
+
   test("unsorted layout degrades gracefully: wide bands keep all files, result still exact") {
     val dir = java.nio.file.Files.createTempDirectory("zm").toString
     // hash layout — every file spans nearly the full doc_id range
