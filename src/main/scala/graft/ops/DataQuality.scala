@@ -24,8 +24,11 @@ object DataQuality {
     val li = Tables.lineitem(s, dir)
     val ord = Tables.orders(s, dir)
 
+    // coalesce: sum over an EMPTY relation is null, and a null violation
+    // count would render pass as null instead of true — an empty table
+    // vacuously satisfies every constraint
     def cnt(cond: org.apache.spark.sql.Column) =
-      sum(when(cond, 1L).otherwise(0L))
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))
 
     // one scan, all lineitem constraints
     val liAgg = li.agg(

@@ -100,6 +100,49 @@ class FunnelProcessor
   }
 }
 
+/** CDC observation for the streaming SCD2 twin: `key` re-observed with
+  * `value` at logical time `batch`. */
+final case class ScdObservation(key: Long, value: Long, batch: Int)
+
+/** A CLOSED validity interval — the only thing the streaming side can
+  * finalize (the open interval lives in state until its closing change
+  * arrives; the batch query is the source of open-interval truth). */
+final case class ScdClosed(key: Long, value: Long, valid_from: Int, valid_to: Int)
+
+private final case class ScdCurrent(value: Long, since: Int)
+
+/** Streaming SCD2 (twin of ops.Analytics.scd2History): one ScdCurrent per
+  * key in state; a changed observation closes the standing interval at
+  * batch−1 and opens a new one; a same-value re-observation is collapsed
+  * exactly like the batch lag() filter. Emits only finalized intervals —
+  * append-mode clean. */
+class Scd2Processor
+    extends StatefulProcessor[Long, ScdObservation, ScdClosed] {
+  @transient private var cur: ValueState[ScdCurrent] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    cur = getHandle.getValueState[ScdCurrent]("scd_current",
+      Encoders.product[ScdCurrent], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[ScdObservation],
+      timerValues: TimerValues): Iterator[ScdClosed] = {
+    val sorted = rows.toSeq.sortBy(_.batch)
+    var s = if (cur.exists()) Option(cur.get()) else None
+    val out = Seq.newBuilder[ScdClosed]
+    sorted.foreach { o =>
+      s match {
+        case None => s = Some(ScdCurrent(o.value, o.batch))
+        case Some(c) if c.value != o.value =>
+          out += ScdClosed(key, c.value, c.since, o.batch - 1)
+          s = Some(ScdCurrent(o.value, o.batch))
+        case Some(_) => () // idempotent re-observation collapses
+      }
+    }
+    s.foreach(cur.update)
+    out.result().iterator
+  }
+}
+
 /** Structured Streaming surface: the streaming twins of the batch operators
   * (windowed aggregation with watermark; stateful sessionization via
   * flatMapGroupsWithState). The reference declares spark-streaming but never
@@ -186,6 +229,17 @@ object StreamingOps {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming SCD2 — the CDC-to-dimension-history twin of
+    * ops.Analytics.scd2History: closed validity intervals stream out the
+    * moment their closing change arrives; one small ScdCurrent per key in
+    * RocksDB state. Requires [[requireRocksDb]]. */
+  def scd2Closed(obs: Dataset[ScdObservation]): Dataset[ScdClosed] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.key)
+      .transformWithState(new Scd2Processor,
         TimeMode.None(), OutputMode.Append())
   }
 

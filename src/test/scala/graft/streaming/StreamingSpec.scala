@@ -431,4 +431,60 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
     assert(after === Set(2L -> "B", 3L -> "c", 4L -> "D2"))
   }
+
+  test("streaming SCD2 closed intervals equal the batch collapse on the real changelog " +
+      "(batch-per-batch CDC replay)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    withRocksDb {
+      val dir = "/root/testdata/sf0.001"
+      // the q_scd2 changelog, replayed batch by batch through the stream
+      val docs = graft.ops.Tables.documents(spark, dir)
+        .select($"doc_id", $"n_chars").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      def batch(b: Int): Seq[ScdObservation] = b match {
+        case 0 => docs.map { case (id, n) => ScdObservation(id, n, 0) }.toSeq
+        case 1 => docs.collect { case (id, n) if id % 5 == 0 => ScdObservation(id, n + 10, 1) }.toSeq
+        case 2 => docs.collect { case (id, n) if id % 7 == 0 => ScdObservation(id, n + 20, 2) }.toSeq
+      }
+      val input = MemoryStream[ScdObservation]
+      val q = StreamingOps.scd2Closed(input.toDS())
+        .writeStream.format("memory").queryName("scd2_live")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      try {
+        (0 to 2).foreach { b => input.addData(batch(b): _*); q.processAllAvailable() }
+        val streamed = spark.sql(
+          "SELECT key, value, valid_from, valid_to FROM scd2_live")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+        val batchClosed = graft.ops.Analytics.scd2Documents(spark, dir)
+          .filter(col("valid_to").isNotNull)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+        assert(streamed === batchClosed)
+        assert(streamed.nonEmpty)
+      } finally q.stop()
+    }
+  }
+
+  test("streaming SCD2 collapses same-value re-observations across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    withRocksDb {
+      val input = MemoryStream[ScdObservation]
+      val q = StreamingOps.scd2Closed(input.toDS())
+        .writeStream.format("memory").queryName("scd2_collapse")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      try {
+        input.addData(ScdObservation(1, 100, 0)); q.processAllAvailable()
+        input.addData(ScdObservation(1, 100, 1)); q.processAllAvailable() // re-observe
+        input.addData(ScdObservation(1, 200, 2)); q.processAllAvailable() // change
+        val got = spark.sql("SELECT key, value, valid_from, valid_to FROM scd2_collapse")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+        // ONE closed interval [0, 1] — the re-observation did not split it
+        assert(got === Seq((1L, 100L, 0, 1)))
+      } finally q.stop()
+    }
+  }
 }
