@@ -371,6 +371,16 @@ object OracleSql {
         | concat_ws('|', lang, source) AS tag
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // full outer with USING-coalesced key; both null sides occur (ship
+    // dates trail order dates)
+    "q_full_outer" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n_shipped
+        |  FROM lineitem GROUP BY 1)
+        |SELECT day, n_orders, n_shipped
+        |FROM o FULL OUTER JOIN l USING (day) ORDER BY day""".stripMargin,
+
     "q_date_agg" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS y,
         | CAST(month(o_orderdate) AS INT) AS m,

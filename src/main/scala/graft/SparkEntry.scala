@@ -51,6 +51,7 @@ object SparkEntry {
     "q_join_revenue" -> (Relational.joinRevenue _),
     "q_star_join" -> (Relational.starJoinRevenue _),
     "q_semi_join" -> (Relational.semiJoin _),
+    "q_full_outer" -> (Relational.fullOuterDaily _),
     "q_anti_join" -> (Relational.antiJoin _),
     "q_window_topk" -> (Relational.windowTopK _),
     "q_sort_limit" -> (Relational.sortLimit _),

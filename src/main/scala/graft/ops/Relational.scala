@@ -108,6 +108,22 @@ object Relational {
           .cast("bigint")).as("revenue_cents"))
       .orderBy($"revenue_cents".desc, $"n_name")
 
+  /** Full-outer join: daily order counts vs daily shipment counts — ship
+    * dates trail order dates, so BOTH unmatched sides occur (null columns
+    * on each). USING-style key coalescing matches the oracle's FULL OUTER
+    * JOIN USING semantics. */
+  def fullOuterDaily(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = Tables.lineitem(s, dir)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_shipped"))
+    o.join(l, Seq("day"), "full_outer")
+      .select(col("day"), col("n_orders"), col("n_shipped"))
+      .orderBy(col("day"))
+  }
+
   /** Left-semi join (EXISTS): orders having any high-quantity line. */
   def semiJoin(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

@@ -65,6 +65,26 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.charEntropy(spark, emptyDir).count() === 0)
   }
 
+  test("round-5 operators are empty-safe") {
+    // LM score: no docs -> no bigrams -> empty model -> empty output
+    assert(TermScoring.lmScore(spark, emptyDir).count() === 0)
+    // SCD2 over an empty changelog
+    assert(Analytics.scd2History(
+      Seq.empty[(Long, Long, Int)].toDF("doc_id", "val", "batch"),
+      "doc_id", "val", "batch").count() === 0)
+    // sketch aggregates over zero rows emit their identity state
+    graft.functions.GraftFunctions.registerAll(spark)
+    val none = Seq.empty[Long].toDF("h48")
+    assert(none.agg(expr("count_min(h48, 4, 64)")).head.getSeq[Long](0)
+      .forall(_ === 0L))
+    assert(none.agg(expr("hll_regs(h48, 10)")).head.getSeq[Int](0)
+      .forall(_ === 0))
+    // PageRank refuses an empty graph loudly (mass can't be distributed)
+    intercept[IllegalArgumentException] {
+      PageRank.pageRank(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count()
+    }
+  }
+
   test("single-doc corpus: pair and dedup operators degrade to no-pairs, " +
       "not errors") {
     val tmp = java.nio.file.Files.createTempDirectory("single").toString
