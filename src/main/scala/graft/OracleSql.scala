@@ -658,6 +658,33 @@ object OracleSql {
         |  FROM documents) t
         |WHERE doc_id = keeper ORDER BY doc_id""".stripMargin,
 
+    // canonicalization chain replayed verbatim ('g' = replace-all, matching
+    // Spark's regexp_replace semantics); digests then hash-compare
+    "dedup_canonical" ->
+      """SELECT md5(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |  min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    // same masking chain, same order (email -> phone -> IPv4 -> deny terms);
+    // RE2 and java.util.regex agree on these character-class patterns
+    "q_pii_redact" ->
+      """SELECT doc_id, red_text, n_term_hits, (n_term_hits > 0) AS changed
+        |FROM (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
+        |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+        |        '\bspark\b', '[TERM]', 'g'),
+        |        '\bcustomer\b', '[TERM]', 'g') AS red_text,
+        |    CAST(len(regexp_split_to_array(text, '\bspark\b')) - 1
+        |       + len(regexp_split_to_array(text, '\bcustomer\b')) - 1 AS INT)
+        |      AS n_term_hits
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
     "dedup_minhash" ->
       s"""WITH tok AS ($tokensCte),
          |sh AS (SELECT doc_id, $shinglesCase AS sh FROM tok)
@@ -859,6 +886,21 @@ object OracleSql {
          |    ORDER BY sim DESC, c_id ASC) AS INT) AS rnk FROM p)
          |SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
+
+    // per-dimension stats in exact integer micro-units (the float-sum
+    // rule): both engines sum round(v*1e6) as integers, so the mean is
+    // order-independent and bit-identical
+    "emb_dim_stats" ->
+      """WITH x AS (
+        |  SELECT CAST(t.dim AS INT) AS dim,
+        |    CAST(embedding[t.dim + 1] AS DOUBLE) AS vd
+        |  FROM embeddings, range(64) t(dim))
+        |SELECT dim, count(*) AS n,
+        |  round(sum(CAST(round(vd * 1e6, 0) AS BIGINT)) / (count(*) * 1e6), 6)
+        |    AS mean_v,
+        |  round(min(vd), 6) AS min_v,
+        |  round(max(vd), 6) AS max_v
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
 
     "ann_lsh_buckets" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

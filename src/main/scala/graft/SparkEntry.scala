@@ -122,9 +122,11 @@ object SparkEntry {
     "text_tfidf" -> ((s: SparkSession, d: String) => TermScoring.tfidfTopTerms(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => TermScoring.bm25(s, d)),
     "text_lm_score" -> (TermScoring.lmScore _),
+    "q_pii_redact" -> (Redaction.redactDocuments _),
     // dedup
     "dedup_exact" -> (Dedup.exactGroups _),
     "dedup_exact_keep" -> (Dedup.exactKeep _),
+    "dedup_canonical" -> (Dedup.canonicalGroups _),
     "dedup_minhash" -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
     "dedup_clusters" -> (Dedup.minhashClusters _),
@@ -150,6 +152,7 @@ object SparkEntry {
     "emb_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineDupPairs(s, d)),
     "emb_dup_lsh" -> ((s: SparkSession, d: String) => Similarity.cosineDupLsh(s, d)),
     "emb_semdedup" -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
+    "emb_dim_stats" -> (EmbeddingStats.dimStats _),
     // multimodal plumbing (decode stubbed)
     "mm_features" -> (Multimodal.featuresQuery _),
     "mm_ann" -> ((s: SparkSession, d: String) => Multimodal.assetAnn(s, d)),

@@ -104,6 +104,26 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-exact dedup via text canonicalization: lowercase, map each run
+    * of non-alphanumerics to a single space, trim — then the same
+    * digest-group shape as [[exactGroups]]. Catches the trivial-variant
+    * duplicates (case, punctuation, whitespace) that exact hashing misses
+    * and MinHash is overkill for; in a production curation stack this runs
+    * between the two (CCNet/RefinedWeb both canonicalize before hashing).
+    * Same scale shape as exact dedup: one codegen'd projection chain, one
+    * 16-byte-digest groupBy; bodies never shuffle. Canonicalization
+    * variants collapsing to one group are spec-asserted (DedupSpec). */
+  def canonicalGroups(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(canonicalText(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy(col("fp"))
+
+  /** The canonical form — RE2-compatible regexes so the DuckDB oracle
+    * replays the identical chain ('g' flag) and digests hash-match. */
+  def canonicalText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   // --- MinHash + LSH -------------------------------------------------------
 
   /** SQL formulation of the signature — the oracle's structural twin;

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PII / deny-term redaction over the `documents` table — the scrubbing
+  * pass every LLM training-data pipeline runs before anything else touches
+  * the text. Emails, phone numbers, and IPv4 literals are masked by
+  * pattern; a configurable deny-term list is masked by word-boundary match.
+  *
+  * Scale design: the whole operator is a chain of codegen'd
+  * `regexp_replace` projections — zero shuffles, zero UDFs; it streams
+  * through the corpus once and fuses into whatever scan feeds it (the
+  * harness query's plan is one WholeStageCodegen over the parquet scan).
+  * At 100 TB this is the ideal shape: per-row, embarrassingly parallel,
+  * no state. The regexes are RE2-compatible (no backrefs / lookarounds)
+  * so the DuckDB oracle replays the identical chain with the 'g' flag and
+  * the redacted text is hash-checked byte for byte.
+  *
+  * The reference has no text surface (SURVEY §2.8 — its strings are CSV
+  * fields, `CollabFilterCassandraDriver.java:131`); this extends the text
+  * family (TextAnalysis / TermScoring) per the north-star brief.
+  */
+object Redaction {
+
+  /** RE2 ∩ java.util.regex — keep to character classes, bounded repeats,
+    * alternation, and \b word boundaries so both engines agree. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Deny terms for the harness query — tokens that actually occur in the
+    * synthetic corpus, so the masking provably fires at sf scale. */
+  val DenyTerms: Seq[String] = Seq("spark", "customer")
+
+  private def termRe(t: String): String = s"\\b$t\\b"
+
+  /** The full masking chain as a single nested column expression: email →
+    * phone → IPv4 → deny terms, replacement tags in square brackets. Order
+    * matters (a phone inside an email is already masked) and is identical
+    * in the oracle. */
+  def redacted(text: Column, denyTerms: Seq[String] = DenyTerms): Column = {
+    val pii = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+    denyTerms.foldLeft(pii)((c, t) => regexp_replace(c, termRe(t), "[TERM]"))
+  }
+
+  /** Count of deny-term hits per document (split-based so no regex-count
+    * builtin is needed on either engine): Σ (elements(split on term) − 1). */
+  def termHits(text: Column, denyTerms: Seq[String] = DenyTerms): Column =
+    denyTerms.map(t => size(split(text, termRe(t), -1)) - 1)
+      .reduce(_ + _)
+
+  /** Harness query: per-document redacted text + deny-term hit count +
+    * a changed flag; ordered by doc_id for the hash compare. */
+  def redactDocuments(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(
+        col("doc_id"),
+        redacted(col("text")).as("red_text"),
+        termHits(col("text")).cast("int").as("n_term_hits"))
+      .withColumn("changed", (col("n_term_hits") > 0).cast("boolean"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the curation-stack additions: PII/deny-term redaction,
+  * canonicalization dedup, and exact-micro embedding dimension stats. */
+class CurationExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // --- Redaction -----------------------------------------------------------
+
+  private def redactOne(s: String, terms: Seq[String] = Redaction.DenyTerms): String =
+    Seq(s).toDF("text").select(Redaction.redacted(col("text"), terms).as("r"))
+      .head().getString(0)
+
+  test("redaction masks emails, phones, and IPv4 literals") {
+    assert(redactOne("mail bob.smith+x@corp.example.org now") === "mail [EMAIL] now")
+    assert(redactOne("call 555-123-4567 or 555.987.6543") === "call [PHONE] or [PHONE]")
+    assert(redactOne("host 10.0.255.3 down") === "host [IP] down")
+  }
+
+  test("redaction order: an email is masked before its digits can look like anything else; word boundaries keep substrings intact") {
+    // 'sparkle' contains deny term 'spark' but \b blocks the match
+    assert(redactOne("sparkle spark sparks") === "sparkle [TERM] sparks")
+    // chained masking leaves non-matching text untouched
+    assert(redactOne("plain text stays") === "plain text stays")
+  }
+
+  test("termHits counts every occurrence, not just the first") {
+    val n = Seq("spark a spark b customer spark").toDF("text")
+      .select(Redaction.termHits(col("text")).as("n")).head().getInt(0)
+    assert(n === 4)
+  }
+
+  test("harness query fires on the real corpus: some documents change, ids are complete") {
+    val out = Redaction.redactDocuments(spark, dir).cache()
+    val total = out.count()
+    assert(total === sf("documents").count())
+    val changed = out.filter(col("changed")).count()
+    assert(changed > 0, "deny terms must occur in the synthetic corpus")
+    // redacted text never contains a bare deny term
+    val leaked = out.filter(col("red_text").rlike("\\bspark\\b|\\bcustomer\\b")).count()
+    assert(leaked === 0)
+    out.unpersist()
+  }
+
+  // --- canonical dedup -----------------------------------------------------
+
+  test("canonicalText collapses case, punctuation, and whitespace variants to one form") {
+    val forms = Seq(
+      "Hello,  World!",
+      "hello world",
+      "HELLO--WORLD",
+      "  hello\tworld  ")
+    val canon = forms.toDF("text")
+      .select(Dedup.canonicalText(col("text")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(canon === Set("hello world"))
+  }
+
+  test("canonicalGroups groups at least as coarsely as exact dedup") {
+    val exact = Dedup.exactGroups(spark, dir).count()
+    val canon = Dedup.canonicalGroups(spark, dir).count()
+    assert(canon <= exact)
+    // keeper is always the min doc_id of its group (spot invariant)
+    val bad = Dedup.canonicalGroups(spark, dir)
+      .filter(col("keeper") < 0).count()
+    assert(bad === 0)
+  }
+
+  // --- embedding dim stats -------------------------------------------------
+
+  test("dimStats: 64 dims, n = corpus size, mean within [min,max], and bit-stable under repartitioning") {
+    val out = EmbeddingStats.dimStats(spark, dir).cache()
+    assert(out.count() === 64)
+    val nDocs = sf("embeddings").count()
+    assert(out.filter(col("n") =!= nDocs).count() === 0)
+    assert(out.filter(col("mean_v") < col("min_v") ||
+      col("mean_v") > col("max_v")).count() === 0)
+
+    // order independence: the micro-unit sum makes the mean exact, so a
+    // different partitioning must produce the identical rows
+    val shuffled = Tables.embeddings(spark, dir).repartition(13)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"),
+        round(col("v").cast("double") * lit(1e6), 0).cast("long").as("micro"),
+        col("v").cast("double").as("vd"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("micro")) / (count(lit(1)) * lit(1e6)), 6).as("mean_v"),
+        round(min(col("vd")), 6).as("min_v"),
+        round(max(col("vd")), 6).as("max_v"))
+    assert(out.except(shuffled).count() === 0 &&
+      shuffled.except(out).count() === 0)
+    out.unpersist()
+  }
+}
