@@ -8,7 +8,8 @@ import graft.ops._
   * Every SQL-expressible query has a DuckDB oracle in OracleSql (identical
   * aliases / ordering / rounding — see the determinism contract there).
   * Rows-only queries (no oracle): ALS fit/score/recommend (not
-  * SQL-expressible), IVF ANN + SemDeDup (KMeans quantizer), Spark's
+  * SQL-expressible), IVF ANN + SemDeDup (KMeans quantizer), PQ ANN
+  * (iterative Lloyd codebooks), Spark's
   * built-in approx sketches (Murmur/xxHash internals), and the stubbed
   * multimodal decode. The deterministic sketch paths — minhash, simhash
   * (incl. banding), hyperplane LSH buckets/top-k/near-dup, the
@@ -149,6 +150,7 @@ object SparkEntry {
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "ann_lsh_buckets" -> (Similarity.lshBuckets _),
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "ann_pq" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     "emb_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineDupPairs(s, d)),
     "emb_dup_lsh" -> ((s: SparkSession, d: String) => Similarity.cosineDupLsh(s, d)),
     "emb_semdedup" -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),

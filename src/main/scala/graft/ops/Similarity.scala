@@ -285,4 +285,164 @@ object Similarity {
       .orderBy(col("vec_id"))
     Caching.materializeAndRelease(out, e, assigned)
   }
+
+  /** Seeded in-process Lloyd's k-means over a bounded sample — the PQ
+    * codebook trainer. Deterministic: seeded initial picks, fixed sweep
+    * count, stable argmin tie-breaks (first minimum wins). */
+  private[ops] def lloyd(pts: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(pts.length >= k, s"sample ${pts.length} < k=$k")
+    val dim = pts.head.length
+    val rnd = new java.util.Random(seed)
+    // seeded k-means++ init (D² sampling) — random init measurably costs
+    // recall (0.36 vs 0.60 at sf0.001 in the PQ spec)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      pts(rnd.nextInt(pts.length)).clone())
+    val minD = pts.map(p => d2(p, chosen.head))
+    while (chosen.length < k) {
+      val total = minD.sum
+      var r = rnd.nextDouble() * total
+      var pick = 0
+      while (pick < pts.length - 1 && r > minD(pick)) { r -= minD(pick); pick += 1 }
+      chosen += pts(pick).clone()
+      var i = 0
+      while (i < pts.length) {
+        val d = d2(pts(i), chosen.last)
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+    }
+    var centers = chosen.toArray
+    var sweep = 0
+    while (sweep < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - centers(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      centers = (0 until k).map { c =>
+        if (counts(c) == 0) centers(c) // empty cell keeps its centroid
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      sweep += 1
+    }
+    centers
+  }
+
+  /** Product-quantization ANN with asymmetric-distance scoring (ADC) —
+    * the fourth member of the ANN family and the standard billion-vector
+    * memory trick (Jégou et al. 2011): brute = exact baseline, LSH =
+    * oblivious buckets, IVF = adaptive cells, PQ = compressed residency.
+    *
+    * The 64-dim space splits into `m`=8 subspaces of 8 dims; each gets a
+    * seeded k-means codebook (`kCodes`=16), so a vector encodes to 8
+    * one-byte codes — 32× smaller than its float payload. Queries never
+    * decode candidates: a per-query lookup table (dot of the query
+    * subvector against each centroid) turns the approximate dot product
+    * into `m` array lookups. The top `rerank` PQ candidates are then
+    * re-scored with the exact cosine, which restores recall (spec'd in
+    * SimilaritySpec) while touching full vectors for only ~rerank rows
+    * per query.
+    *
+    * Scale shape: codebooks are driver-small (m·k centroids) and ship as
+    * literal columns; encoding is one map pass; the scoring join
+    * broadcasts queries+LUTs so the code table streams with no shuffle;
+    * only the rerank join reads full vectors. At 100 TB the code table is
+    * the only full-corpus scan — the point of PQ. Seeded k-means is not
+    * SQL-expressible → rows-only harness check (same rule as ann_ivf).
+    */
+  def pqTopK(s: SparkSession, dir: String, k: Int = 5, numQueries: Int = 5,
+      m: Int = 8, kCodes: Int = 16, rerank: Int = 50): DataFrame = {
+    val subDim = Dim / m
+
+    val e = embedded(s, dir).cache()
+    // Per-subspace codebooks train driver-side on a deterministic,
+    // BOUNDED sample (~4k subvectors = a few hundred KB however large the
+    // corpus) — the FAISS recipe: codebooks are statistics of the
+    // distribution, so a distributed fit buys nothing but 8× job
+    // overhead (measured: 8 ml.KMeans fits cost ~5 s at sf0.1 vs ~0 for
+    // the in-process Lloyd sweeps). Everything corpus-sized — encoding
+    // and ADC scoring — stays distributed below.
+    val withSubs = (0 until m).foldLeft(e.toDF()) { (df, j) =>
+      df.withColumn(s"sub_$j", slice(col("e"), j * subDim + 1, subDim))
+    }
+    val step = math.max(1L, e.count() / 4000L)
+    val sampleRows = withSubs.filter(col("vec_id") % step === 0)
+      .select((0 until m).map(j => col(s"sub_$j")): _*).collect()
+    val codebooks: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
+      val pts = sampleRows.map(_.getSeq[Double](j).toArray)
+      lloyd(pts, kCodes, iters = 15, seed = 42L + j)
+    }
+
+    // encode: nearest codebook entry per subspace, as codegen'd argmin
+    // over literal centroids (no ml transform chain, no UDFs)
+    def centroidLit(j: Int, c: Int) =
+      array(codebooks(j)(c).map(v => lit(v)): _*)
+    def codeCol(j: Int): org.apache.spark.sql.Column = {
+      val d2 = (0 until kCodes).map { c =>
+        val cl = s"cb_${j}_$c"
+        expr(s"vec_dot(sub_$j, sub_$j) - 2 * vec_dot(sub_$j, $cl) + vec_dot($cl, $cl)")
+      }
+      array_position(array(d2: _*), array_min(array(d2: _*))).cast("int") - 1
+    }
+    val withCbs = (0 until m).foldLeft(withSubs) { (df, j) =>
+      (0 until kCodes).foldLeft(df) { (d, c) =>
+        d.withColumn(s"cb_${j}_$c", centroidLit(j, c))
+      }
+    }
+    val codes = withCbs
+      .select(col("vec_id") +: col("nrm") +:
+        (0 until m).map(j => codeCol(j).as(s"code_$j")): _*)
+
+    // query side: LUT_j[c] = dot(q_sub_j, centroid_{j,c}); 5 rows broadcast
+    val q = withCbs.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id") +: col("e").as("qe") +:
+        col("nrm").as("qn") +:
+        (0 until m).map { j =>
+          array((0 until kCodes).map(c =>
+            expr(s"vec_dot(sub_$j, cb_${j}_$c)")): _*).as(s"lut_$j")
+        }: _*)
+
+    val adc = (0 until m).map(j =>
+      element_at(col(s"lut_$j"), col(s"code_$j") + 1)).reduce(_ + _)
+    val wPq = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_sim").desc, col("c_id").asc)
+    val cands = broadcast(q)
+      .crossJoin(codes.withColumnRenamed("vec_id", "c_id")
+        .withColumnRenamed("nrm", "cn"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("adc_sim", adc / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("pq_rnk", row_number().over(wPq))
+      .filter(col("pq_rnk") <= rerank)
+      .select(col("q_id"), col("qe"), col("qn"), col("c_id"))
+
+    // exact rerank of the surviving ~rerank rows per query
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    val out = cands
+      .join(e.select(col("vec_id").as("c_id"), col("e").as("ce"),
+        col("nrm").as("cn")), "c_id")
+      .withColumn("sim", round(
+        expr("vec_dot(qe, ce)") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+    Caching.materializeAndRelease(out, e)
+  }
 }

@@ -348,6 +348,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF recall (nprobe=4/16 cells): $recall")
   }
 
+  test("PQ+rerank top-k: exact-rerank scores, high recall, deterministic") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val exact = keyed(Similarity.bruteForceTopK(spark, dir).collect())
+    val pq = keyed(Similarity.pqTopK(spark, dir).collect())
+    // reranked scores are the exact cosine: every overlapping pair agrees
+    pq.foreach { case (k, sim) =>
+      exact.get(k).foreach(es => assert(es === sim, s"score drift at $k")) }
+    val recall = pq.keySet.count(exact.contains).toDouble / exact.size
+    // 50-candidate rerank out of 500 vectors: PQ ADC must place most true
+    // neighbors inside the rerank window (measured 0.68 at sf0.001)
+    assert(recall >= 0.5, s"PQ recall@5 (rerank=50): $recall")
+    // determinism: second run identical (seeded codebooks, tie-broken ranks)
+    assert(keyed(Similarity.pqTopK(spark, dir).collect()) === pq)
+  }
+
   test("lsh bucket assignment is 16-bit, total, and deterministic") {
     val a = Similarity.lshBuckets(spark, dir).collect()
     assert(a.length === graft.ops.Tables.embeddings(spark, dir).count())
