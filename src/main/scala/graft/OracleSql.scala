@@ -338,6 +338,23 @@ object OracleSql {
         | round(quantile_cont(value, 0.9), 4) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // fences rounded to 6 decimals pre-comparison on BOTH engines so the
+    // independently-interpolated quantiles agree at the boundary
+    "q_iqr_outliers" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.25)
+        |      - (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 1.5, 6) AS lo,
+        |    round(quantile_cont(value, 0.75)
+        |      + (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 1.5, 6) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(max(b.lo), 6) AS lo, round(max(b.hi), 6) AS hi
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
     "q_stats_agg" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS qty_stddev,

@@ -95,6 +95,7 @@ object SparkEntry {
     "q_zonemap_scan" -> (graft.sources.ZoneMaps.zonemapScan _),
     "q_profile" -> (Profiler.lineitemProfile _),
     "q_dq_report" -> (DataQuality.qualityReport _),
+    "q_iqr_outliers" -> (DataQuality.iqrOutliers _),
     "q_funnel" -> (Analytics.funnel _),
     "q_gapfill" -> (Analytics.gapFillDaily _),
     "dedup_triangles" -> (Dedup.minhashTriangles _),

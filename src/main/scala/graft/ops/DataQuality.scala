@@ -68,4 +68,32 @@ object DataQuality {
       .unionAll(row(ordAgg, "orders_totalprice_positive", "orders", "nonpos_total"))
       .orderBy(col("check"))
   }
+
+  /** Tukey-fence outlier gate per event_type: rows outside
+    * [q1 − 1.5·IQR, q3 + 1.5·IQR] are flagged. Two passes by necessity
+    * (the fences are exact quantiles of the whole group — the
+    * sketch-based single-pass variant is approxPercentiles' trade), but
+    * the second pass joins only a broadcast 3-row bounds table. The
+    * fences are rounded to 6 decimals BEFORE comparison so the oracle's
+    * independently-interpolated quantiles (quantile_cont) agree with
+    * Spark's percentile at the comparison boundary, not just in the
+    * printed output. */
+  def iqrOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bounds = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      .select(col("event_type"),
+        round(col("q1") - (col("q3") - col("q1")) * 1.5, 6).as("lo"),
+        round(col("q3") + (col("q3") - col("q1")) * 1.5, 6).as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(max(col("lo")), 6).as("lo"),
+        round(max(col("hi")), 6).as("hi"))
+      .orderBy(col("event_type"))
+  }
 }

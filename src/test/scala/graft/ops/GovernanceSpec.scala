@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSpec
 
@@ -16,6 +17,23 @@ class GovernanceSpec extends SparkSpec {
       assert(r.getBoolean(4), s"check ${r.getString(0)} unexpectedly failed")
       assert(r.getLong(3) === 0L)
       assert(r.getLong(2) > 0L)
+    }
+  }
+
+  test("iqrOutliers: fences bracket the quartiles, counts match a driver-side recount") {
+    val dir = "/root/testdata/sf0.001"
+    val out = DataQuality.iqrOutliers(spark, dir).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    out.foreach { r =>
+      val (et, n, nOut, lo, hi) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(lo < hi)
+      val vals = ev.filter(_._1 == et).map(_._2)
+      assert(n === vals.length)
+      assert(nOut === vals.count(v => v < lo || v > hi))
     }
   }
 
