@@ -85,6 +85,20 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("curation-stack additions are empty-safe (PQ fails loudly: no sample, no codebook)") {
+    assert(Redaction.redactDocuments(spark, emptyDir).count() === 0)
+    assert(Dedup.canonicalGroups(spark, emptyDir).count() === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("emptyemb").toString
+    Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    assert(EmbeddingStats.dimStats(spark, tmp).count() === 0)
+    // PQ codebooks are trained statistics — an empty corpus has none, and
+    // a silent empty result would look like "no neighbors" downstream
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(spark, tmp).count()
+    }
+  }
+
   test("single-doc corpus: pair and dedup operators degrade to no-pairs, " +
       "not errors") {
     val tmp = java.nio.file.Files.createTempDirectory("single").toString
