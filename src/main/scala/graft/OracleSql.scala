@@ -694,10 +694,10 @@ object OracleSql {
         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |        '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
         |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
-        |        '\bspark\b', '[TERM]', 'g'),
-        |        '\bcustomer\b', '[TERM]', 'g') AS red_text,
-        |    CAST(len(regexp_split_to_array(text, '\bspark\b')) - 1
-        |       + len(regexp_split_to_array(text, '\bcustomer\b')) - 1 AS INT)
+        |        '(?i)\bspark\b', '[TERM]', 'g'),
+        |        '(?i)\bcustomer\b', '[TERM]', 'g') AS red_text,
+        |    CAST(len(regexp_split_to_array(text, '(?i)\bspark\b')) - 1
+        |       + len(regexp_split_to_array(text, '(?i)\bcustomer\b')) - 1 AS INT)
         |      AS n_term_hits
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,

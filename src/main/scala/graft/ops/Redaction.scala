@@ -33,7 +33,9 @@ object Redaction {
     * synthetic corpus, so the masking provably fires at sf scale. */
   val DenyTerms: Seq[String] = Seq("spark", "customer")
 
-  private def termRe(t: String): String = s"\\b$t\\b"
+  /** Case-insensitive: a deny list that misses "SPARK" is not a deny
+    * list. (?i) is an inline flag in both java.util.regex and RE2. */
+  private def termRe(t: String): String = s"(?i)\\b$t\\b"
 
   /** The full masking chain as a single nested column expression: email →
     * phone → IPv4 → deny terms, replacement tags in square brackets. Order

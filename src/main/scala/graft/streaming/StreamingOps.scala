@@ -295,6 +295,33 @@ object StreamingOps {
       .select(col("doc_id"), col("__hit").isNotNull.as("is_dup"))
   }
 
+  /** Streaming curation front door — the streaming face of the batch
+    * intake chain [[graft.ops.Redaction]] → canonical-digest triage
+    * ([[graft.ops.Dedup.canonicalGroups]]'s fingerprint) against the
+    * STANDING corpus. Redaction is a stateless codegen projection, so it
+    * streams for free; the dup check is the stream-static join shape of
+    * [[dedupAgainstStatic]] (the static side is the state). The standing
+    * digests are computed over REDACTED canonical text so an incoming
+    * near-copy whose only difference is maskable PII still triages as a
+    * duplicate. Emits (doc_id, red_text, n_term_hits, is_dup). */
+  def curationFrontDoor(incoming: DataFrame,
+      standing: DataFrame): DataFrame = {
+    import graft.ops.{Dedup, Redaction}
+    def canonFp(text: org.apache.spark.sql.Column) =
+      md5(Dedup.canonicalText(text))
+    val digests = standing
+      .select(canonFp(Redaction.redacted(col("text"))).as("fp")).distinct()
+      .withColumn("__hit", lit(1))
+    incoming
+      .withColumn("red_text", Redaction.redacted(col("text")))
+      .withColumn("n_term_hits",
+        Redaction.termHits(col("text")).cast("int"))
+      .withColumn("fp", canonFp(col("red_text")))
+      .join(digests, Seq("fp"), "left_outer")
+      .select(col("doc_id"), col("red_text"), col("n_term_hits"),
+        col("__hit").isNotNull.as("is_dup"))
+  }
+
   /** CDC-style streaming upsert sink: a stream of (key, op, payload)
     * change rows maintains a keyed snapshot table via foreachBatch +
     * [[graft.ops.Upsert.merge]] — each micro-batch is one MERGE applied

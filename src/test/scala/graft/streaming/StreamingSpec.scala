@@ -207,6 +207,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation front door: stream ≡ batch on the real corpus; case/punct " +
+      "variants triage as duplicates, novel PII docs are redacted not dropped") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val standing = graft.ops.Tables.documents(spark, dir)
+    // incoming: 30 real docs (all dups of standing), one case/punctuation
+    // variant of a standing doc (dup after canonicalization), one novel
+    // doc carrying PII (redacted, not a dup)
+    val base = standing.select($"doc_id", $"text").as[(Long, String)]
+      .collect().take(30)
+    val firstText = base.head._2
+    val incoming = (base :+
+      (9001L, firstText.toUpperCase + "!!") :+
+      (9002L, "novel document; reach me at a@b.example.com")).toIndexedSeq
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.curationFrontDoor(
+        input.toDF().toDF("doc_id", "text"), standing)
+      .writeStream.format("memory").queryName("front_door")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, red_text, n_term_hits, is_dup FROM front_door")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3)))
+        .toSet
+      val batch = StreamingOps.curationFrontDoor(
+          incoming.toDF("doc_id", "text"), standing)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3)))
+        .toSet
+      assert(streamed === batch)
+      val byId = streamed.map(t => t._1 -> t).toMap
+      assert(byId(9001L)._4, "case/punct variant must triage as dup")
+      assert(!byId(9002L)._4, "novel doc is not a dup")
+      assert(byId(9002L)._2.contains("[EMAIL]"), "incoming text is redacted")
+      base.foreach { case (id, _) => assert(byId(id)._4, s"doc $id is a dup") }
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
