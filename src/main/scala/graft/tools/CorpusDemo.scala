@@ -2,10 +2,10 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** End-to-end training-corpus pipeline demo: curate (exact + near-dup
-  * dedup + quality gate) → mixture sample → packing manifest →
-  * contamination check → incremental-batch triage → snapshot upsert →
-  * partitioned layout, printed as a one-screen summary.
+/** End-to-end training-corpus pipeline demo: redaction front door →
+  * curate (exact + near-dup dedup + quality gate) → mixture sample →
+  * packing manifest → contamination check → incremental-batch triage →
+  * snapshot upsert → partitioned layout, printed as a one-screen summary.
   * `sbt "runMain graft.tools.CorpusDemo [sfDir]"` */
 object CorpusDemo {
   def main(args: Array[String]): Unit = {
@@ -15,9 +15,12 @@ object CorpusDemo {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions.col
-    import graft.ops.{Corpus, CorpusLayout, Dedup, Tables, Upsert}
+    import graft.ops.{Corpus, CorpusLayout, Dedup, Redaction, Tables, Upsert}
 
     val total = Tables.documents(spark, dir).count()
+    val redacted = Redaction.redactDocuments(spark, dir)
+      .filter(col("changed")).count()
+    val canonGroups = Dedup.canonicalGroups(spark, dir).count()
     val curated = Corpus.curateQuery(spark, dir).count()
     val sampled = Corpus.mixtureSample(spark, dir).count()
     val bins = Corpus.packBins(spark, dir)
@@ -37,6 +40,8 @@ object CorpusDemo {
       .count(f => f.isDirectory)
 
     println(f"documents:            $total%6d")
+    println(f"redaction changed:    $redacted%6d  (PII + deny-term masking)")
+    println(f"canonical groups:     $canonGroups%6d  (case/punct-folded digests)")
     println(f"after curation:       $curated%6d  (exact+near dedup, quality gate)")
     println(f"after mixture sample: $sampled%6d  (per-source rates, stable hash)")
     println(f"packing bins:         $nBins%6d  (budget ${Corpus.TokenBudget} tokens)")

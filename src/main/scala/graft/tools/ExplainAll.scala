@@ -19,7 +19,10 @@ object ExplainAll {
       "q_cohort_retention", "text_segment_dedup", "text_bm25",
       // round 4
       "dedup_triangles", "dedup_simhash_lsh64", "q_upsert_mor",
-      "q_sql_custom")
+      "q_sql_custom",
+      // round 5
+      "q_pii_redact", "dedup_canonical", "emb_dim_stats", "ann_pq",
+      "q_iqr_outliers", "graph_pagerank", "q_zonemap_scan", "q_scd2")
     val spark = SparkSession.builder().master("local[4]")
       .appName("graft-explain")
       .config("spark.sql.shuffle.partitions", "4")

@@ -198,4 +198,57 @@ class RandomizedSpec extends SparkSpec {
       assert(out === state, s"seed=$seed")
     }
   }
+
+  test("canonicalText is idempotent and invariant under case flips / " +
+      "punctuation injection / whitespace runs (5 seeds)") {
+    import org.apache.spark.sql.functions.col
+    val words = Seq("spark", "merge", "row", "data", "join", "x9", "q")
+    val punct = Seq(",", "!", ";", "--", "...", "\t", "\n", "  ")
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 400)
+      val base = (1 to 30).map { i =>
+        (1 to (2 + rnd.nextInt(8))).map(_ => words(rnd.nextInt(words.size)))
+          .mkString(" ")
+      }
+      // mangle: random case flips, punctuation injected between words,
+      // whitespace runs — all must canonicalize to the same form
+      val mangled = base.map { t =>
+        t.split(" ").map { w =>
+          val cased = w.map(c => if (rnd.nextBoolean()) c.toUpper else c)
+          cased + (if (rnd.nextBoolean()) punct(rnd.nextInt(punct.size)) else "")
+        }.mkString(if (rnd.nextBoolean()) "  " else " ")
+      }
+      val df = (base ++ mangled).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .select(col("id"), Dedup.canonicalText(col("text")).as("c"))
+      val canon = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      base.indices.foreach { i =>
+        assert(canon(i.toLong) === canon((i + base.size).toLong),
+          s"seed=$seed doc=$i: mangled variant canonicalized differently")
+      }
+      // idempotence: canonicalizing the canonical form is a fixpoint
+      val twice = df.select(col("id"), Dedup.canonicalText(col("c")).as("c2"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(twice === canon, s"seed=$seed: canonicalText not idempotent")
+    }
+  }
+
+  test("PQ lloyd: every centroid is inside the data's bounding box and " +
+      "codebooks are seed-deterministic") {
+    val rnd = new Random(77)
+    val pts = Array.fill(300)(Array.fill(8)(rnd.nextGaussian()))
+    val a = Similarity.lloyd(pts, 16, 15, seed = 1L)
+    val b = Similarity.lloyd(pts, 16, 15, seed = 1L)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq, "same seed, same codebook")
+    val c = Similarity.lloyd(pts, 16, 15, seed = 2L)
+    assert(a.map(_.toSeq).toSeq !== c.map(_.toSeq).toSeq, "different seed differs")
+    val lo = (0 until 8).map(d => pts.map(_(d)).min)
+    val hi = (0 until 8).map(d => pts.map(_(d)).max)
+    a.foreach { cen =>
+      (0 until 8).foreach { d =>
+        assert(cen(d) >= lo(d) && cen(d) <= hi(d),
+          "centroid outside data bounding box (means of points can't be)")
+      }
+    }
+  }
 }
