@@ -713,6 +713,37 @@ object OracleSql {
          |WHERE jaccard >= ${Dedup.JaccardThreshold}
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // same banded candidates as the minhash pipeline, then asymmetric
+    // containment over distinct shingle sets in both directions
+    "dedup_containment" ->
+      s"""WITH $minhashPairsCte,
+         |cont AS (SELECT doc_a, doc_b,
+         |  round(len(list_distinct(list_intersect(sa.sh, sb.sh))) /
+         |        len(list_distinct(sa.sh)), 4) AS cont_a,
+         |  round(len(list_distinct(list_intersect(sa.sh, sb.sh))) /
+         |        len(list_distinct(sb.sh)), 4) AS cont_b
+         |  FROM cand JOIN sh sa ON sa.doc_id = doc_a
+         |            JOIN sh sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, cont_a, cont_b FROM cont
+         |WHERE greatest(cont_a, cont_b) >= 0.4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // winnowing: per-position window minima over the SAME base-hash
+    // stream the minhash family uses (duck48 twin of shingle_hashes)
+    "text_winnow" -> {
+      val h48 = SharedHash.duck48("s")
+      s"""WITH tok AS ($tokensCte),
+         |shl AS (SELECT doc_id, $shinglesCase AS sh FROM tok),
+         |u AS (SELECT doc_id, unnest(sh) AS s,
+         |  generate_subscripts(sh, 1) AS pos FROM shl),
+         |pos AS (SELECT doc_id, pos, $h48 AS h FROM u),
+         |sel AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id
+         |  ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM pos)
+         |SELECT DISTINCT doc_id, fp FROM sel
+         |ORDER BY doc_id, fp""".stripMargin
+    },
+
     // the full curation pipeline, recomputed independently end-to-end:
     // exact dedup -> LSH pairs -> recursive-CTE closure -> quality gate
     "corpus_curate" -> {

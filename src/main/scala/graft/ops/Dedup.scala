@@ -206,6 +206,43 @@ object Dedup {
     Caching.materializeAndRelease(pairs, shingled)
   }
 
+  /** Asymmetric containment pairs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| over
+    * distinct shingles — the measure that catches QUOTATION-style
+    * duplication (a small doc fully embedded in a large one) which
+    * symmetric jaccard dilutes toward 0. Same scale recipe as
+    * [[minhashPairsRaw]]: banded-LSH candidates gate the exact verify, so
+    * work ∝ collisions; candidates resolved by a slim (doc_id, shingles)
+    * join against the shared cache. Both directions are emitted so the
+    * consumer can tell "A quotes B" from "B quotes A". */
+  def containmentPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val shingled = shingled0(Tables.documents(s, dir))
+    val bands = bandsFrom(signaturesFrom(shingled))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = shingled.select(col("doc_id"), array_distinct(col("sh")).as("shd"))
+    val pairs = cands
+      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("cont_a", round(col("shared") / size(col("sh_a")), 4))
+      .withColumn("cont_b", round(col("shared") / size(col("sh_b")), 4))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+    Caching.materializeAndRelease(pairs, shingled)
+  }
+
+  /** The cached+forced shingle frame [[minhashPairsRaw]] documents. */
+  private def shingled0(docs: DataFrame): DataFrame = {
+    val sh = shingled(docs).cache()
+    sh.count()
+    sh
+  }
+
   /** Connected components over a near-dup pair graph via min-label
     * propagation: each node repeatedly adopts the smallest label among
     * itself and its neighbors until fixpoint. Converges in O(component

@@ -153,6 +153,27 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    * algorithm): over the positional shingle-hash stream, keep the MINIMUM
+    * hash of every w-length window — a position-robust document sketch
+    * whose density is guaranteed (≥ 1 fingerprint per w positions) yet
+    * insertion-local (an edit perturbs only the windows covering it),
+    * which plain modulo-sampling (`fingerprint`'s shard) can't offer.
+    * Tail windows shorter than w are included (both engines' ROWS frames
+    * agree on the truncated-window semantics) so the document suffix is
+    * always covered. One window shuffle on doc_id; the hash stream is
+    * 16 bytes/row — text never moves. */
+  def winnow(s: SparkSession, dir: String, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    Dedup.withShingles(s, dir)
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .withColumn("fp", min(col("h")).over(win))
+      .select(col("doc_id"), col("fp")).distinct()
+      .orderBy(col("doc_id"), col("fp"))
+  }
+
   /** SQL-text surface for the custom expression tier: the literal string
     * Spark's parser compiles, with the session set up by
     * [[graft.functions.GraftFunctions.registerAll]] — proving a SQL-only

@@ -71,6 +71,56 @@ class CurationExtrasSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  // --- containment ---------------------------------------------------------
+
+  test("containment: a quoted (embedded) doc scores 1.0 toward its host while jaccard stays below it") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val host = a + " iota kappa" // all of a's shingles appear in host
+    val tmp = java.nio.file.Files.createTempDirectory("cont").toString
+    Seq((1L, a), (2L, host)).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.containmentPairs(spark, tmp).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.0, "doc 1 fully contained in doc 2")
+    assert(r.getDouble(3) < 1.0, "host is not contained in the quote")
+    // symmetric jaccard on the same pair is strictly below the containment
+    val jac = Dedup.jaccardPairs(spark, tmp, maxId = 10, threshold = 0.0)
+      .collect().head.getDouble(2)
+    assert(jac < 1.0 && jac > 0.0)
+  }
+
+  // --- winnowing -----------------------------------------------------------
+
+  test("winnow: every doc keeps >=1 fingerprint; a mid-doc edit perturbs only a bounded neighborhood of the sketch") {
+    val out = TextAnalysis.winnow(spark, dir).cache()
+    val perDoc = out.groupBy(col("doc_id")).count().cache()
+    assert(perDoc.count() === sf("documents").count(), "every doc sketched")
+    assert(perDoc.filter(col("count") < 1).count() === 0)
+    perDoc.unpersist(); out.unpersist()
+
+    // insertion locality: one substituted token can touch at most the 3
+    // shingles covering it, each visible to at most w=4 windows on each
+    // side — so the sketches of original vs edited doc differ by a
+    // bounded set, while modulo-sharding of whole-doc hashes (rolling
+    // fingerprint) changes completely
+    val toks = (0 until 40).map(i => s"w$i")
+    val orig = toks.mkString(" ")
+    val edit = toks.updated(20, "CHANGED").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("winnow").toString
+    Seq((1L, orig), (2L, edit)).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val fps = TextAnalysis.winnow(spark, tmp).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val symDiff = (fps(1L) diff fps(2L)) ++ (fps(2L) diff fps(1L))
+    assert(symDiff.nonEmpty, "the edit must be visible")
+    // 3 changed shingles × (w windows before + the window at) × 2 docs
+    assert(symDiff.size <= 2 * 3 * 4,
+      s"edit perturbed ${symDiff.size} fingerprints — not insertion-local")
+    assert((fps(1L) intersect fps(2L)).nonEmpty, "distant regions unperturbed")
+  }
+
   // --- embedding dim stats -------------------------------------------------
 
   test("dimStats: 64 dims, n = corpus size, mean within [min,max], and bit-stable under repartitioning") {
