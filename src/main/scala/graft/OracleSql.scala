@@ -1165,6 +1165,20 @@ object OracleSql {
          |ORDER BY n DESC, token ASC""".stripMargin
     },
 
+    // grouped MG: same superset argument per group — the exact recount +
+    // threshold is what's checked, not the sketch internals
+    "text_heavy_by_lang" -> {
+      val k = TextAnalysis.HeavyHitterK
+      s"""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |tot AS (SELECT lang, count(*) AS n_total FROM t GROUP BY lang)
+         |SELECT t.lang, token, count(*) AS n
+         |FROM t JOIN tot ON t.lang = tot.lang
+         |GROUP BY t.lang, token, n_total
+         |HAVING count(*) * ${k + 1} > n_total
+         |ORDER BY t.lang ASC, n DESC, token ASC""".stripMargin
+    },
+
     // TF-IDF: same smoothed idf = ln((N+1)/(df+1)), same (score desc,
     // term asc) tie-break, row_number cast to Spark's INT
     "text_tfidf" ->

@@ -118,6 +118,7 @@ object SparkEntry {
     "text_collapse_repeats" -> (TextAnalysis.collapseRepeats _),
     "text_segment_dedup" -> (TextAnalysis.segmentDedup _),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
+    "text_heavy_by_lang" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHittersByLang(s, d)),
     "text_quality_gate" -> (TextAnalysis.qualityGateDynamic _),
     "text_count_min" -> (Sketches.countMinProbes _),
     "q_hll_distinct" -> (Sketches.hllDistinct _),

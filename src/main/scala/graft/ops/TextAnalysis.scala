@@ -221,6 +221,30 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
   }
 
+  /** Per-language heavy hitters — the same MG-superset → exact-recount →
+    * threshold recipe as [[heavyHitters]], with the sketch KEYED by lang:
+    * the TypedImperativeAggregate holds one O(k) buffer per group, so a
+    * grouped sketch costs |groups|·k counters however large the stream —
+    * the shape that scales to per-domain/per-source vocabularies at
+    * 100 TB. Deterministic for the same superset reason as the global
+    * variant, so fully oracle-checkable. */
+  def heavyHittersByLang(s: SparkSession, dir: String,
+      k: Int = HeavyHitterK): DataFrame = {
+    graft.functions.MisraGries.register(s)
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+    val cands = toks.groupBy(col("lang"))
+      .agg(expr(s"misra_gries(token, $k)").as("cand"),
+        count(lit(1)).as("n_total"))
+      .select(col("lang"), explode(col("cand")).as("token"), col("n_total"))
+    toks.join(broadcast(cands), Seq("lang", "token"))
+      .groupBy(col("lang"), col("token"), col("n_total"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * (k + 1) > col("n_total"))
+      .select(col("lang"), col("token"), col("n"))
+      .orderBy(col("lang").asc, col("n").desc, col("token").asc)
+  }
+
   /** Character-entropy quality signal (perplexity proxy without a model):
     * H = −Σ p(c)·ln p(c) over each document's character distribution.
     * Low entropy flags degenerate text (repeated boilerplate, single-char

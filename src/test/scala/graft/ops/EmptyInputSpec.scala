@@ -88,6 +88,9 @@ class EmptyInputSpec extends SparkSpec {
   test("curation-stack additions are empty-safe (PQ fails loudly: no sample, no codebook)") {
     assert(Redaction.redactDocuments(spark, emptyDir).count() === 0)
     assert(Dedup.canonicalGroups(spark, emptyDir).count() === 0)
+    assert(Dedup.containmentPairs(spark, emptyDir).count() === 0)
+    assert(TextAnalysis.winnow(spark, emptyDir).count() === 0)
+    assert(TextAnalysis.heavyHittersByLang(spark, emptyDir).count() === 0)
     val tmp = java.nio.file.Files.createTempDirectory("emptyemb").toString
     Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
       .write.parquet(s"$tmp/embeddings.parquet")
