@@ -22,7 +22,8 @@ object ExplainAll {
       "q_sql_custom",
       // round 5
       "q_pii_redact", "dedup_canonical", "emb_dim_stats", "ann_pq",
-      "q_iqr_outliers", "graph_pagerank", "q_zonemap_scan", "q_scd2")
+      "q_iqr_outliers", "graph_pagerank", "q_zonemap_scan", "q_scd2",
+      "dedup_containment", "text_winnow", "text_heavy_by_lang")
     val spark = SparkSession.builder().master("local[4]")
       .appName("graft-explain")
       .config("spark.sql.shuffle.partitions", "4")

@@ -121,6 +121,25 @@ class CurationExtrasSpec extends SparkSpec {
     assert((fps(1L) intersect fps(2L)).nonEmpty, "distant regions unperturbed")
   }
 
+  // --- plan shapes ---------------------------------------------------------
+
+  test("plan shapes: redaction is one scan + zero pre-sort exchanges; dim stats is one scan feeding a partial agg") {
+    val redPlan = Redaction.redactDocuments(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(redPlan).length === 1,
+      "redaction must be a single pass over documents")
+    // the only exchange allowed is the rangepartitioning for the final sort
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(redPlan).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"unexpected data shuffle in redaction plan: $exchanges")
+
+    val dimPlan = EmbeddingStats.dimStats(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(dimPlan).length === 1)
+    assert(dimPlan.contains("partial_count") || dimPlan.contains("HashAggregate"),
+      "dim stats must partial-aggregate map-side before the 64-group shuffle")
+  }
+
   // --- embedding dim stats -------------------------------------------------
 
   test("dimStats: 64 dims, n = corpus size, mean within [min,max], and bit-stable under repartitioning") {
