@@ -1165,6 +1165,26 @@ object OracleSql {
          |ORDER BY n DESC, token ASC""".stripMargin
     },
 
+    // MOSS stage 2 over the identical fingerprint stream; the sketch
+    // self-join + shared-count threshold replayed verbatim
+    "dedup_winnow_pairs" -> {
+      val h48 = SharedHash.duck48("s")
+      s"""WITH tok AS ($tokensCte),
+         |shl AS (SELECT doc_id, $shinglesCase AS sh FROM tok),
+         |u AS (SELECT doc_id, unnest(sh) AS s,
+         |  generate_subscripts(sh, 1) AS pos FROM shl),
+         |pos AS (SELECT doc_id, pos, $h48 AS h FROM u),
+         |sel AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id
+         |  ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM pos),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM sel)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*) AS n_shared
+         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY doc_a, doc_b HAVING count(*) >= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
     // grouped MG: same superset argument per group — the exact recount +
     // threshold is what's checked, not the sketch internals
     "text_heavy_by_lang" -> {

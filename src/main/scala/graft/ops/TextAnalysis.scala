@@ -163,7 +163,11 @@ object TextAnalysis {
     * agree on the truncated-window semantics) so the document suffix is
     * always covered. One window shuffle on doc_id; the hash stream is
     * 16 bytes/row — text never moves. */
-  def winnow(s: SparkSession, dir: String, w: Int = 4): DataFrame = {
+  def winnow(s: SparkSession, dir: String, w: Int = 4): DataFrame =
+    winnowSketch(s, dir, w).orderBy(col("doc_id"), col("fp"))
+
+  /** The unsorted (doc_id, fp) sketch — dataflow-shaped for consumers. */
+  private def winnowSketch(s: SparkSession, dir: String, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
@@ -171,7 +175,27 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
       .withColumn("fp", min(col("h")).over(win))
       .select(col("doc_id"), col("fp")).distinct()
-      .orderBy(col("doc_id"), col("fp"))
+  }
+
+  /** MOSS stage 2: near-dup candidate pairs from SHARED winnowing
+    * fingerprints — an inverted-index self-join like substring-gram
+    * dedup, but over the winnowed sketch, which keeps only ~2/(w+1) of
+    * the gram stream. That density bound is the point at scale: the
+    * fingerprint index (and its shuffle) is ~3× smaller than the full
+    * gram index for w=4 while the winnowing guarantee (one fingerprint
+    * per window) still catches any shared run of ≥ w+2 consecutive
+    * tokens. Pairs sharing ≥ `minShared` fingerprints survive. */
+  def winnowPairs(s: SparkSession, dir: String,
+      minShared: Int = 3): DataFrame = {
+    val fps = winnowSketch(s, dir, w = 4).cache()
+    fps.count() // both self-join sides consume the sketch
+    val pairs = fps.toDF("doc_a", "fp").join(fps.toDF("doc_b", "fp2"),
+        col("fp") === col("fp2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+    graft.ops.Caching.materializeAndRelease(pairs, fps)
   }
 
   /** SQL-text surface for the custom expression tier: the literal string

@@ -121,6 +121,18 @@ class CurationExtrasSpec extends SparkSpec {
     assert((fps(1L) intersect fps(2L)).nonEmpty, "distant regions unperturbed")
   }
 
+  test("winnowPairs: identical docs pair up via the sketch; disjoint docs never do") {
+    val a = (0 until 30).map(i => s"a$i").mkString(" ")
+    val c = (0 until 30).map(i => s"c$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("wp").toString
+    Seq((1L, a), (2L, a), (3L, c)).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.winnowPairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((1L, 2L)),
+      "identical docs share their whole sketch; disjoint docs share nothing")
+  }
+
   // --- plan shapes ---------------------------------------------------------
 
   test("plan shapes: redaction is one scan + zero pre-sort exchanges; dim stats is one scan feeding a partial agg") {
