@@ -146,8 +146,13 @@ object Similarity {
       .withColumn("fv", array_to_vector(col("e")))
       .cache()
     // a coarse quantizer needs rough cells, not convergence — cap sweeps
+    // and train on a deterministic BOUNDED sample (~8k vectors): centroids
+    // are statistics of the distribution, so at corpus scale the fit cost
+    // must not grow with N (assignment below still touches every vector)
+    val step = math.max(1L, e.count() / 8000L)
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(e.filter(col("vec_id") % step === 0))
     val assigned = model.transform(e)
       .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
 
@@ -261,8 +266,12 @@ object Similarity {
 
     val e = embedded(s, dir)
       .withColumn("fv", array_to_vector(col("e"))).cache()
+    // bounded-sample quantizer fit, same rationale as ivfTopK: the cell
+    // structure is a distribution statistic; only assignment is O(N)
+    val step = math.max(1L, e.count() / 8000L)
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(e.filter(col("vec_id") % step === 0))
     val assigned = model.transform(e)
       .select(col("vec_id"), col("e"), col("nrm"), col("cell")).cache()
     assigned.count() // multi-consumer: both pair sides + the final join
