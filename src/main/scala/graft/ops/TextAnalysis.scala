@@ -159,15 +159,27 @@ object TextAnalysis {
     * whose density is guaranteed (≥ 1 fingerprint per w positions) yet
     * insertion-local (an edit perturbs only the windows covering it),
     * which plain modulo-sampling (`fingerprint`'s shard) can't offer.
-    * Tail windows shorter than w are included (both engines' ROWS frames
-    * agree on the truncated-window semantics) so the document suffix is
-    * always covered. One window shuffle on doc_id; the hash stream is
-    * 16 bytes/row — text never moves. */
+    * Tail windows shorter than w are included (the fold's truncated
+    * `slice` ≡ the window's truncated ROWS frame) so the document suffix
+    * is always covered. One tiny window shuffle of 16-byte rows — text
+    * never moves; see [[winnowSketch]] for the measured formulation
+    * choice. */
   def winnow(s: SparkSession, dir: String, w: Int = 4): DataFrame =
     winnowSketch(s, dir, w).orderBy(col("doc_id"), col("fp"))
 
-  /** The unsorted (doc_id, fp) sketch — dataflow-shaped for consumers. */
-  private def winnowSketch(s: SparkSession, dir: String, w: Int): DataFrame = {
+  /** The unsorted (doc_id, fp) sketch. Two formulations exist and are
+    * spec-pinned equal: this codegen'd window (the batch default — the
+    * doc_id exchange moves 16-byte rows and the frame min is a running
+    * codegen aggregate) and the per-row [[winnowOf]] fold (the streaming
+    * twin). Measured at sf0.1: window 0.7–1.0 s vs fold ~4 s — HOFs
+    * aren't codegen'd and the per-position `slice` allocates, so
+    * "shuffle-free" loses to codegen here; kept the measurement, not the
+    * intuition. */
+  private def winnowSketch(s: SparkSession, dir: String, w: Int): DataFrame =
+    winnowWindowed(s, dir, w)
+
+  private[ops] def winnowWindowed(s: SparkSession, dir: String,
+      w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
@@ -176,6 +188,21 @@ object TextAnalysis {
       .withColumn("fp", min(col("h")).over(win))
       .select(col("doc_id"), col("fp")).distinct()
   }
+
+  /** The same winnowing sketch as a PER-ROW higher-order-function fold —
+    * each doc's sliding minima come from
+    * `transform(sequence, i -> array_min(slice(hs, i, w)))` over its own
+    * hash array. Semantically identical to the windowed batch form
+    * (spec-pinned); its role is the STREAMING twin: stateless per row, so
+    * it runs unchanged on a stream where window functions can't (the
+    * StreamingSpec parity test). Batch consumers should prefer
+    * [[winnow]] — see the measured note on [[winnowSketch]]. */
+  def winnowOf(docs: DataFrame, w: Int = 4): DataFrame =
+    Dedup.shingled(docs)
+      .withColumn("fps", expr(
+        s"array_distinct(transform(sequence(1, size(hs)), i -> " +
+          s"array_min(slice(hs, i, $w))))"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
 
   /** MOSS stage 2: near-dup candidate pairs from SHARED winnowing
     * fingerprints — an inverted-index self-join like substring-gram

@@ -121,6 +121,16 @@ class CurationExtrasSpec extends SparkSpec {
     assert((fps(1L) intersect fps(2L)).nonEmpty, "distant regions unperturbed")
   }
 
+  test("winnowOf (per-row HOF fold) emits exactly the windowed twin's sketch") {
+    val docs = Tables.documents(spark, dir)
+    val hof = TextAnalysis.winnowOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val win = TextAnalysis.winnowWindowed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hof === win)
+    assert(hof.nonEmpty)
+  }
+
   test("winnowPairs: identical docs pair up via the sketch; disjoint docs never do") {
     val a = (0 until 30).map(i => s"a$i").mkString(" ")
     val c = (0 until 30).map(i => s"c$i").mkString(" ")

@@ -250,6 +250,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("winnowing sketch: the per-row HOF fold streams unchanged and " +
+      "equals the batch window formulation") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+    val rows = docs.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.TextAnalysis.winnowOf(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("winnow_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, fp FROM winnow_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.ops.TextAnalysis.winnow(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
