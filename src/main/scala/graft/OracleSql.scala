@@ -1185,6 +1185,34 @@ object OracleSql {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
+    // bipartite winnow probe: same delta bucket as dedup_incremental,
+    // same fingerprint stream as text_winnow, best match by
+    // (n_shared desc, ex_id asc) row_number — replayed verbatim
+    "dedup_winnow_probe" -> {
+      val h48 = SharedHash.duck48("s")
+      val isInc = s"(${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 10) = 9"
+      s"""WITH tok AS (SELECT doc_id, text,
+         |  string_split(text, ' ') AS tokens, $isInc AS is_inc
+         |  FROM documents),
+         |shl AS (SELECT doc_id, is_inc, $shinglesCase AS sh FROM tok),
+         |u AS (SELECT doc_id, is_inc, unnest(sh) AS s,
+         |  generate_subscripts(sh, 1) AS pos FROM shl),
+         |pos AS (SELECT doc_id, is_inc, pos, $h48 AS h FROM u),
+         |sel AS (SELECT doc_id, is_inc, min(h) OVER (PARTITION BY doc_id
+         |  ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM pos),
+         |fps AS (SELECT DISTINCT doc_id, is_inc, fp FROM sel),
+         |shared AS (SELECT a.doc_id, b.doc_id AS ex_id, count(*) AS n_shared
+         |  FROM fps a JOIN fps b ON a.fp = b.fp
+         |  WHERE a.is_inc AND NOT b.is_inc
+         |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3),
+         |ranked AS (SELECT doc_id, ex_id AS best_match, n_shared,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY n_shared DESC, ex_id ASC) AS INT) AS rnk FROM shared)
+         |SELECT doc_id, best_match, n_shared FROM ranked WHERE rnk = 1
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // grouped MG: same superset argument per group — the exact recount +
     // threshold is what's checked, not the sketch internals
     "text_heavy_by_lang" -> {

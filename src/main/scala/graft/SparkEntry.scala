@@ -135,6 +135,7 @@ object SparkEntry {
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "text_winnow" -> ((s: SparkSession, d: String) => TextAnalysis.winnow(s, d)),
     "dedup_winnow_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.winnowPairs(s, d)),
+    "dedup_winnow_probe" -> ((s: SparkSession, d: String) => TextAnalysis.winnowProbe(s, d)),
     "dedup_clusters" -> (Dedup.minhashClusters _),
     "corpus_curate" -> (Corpus.curateQuery _),
     "corpus_pack" -> (Corpus.packBins _),

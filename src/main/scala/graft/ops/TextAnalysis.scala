@@ -179,14 +179,46 @@ object TextAnalysis {
     winnowWindowed(s, dir, w)
 
   private[ops] def winnowWindowed(s: SparkSession, dir: String,
-      w: Int = 4): DataFrame = {
+      w: Int = 4): DataFrame =
+    winnowWindowedOf(Tables.documents(s, dir), w)
+
+  private[ops] def winnowWindowedOf(docs: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
-    Dedup.withShingles(s, dir)
+    Dedup.shingled(docs)
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
       .withColumn("fp", min(col("h")).over(win))
       .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Incremental winnow probe: the delta docs' sketches probe the
+    * STANDING corpus's fingerprint index bipartitely — the winnow-flavored
+    * twin of [[graft.ops.Dedup.incrementalDedup]]'s band probe, with the
+    * same hash-bucket delta convention. Work is O(delta × collisions);
+    * at scale the standing fingerprint index is precomputed and appended
+    * incrementally (it is exactly the [[winnow]] output), so an intake
+    * batch never rescans the corpus. Emits each delta doc's best standing
+    * match (most shared fingerprints, ties to the smaller id). */
+  def winnowProbe(s: SparkSession, dir: String,
+      minShared: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.SharedHash
+    val bucket =
+      expr(s"pmod(${SharedHash.spark48("cast(doc_id AS STRING)")}, 10)")
+    val docs = Tables.documents(s, dir).withColumn("b", bucket)
+    val fpInc = winnowWindowedOf(docs.filter(col("b") === 9).drop("b"), 4)
+    val fpEx = winnowWindowedOf(docs.filter(col("b") =!= 9).drop("b"), 4)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_shared").desc, col("ex_id").asc)
+    fpInc.join(fpEx.toDF("ex_id", "fp"), "fp")
+      .groupBy(col("doc_id"), col("ex_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("ex_id").as("best_match"), col("n_shared"))
+      .orderBy(col("doc_id"))
   }
 
   /** The same winnowing sketch as a PER-ROW higher-order-function fold —

@@ -143,6 +143,34 @@ class CurationExtrasSpec extends SparkSpec {
       "identical docs share their whole sketch; disjoint docs share nothing")
   }
 
+  test("winnowProbe: a delta copy of a standing doc finds it as best match with its full sketch shared") {
+    import graft.functions.SharedHash
+    // find ids on each side of the delta bucket with the real convention
+    val buckets = (0L until 50L).toDF("doc_id")
+      .select(col("doc_id"),
+        expr(s"pmod(${SharedHash.spark48("cast(doc_id AS STRING)")}, 10)").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incId = buckets.collectFirst { case (id, 9L) => id }.get
+    val exId = buckets.collectFirst { case (id, b) if b != 9L => id }.get
+    val otherEx = buckets.collectFirst {
+      case (id, b) if b != 9L && id != exId => id }.get
+
+    val t = (0 until 25).map(i => s"tok$i").mkString(" ")
+    val other = (0 until 25).map(i => s"z$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("probe").toString
+    Seq((incId, t), (exId, t), (otherEx, other)).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+
+    val rows = TextAnalysis.winnowProbe(spark, tmp).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === incId)
+    assert(rows.head.getLong(1) === exId)
+    val sketchSize = TextAnalysis.winnow(spark, tmp).collect()
+      .count(_.getLong(0) == incId)
+    assert(rows.head.getLong(2) === sketchSize,
+      "identical copy shares its entire sketch")
+  }
+
   // --- plan shapes ---------------------------------------------------------
 
   test("plan shapes: redaction is one scan + zero pre-sort exchanges; dim stats is one scan feeding a partial agg") {

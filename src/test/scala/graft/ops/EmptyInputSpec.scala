@@ -91,6 +91,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.containmentPairs(spark, emptyDir).count() === 0)
     assert(TextAnalysis.winnow(spark, emptyDir).count() === 0)
     assert(TextAnalysis.heavyHittersByLang(spark, emptyDir).count() === 0)
+    assert(TextAnalysis.winnowPairs(spark, emptyDir).count() === 0)
+    assert(TextAnalysis.winnowProbe(spark, emptyDir).count() === 0)
     val tmp = java.nio.file.Files.createTempDirectory("emptyemb").toString
     Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
       .write.parquet(s"$tmp/embeddings.parquet")
