@@ -91,6 +91,26 @@ class CurationExtrasSpec extends SparkSpec {
     assert(jac < 1.0 && jac > 0.0)
   }
 
+  test("containmentPairs: every emitted pair matches a driver-side recount from raw text") {
+    val texts = sf("documents").selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ")
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(t)
+    }
+    val rows = Dedup.containmentPairs(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (shingles(texts(r.getLong(0))), shingles(texts(r.getLong(1))))
+      val shared = (a intersect b).size.toDouble
+      def rd(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === rd(shared / a.size), s"cont_a for $r")
+      assert(r.getDouble(3) === rd(shared / b.size), s"cont_b for $r")
+    }
+  }
+
   // --- winnowing -----------------------------------------------------------
 
   test("winnow: every doc keeps >=1 fingerprint; a mid-doc edit perturbs only a bounded neighborhood of the sketch") {
