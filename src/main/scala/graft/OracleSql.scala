@@ -338,6 +338,20 @@ object OracleSql {
         | round(quantile_cont(value, 0.9), 4) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // identical bucket arithmetic on both engines: boundary values land
+    // in the same bin bit-for-bit (floor of the same IEEE expression)
+    "q_histogram" ->
+      """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+        |SELECT CAST(least(19, floor((e.value - b.mn) / (b.mx - b.mn) * 20))
+        |    AS INT) AS bucket,
+        |  count(*) AS n,
+        |  round(max(b.mn) + CAST(least(19, floor((e.value - b.mn) / (b.mx - b.mn) * 20)) AS INT)
+        |    * (max(b.mx) - max(b.mn)) / 20, 4) AS lo,
+        |  round(max(b.mn) + (CAST(least(19, floor((e.value - b.mn) / (b.mx - b.mn) * 20)) AS INT) + 1)
+        |    * (max(b.mx) - max(b.mn)) / 20, 4) AS hi
+        |FROM events e CROSS JOIN b
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     // fences rounded to 6 decimals pre-comparison on BOTH engines so the
     // independently-interpolated quantiles agree at the boundary
     "q_iqr_outliers" ->
@@ -966,6 +980,31 @@ object OracleSql {
       val collide = (0 until NumBands).map { j =>
         s"((q.bucket >> ${j * BitsPerBand}) & $mask) = " +
           s"((c.bucket >> ${j * BitsPerBand}) & $mask)"
+      }.mkString(" OR ")
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, CAST($lshBucketTerms AS INT) AS bucket FROM n),
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+         |  FROM b q JOIN b c
+         |  ON q.vec_id < 5 AND q.vec_id <> c.vec_id AND ($collide)),
+         |p AS (SELECT q_id, c_id,
+         |  round(${dotChain("a.e", "d.e")} / (sqrt(a.nrm) * sqrt(d.nrm)), 6) AS sim
+         |  FROM cand JOIN n a ON a.vec_id = q_id JOIN n d ON d.vec_id = c_id),
+         |r AS (SELECT q_id, c_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, c_id ASC) AS INT) AS rnk FROM p)
+         |SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
+    },
+
+    // multi-probe: the probe-key enumeration on the Spark side is
+    // semantically "some band differs by ≤1 bit" — stated here directly
+    // via bit_count(xor) so the two formulations cross-check each other
+    "ann_lsh_multiprobe" -> {
+      import graft.ops.Similarity.{NumBands, BitsPerBand}
+      val mask = (1 << BitsPerBand) - 1
+      val collide = (0 until NumBands).map { j =>
+        s"bit_count(CAST(xor((q.bucket >> ${j * BitsPerBand}) & $mask, " +
+          s"(c.bucket >> ${j * BitsPerBand}) & $mask) AS BIGINT)) <= 1"
       }.mkString(" OR ")
       s"""WITH $embCte,
          |b AS (SELECT vec_id, CAST($lshBucketTerms AS INT) AS bucket FROM n),

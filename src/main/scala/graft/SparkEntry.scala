@@ -96,6 +96,7 @@ object SparkEntry {
     "q_profile" -> (Profiler.lineitemProfile _),
     "q_dq_report" -> (DataQuality.qualityReport _),
     "q_iqr_outliers" -> (DataQuality.iqrOutliers _),
+    "q_histogram" -> ((s: SparkSession, d: String) => DataQuality.valueHistogram(s, d)),
     "q_funnel" -> (Analytics.funnel _),
     "q_gapfill" -> (Analytics.gapFillDaily _),
     "dedup_triangles" -> (Dedup.minhashTriangles _),
@@ -154,6 +155,7 @@ object SparkEntry {
     // similarity search
     "ann_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => Similarity.lshTopKMultiProbe(s, d)),
     "ann_lsh_buckets" -> (Similarity.lshBuckets _),
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "ann_pq" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),

@@ -69,6 +69,31 @@ object DataQuality {
       .orderBy(col("check"))
   }
 
+  /** Equi-width histogram of events.value: 20 buckets over the observed
+    * [min, max] — the value-distribution profile q_profile's scalar stats
+    * and q_quartiles' rank buckets don't show. Two passes by necessity
+    * (exact global bounds first); the second pass is a codegen'd
+    * bucket-index projection into a 20-group aggregate, with the 2-row
+    * bounds frame broadcast. The bucket arithmetic
+    * (`least(19, floor((v-mn)/(mx-mn)*20))`) is written identically in
+    * the oracle so boundary values land in the same bin bit-for-bit. */
+  def valueHistogram(s: SparkSession, dir: String,
+      buckets: Int = 20): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bounds = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(lit(buckets - 1),
+          floor((col("value") - col("mn")) / (col("mx") - col("mn"))
+            * buckets)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(max(col("mn")) + col("bucket") * (max(col("mx")) - max(col("mn"))) / buckets, 4).as("lo"),
+        round(max(col("mn")) + (col("bucket") + 1) * (max(col("mx")) - max(col("mn"))) / buckets, 4).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   /** Tukey-fence outlier gate per event_type: rows outside
     * [q1 − 1.5·IQR, q3 + 1.5·IQR] are flagged. Two passes by necessity
     * (the fences are exact quantiles of the whole group — the

@@ -132,6 +132,58 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Multi-probe LSH top-k: each query probes its own band key AND every
+    * key at hamming distance 1 within the band (bit-flip probes) — the
+    * standard trick for recovering recall without adding hyperplanes,
+    * since a near-neighbor that disagrees on ONE plane of a band is the
+    * most likely miss. Candidate generation stays an EQUI-join (the probe
+    * keys are enumerated on the tiny query side: ×(1+bitsPerBand) rows,
+    * broadcast); the corpus-side band index is untouched — the shape that
+    * scales. Fully deterministic like [[lshTopK]], so the oracle checks
+    * it end-to-end via the equivalent hamming≤1 band condition. */
+  def lshTopKMultiProbe(s: SparkSession, dir: String, k: Int = 5,
+      numQueries: Int = 5): DataFrame = {
+    val e = withBuckets(embedded(s, dir))
+    val mask = (1 << BitsPerBand) - 1
+    def bandKey(j: Int) =
+      expr(s"(bucket >> ${j * BitsPerBand}) & $mask")
+
+    val bandStructs = (0 until NumBands).map { j =>
+      struct(lit(j).as("band"), bandKey(j).as("key"))
+    }
+    val c = e.select(col("vec_id"), col("e"), col("nrm"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("vec_id").as("c_id"), col("e").as("ce"),
+        col("nrm").as("cn"), col("b.band").as("band"), col("b.key").as("key"))
+
+    // query side: exact key + one flipped-bit probe per plane of the band
+    val probeStructs = (0 until NumBands).flatMap { j =>
+      struct(lit(j).as("band"), bandKey(j).as("key")) +:
+        (0 until BitsPerBand).map { b =>
+          struct(lit(j).as("band"),
+            bandKey(j).bitwiseXOR(lit(1 << b)).as("key"))
+        }
+    }
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("nrm").as("qn"), explode(array(probeStructs: _*)).as("b"))
+      .select(col("q_id"), col("qe"), col("qn"),
+        col("b.band").as("band"), col("b.key").as("key"))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    broadcast(q).join(c, Seq("band", "key"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("qe"), col("qn"), col("c_id"), col("ce"), col("cn"))
+      .distinct()
+      .withColumn("sim", round(
+        expr("vec_dot(qe, ce)") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** IVF (inverted-file) approximate top-k: k-means coarse quantizer (seeded
     * ml.KMeans), vectors assigned to their nearest centroid, queries probe
     * the `nProbe` nearest cells and score only those candidates. The

@@ -348,6 +348,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF recall (nprobe=4/16 cells): $recall")
   }
 
+  test("multi-probe LSH recall dominates single-probe (probe set is a superset)") {
+    def keyset(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = keyset(Similarity.bruteForceTopK(spark, dir).collect())
+    val single = keyset(Similarity.lshTopK(spark, dir).collect())
+    val multi = keyset(Similarity.lshTopKMultiProbe(spark, dir).collect())
+    val rs = (exact & single).size.toDouble / exact.size
+    val rm = (exact & multi).size.toDouble / exact.size
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    assert(rm > 0.2, s"multi-probe recall too low: $rm")
+  }
+
   test("PQ+rerank top-k: exact-rerank scores, high recall, deterministic") {
     def keyed(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
