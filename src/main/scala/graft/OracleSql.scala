@@ -339,33 +339,39 @@ object OracleSql {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // identical bucket arithmetic on both engines: boundary values land
-    // in the same bin bit-for-bit (floor of the same IEEE expression)
+    // in the same bin bit-for-bit (floor of the same IEEE expression);
+    // the degenerate all-equal range (Spark 0/0=NaN, DuckDB 0/0=NULL) is
+    // CASEd to bucket 0 on both
     "q_histogram" ->
-      """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
-        |SELECT CAST(least(19, floor((e.value - b.mn) / (b.mx - b.mn) * 20))
-        |    AS INT) AS bucket,
-        |  count(*) AS n,
-        |  round(max(b.mn) + CAST(least(19, floor((e.value - b.mn) / (b.mx - b.mn) * 20)) AS INT)
-        |    * (max(b.mx) - max(b.mn)) / 20, 4) AS lo,
-        |  round(max(b.mn) + (CAST(least(19, floor((e.value - b.mn) / (b.mx - b.mn) * 20)) AS INT) + 1)
-        |    * (max(b.mx) - max(b.mn)) / 20, 4) AS hi
-        |FROM events e CROSS JOIN b
-        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+      """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+        |e AS (SELECT
+        |  CASE WHEN b.mx = b.mn THEN 0
+        |    ELSE CAST(least(19, floor((ev.value - b.mn) / (b.mx - b.mn) * 20)) AS INT)
+        |  END AS bucket, b.mn AS mn, b.mx AS mx
+        |  FROM events ev CROSS JOIN b)
+        |SELECT bucket, count(*) AS n,
+        |  round(max(mn) + bucket * (max(mx) - max(mn)) / 20, 4) AS lo,
+        |  round(max(mn) + (bucket + 1) * (max(mx) - max(mn)) / 20, 4) AS hi
+        |FROM e GROUP BY bucket ORDER BY bucket""".stripMargin,
 
-    // fences rounded to 6 decimals pre-comparison on BOTH engines so the
-    // independently-interpolated quantiles agree at the boundary
+    // fences AND values carried as integer micro-units (round(x*1e6) as
+    // BIGINT, the emb_dim_stats float-sum rule): the comparison and the
+    // output hash are exact integer ops on both engines
     "q_iqr_outliers" ->
       """WITH b AS (
         |  SELECT event_type,
-        |    round(quantile_cont(value, 0.25)
-        |      - (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 1.5, 6) AS lo,
-        |    round(quantile_cont(value, 0.75)
-        |      + (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 1.5, 6) AS hi
+        |    CAST(round((quantile_cont(value, 0.25)
+        |      - (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 1.5) * 1e6)
+        |      AS BIGINT) AS lo_micro,
+        |    CAST(round((quantile_cont(value, 0.75)
+        |      + (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 1.5) * 1e6)
+        |      AS BIGINT) AS hi_micro
         |  FROM events GROUP BY event_type)
         |SELECT e.event_type, count(*) AS n,
-        |  CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi
+        |  CAST(sum(CASE WHEN CAST(round(e.value * 1e6) AS BIGINT) < b.lo_micro
+        |    OR CAST(round(e.value * 1e6) AS BIGINT) > b.hi_micro
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        |  round(max(b.lo), 6) AS lo, round(max(b.hi), 6) AS hi
+        |  max(b.lo_micro) AS lo_micro, max(b.hi_micro) AS hi_micro
         |FROM events e JOIN b ON e.event_type = b.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
@@ -698,21 +704,28 @@ object OracleSql {
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
 
     // same masking chain, same order (email -> phone -> IPv4 -> deny terms);
-    // RE2 and java.util.regex agree on these character-class patterns
+    // RE2 and java.util.regex agree on these character-class patterns.
+    // n_term_hits counts on the PII-masked intermediate (= number of [TERM]
+    // tags emitted); changed = red_text actually differs from the original
+    // (so PII-only edits count too) — both mirror Redaction.redactDocuments.
     "q_pii_redact" ->
-      """SELECT doc_id, red_text, n_term_hits, (n_term_hits > 0) AS changed
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(pii_text,
+        |    '(?i)\bspark\b', '[TERM]', 'g'),
+        |    '(?i)\bcustomer\b', '[TERM]', 'g') AS red_text,
+        |  CAST(len(regexp_split_to_array(pii_text, '(?i)\bspark\b')) - 1
+        |     + len(regexp_split_to_array(pii_text, '(?i)\bcustomer\b')) - 1 AS INT)
+        |    AS n_term_hits,
+        |  (regexp_replace(regexp_replace(pii_text,
+        |    '(?i)\bspark\b', '[TERM]', 'g'),
+        |    '(?i)\bcustomer\b', '[TERM]', 'g') <> text) AS changed
         |FROM (
-        |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(text,
-        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |        '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
-        |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
-        |        '(?i)\bspark\b', '[TERM]', 'g'),
-        |        '(?i)\bcustomer\b', '[TERM]', 'g') AS red_text,
-        |    CAST(len(regexp_split_to_array(text, '(?i)\bspark\b')) - 1
-        |       + len(regexp_split_to_array(text, '(?i)\bcustomer\b')) - 1 AS INT)
-        |      AS n_term_hits
+        |  SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')
+        |      AS pii_text
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
 

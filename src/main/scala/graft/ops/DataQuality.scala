@@ -76,16 +76,20 @@ object DataQuality {
     * bucket-index projection into a 20-group aggregate, with the 2-row
     * bounds frame broadcast. The bucket arithmetic
     * (`least(19, floor((v-mn)/(mx-mn)*20))`) is written identically in
-    * the oracle so boundary values land in the same bin bit-for-bit. */
+    * the oracle so boundary values land in the same bin bit-for-bit. The
+    * degenerate range (all values equal, or a single row) is guarded:
+    * Spark's 0.0/0.0 is NaN while DuckDB's is NULL, so both engines CASE
+    * it to bucket 0 explicitly. */
   def valueHistogram(s: SparkSession, dir: String,
       buckets: Int = 20): DataFrame = {
     val ev = Tables.events(s, dir)
     val bounds = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
     ev.crossJoin(broadcast(bounds))
       .withColumn("bucket",
-        least(lit(buckets - 1),
-          floor((col("value") - col("mn")) / (col("mx") - col("mn"))
-            * buckets)).cast("int"))
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(buckets - 1).cast("long"),
+            floor((col("value") - col("mn")) / (col("mx") - col("mn"))
+              * buckets))).cast("int"))
       .groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("n"),
@@ -98,27 +102,32 @@ object DataQuality {
     * [q1 − 1.5·IQR, q3 + 1.5·IQR] are flagged. Two passes by necessity
     * (the fences are exact quantiles of the whole group — the
     * sketch-based single-pass variant is approxPercentiles' trade), but
-    * the second pass joins only a broadcast 3-row bounds table. The
-    * fences are rounded to 6 decimals BEFORE comparison so the oracle's
-    * independently-interpolated quantiles (quantile_cont) agree with
-    * Spark's percentile at the comparison boundary, not just in the
-    * printed output. */
+    * the second pass joins only a broadcast 3-row bounds table. Fences
+    * AND values are carried as integer micro-units (round(x·1e6) as
+    * BIGINT, the emb_dim_stats float-sum rule) so the comparison and the
+    * output hash are exact integer operations on both engines — no
+    * round-to-6-decimals boundary flake between Spark's percentile and
+    * DuckDB's quantile_cont. */
   def iqrOutliers(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val bounds = ev.groupBy(col("event_type")).agg(
         expr("percentile(value, 0.25)").as("q1"),
         expr("percentile(value, 0.75)").as("q3"))
       .select(col("event_type"),
-        round(col("q1") - (col("q3") - col("q1")) * 1.5, 6).as("lo"),
-        round(col("q3") + (col("q3") - col("q1")) * 1.5, 6).as("hi"))
-    ev.join(broadcast(bounds), "event_type")
+        round((col("q1") - (col("q3") - col("q1")) * 1.5) * 1e6, 0)
+          .cast("long").as("lo_micro"),
+        round((col("q3") + (col("q3") - col("q1")) * 1.5) * 1e6, 0)
+          .cast("long").as("hi_micro"))
+    ev.withColumn("v_micro", round(col("value") * 1e6, 0).cast("long"))
+      .join(broadcast(bounds), "event_type")
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+        sum(when(col("v_micro") < col("lo_micro")
+          || col("v_micro") > col("hi_micro"), 1L)
           .otherwise(0L)).as("n_outliers"),
-        round(max(col("lo")), 6).as("lo"),
-        round(max(col("hi")), 6).as("hi"))
+        max(col("lo_micro")).as("lo_micro"),
+        max(col("hi_micro")).as("hi_micro"))
       .orderBy(col("event_type"))
   }
 }

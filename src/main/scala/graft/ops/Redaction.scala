@@ -37,34 +37,52 @@ object Redaction {
     * list. (?i) is an inline flag in both java.util.regex and RE2. */
   private def termRe(t: String): String = s"(?i)\\b$t\\b"
 
-  /** The full masking chain as a single nested column expression: email →
-    * phone → IPv4 → deny terms, replacement tags in square brackets. Order
-    * matters (a phone inside an email is already masked) and is identical
-    * in the oracle. */
-  def redacted(text: Column, denyTerms: Seq[String] = DenyTerms): Column = {
-    val pii = regexp_replace(
+  /** PII stage alone: email → phone → IPv4. Order matters (a phone inside
+    * an email is already masked) and is identical in the oracle. */
+  def piiMasked(text: Column): Column =
+    regexp_replace(
       regexp_replace(
         regexp_replace(text, EmailRe, "[EMAIL]"),
         PhoneRe, "[PHONE]"),
       Ipv4Re, "[IP]")
-    denyTerms.foldLeft(pii)((c, t) => regexp_replace(c, termRe(t), "[TERM]"))
-  }
+
+  /** The full masking chain as a single nested column expression: email →
+    * phone → IPv4 → deny terms, replacement tags in square brackets. */
+  def redacted(text: Column, denyTerms: Seq[String] = DenyTerms): Column =
+    denyTerms.foldLeft(piiMasked(text))((c, t) =>
+      regexp_replace(c, termRe(t), "[TERM]"))
 
   /** Count of deny-term hits per document (split-based so no regex-count
-    * builtin is needed on either engine): Σ (elements(split on term) − 1). */
+    * builtin is needed on either engine): Σ (elements(split on term) − 1).
+    * Callers pass the PII-masked intermediate so every counted hit is one
+    * that actually produces a [TERM] tag (a deny term hiding inside an
+    * email/phone/IP span is masked by the PII stage and never tagged). */
   def termHits(text: Column, denyTerms: Seq[String] = DenyTerms): Column =
     denyTerms.map(t => size(split(text, termRe(t), -1)) - 1)
       .reduce(_ + _)
 
   /** Harness query: per-document redacted text + deny-term hit count +
-    * a changed flag; ordered by doc_id for the hash compare. */
+    * a changed flag; ordered by doc_id for the hash compare.
+    *
+    * `n_term_hits` is counted on the PII-masked intermediate (so it equals
+    * the number of [TERM] tags emitted) and `changed` is the real thing —
+    * "did any mask fire" — i.e. red_text differs from the original, so
+    * PII-only edits count too. Both definitions are mirrored byte-for-byte
+    * in the q_pii_redact oracle. */
   def redactDocuments(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     d.select(
         col("doc_id"),
-        redacted(col("text")).as("red_text"),
-        termHits(col("text")).cast("int").as("n_term_hits"))
-      .withColumn("changed", (col("n_term_hits") > 0).cast("boolean"))
+        col("text"),
+        piiMasked(col("text")).as("pii_text"))
+      .select(
+        col("doc_id"),
+        DenyTerms.foldLeft(col("pii_text"))((c, t) =>
+          regexp_replace(c, termRe(t), "[TERM]")).as("red_text"),
+        termHits(col("pii_text")).cast("int").as("n_term_hits"),
+        col("text"))
+      .withColumn("changed", (col("red_text") =!= col("text")).cast("boolean"))
+      .drop("text")
       .orderBy(col("doc_id"))
   }
 }

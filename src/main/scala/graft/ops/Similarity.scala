@@ -42,6 +42,20 @@ object Similarity {
     IndexedSeq.fill(NumPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
   }
 
+  /** Deterministic ~1/step sample for bounded quantizer fits that does NOT
+    * assume dense/contiguous vec_ids (r5 ADVICE): rate comes from a pmod of
+    * the engine-portable 48-bit hash of the id, so sparse or strided id
+    * spaces sample at the same rate as dense ones. Falls back to the full
+    * frame when the realized sample is too small for the downstream fit
+    * (k-means `require(n >= k)`). */
+  private def hashSample(df: DataFrame, step: Long, minRows: Long): DataFrame =
+    if (step <= 1L) df
+    else {
+      val h = graft.functions.SharedHash.spark48("cast(vec_id AS string)")
+      val sampled = df.filter(expr(s"pmod($h, $step)") === 0)
+      if (sampled.count() >= minRows) sampled else df
+    }
+
   /** All vector math below uses the native codegen vec_dot expression; its
     * accumulation order is bit-identical to the HOF fold and the oracle's
     * term chain (see VecDotImpl), so oracle hash-matches are preserved. */
@@ -204,7 +218,7 @@ object Similarity {
     val step = math.max(1L, e.count() / 8000L)
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(e.filter(col("vec_id") % step === 0))
+      .fit(hashSample(e, step, nCells))
     val assigned = model.transform(e)
       .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
 
@@ -323,7 +337,7 @@ object Similarity {
     val step = math.max(1L, e.count() / 8000L)
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(e.filter(col("vec_id") % step === 0))
+      .fit(hashSample(e, step, nCells))
     val assigned = model.transform(e)
       .select(col("vec_id"), col("e"), col("nrm"), col("cell")).cache()
     assigned.count() // multi-consumer: both pair sides + the final join
@@ -443,7 +457,7 @@ object Similarity {
       df.withColumn(s"sub_$j", slice(col("e"), j * subDim + 1, subDim))
     }
     val step = math.max(1L, e.count() / 4000L)
-    val sampleRows = withSubs.filter(col("vec_id") % step === 0)
+    val sampleRows = hashSample(withSubs, step, kCodes)
       .select((0 until m).map(j => col(s"sub_$j")): _*).collect()
     val codebooks: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
       val pts = sampleRows.map(_.getSeq[Double](j).toArray)

@@ -315,7 +315,7 @@ object StreamingOps {
     incoming
       .withColumn("red_text", Redaction.redacted(col("text")))
       .withColumn("n_term_hits",
-        Redaction.termHits(col("text")).cast("int"))
+        Redaction.termHits(Redaction.piiMasked(col("text"))).cast("int"))
       .withColumn("fp", canonFp(col("red_text")))
       .join(digests, Seq("fp"), "left_outer")
       .select(col("doc_id"), col("red_text"), col("n_term_hits"),

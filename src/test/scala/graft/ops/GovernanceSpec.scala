@@ -24,12 +24,16 @@ class GovernanceSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val out = DataQuality.iqrOutliers(spark, dir).collect()
     assert(out.nonEmpty)
+    // recount in the same integer micro-units the operator compares in
+    // (HALF_UP = away-from-zero, matching Spark's round and DuckDB's)
+    def micro(v: Double): Long =
+      BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("value")).collect()
-      .map(r => r.getString(0) -> r.getDouble(1))
+      .map(r => r.getString(0) -> micro(r.getDouble(1)))
     out.foreach { r =>
       val (et, n, nOut, lo, hi) = (r.getString(0), r.getLong(1),
-        r.getLong(2), r.getDouble(3), r.getDouble(4))
+        r.getLong(2), r.getLong(3), r.getLong(4))
       assert(lo < hi)
       val vals = ev.filter(_._1 == et).map(_._2)
       assert(n === vals.length)
