@@ -121,7 +121,7 @@ object OracleSql {
       |ORDER BY doc_id""".stripMargin
 
   // -----------------------------------------------------------------------
-  val sql: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
 
     "q_agg_lineitem" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1570,4 +1570,13 @@ object OracleSql {
         |UNION ALL SELECT '3_purchase', count(*) FROM t3
         |ORDER BY stage""".stripMargin
   )
+
+  /** The `_indexed` intake variants answer the SAME question from the
+    * persisted standing index ([[graft.sources.IndexStore]]); their output
+    * contract is byte-identical to the recompute-in-query forms, so they
+    * share the oracle — the hash match is exactly the claim that probing
+    * the persisted index loses nothing. */
+  val sql: Map[String, String] = base ++ Map(
+    "dedup_winnow_probe_indexed" -> base("dedup_winnow_probe"),
+    "dedup_incremental_indexed" -> base("dedup_incremental"))
 }

@@ -137,6 +137,7 @@ object SparkEntry {
     "text_winnow" -> ((s: SparkSession, d: String) => TextAnalysis.winnow(s, d)),
     "dedup_winnow_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.winnowPairs(s, d)),
     "dedup_winnow_probe" -> ((s: SparkSession, d: String) => TextAnalysis.winnowProbe(s, d)),
+    "dedup_winnow_probe_indexed" -> ((s: SparkSession, d: String) => TextAnalysis.winnowProbeIndexed(s, d)),
     "dedup_clusters" -> (Dedup.minhashClusters _),
     "corpus_curate" -> (Corpus.curateQuery _),
     "corpus_pack" -> (Corpus.packBins _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "dedup_simhash_lsh64" -> (Dedup.simhashLshPairs64 _),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringGramPairs(s, d)),
     "dedup_incremental" -> (Dedup.incrementalDedup _),
+    "dedup_incremental_indexed" -> (Dedup.incrementalDedupIndexed _),
     "dedup_bloom_gate" -> (BloomGate.incrementalExactTriage _),
     // similarity search
     "ann_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),

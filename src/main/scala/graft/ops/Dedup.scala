@@ -136,7 +136,7 @@ object Dedup {
     shingled.select(col("doc_id") +: sigCols: _*)
   }
 
-  private[ops] def signaturesFrom(shingled: DataFrame): DataFrame = {
+  private[graft] def signaturesFrom(shingled: DataFrame): DataFrame = {
     graft.functions.MinHashSigs.register(shingled.sparkSession)
     require(graft.functions.MinHashSigsImpl.K == NumMinHash,
       "native MinHash family size drifted from Dedup.NumMinHash")
@@ -167,7 +167,7 @@ object Dedup {
   /** (doc_id, band, key) rows from a signature frame — band key =
     * concatenated signature rows of the band. Shared by the self-join pair
     * path and the bipartite incremental path. */
-  private[ops] def bandsFrom(sigs: DataFrame): DataFrame = {
+  private[graft] def bandsFrom(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until NumBands).map { j =>
       val keyCols = (0 until RowsPerBand)
         .map(r => col(s"mh_${j * RowsPerBand + r}"))
@@ -475,6 +475,18 @@ object Dedup {
 
   // --- incremental dedup (new batch vs existing corpus) --------------------
 
+  /** The harness's delta convention, shared by every incremental operator
+    * (incrementalDedup, winnowProbe, BloomGate, Corpus.contamination):
+    * hash bucket 9 of doc_id is the incoming batch, the rest is the
+    * standing corpus. Returns (incoming, standing). */
+  private[graft] def deltaSplit(docs: DataFrame): (DataFrame, DataFrame) = {
+    val bucket =
+      expr(s"pmod(${SharedHash.spark48("cast(doc_id AS STRING)")}, 10)")
+    val b = docs.withColumn("__b", bucket)
+    (b.filter(col("__b") === 9).drop("__b"),
+      b.filter(col("__b") =!= 9).drop("__b"))
+  }
+
   /** Dedup a NEW batch against an EXISTING corpus — the shape a continuous
     * ingestion pipeline actually runs (a crawl delta lands; nothing already
     * curated may be recomputed). The harness split: hash bucket 9 of doc_id
@@ -486,33 +498,60 @@ object Dedup {
     *     bodies never shuffle)
     *   - near:  ≥1 standing doc within MinHash-jaccard threshold, found by
     *     a BIPARTITE band join — incoming bands probe existing bands, so
-    *     work is O(delta × collisions), never O(corpus²); at scale the
-    *     existing side's band table is a precomputed index updated
-    *     incrementally, which this dataflow models
+    *     work is O(delta × collisions), never O(corpus²)
     *   - novel: neither
-    */
+    *
+    * This variant recomputes the standing side's digest/band/shingle
+    * tables in-query; [[incrementalDedupIndexed]] answers the identical
+    * question from the PERSISTED standing index
+    * ([[graft.sources.IndexStore]]) — the form an intake pipeline runs at
+    * scale, where the standing corpus is never rescanned. */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val bucket =
-      expr(s"pmod(${SharedHash.spark48("cast(doc_id AS STRING)")}, 10)")
-    val docs = Tables.documents(s, dir).withColumn("b", bucket)
-    val inc = docs.filter(col("b") === 9).drop("b")
-    val ex = docs.filter(col("b") =!= 9).drop("b")
+    val (inc, ex) = deltaSplit(Tables.documents(s, dir))
+    val shEx = shingled(ex).cache(); shEx.count()
+    incrementalVerdicts(inc,
+      ex.select(md5(col("text")).as("fp")).distinct(),
+      bandsFrom(signaturesFrom(shEx)),
+      shEx.select(col("doc_id"), col("sh")),
+      alsoRelease = Seq(shEx))
+  }
 
+  /** [[incrementalDedup]] probing the persisted standing index instead of
+    * recomputing it: the digest / band / shingle tables are read from the
+    * [[graft.sources.IndexStore]] parquet index (built once per standing
+    * corpus, appended per intake batch), so per-batch work is
+    * O(delta × collisions) INCLUDING the standing side — the 100 TB intake
+    * shape. Output is byte-identical to [[incrementalDedup]] (same oracle). */
+  def incrementalDedupIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (inc, _) = deltaSplit(Tables.documents(s, dir))
+    val idx = graft.sources.IndexStore.standingDedupIndex(s, dir)
+    incrementalVerdicts(inc,
+      idx.digests.select(col("fp")).distinct(),
+      idx.bands,
+      idx.shingles,
+      alsoRelease = Nil)
+  }
+
+  /** Shared verdict dataflow over an incoming batch and the standing
+    * side's three probe tables — however those were obtained (computed
+    * in-query or read from the persisted index). */
+  private def incrementalVerdicts(inc: DataFrame, exDigests: DataFrame,
+      exBands: DataFrame, exShingles: DataFrame,
+      alsoRelease: Seq[DataFrame]): DataFrame = {
     val exactIds = inc.select(col("doc_id"), md5(col("text")).as("fp"))
-      .join(ex.select(md5(col("text")).as("fp")).distinct(), "fp")
+      .join(exDigests, "fp")
       .select(col("doc_id")).distinct()
       .withColumn("is_exact", lit(true))
 
     val shInc = shingled(inc).cache(); shInc.count()
-    val shEx = shingled(ex).cache(); shEx.count()
     val cands = bandsFrom(signaturesFrom(shInc)).as("x")
-      .join(bandsFrom(signaturesFrom(shEx)).as("y"),
+      .join(exBands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("inc_id"), col("y.doc_id").as("ex_id"))
       .distinct()
     val near = cands
       .join(shInc.select(col("doc_id").as("inc_id"), col("sh").as("sh_a")), "inc_id")
-      .join(shEx.select(col("doc_id").as("ex_id"), col("sh").as("sh_b")), "ex_id")
+      .join(exShingles.select(col("doc_id").as("ex_id"), col("sh").as("sh_b")), "ex_id")
       .filter(round(
         size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_union(col("sh_a"), col("sh_b"))), 4) >= JaccardThreshold)
@@ -529,7 +568,7 @@ object Dedup {
           .when(col("n_near") > 0, "near")
           .otherwise("novel"))
       .orderBy(col("doc_id"))
-    Caching.materializeAndRelease(out, shInc, shEx)
+    Caching.materializeAndRelease(out, (shInc +: alsoRelease): _*)
   }
 
   // --- exact substring duplication (gram-hash join) ------------------------

@@ -182,7 +182,7 @@ object TextAnalysis {
       w: Int = 4): DataFrame =
     winnowWindowedOf(Tables.documents(s, dir), w)
 
-  private[ops] def winnowWindowedOf(docs: DataFrame, w: Int): DataFrame = {
+  private[graft] def winnowWindowedOf(docs: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
@@ -195,23 +195,40 @@ object TextAnalysis {
   /** Incremental winnow probe: the delta docs' sketches probe the
     * STANDING corpus's fingerprint index bipartitely — the winnow-flavored
     * twin of [[graft.ops.Dedup.incrementalDedup]]'s band probe, with the
-    * same hash-bucket delta convention. Work is O(delta × collisions);
-    * at scale the standing fingerprint index is precomputed and appended
-    * incrementally (it is exactly the [[winnow]] output), so an intake
-    * batch never rescans the corpus. Emits each delta doc's best standing
-    * match (most shared fingerprints, ties to the smaller id). */
+    * same hash-bucket delta convention. Work is O(delta × collisions).
+    * This variant recomputes the standing fingerprint index in-query;
+    * [[winnowProbeIndexed]] reads it from the persisted
+    * [[graft.sources.IndexStore]] instead — the at-scale form, where an
+    * intake batch never rescans the corpus. Emits each delta doc's best
+    * standing match (most shared fingerprints, ties to the smaller id). */
   def winnowProbe(s: SparkSession, dir: String,
       minShared: Int = 3): DataFrame = {
+    val (inc, ex) = Dedup.deltaSplit(Tables.documents(s, dir))
+    probeWinnowIndex(winnowWindowedOf(inc, 4),
+      winnowWindowedOf(ex, 4), minShared)
+  }
+
+  /** [[winnowProbe]] against the PERSISTED standing fingerprint index
+    * (exactly the [[winnow]] output, stored by
+    * [[graft.sources.IndexStore]] and appended per intake batch): the
+    * probe touches only the delta's sketch and the index — the standing
+    * corpus text is never read. Output is byte-identical to
+    * [[winnowProbe]] (same oracle). */
+  def winnowProbeIndexed(s: SparkSession, dir: String,
+      minShared: Int = 3): DataFrame = {
+    val (inc, _) = Dedup.deltaSplit(Tables.documents(s, dir))
+    val fpEx = graft.sources.IndexStore.standingWinnowIndex(s, dir)
+    probeWinnowIndex(winnowWindowedOf(inc, 4), fpEx, minShared)
+  }
+
+  /** Shared probe dataflow: delta sketch × standing fingerprint index →
+    * best standing match per delta doc. */
+  private def probeWinnowIndex(fpInc: DataFrame, fpEx: DataFrame,
+      minShared: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.SharedHash
-    val bucket =
-      expr(s"pmod(${SharedHash.spark48("cast(doc_id AS STRING)")}, 10)")
-    val docs = Tables.documents(s, dir).withColumn("b", bucket)
-    val fpInc = winnowWindowedOf(docs.filter(col("b") === 9).drop("b"), 4)
-    val fpEx = winnowWindowedOf(docs.filter(col("b") =!= 9).drop("b"), 4)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("n_shared").desc, col("ex_id").asc)
-    fpInc.join(fpEx.toDF("ex_id", "fp"), "fp")
+    fpInc.join(fpEx.select(col("doc_id").as("ex_id"), col("fp")), "fp")
       .groupBy(col("doc_id"), col("ex_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Tables, TextAnalysis}
+
+/** Persisted standing indexes for the incremental intake operators — the
+  * piece that turns "at scale the standing index is precomputed" from a
+  * comment into code a user can run.
+  *
+  * An intake pipeline answers "is this delta batch novel?" millions of
+  * times against a corpus it must never rescan. The probe structures the
+  * incremental operators need are all derived, append-only tables:
+  *
+  *   - winnow fingerprint index: (doc_id, fp) — exactly
+  *     [[graft.ops.TextAnalysis.winnow]]'s output
+  *   - dedup index: content digests (doc_id, fp), MinHash LSH bands
+  *     (doc_id, band, key), and shingle sets (doc_id, sh) for the exact
+  *     Jaccard verify
+  *
+  * Because parquet files are immutable and every row is a pure function of
+  * ONE document, maintenance after an append is itself append-only: sketch
+  * the delta docs, append the rows — the standing corpus is never read
+  * (the same delta-proportional discipline as [[ZoneMaps.update]] and
+  * merge-on-read's op log). The `append*` methods take the delta frame
+  * and return the exact frame they appended so callers (and the spec) can
+  * assert its `inputFiles` never touch the standing corpus.
+  *
+  * At 100 TB: the indexes shuffle/store hashes and 16-byte digests, never
+  * text (the shingle-set table is the one text-derived column, and it is
+  * the verify baseline every LSH design needs somewhere). Each probe query
+  * is then O(delta × collisions) INCLUDING the standing side.
+  */
+object IndexStore {
+
+  // --- winnow fingerprint index ---------------------------------------------
+
+  /** Sketch `docs` and write a fresh fingerprint index at `path`. */
+  def buildWinnow(docs: DataFrame, path: String, w: Int = 4): Unit =
+    TextAnalysis.winnowWindowedOf(docs, w)
+      .write.mode("overwrite").parquet(path)
+
+  /** Append ONLY the delta docs' fingerprints — O(delta); the standing
+    * corpus is not an input. Returns the appended frame. */
+  def appendWinnow(deltaDocs: DataFrame, path: String, w: Int = 4): DataFrame = {
+    val sketch = TextAnalysis.winnowWindowedOf(deltaDocs, w)
+    sketch.write.mode("append").parquet(path)
+    sketch
+  }
+
+  def readWinnow(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path).select(col("doc_id"), col("fp"))
+
+  // --- dedup (digest + band + shingle) index --------------------------------
+
+  /** The three probe tables [[graft.ops.Dedup.incrementalDedupIndexed]]
+    * reads. */
+  final case class DedupIndex(digests: DataFrame, bands: DataFrame,
+    shingles: DataFrame)
+
+  private def dedupParts(docs: DataFrame): DedupIndex = {
+    val sh = Dedup.shingled(docs)
+    DedupIndex(
+      digests = docs.select(col("doc_id"), md5(col("text")).as("fp")),
+      bands = Dedup.bandsFrom(Dedup.signaturesFrom(sh)),
+      shingles = sh.select(col("doc_id"), col("sh")))
+  }
+
+  /** Index `docs` from scratch at `root` (three parquet tables). */
+  def buildDedup(docs: DataFrame, root: String): Unit = {
+    val d = docs.cache(); d.count() // three derivations of one scan
+    val parts = dedupParts(d)
+    parts.digests.write.mode("overwrite").parquet(s"$root/digests")
+    parts.bands.write.mode("overwrite").parquet(s"$root/bands")
+    parts.shingles.write.mode("overwrite").parquet(s"$root/shingles")
+    d.unpersist()
+  }
+
+  /** Append ONLY the delta docs' rows to all three tables — O(delta).
+    * Returns the appended frames for input-file assertions. */
+  def appendDedup(deltaDocs: DataFrame, root: String): DedupIndex = {
+    val d = deltaDocs.cache(); d.count()
+    val parts = dedupParts(d)
+    parts.digests.write.mode("append").parquet(s"$root/digests")
+    parts.bands.write.mode("append").parquet(s"$root/bands")
+    parts.shingles.write.mode("append").parquet(s"$root/shingles")
+    d.unpersist()
+    parts
+  }
+
+  def readDedup(s: SparkSession, root: String): DedupIndex = DedupIndex(
+    digests = s.read.parquet(s"$root/digests"),
+    bands = s.read.parquet(s"$root/bands"),
+    shingles = s.read.parquet(s"$root/shingles"))
+
+  // --- harness fixtures ------------------------------------------------------
+
+  /** Standing-corpus indexes for the harness's delta convention
+    * ([[graft.ops.Dedup.deltaSplit]]: bucket 9 = delta), built ONCE per
+    * (application, sf dir) and probed by every subsequent indexed query —
+    * building an index is table maintenance, not part of a probe query
+    * (same memoization discipline as the zone-map fixture). */
+  private val builtRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def rootFor(s: SparkSession, kind: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_index_${s.sparkContext.applicationId}_${kind}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** The persisted standing winnow index for `dir` (memoized build). */
+  def standingWinnowIndex(s: SparkSession, dir: String): DataFrame = {
+    val root = builtRoots.computeIfAbsent(s"winnow:$dir", _ => {
+      val (_, ex) = Dedup.deltaSplit(Tables.documents(s, dir))
+      val p = rootFor(s, "winnow", dir)
+      buildWinnow(ex, p)
+      p
+    })
+    readWinnow(s, root)
+  }
+
+  /** The persisted standing dedup index for `dir` (memoized build). */
+  def standingDedupIndex(s: SparkSession, dir: String): DedupIndex = {
+    val root = builtRoots.computeIfAbsent(s"dedup:$dir", _ => {
+      val (_, ex) = Dedup.deltaSplit(Tables.documents(s, dir))
+      val p = rootFor(s, "dedup", dir)
+      buildDedup(ex, p)
+      p
+    })
+    readDedup(s, root)
+  }
+}
