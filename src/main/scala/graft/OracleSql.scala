@@ -1571,12 +1571,155 @@ object OracleSql {
         |ORDER BY stage""".stripMargin
   )
 
+  // --- literal-centroid oracles (ann_ivf / ann_pq / emb_semdedup) ---------
+  //
+  // The k-means FIT isn't SQL-expressible, but everything downstream of the
+  // fitted constants is: assignment (first-minimum argmin over literal
+  // centroids — the engine uses the identical array_position-of-min idiom),
+  // probe ranking, ADC scoring, rerank, and within-cell grouping. The
+  // constants are stashed by the queries when they run (Verify runs every
+  // query before dumping oracle_sql.json) and exported here as SQL literals
+  // — the same replay trick as emb_dup_lsh's seeded plane coefficients.
+  // Double.toString round-trips exactly, and every dot is the same
+  // left-associated chain as vec_dot, so the replay is bit-exact.
+
+  /** Left-associated v[off+1..off+dim] · literal chain. */
+  private def litDot(v: String, c: Array[Double], off: Int = 0): String =
+    (1 to c.length).map(d => s"$v[${off + d}]*(${c(d - 1)})")
+      .mkString("(", " + ", ")")
+
+  /** vec_dot(lit, lit) replay: the left fold over squared literal terms is
+    * computed HERE in the same IEEE order vec_dot uses at runtime, and
+    * emitted as one double literal — a `(lit)*(lit)` term chain in SQL
+    * would be DECIMAL arithmetic in DuckDB (plain decimal literals are
+    * DECIMAL, and DECIMAL×DECIMAL chains overflow DECIMAL(38)). */
+  private def litNorm(c: Array[Double]): String = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    s"CAST($acc AS DOUBLE)"
+  }
+
+  /** v[off+1..off+dim] · itself (the sub-vector self-dot). */
+  private def selfDot(v: String, off: Int, dim: Int): String =
+    (1 to dim).map(d => s"$v[${off + d}]*$v[${off + d}]")
+      .mkString("(", " + ", ")")
+
+  /** Shared assignment CTEs: n → a0 (distance columns) → a (argmin cell,
+    * distance list kept for probe ranking). */
+  private def assignCtes(cs: IndexedSeq[Array[Double]]): String = {
+    val dCols = cs.indices.map(i =>
+      s"(${dotChain("e", "e")} - 2*${litDot("e", cs(i))} + ${litNorm(cs(i))}) AS d_$i")
+      .mkString(", ")
+    val dList = cs.indices.map(i => s"d_$i").mkString("[", ", ", "]")
+    s"""a0 AS (SELECT vec_id, e, nrm, $dCols FROM n),
+       |a AS (SELECT vec_id, e, nrm, $dList AS ds,
+       |  CAST(list_position($dList, list_min($dList)) - 1 AS INT) AS cell
+       |  FROM a0)""".stripMargin
+  }
+
+  private def ivfOracle(cs: IndexedSeq[Array[Double]]): String = {
+    import graft.ops.Similarity.{AnnK, AnnQueries, IvfProbe}
+    s"""WITH $embCte,
+       |${assignCtes(cs)},
+       |qd AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn,
+       |  CAST(generate_subscripts(ds, 1) - 1 AS INT) AS cell,
+       |  unnest(ds) AS dist2 FROM a WHERE vec_id < $AnnQueries),
+       |pr AS (SELECT q_id, qe, qn, cell FROM (
+       |  SELECT q_id, qe, qn, cell, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dist2 ASC, cell ASC) AS p FROM qd) t WHERE p <= $IvfProbe),
+       |sc AS (SELECT p.q_id, a.vec_id AS c_id,
+       |  round(${dotChain("p.qe", "a.e")} / (sqrt(p.qn) * sqrt(a.nrm)), 6) AS sim
+       |  FROM pr p JOIN a ON a.cell = p.cell AND p.q_id <> a.vec_id),
+       |r AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+       |  ORDER BY sim DESC, c_id ASC) AS INT) AS rnk, c_id, sim FROM sc)
+       |SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= $AnnK
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  private def semOracle(cs: IndexedSeq[Array[Double]]): String = {
+    import graft.ops.Similarity.SemEps
+    s"""WITH RECURSIVE $embCte,
+       |${assignCtes(cs)},
+       |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       |  round(${dotChain("x.e", "y.e")} / (sqrt(x.nrm) * sqrt(y.nrm)), 6) AS sim
+       |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+       |good AS (SELECT id_a, id_b FROM p WHERE sim >= $SemEps),
+       |edges AS (SELECT id_a AS ea, id_b AS eb FROM good
+       |  UNION SELECT id_b, id_a FROM good),
+       |reach(ea, eb) AS (
+       |  SELECT ea, eb FROM edges
+       |  UNION SELECT r.ea, g.eb FROM reach r JOIN edges g ON r.eb = g.ea),
+       |comp AS (SELECT ea AS vec_id, least(ea, min(eb)) AS cluster
+       |  FROM reach GROUP BY ea)
+       |SELECT v.vec_id, v.cell,
+       |  COALESCE(c.cluster, v.vec_id) AS keeper,
+       |  COALESCE(c.cluster, v.vec_id) = v.vec_id AS kept
+       |FROM a v LEFT JOIN comp c ON c.vec_id = v.vec_id
+       |ORDER BY v.vec_id""".stripMargin
+  }
+
+  private def pqOracle(cbs: IndexedSeq[Array[Array[Double]]]): String = {
+    import graft.ops.Similarity.{AnnK, AnnQueries, PqCodes, PqRerank}
+    val m = cbs.length
+    val subDim = VectorOps.Dim / m
+    def off(j: Int) = j * subDim
+    // per-vector encode: d2_{j,c} columns, then first-minimum argmin per j
+    val dCols = (for (j <- 0 until m; c <- 0 until PqCodes) yield {
+      val cb = cbs(j)(c)
+      s"(${selfDot("e", off(j), subDim)} - 2*${litDot("e", cb, off(j))}" +
+        s" + ${litNorm(cb)}) AS d2_${j}_$c"
+    }).mkString(", ")
+    val codeCols = (0 until m).map { j =>
+      val l = (0 until PqCodes).map(c => s"d2_${j}_$c").mkString("[", ", ", "]")
+      s"CAST(list_position($l, list_min($l)) - 1 AS INT) AS code_$j"
+    }.mkString(", ")
+    // ADC: per subspace, the LUT entry for the candidate's code is the
+    // query sub-vector · that codebook centroid (replayed as a CASE)
+    val adcTerms = (0 until m).map { j =>
+      val cases = (0 until PqCodes).map(c =>
+        s"WHEN $c THEN ${litDot("q.qe", cbs(j)(c), off(j))}").mkString(" ")
+      s"(CASE c.code_$j $cases END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH $embCte,
+       |c0 AS (SELECT vec_id, e, nrm, $dCols FROM n),
+       |cd AS (SELECT vec_id, nrm, $codeCols FROM c0),
+       |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+       |  WHERE vec_id < $AnnQueries),
+       |adc AS (SELECT q.q_id, q.qe, q.qn, c.vec_id AS c_id,
+       |  $adcTerms / (sqrt(q.qn) * sqrt(c.nrm)) AS adc_sim
+       |  FROM q CROSS JOIN cd c WHERE q.q_id <> c.vec_id),
+       |pr AS (SELECT q_id, qe, qn, c_id FROM (
+       |  SELECT q_id, qe, qn, c_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adc_sim DESC, c_id ASC) AS p FROM adc) t
+       |  WHERE p <= $PqRerank),
+       |sc AS (SELECT p.q_id, p.c_id,
+       |  round(${dotChain("p.qe", "x.e")} / (sqrt(p.qn) * sqrt(x.nrm)), 6) AS sim
+       |  FROM pr p JOIN n x ON x.vec_id = p.c_id),
+       |r AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+       |  ORDER BY sim DESC, c_id ASC) AS INT) AS rnk, c_id, sim FROM sc)
+       |SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= $AnnK
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** The `_indexed` intake variants answer the SAME question from the
     * persisted standing index ([[graft.sources.IndexStore]]); their output
     * contract is byte-identical to the recompute-in-query forms, so they
     * share the oracle — the hash match is exactly the claim that probing
-    * the persisted index loses nothing. */
-  val sql: Map[String, String] = base ++ Map(
-    "dedup_winnow_probe_indexed" -> base("dedup_winnow_probe"),
-    "dedup_incremental_indexed" -> base("dedup_incremental"))
+    * the persisted index loses nothing.
+    *
+    * A `def`, not a `val`: the literal-centroid oracles exist only once
+    * their query has run and stashed the fitted constants (Verify's dump
+    * happens after all queries) — before that they're absent, which the
+    * driver records as the old rows-only check. */
+  def sql: Map[String, String] = {
+    import graft.ops.Similarity
+    base ++
+      Map(
+        "dedup_winnow_probe_indexed" -> base("dedup_winnow_probe"),
+        "dedup_incremental_indexed" -> base("dedup_incremental")) ++
+      Similarity.fittedIvfCentroids.map(cs => "ann_ivf" -> ivfOracle(cs)) ++
+      Similarity.fittedSemCentroids.map(cs => "emb_semdedup" -> semOracle(cs)) ++
+      Similarity.fittedPqCodebooks.map(cb => "ann_pq" -> pqOracle(cb))
+  }
 }

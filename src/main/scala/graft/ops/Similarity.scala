@@ -36,10 +36,54 @@ object Similarity {
   val NumBands = 4
   val BitsPerBand: Int = NumPlanes / NumBands
 
+  /** Harness defaults, shared with the oracle generator (OracleSql's
+    * literal-centroid replays) so the constants can never drift between
+    * the engine queries and their oracles. */
+  val AnnK = 5
+  val AnnQueries = 5
+  val IvfCells = 16
+  val IvfProbe = 4
+  val SemEps = 0.35
+  val PqM = 8
+  val PqCodes = 16
+  val PqRerank = 50
+
   /** Seeded random hyperplanes (deterministic: java.util.Random spec). */
   val planes: IndexedSeq[Array[Double]] = {
     val rnd = new java.util.Random(7L)
     IndexedSeq.fill(NumPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Fitted quantizer constants, stashed when the ANN/SemDeDup queries run
+    * so the oracle generator ([[graft.OracleSql]]) can export them as SQL
+    * literals — the same replay trick as the seeded hyperplane constants,
+    * except these constants come from a fit, so they're captured at query
+    * time (Verify runs every query BEFORE dumping oracle_sql.json). Only
+    * the k-means fit itself stays outside the oracle; assignment, probe
+    * ranking, ADC scoring, and rerank are deterministic given these. */
+  @volatile private[graft] var fittedIvfCentroids: Option[IndexedSeq[Array[Double]]] = None
+  @volatile private[graft] var fittedSemCentroids: Option[IndexedSeq[Array[Double]]] = None
+  @volatile private[graft] var fittedPqCodebooks: Option[IndexedSeq[Array[Array[Double]]]] = None
+
+  /** Codegen'd nearest-centroid assignment over LITERAL centroids — the
+    * PQ encoder's first-minimum argmin idiom (array_position of the min),
+    * so the DuckDB oracle replays the assignment bit-for-bit from the
+    * exported constants. ml's KMeansModel.transform would be numerically
+    * equivalent but not REPLAYABLE (fastSquaredDistance's internal order
+    * isn't a left fold); at 100 TB this is also the cheaper path — one
+    * codegen projection, no ml pipeline on the full corpus. */
+  private def assignCells(df: DataFrame,
+      centroids: IndexedSeq[Array[Double]]): DataFrame = {
+    val withC = centroids.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"cc_$i", array(c.map(v => lit(v)): _*))
+    }
+    val dists = centroids.indices.map(i =>
+      expr(s"vec_dot(e, e) - 2 * vec_dot(e, cc_$i) + vec_dot(cc_$i, cc_$i)"))
+    withC
+      .withColumn("cell",
+        (array_position(array(dists: _*), array_min(array(dists: _*))) - 1)
+          .cast("int"))
+      .drop(centroids.indices.map(i => s"cc_$i"): _*)
   }
 
   /** Deterministic ~1/step sample for bounded quantizer fits that does NOT
@@ -203,8 +247,9 @@ object Similarity {
     * the `nProbe` nearest cells and score only those candidates. The
     * centroid count scales with √N; candidates per query drop from N to
     * ~N·nProbe/nCells — the standard billion-vector recipe. */
-  def ivfTopK(s: SparkSession, dir: String, k: Int = 5, numQueries: Int = 5,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+  def ivfTopK(s: SparkSession, dir: String, k: Int = AnnK,
+      numQueries: Int = AnnQueries, nCells: Int = IvfCells,
+      nProbe: Int = IvfProbe): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -219,13 +264,15 @@ object Similarity {
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(hashSample(e, step, nCells))
-    val assigned = model.transform(e)
+    val centroidArrays = model.clusterCenters.map(_.toArray).toIndexedSeq
+    fittedIvfCentroids = Some(centroidArrays)
+    val assigned = assignCells(e.drop("fv"), centroidArrays)
       .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
 
     // tiny centroid table, broadcast into the probe ranking
     import s.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+    val centroids = centroidArrays.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
     val q = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
     val probeW = Window.partitionBy(col("q_id"))
@@ -325,8 +372,8 @@ object Similarity {
     * rows-only harness check; the semantic invariants (keeper closure,
     * within-cell recall vs the exact scan) are spec-asserted instead.
     */
-  def semDedup(s: SparkSession, dir: String, nCells: Int = 16,
-      eps: Double = 0.35): DataFrame = {
+  def semDedup(s: SparkSession, dir: String, nCells: Int = IvfCells,
+      eps: Double = SemEps): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -338,7 +385,9 @@ object Similarity {
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(hashSample(e, step, nCells))
-    val assigned = model.transform(e)
+    val centroidArrays = model.clusterCenters.map(_.toArray).toIndexedSeq
+    fittedSemCentroids = Some(centroidArrays)
+    val assigned = assignCells(e.drop("fv"), centroidArrays)
       .select(col("vec_id"), col("e"), col("nrm"), col("cell")).cache()
     assigned.count() // multi-consumer: both pair sides + the final join
 
@@ -441,8 +490,9 @@ object Similarity {
     * the only full-corpus scan — the point of PQ. Seeded k-means is not
     * SQL-expressible → rows-only harness check (same rule as ann_ivf).
     */
-  def pqTopK(s: SparkSession, dir: String, k: Int = 5, numQueries: Int = 5,
-      m: Int = 8, kCodes: Int = 16, rerank: Int = 50): DataFrame = {
+  def pqTopK(s: SparkSession, dir: String, k: Int = AnnK,
+      numQueries: Int = AnnQueries, m: Int = PqM, kCodes: Int = PqCodes,
+      rerank: Int = PqRerank): DataFrame = {
     val subDim = Dim / m
 
     val e = embedded(s, dir).cache()
@@ -463,6 +513,7 @@ object Similarity {
       val pts = sampleRows.map(_.getSeq[Double](j).toArray)
       lloyd(pts, kCodes, iters = 15, seed = 42L + j)
     }
+    fittedPqCodebooks = Some(codebooks)
 
     // encode: nearest codebook entry per subspace, as codegen'd argmin
     // over literal centroids (no ml transform chain, no UDFs)
