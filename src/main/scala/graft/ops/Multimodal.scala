@@ -14,12 +14,16 @@ final case class AssetFeatures(asset_id: Long, n_bytes: Long,
 /** Multimodal columns: image/audio/video as opaque `binary` with typed
   * metadata, plus decode / feature-extract / frame-sample plumbing.
   *
-  * The decode step is a STUB: the real pipeline would hand each partition's
-  * batch of byte arrays to a native decoder (image/audio libs are not in
-  * this container). The Spark-side contract is real and tested — schema
-  * (binary + metadata), partition-batched iteration via mapPartitions (the
-  * Scala analog of mapInPandas batches: one decoder init per partition, not
-  * per row), and the output feature shape.
+  * The decode step dispatches on mime: `image/…` mimes go through a
+  * REAL codec — JDK ImageIO, which ships PNG/JPEG/BMP/GIF readers with
+  * the JRE, no external jars — and everything else falls back to the
+  * clearly-labeled STUB (the harness's synthetic payloads are
+  * `application/octet-stream` text bytes, not decodable images; audio and
+  * video codecs are genuinely absent from this container). The Spark-side
+  * contract is identical on both branches — schema (binary + metadata),
+  * partition-batched iteration via mapPartitions (the Scala analog of
+  * mapInPandas batches: one decoder init per partition, not per row), and
+  * the 16-float output feature shape.
   *
   * Scale notes: content bytes never shuffle — features are extracted in a
   * narrow pass and only the (id, features) projection flows downstream.
@@ -58,13 +62,65 @@ object Multimodal {
     hist
   }
 
+  /** REAL image decode via JDK ImageIO: 16-float feature vector
+    * [width, height, meanR, meanG, meanB, meanLuminance,
+    *  10-bin luminance histogram (fractions)]. Same vector width as the
+    * stub so both branches share the AssetFeatures schema. Returns None
+    * when the bytes aren't a decodable image (ImageIO.read yields null),
+    * so corrupt payloads degrade to the stub instead of failing a 100 TB
+    * job on one bad file. */
+  def decodeImage(content: Array[Byte]): Option[Array[Float]] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(content))
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Float](16)
+      out(0) = w.toFloat
+      out(1) = h.toFloat
+      var (sr, sg, sb, sl) = (0.0, 0.0, 0.0, 0.0)
+      val hist = new Array[Long](10)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          val lum = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sl += lum
+          hist(math.min(9, (lum / 25.6).toInt)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      out(2) = (sr / n).toFloat
+      out(3) = (sg / n).toFloat
+      out(4) = (sb / n).toFloat
+      out(5) = (sl / n).toFloat
+      var j = 0
+      while (j < 10) { out(6 + j) = (hist(j) / n).toFloat; j += 1 }
+      Some(out)
+    }
+  }
+
   /** Feature extraction: one decoder "session" per partition, batch loop
-    * inside — the mapPartitions shape a native decoder needs. */
+    * inside — the mapPartitions shape a native decoder needs. Dispatch:
+    * image mimes take the real ImageIO path; everything else (and
+    * undecodable image bytes) the deterministic stub. */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       // decoder init would happen here, once per partition
-      it.map(a => AssetFeatures(a.asset_id, a.n_bytes, decodeStub(a.content)))
+      it.map { a =>
+        val feats =
+          if (a.mime.startsWith("image/"))
+            decodeImage(a.content).getOrElse(decodeStub(a.content))
+          else decodeStub(a.content)
+        AssetFeatures(a.asset_id, a.n_bytes, feats)
+      }
     }
   }
 

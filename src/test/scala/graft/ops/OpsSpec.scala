@@ -482,6 +482,51 @@ class TextMultimodalSpec extends SparkSpec {
       assert(a.n_bytes === a.content.length.toLong)
     }
   }
+
+  /** Real PNG bytes: a solid-color image encoded by the JDK's own writer. */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("multimodal: REAL ImageIO decode — dimensions and channel means of " +
+      "solid-color PNGs are exact") {
+    // pure red 8x6 and mid-gray 3x3, round-tripped through the PNG codec
+    val red = Multimodal.decodeImage(pngBytes(8, 6, 0xff0000)).get
+    assert(red(0) === 8f && red(1) === 6f)
+    assert(red(2) === 255f && red(3) === 0f && red(4) === 0f)
+    assert(math.abs(red(5) - 0.299 * 255) < 1e-3, "luminance of pure red")
+
+    val gray = Multimodal.decodeImage(pngBytes(3, 3, 0x808080)).get
+    assert(gray(0) === 3f && gray(1) === 3f)
+    assert(gray(2) === 128f && gray(3) === 128f && gray(4) === 128f)
+    // all 9 pixels land in one luminance bin → that histogram bin is 1.0
+    assert(gray.drop(6).max === 1f && math.abs(gray.drop(6).sum - 1f) < 1e-6)
+  }
+
+  test("multimodal: extractFeatures dispatches image/* through the codec, " +
+      "others (and corrupt images) through the stub") {
+    import spark.implicits._
+    val png = pngBytes(4, 2, 0x0000ff)
+    val textBytes = "not an image".getBytes("UTF-8")
+    val assets = Seq(
+      Asset(1L, "image/png", png.length.toLong, png),
+      Asset(2L, "application/octet-stream", textBytes.length.toLong, textBytes),
+      Asset(3L, "image/png", textBytes.length.toLong, textBytes) // corrupt
+    ).toDS()
+    val out = Multimodal.extractFeatures(assets).collect()
+      .map(f => f.asset_id -> f.features).toMap
+    // real path: feature(0) = width, feature(4) = mean blue
+    assert(out(1L)(0) === 4f && out(1L)(1) === 2f && out(1L)(4) === 255f)
+    // stub path: normalized 16-bin histogram
+    assert(math.abs(out(2L).sum - 1f) < 1e-3)
+    // corrupt image/* degrades to the stub instead of failing the job
+    assert(out(3L) === out(2L))
+  }
 }
 
 class CollabEventsSpec extends SparkSpec {
