@@ -1717,7 +1717,8 @@ object OracleSql {
     base ++
       Map(
         "dedup_winnow_probe_indexed" -> base("dedup_winnow_probe"),
-        "dedup_incremental_indexed" -> base("dedup_incremental")) ++
+        "dedup_incremental_indexed" -> base("dedup_incremental"),
+        "dedup_bloom_gate_indexed" -> base("dedup_bloom_gate")) ++
       Similarity.fittedIvfCentroids.map(cs => "ann_ivf" -> ivfOracle(cs)) ++
       Similarity.fittedSemCentroids.map(cs => "emb_semdedup" -> semOracle(cs)) ++
       Similarity.fittedPqCodebooks.map(cb => "ann_pq" -> pqOracle(cb))

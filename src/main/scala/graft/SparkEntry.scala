@@ -154,6 +154,7 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.incrementalDedup _),
     "dedup_incremental_indexed" -> (Dedup.incrementalDedupIndexed _),
     "dedup_bloom_gate" -> (BloomGate.incrementalExactTriage _),
+    "dedup_bloom_gate_indexed" -> (BloomGate.incrementalExactTriageIndexed _),
     // similarity search
     "ann_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),

@@ -70,4 +70,19 @@ object BloomGate {
         when(col("in_right"), "dup").otherwise("novel").as("verdict"))
       .orderBy(col("doc_id"))
   }
+
+  /** [[incrementalExactTriage]] with the standing digest set read from the
+    * PERSISTED [[graft.sources.IndexStore]] dedup index instead of being
+    * recomputed from the corpus text — the bloom build then scans 16-byte
+    * digests, not documents. Output is byte-identical (same oracle). */
+  def incrementalExactTriageIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (incDocs, _) = Dedup.deltaSplit(Tables.documents(s, dir))
+    val inc = incDocs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val corpus = graft.sources.IndexStore.standingDedupIndex(s, dir)
+      .digests.select(col("fp"))
+    membership(inc, corpus, "fp")
+      .select(col("doc_id"),
+        when(col("in_right"), "dup").otherwise("novel").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -52,6 +52,15 @@ object Redaction {
     denyTerms.foldLeft(piiMasked(text))((c, t) =>
       regexp_replace(c, termRe(t), "[TERM]"))
 
+  /** Canonical content fingerprint AFTER redaction — the digest the
+    * curation front door triages against, shared by the in-query standing
+    * side, the persisted [[graft.sources.IndexStore]] curation index, and
+    * the streaming probe, so the three can never drift. Redact-then-
+    * canonicalize means a near-copy whose only difference is maskable PII
+    * still triages as a duplicate. */
+  def curationFp(text: Column): Column =
+    md5(Dedup.canonicalText(redacted(text)))
+
   /** Count of deny-term hits per document (split-based so no regex-count
     * builtin is needed on either engine): Σ (elements(split on term) − 1).
     * Callers pass the PII-masked intermediate so every counted hit is one

@@ -94,6 +94,28 @@ object IndexStore {
     bands = s.read.parquet(s"$root/bands"),
     shingles = s.read.parquet(s"$root/shingles"))
 
+  // --- curation digest index (streaming front door) -------------------------
+
+  /** Per-doc [[graft.ops.Redaction.curationFp]] digests — what the
+    * streaming curation front door triages against. Stored per doc (not
+    * distinct) so appends stay pure per-row functions; readers distinct. */
+  private def curationDigestsOf(docs: DataFrame): DataFrame =
+    docs.select(graft.ops.Redaction.curationFp(col("text")).as("fp"))
+
+  def buildCurationDigests(docs: DataFrame, path: String): Unit =
+    curationDigestsOf(docs).write.mode("overwrite").parquet(path)
+
+  /** Append ONLY the delta docs' digests — O(delta). Returns the appended
+    * frame for input-file assertions. */
+  def appendCurationDigests(deltaDocs: DataFrame, path: String): DataFrame = {
+    val d = curationDigestsOf(deltaDocs)
+    d.write.mode("append").parquet(path)
+    d
+  }
+
+  def readCurationDigests(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
   // --- harness fixtures ------------------------------------------------------
 
   /** Standing-corpus indexes for the harness's delta convention

@@ -306,18 +306,28 @@ object StreamingOps {
     * duplicate. Emits (doc_id, red_text, n_term_hits, is_dup). */
   def curationFrontDoor(incoming: DataFrame,
       standing: DataFrame): DataFrame = {
+    import graft.ops.Redaction
+    curationFrontDoorWithDigests(incoming,
+      standing.select(Redaction.curationFp(col("text")).as("fp")))
+  }
+
+  /** [[curationFrontDoor]] against a PRECOMPUTED digest table — the form
+    * an intake pipeline runs at scale, with the digests read from the
+    * persisted [[graft.sources.IndexStore]] curation index (appended per
+    * accepted batch) instead of recomputed from the standing corpus on
+    * every stream start. `digests` needs one `fp` column of
+    * [[graft.ops.Redaction.curationFp]] values. */
+  def curationFrontDoorWithDigests(incoming: DataFrame,
+      digests: DataFrame): DataFrame = {
     import graft.ops.{Dedup, Redaction}
-    def canonFp(text: org.apache.spark.sql.Column) =
-      md5(Dedup.canonicalText(text))
-    val digests = standing
-      .select(canonFp(Redaction.redacted(col("text"))).as("fp")).distinct()
+    val hits = digests.select(col("fp")).distinct()
       .withColumn("__hit", lit(1))
     incoming
       .withColumn("red_text", Redaction.redacted(col("text")))
       .withColumn("n_term_hits",
         Redaction.termHits(Redaction.piiMasked(col("text"))).cast("int"))
-      .withColumn("fp", canonFp(col("red_text")))
-      .join(digests, Seq("fp"), "left_outer")
+      .withColumn("fp", md5(Dedup.canonicalText(col("red_text"))))
+      .join(hits, Seq("fp"), "left_outer")
       .select(col("doc_id"), col("red_text"), col("n_term_hits"),
         col("__hit").isNotNull.as("is_dup"))
   }

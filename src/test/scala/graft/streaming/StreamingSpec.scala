@@ -250,6 +250,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation front door over the PERSISTED digest index: stream output " +
+      "equals the recompute form; an appended batch flips novel -> dup " +
+      "without rescanning the standing corpus") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IndexStore
+    val dir = "/root/testdata/sf0.001"
+    val standing = graft.ops.Tables.documents(spark, dir)
+    val idx = java.nio.file.Files
+      .createTempDirectory("curation-idx").toString + "/fp"
+    IndexStore.buildCurationDigests(standing, idx)
+
+    val novelText = "a document the corpus has never seen"
+    val incoming = Seq(
+      standing.select($"doc_id", $"text").as[(Long, String)].head(),
+      (9100L, novelText))
+
+    def run(): Map[Long, Boolean] = {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingOps.curationFrontDoorWithDigests(
+          input.toDF().toDF("doc_id", "text"),
+          IndexStore.readCurationDigests(spark, idx))
+        .writeStream.format("memory").queryName("front_door_idx")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(incoming: _*)
+        q.processAllAvailable()
+        spark.sql("SELECT doc_id, is_dup FROM front_door_idx").collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      } finally q.stop()
+    }
+
+    val first = run()
+    assert(first(incoming.head._1), "standing doc triages as dup")
+    assert(!first(9100L), "unseen doc is novel")
+    // indexed stream ≡ the recompute-in-query batch form
+    val batch = StreamingOps.curationFrontDoor(
+        incoming.toDF("doc_id", "text"), standing)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(first === batch)
+
+    // accept the novel doc: append ONLY its digest to the index
+    val deltaDir = java.nio.file.Files
+      .createTempDirectory("curation-delta").toString + "/batch"
+    Seq((9100L, novelText)).toDF("doc_id", "text")
+      .write.parquet(deltaDir)
+    val appended = IndexStore.appendCurationDigests(
+      spark.read.parquet(deltaDir), idx)
+    assert(appended.inputFiles.forall(_.contains(deltaDir)),
+      "append reads only the delta batch")
+    // the same stream now triages the formerly-novel doc as a duplicate
+    assert(run()(9100L), "appended digest flips novel -> dup")
+  }
+
   test("winnowing sketch: the per-row HOF fold streams unchanged and " +
       "equals the batch window formulation") {
     implicit val sql = spark.sqlContext
