@@ -582,13 +582,19 @@ object OracleSql {
         |WHERE rnk <= 5 ORDER BY c_mktsegment, rnk""".stripMargin,
 
     // --- text ------------------------------------------------------------
-    "text_tokens" ->
-      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-        | n_chars,
-        | CAST(floor(length(text) / 4) AS BIGINT) AS bpe_est,
-        | round(length(replace(text, ' ', '')) /
-        |   len(string_split(text, ' ')), 4) AS avg_token_len
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the BPE pre-token count replays the same RE2-safe pattern; both
+    // engines are leftmost-first on the alternation, so segment counts
+    // agree exactly
+    "text_tokens" -> {
+      val re = TextAnalysis.BpePreTokenRe.replace("'", "''")
+      s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         | n_chars,
+         | CAST(len(regexp_extract_all(text, '$re')) AS INT) AS bpe_tokens,
+         | CAST(floor(length(text) / 4) AS BIGINT) AS bpe_est,
+         | round(length(replace(text, ' ', '')) /
+         |   len(string_split(text, ' ')), 4) AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "text_quality" ->
       s"""SELECT doc_id,

@@ -25,14 +25,27 @@ object TextAnalysis {
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
-  /** Token counting: whitespace tokens + a BPE-ish estimate (chars/4,
-    * a public rule-of-thumb for subword tokenizers). */
+  /** GPT-2-style pre-tokenizer pattern, restricted to the RE2 ∩
+    * java.util.regex dialect (no lookarounds) so the DuckDB oracle counts
+    * the identical segments: contraction suffixes, space-prefixed
+    * letter/digit/punctuation runs, then bare whitespace runs. This is the
+    * piece of BPE that determines the TOKEN COUNT — the merge table only
+    * splits within these segments' subwords, so the pre-token count is the
+    * standard public proxy for budget accounting. */
+  val BpePreTokenRe: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token counting: whitespace tokens, a real BPE-ish pre-tokenizer count
+    * (regexp segment count, see [[BpePreTokenRe]]), and the chars/4
+    * rule-of-thumb estimate for comparison. */
   def tokenStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("tokens", split(col("text"), " "))
       .select(col("doc_id"),
         size(col("tokens")).as("n_tokens"),
         col("n_chars"),
+        size(regexp_extract_all(col("text"), lit(BpePreTokenRe), lit(0)))
+          .as("bpe_tokens"),
         floor(length(col("text")) / lit(4)).cast("bigint").as("bpe_est"),
         round(length(regexp_replace(col("text"), " ", "")) /
           size(col("tokens")), 4).as("avg_token_len"))

@@ -85,6 +85,12 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("round-6 indexed intake ops are empty-safe (empty standing index, empty delta)") {
+    assert(TextAnalysis.winnowProbeIndexed(spark, emptyDir).count() === 0)
+    assert(Dedup.incrementalDedupIndexed(spark, emptyDir).count() === 0)
+    assert(BloomGate.incrementalExactTriageIndexed(spark, emptyDir).count() === 0)
+  }
+
   test("curation-stack additions are empty-safe (PQ fails loudly: no sample, no codebook)") {
     assert(Redaction.redactDocuments(spark, emptyDir).count() === 0)
     assert(Dedup.canonicalGroups(spark, emptyDir).count() === 0)

@@ -454,6 +454,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.forall(r => Set("en", "es", "fr")(r.getString(2))))
   }
 
+  test("bpe pre-token count: contractions, punctuation, digits, and spacing " +
+      "segment like the GPT-2 pre-tokenizer") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    val text = "I'll say don't, 123 times!"
+    Seq((1L, text, text.length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val row = TextAnalysis.tokenStats(spark, tmp).head()
+    // I | 'll | " say" | " don" | 't | , | " 123" | " times" | !
+    assert(row.getAs[Int]("bpe_tokens") === 9)
+    assert(row.getAs[Int]("n_tokens") === 5, "whitespace tokens")
+  }
+
   test("multimodal: stub decode features are a normalized histogram") {
     val feats = Multimodal.extractFeatures(
       Multimodal.synthesizeAssets(spark, dir)).collect()
