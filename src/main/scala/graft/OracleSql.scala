@@ -735,6 +735,28 @@ object OracleSql {
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
 
+    // Gopher-style within-doc repetition: same 3-shingle expression as the
+    // dedup family; occurrence fractions divide the same BIGINTs on both
+    // engines so round(x, 4) is exact
+    "text_repetition" ->
+      s"""WITH tok AS ($tokensCte),
+         |g AS (SELECT doc_id, $shinglesCase AS g3,
+         |  CASE WHEN len(tokens) >= 2 THEN
+         |    list_transform(range(1, CAST(len(tokens) AS BIGINT)), i ->
+         |      tokens[i] || ' ' || tokens[i+1])
+         |  ELSE [text] END AS g2
+         |  FROM tok),
+         |d3 AS (SELECT doc_id, CAST(len(g3) AS INT) AS n3,
+         |  round((len(g3) - len(list_distinct(g3))) / len(g3), 4) AS dup3_frac
+         |  FROM g),
+         |t2 AS (SELECT doc_id, round(max(c) / sum(c), 4) AS top2_frac FROM (
+         |  SELECT doc_id, gg AS gram, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(g2) AS gg FROM g) u
+         |  GROUP BY doc_id, gg) cc GROUP BY doc_id)
+         |SELECT d3.doc_id, n3, dup3_frac, top2_frac
+         |FROM d3 JOIN t2 ON d3.doc_id = t2.doc_id
+         |ORDER BY d3.doc_id""".stripMargin,
+
     "dedup_minhash" ->
       s"""WITH tok AS ($tokensCte),
          |sh AS (SELECT doc_id, $shinglesCase AS sh FROM tok)

@@ -134,6 +134,7 @@ object SparkEntry {
     "dedup_minhash" -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
+    "text_repetition" -> (TextAnalysis.repetitionStats _),
     "text_winnow" -> ((s: SparkSession, d: String) => TextAnalysis.winnow(s, d)),
     "dedup_winnow_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.winnowPairs(s, d)),
     "dedup_winnow_probe" -> ((s: SparkSession, d: String) => TextAnalysis.winnowProbe(s, d)),

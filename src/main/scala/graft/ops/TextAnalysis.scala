@@ -122,6 +122,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Within-document repetition metrics — the Gopher/MassiveText quality
+    * rules (Rae et al. 2021 §A1.1) this family was missing: highly
+    * repetitive documents (boilerplate, scraped listings, degenerate
+    * generations) are detected by the fraction of REPEATED n-grams inside
+    * the document, not by any cross-document comparison.
+    *
+    *   - dup3_frac: fraction of 3-gram occurrences that are repeats,
+    *     (n3 − distinct3) / n3 — computed per row from the same 3-token
+    *     shingle expression the dedup family uses (no shuffle at all)
+    *   - top2_frac: occurrence share of the document's most frequent
+    *     2-gram — one (doc_id, gram) wordcount shuffle of narrow rows
+    *
+    * (Gopher weights by characters; occurrence fractions keep the measure
+    * integral and engine-exact — the division inputs are the same BIGINTs
+    * on both engines, so round(x, 4) can't flake.) */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("g3", expr(Dedup.shingleExpr))
+      .withColumn("g2", expr(
+        """CASE WHEN size(tokens) >= 2 THEN
+          |  transform(sequence(1, size(tokens) - 1), i ->
+          |    concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1)))
+          |ELSE array(text) END""".stripMargin))
+    val dup3 = docs.select(col("doc_id"),
+      size(col("g3")).as("n3"),
+      round((size(col("g3")) - size(array_distinct(col("g3"))))
+        / size(col("g3")), 4).as("dup3_frac"))
+    val top2 = docs
+      .select(col("doc_id"), explode(col("g2")).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")) / sum(col("c")), 4).as("top2_frac"))
+    dup3.join(top2, "doc_id")
+      .select(col("doc_id"), col("n3"), col("dup3_frac"), col("top2_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Vocabulary extraction: explode tokens → global frequency ranking.
     * The generator (explode) is partition-local; only (token, partial
     * count) pairs shuffle — the classic wordcount shape, which is how a

@@ -454,6 +454,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.forall(r => Set("en", "es", "fr")(r.getString(2))))
   }
 
+  test("repetition stats: dup-3gram and top-2gram fractions match hand counts") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("reps").toString
+    Seq(
+      (1L, "a b a b a b", 11L), // 3g: aba bab aba bab -> 4 total, 2 distinct
+      (2L, "the quick brown fox", 19L) // no repeats
+    ).toDF("doc_id", "text", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.repetitionStats(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((4, 0.5, 0.6)), "2g: 'a b'x3 of 5 -> 0.6")
+    assert(out(2L) === ((2, 0.0, 0.3333)))
+  }
+
   test("bpe pre-token count: contractions, punctuation, digits, and spacing " +
       "segment like the GPT-2 pre-tokenizer") {
     import spark.implicits._
