@@ -1005,6 +1005,19 @@ object OracleSql {
         |  round(max(vd), 6) AS max_v
         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
 
+    // Gram matrix: per-term micro-unit quantization BEFORE the sum makes
+    // the order-dependent double-product sum an exact integer on both
+    // engines; DuckDB's HUGEINT sum is cast back to Spark's BIGINT
+    "emb_gram" ->
+      """WITH x AS (
+        |  SELECT CAST(ti.i AS INT) AS i, CAST(tj.j AS INT) AS j,
+        |    CAST(round(CAST(embedding[ti.i + 1] AS DOUBLE)
+        |      * CAST(embedding[tj.j + 1] AS DOUBLE) * 1e6) AS BIGINT) AS t
+        |  FROM embeddings, range(64) ti(i), range(64) tj(j)
+        |  WHERE tj.j >= ti.i)
+        |SELECT i, j, count(*) AS n, CAST(sum(t) AS BIGINT) AS s_xy_micro
+        |FROM x GROUP BY i, j ORDER BY i, j""".stripMargin,
+
     "ann_lsh_buckets" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |  FROM embeddings)

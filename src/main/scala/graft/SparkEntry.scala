@@ -167,6 +167,7 @@ object SparkEntry {
     "emb_dup_lsh" -> ((s: SparkSession, d: String) => Similarity.cosineDupLsh(s, d)),
     "emb_semdedup" -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
     "emb_dim_stats" -> (EmbeddingStats.dimStats _),
+    "emb_gram" -> (EmbeddingStats.gramMatrix _),
     // multimodal plumbing (decode stubbed)
     "mm_features" -> (Multimodal.featuresQuery _),
     "mm_ann" -> ((s: SparkSession, d: String) => Multimodal.assetAnn(s, d)),

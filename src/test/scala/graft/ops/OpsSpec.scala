@@ -454,6 +454,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.forall(r => Set("en", "es", "fr")(r.getString(2))))
   }
 
+  test("gram matrix: upper-triangle micro sums match hand computation") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("gram").toString
+    val e1 = Array.tabulate(64)(i => if (i == 0) 1f else if (i == 1) 2f else 0f)
+    val e2 = Array.tabulate(64)(i => if (i == 0) 0.5f else 0f)
+    Seq((1L, e1), (2L, e2)).toDF("vec_id", "embedding")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val out = EmbeddingStats.gramMatrix(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out.size === 64 * 65 / 2, "upper triangle incl. diagonal")
+    assert(out((0, 0)) === ((2L, 1250000L))) // 1*1 + 0.5*0.5 in micro
+    assert(out((0, 1)) === ((2L, 2000000L))) // 1*2 + 0.5*0
+    assert(out((1, 1)) === ((2L, 4000000L)))
+    assert(out((2, 3)) === ((2L, 0L)))
+  }
+
   test("repetition stats: dup-3gram and top-2gram fractions match hand counts") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("reps").toString
