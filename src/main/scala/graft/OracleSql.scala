@@ -1743,6 +1743,18 @@ object OracleSql {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** PCA projection replay from the stashed fit: each coordinate is
+    * dotChain(e, component literals) − (mean·component literal), exactly
+    * the engine's (e − mean)·v = e·v − mean·v factoring. */
+  private def pcaOracle(means: Array[Double],
+      comps: IndexedSeq[Array[Double]], offsets: IndexedSeq[Double]): String = {
+    val cols = comps.indices.map { i =>
+      s"round(${litDot("e", comps(i))} - (CAST(${offsets(i)} AS DOUBLE)), 6) AS pc_$i"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |SELECT vec_id, $cols FROM e ORDER BY vec_id""".stripMargin
+  }
+
   /** The `_indexed` intake variants answer the SAME question from the
     * persisted standing index ([[graft.sources.IndexStore]]); their output
     * contract is byte-identical to the recompute-in-query forms, so they
@@ -1762,6 +1774,8 @@ object OracleSql {
         "dedup_bloom_gate_indexed" -> base("dedup_bloom_gate")) ++
       Similarity.fittedIvfCentroids.map(cs => "ann_ivf" -> ivfOracle(cs)) ++
       Similarity.fittedSemCentroids.map(cs => "emb_semdedup" -> semOracle(cs)) ++
-      Similarity.fittedPqCodebooks.map(cb => "ann_pq" -> pqOracle(cb))
+      Similarity.fittedPqCodebooks.map(cb => "ann_pq" -> pqOracle(cb)) ++
+      graft.ops.EmbeddingStats.fittedPca.map { case (m, c, o) =>
+        "emb_pca" -> pcaOracle(m, c, o) }
   }
 }

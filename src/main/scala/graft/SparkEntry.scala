@@ -168,6 +168,7 @@ object SparkEntry {
     "emb_semdedup" -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
     "emb_dim_stats" -> (EmbeddingStats.dimStats _),
     "emb_gram" -> (EmbeddingStats.gramMatrix _),
+    "emb_pca" -> ((s: SparkSession, d: String) => EmbeddingStats.pcaProject(s, d)),
     // multimodal plumbing (decode stubbed)
     "mm_features" -> (Multimodal.featuresQuery _),
     "mm_ann" -> ((s: SparkSession, d: String) => Multimodal.assetAnn(s, d)),

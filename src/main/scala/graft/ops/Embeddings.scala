@@ -37,6 +37,125 @@ object EmbeddingStats {
         round(max(col("vd")), 6).as("max_v"))
       .orderBy(col("dim"))
 
+  /** Fitted PCA constants (means, components, mean·component offsets),
+    * stashed when emb_pca runs so the oracle generator replays the
+    * projection from literals — same capture-at-query-time trick as the
+    * ANN centroids ([[graft.ops.Similarity]]). */
+  @volatile private[graft] var fittedPca: Option[(Array[Double], IndexedSeq[Array[Double]], IndexedSeq[Double])] = None
+
+  /** Deterministic cyclic-Jacobi eigensolver for a symmetric matrix —
+    * fixed sweep count and fixed (p, q) visiting order, no data-dependent
+    * branching beyond the rotation-skip on exact zeros, so the same input
+    * always yields the same eigenpairs (the determinism the oracle replay
+    * needs). Returns (eigenvalues, eigenvectors as rows), unsorted. */
+  private[ops] def jacobiEigen(a0: Array[Array[Double]],
+      sweeps: Int = 30): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = Array.tabulate(n, n)((i, j) => a0(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var s = 0
+    while (s < sweeps) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+              case sg => sg / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sn * akq
+              a(k)(q) = sn * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sn * aqk
+              a(q)(k) = sn * apk + c * aqk
+              val vpk = v(p)(k); val vqk = v(q)(k)
+              v(p)(k) = c * vpk - sn * vqk
+              v(q)(k) = sn * vpk + c * vqk
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      s += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** PCA over the embedding corpus: the distributed work is exactly
+    * [[gramMatrix]] + [[dimStats]]'s micro sums (both driver-small
+    * results); the covariance assembly and the Jacobi eigensolve are
+    * driver-side numerics on a 64×64 matrix — the standard split for
+    * billion-row PCA (the data-sized passes are the two aggregates and
+    * the final projection, everything else is O(D²)). The projection of
+    * every vector onto the top-k components runs as ONE codegen
+    * projection over literal component arrays: (e − mean)·v = e·v − mean·v
+    * with the mean·v offset precomputed in vec_dot's own fold order, so
+    * the DuckDB oracle replays it exactly from the stashed literals.
+    *
+    * Determinism end to end: the covariance comes from exact integer
+    * micro sums, the eigensolver is branch-free cyclic Jacobi, component
+    * sign is fixed (largest-|entry| coordinate made positive), ties on
+    * eigenvalues break by dimension index. */
+  def pcaProject(s: SparkSession, dir: String, k: Int = PcaK): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val d = graft.ops.VectorOps.Dim
+    val gram = gramMatrix(s, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val n = gram((0, 0))._1.toDouble
+    require(n > 0, "PCA needs a non-empty corpus")
+    val means = dimStats(s, dir).collect()
+      .sortBy(_.getInt(0))
+      .map(r => r.getDouble(2)) // mean_v, exact-micro-derived
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val (lo, hi) = if (i <= j) (i, j) else (j, i)
+      gram((lo, hi))._2 / 1e6 / n - means(i) * means(j)
+    }
+    val (eig, vecRows) = jacobiEigen(cov)
+    val top = eig.zipWithIndex
+      .sortBy { case (ev, i) => (-ev, i) }
+      .take(k)
+      .map { case (_, i) =>
+        val row = vecRows(i)
+        // sign convention: the largest-|entry| coordinate is positive
+        val m = row.indices.maxBy(j => (math.abs(row(j)), -j))
+        if (row(m) < 0) row.map(x => -x) else row
+      }.toIndexedSeq
+    // mean·v in vec_dot's own left-fold order so both engines match
+    val offsets = top.map { row =>
+      var acc = 0.0; var i = 0
+      while (i < d) { acc += means(i) * row(i); i += 1 }
+      acc
+    }
+    fittedPca = Some((means, top, offsets))
+
+    val e = Tables.embeddings(s, dir)
+      .withColumn("e", expr("cast(embedding AS ARRAY<DOUBLE>)"))
+    val withPcs = top.zipWithIndex.foldLeft(e.toDF()) { case (df, (row, i)) =>
+      df.withColumn(s"__pc_$i", array(row.map(x => lit(x)): _*))
+    }
+    withPcs.select(
+      col("vec_id") +:
+        top.indices.map(i =>
+          round(expr(s"vec_dot(e, __pc_$i)") - offsets(i), 6).as(s"pc_$i")): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  val PcaK = 8
+
   /** Upper-triangle second-moment (Gram) matrix Σ xᵢxⱼ over the corpus —
     * the distributed accumulation that feeds PCA / ZCA whitening / OPQ
     * rotation: the D×D matrix is tiny (2,080 upper-triangle entries at

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PCA correctness: the Jacobi eigensolver against known eigenpairs, and
+  * end-to-end recovery of a planted dominant direction. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jacobi eigensolver: known 2x2 and diagonal matrices") {
+    val (eig, vecs) = EmbeddingStats.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val sorted = eig.sorted
+    assert(math.abs(sorted(0) - 1.0) < 1e-12)
+    assert(math.abs(sorted(1) - 3.0) < 1e-12)
+    // eigenvector rows: for eigenvalue 3 the direction is (1,1)/sqrt(2)
+    val i3 = eig.indexWhere(e => math.abs(e - 3.0) < 1e-9)
+    val v3 = vecs(i3)
+    assert(math.abs(math.abs(v3(0)) - math.abs(v3(1))) < 1e-12)
+    assert(math.abs(v3(0) * v3(0) + v3(1) * v3(1) - 1.0) < 1e-12, "unit norm")
+
+    val (deig, _) = EmbeddingStats.jacobiEigen(
+      Array(Array(5.0, 0.0), Array(0.0, -2.0)))
+    assert(deig.sorted.sameElements(Array(-2.0, 5.0)))
+  }
+
+  test("pcaProject recovers a planted dominant direction and centers it") {
+    val dim = VectorOps.Dim
+    // 60 vectors along u = (1,1,0,...)/sqrt(2), spread t = -30..29, plus a
+    // small deterministic wobble in dim 2 so the covariance isn't rank-1
+    val tmp = java.nio.file.Files.createTempDirectory("pca").toString
+    val rows = (0 until 60).map { i =>
+      val t = (i - 30).toDouble
+      val e = new Array[Float](dim)
+      e(0) = (t / math.sqrt(2)).toFloat
+      e(1) = (t / math.sqrt(2)).toFloat
+      e(2) = (math.sin(i.toDouble) * 0.01).toFloat
+      (i.toLong, e)
+    }
+    rows.toDF("vec_id", "embedding")
+      .write.parquet(s"$tmp/embeddings.parquet")
+
+    val out = EmbeddingStats.pcaProject(spark, tmp, k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // pc_0 tracks t: spacing between consecutive ids is the unit step
+    val p = (0 until 60).map(i => out(i.toLong)._1)
+    val diffs = p.sliding(2).map(w => w(1) - w(0)).toSeq
+    assert(diffs.forall(d => math.abs(math.abs(d) - 1.0) < 1e-3),
+      s"pc_0 steps should be ±1, got ${diffs.take(3)}")
+    // centered: corpus mean of each coordinate ~ 0
+    assert(math.abs(p.sum / p.length) < 1e-3)
+    val p1 = (0 until 60).map(i => out(i.toLong)._2)
+    assert(math.abs(p1.sum / p1.length) < 1e-3)
+    // variance concentrates on the first component
+    def variance(xs: Seq[Double]) = {
+      val m = xs.sum / xs.length; xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    assert(variance(p) > 100 * variance(p1))
+  }
+
+  test("pcaProject is deterministic across invocations") {
+    val dir = "/root/testdata/sf0.001"
+    val a = EmbeddingStats.pcaProject(spark, dir).collect().map(_.toString)
+    val b = EmbeddingStats.pcaProject(spark, dir).collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+}
