@@ -701,6 +701,19 @@ object OracleSql {
         |  FROM documents) t
         |WHERE doc_id = keeper ORDER BY doc_id""".stripMargin,
 
+    // policy keeper over CANONICAL groups: highest quality (n_chars desc)
+    // wins, ties to the smaller doc_id — same fully-tie-broken window and
+    // the same canonicalization chain as dedup_canonical
+    "dedup_exact_policy" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(lower(text),
+        |        '[^a-z0-9]+', ' ', 'g')))
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rnk
+        |  FROM documents) t
+        |WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+
     // canonicalization chain replayed verbatim ('g' = replace-all, matching
     // Spark's regexp_replace semantics); digests then hash-compare
     "dedup_canonical" ->

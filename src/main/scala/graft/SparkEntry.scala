@@ -130,6 +130,7 @@ object SparkEntry {
     // dedup
     "dedup_exact" -> (Dedup.exactGroups _),
     "dedup_exact_keep" -> (Dedup.exactKeep _),
+    "dedup_exact_policy" -> (Dedup.exactKeepByPolicy _),
     "dedup_canonical" -> (Dedup.canonicalGroups _),
     "dedup_minhash" -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> (Dedup.minhashPairs _),

@@ -104,6 +104,30 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Policy-keeper dedup over CANONICAL groups: within each
+    * canonicalized-content group keep the HIGHEST-QUALITY copy (longest
+    * raw text, ties to the smaller doc_id) rather than the arbitrary
+    * min-id — what production curation keeps when near-identical copies
+    * differ in formatting/provenance (CCNet keeps the best-scored copy;
+    * the policy is the window order, pluggable). Exact duplicates are
+    * byte-identical so a policy can't distinguish them — it's the
+    * canonical tier (case/punct/whitespace variants, which DO differ in
+    * raw length) where the choice matters. Same scale shape as
+    * [[exactKeep]]: one digest window over narrow rows, bodies never
+    * shuffle. */
+  def exactKeepByPolicy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(canonicalText(col("text"))).as("fp"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-exact dedup via text canonicalization: lowercase, map each run
     * of non-alphanumerics to a single space, trim — then the same
     * digest-group shape as [[exactGroups]]. Catches the trivial-variant

@@ -454,6 +454,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.forall(r => Set("en", "es", "fr")(r.getString(2))))
   }
 
+  test("policy keeper: the longest canonical variant wins, not the min id") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("policy").toString
+    Seq(
+      (1L, "hello world", "a", 11L),
+      (2L, "Hello,  WORLD!!", "b", 15L), // same canonical form, longer raw
+      (3L, "something else", "a", 14L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val kept = Dedup.exactKeepByPolicy(spark, tmp).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L), "doc 2 beats doc 1 on length despite min-id")
+    // contrast: min-id exact keep retains both (texts differ byte-wise)
+    assert(Dedup.exactKeep(spark, tmp).count() === 3)
+  }
+
   test("gram matrix: upper-triangle micro sums match hand computation") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("gram").toString
