@@ -1186,6 +1186,31 @@ object OracleSql {
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
     },
 
+    // ExactSubstr span removal: same gram-hash stream as dedup_substring
+    // but with positions kept; covered indices fold identically (distinct
+    // + sort), and the split/join round-trip is byte-exact on both engines
+    "dedup_substring_clean" -> {
+      val n = Dedup.SubstrGramLen
+      val gram = SharedHash.duck48(s"array_to_string(tokens[pos:pos+${n - 1}], ' ')")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens
+         |  FROM documents),
+         |o0 AS (SELECT doc_id, tokens,
+         |    unnest(range(1, CAST(len(tokens) AS BIGINT) - ${n - 2})) AS pos
+         |  FROM t WHERE len(tokens) >= $n),
+         |oh AS (SELECT doc_id, pos, $gram AS h FROM o0),
+         |dup AS (SELECT h FROM oh GROUP BY h HAVING count(*) >= 2),
+         |cv AS (SELECT doc_id, list_sort(list_distinct(flatten(
+         |    list_transform(list(pos), p -> range(p, p + $n))))) AS cov
+         |  FROM oh JOIN dup USING (h) GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(tokens) AS INT) AS n_tokens,
+         |  CAST(coalesce(len(cov), 0) AS INT) AS n_dropped,
+         |  coalesce(array_to_string(list_transform(
+         |    list_filter(range(1, CAST(len(tokens) AS BIGINT) + 1),
+         |      i -> NOT list_contains(coalesce(cov, []), i)),
+         |    i -> tokens[i]), ' '), '') AS clean_text
+         |FROM t LEFT JOIN cv USING (doc_id) ORDER BY t.doc_id""".stripMargin
+    },
+
     // char entropy: the identical char-sorted fold (list_sort +
     // list_reduce), so the float sum is order-deterministic in both
     // engines; `/` is float division in DuckDB, matching Spark's

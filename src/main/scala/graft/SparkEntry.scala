@@ -153,6 +153,7 @@ object SparkEntry {
     "dedup_simhash_lsh" -> (Dedup.simhashLshPairs _),
     "dedup_simhash_lsh64" -> (Dedup.simhashLshPairs64 _),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringGramPairs(s, d)),
+    "dedup_substring_clean" -> ((s: SparkSession, d: String) => Dedup.substringSpanRemoval(s, d)),
     "dedup_incremental" -> (Dedup.incrementalDedup _),
     "dedup_incremental_indexed" -> (Dedup.incrementalDedupIndexed _),
     "dedup_bloom_gate" -> (BloomGate.incrementalExactTriage _),

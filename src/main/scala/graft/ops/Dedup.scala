@@ -497,6 +497,66 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** ExactSubstr span REMOVAL (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — the removal pass, not just pair
+    * detection): every occurrence of a [[SubstrGramLen]]-token gram that
+    * appears ≥ 2 times in the corpus is masked, and the document is
+    * rebuilt from its uncovered tokens. This is what the suffix-array
+    * pipeline actually ships — the duplicated SPAN is dropped, the
+    * document survives.
+    *
+    * Scale shape: strictly wordcount-shaped, better than the pairs op —
+    * no self-join anywhere. One (doc_id, pos, 8-byte hash) explode, one
+    * count-by-hash aggregate, one semi-join back, one per-doc fold that
+    * turns start positions into a covered-index set via codegen HOFs.
+    * Text never shuffles; the rebuild happens where the document already
+    * sits. Hash collisions (48-bit) can mask an innocent span — the
+    * standard gram-hash trade, identical in the oracle, so the output
+    * remains hash-exact.
+    *
+    * Split/join round-trip is exact: `split(text, ' ')` keeps empty
+    * tokens, so `array_join(..., ' ')` of the untouched token list is the
+    * original text byte-for-byte. */
+  def substringSpanRemoval(s: SparkSession, dir: String,
+      gramLen: Int = SubstrGramLen): DataFrame = {
+    def tokenized = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    val occExpr =
+      s"""transform(sequence(1, size(tokens) - ${gramLen - 1}), i ->
+         |  struct(i AS pos,
+         |    ${SharedHash.spark48(s"array_join(slice(tokens, i, $gramLen), ' ')")} AS h))"""
+        .stripMargin.replaceAll("\n", " ")
+    val occ = tokenized.filter(size(col("tokens")) >= gramLen)
+      .select(col("doc_id"), explode(expr(occExpr)).as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.h").as("h"))
+      .cache()
+    occ.count() // two consumers: the dup aggregate + the position join
+    val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    // start positions only reach docs that own a duplicated occurrence, so
+    // this frame is small ∝ duplication density — the ONLY thing pinned;
+    // the corpus-sized rebuild below streams off a fresh scan.
+    // collect_list order doesn't matter — the fold distinct+sorts.
+    val covStarts = Caching.materializeAndRelease(
+      occ.join(dup, "h")
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("pos")).as("starts")),
+      occ)
+    tokenized.join(covStarts, Seq("doc_id"), "left")
+      .withColumn("cov", expr(
+        s"""array_sort(array_distinct(flatten(transform(
+           |  coalesce(starts, cast(array() AS ARRAY<INT>)),
+           |  p -> sequence(p, p + ${gramLen - 1})))))"""
+          .stripMargin.replaceAll("\n", " ")))
+      .select(col("doc_id"),
+        size(col("tokens")).as("n_tokens"),
+        size(col("cov")).as("n_dropped"),
+        expr("array_join(transform(" +
+          "filter(sequence(1, size(tokens)), i -> NOT array_contains(cov, i))," +
+          " i -> element_at(tokens, i)), ' ')").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- incremental dedup (new batch vs existing corpus) --------------------
 
   /** The harness's delta convention, shared by every incremental operator

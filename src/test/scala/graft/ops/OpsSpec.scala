@@ -454,6 +454,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.forall(r => Set("en", "es", "fr")(r.getString(2))))
   }
 
+  test("substring span removal: duplicated 16-gram spans drop, the rest survives") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("spans").toString
+    val shared = (1 to 16).map(i => s"dup$i").mkString(" ") // one exact 16-gram
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"$shared tail1 tail2"),
+      (3L, "no duplicated content here at all")
+    ).map { case (id, t) => (id, t, "s", t.length.toLong) }
+    docs.toDF("doc_id", "text", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = Dedup.substringSpanRemoval(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) === ((20, 16, "alpha beta gamma delta")))
+    assert(out(2L) === ((18, 16, "tail1 tail2")))
+    assert(out(3L) === ((6, 0, "no duplicated content here at all")),
+      "short doc (< 16 tokens) is untouched")
+    // a doc that is ONLY the shared gram would empty out — total drop count
+    assert(out.values.map(_._2).sum === 32)
+  }
+
   test("policy keeper: the longest canonical variant wins, not the min id") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("policy").toString
