@@ -332,6 +332,39 @@ object StreamingOps {
         col("__hit").isNotNull.as("is_dup"))
   }
 
+  /** Self-maintaining intake sink — the closed loop of the curation front
+    * door: each micro-batch of incoming docs is triaged against the
+    * PERSISTED curation-digest index ([[graft.sources.IndexStore]]),
+    * accepted (non-duplicate) docs land in `acceptedPath`, and their
+    * digests are APPENDED to the index inside the same foreachBatch — so
+    * batch N+1 deduplicates against everything accepted through batch N
+    * without any rescan. Per-batch cost is O(batch + collisions): the
+    * probe join reads the index, the appends are delta-proportional
+    * parquet writes. Exactly-once effect: a replayed batch re-triages
+    * against an index that already holds its digests, so its docs triage
+    * as duplicates and nothing is double-accepted — the loop is naturally
+    * idempotent (the one append duplicated by a crash mid-batch only adds
+    * redundant digest rows, which the read-side distinct absorbs). */
+  def intakeSink(incoming: DataFrame, indexPath: String,
+      acceptedPath: String)(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val triaged = curationFrontDoorWithDigests(batch,
+          graft.sources.IndexStore.readCurationDigests(s, indexPath))
+          .localCheckpoint(true) // pin: the index append below changes
+                                 // what the triage would re-read
+        val acceptedIds = triaged.filter(!col("is_dup")).select(col("doc_id"))
+        val accepted = batch.join(acceptedIds, "doc_id")
+        accepted.write.mode("append").parquet(acceptedPath)
+        graft.sources.IndexStore.appendCurationDigests(accepted, indexPath)
+        ()
+      }
+      .start()
+
   /** CDC-style streaming upsert sink: a stream of (key, op, payload)
     * change rows maintains a keyed snapshot table via foreachBatch +
     * [[graft.ops.Upsert.merge]] — each micro-batch is one MERGE applied

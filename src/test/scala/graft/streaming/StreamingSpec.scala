@@ -305,6 +305,43 @@ class StreamingSpec extends SparkSpec {
     assert(run()(9100L), "appended digest flips novel -> dup")
   }
 
+  test("self-maintaining intake sink: batch N+1 dedups against batch N's " +
+      "accepted docs via the index append inside the loop") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IndexStore
+    val dir = "/root/testdata/sf0.001"
+    val standing = graft.ops.Tables.documents(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("intake").toString
+    val idx = s"$base/idx"
+    val accepted = s"$base/accepted"
+    IndexStore.buildCurationDigests(standing, idx)
+
+    val standingDoc = standing.select($"doc_id", $"text")
+      .as[(Long, String)].head()
+    val novelA = "first genuinely new document in the stream"
+    val novelB = "second genuinely new document arriving later"
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.intakeSink(
+        input.toDF().toDF("doc_id", "text"), idx, accepted)(
+        s"$base/ckpt")
+    try {
+      // batch 1: one standing dup + novel A
+      input.addData((9200L, standingDoc._2), (9201L, novelA))
+      q.processAllAvailable()
+      // batch 2: A again under a new id (must now be a dup) + novel B
+      input.addData((9202L, novelA), (9203L, novelB))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(accepted)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got === Set(9201L, 9203L),
+      "batch-2 repeat of A rejected by the appended digest; dup of standing rejected")
+  }
+
   test("winnowing sketch: the per-row HOF fold streams unchanged and " +
       "equals the batch window formulation") {
     implicit val sql = spark.sqlContext
