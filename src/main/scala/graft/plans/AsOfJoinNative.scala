@@ -50,6 +50,54 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Filter pushdown through the native as-of join — the `Rule[LogicalPlan]`
+  * tier of SURVEY §7.3's preference order. Catalyst's own
+  * PushDownPredicates cannot see through a plan node it doesn't know, so
+  * without this rule ANY filter above an as-of join runs after the merge —
+  * at 100 TB that's the difference between scanning one key's partition
+  * and merging the whole table first.
+  *
+  * Soundness: every output row corresponds 1:1 to a left row (matched or,
+  * for outer, null-extended), so a deterministic predicate over left-side
+  * columns commutes with the join. A predicate over the left KEY
+  * additionally mirrors to the right side (output rows satisfy
+  * leftKey = rightKey), pruning the right scan — right rows whose key
+  * can't survive the filter can never be anyone's match. Predicates
+  * touching rightVals stay above (they're match-dependent, and null-
+  * extended under outer).
+  *
+  * The rewrite leaves the pushed Filters directly over their child scans,
+  * where the normal datasource pushdown turns them into `PushedFilters`
+  * at planning time — the rule composes with, not replaces, the built-in
+  * machinery. Idempotent: after one application the residual filter has
+  * no left-only conjuncts, so the rule no-ops at fixpoint. */
+object AsOfJoinKeyPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, aj: AsOfJoinPlan) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond).partition(c =>
+        c.deterministic && c.references.subsetOf(aj.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val mirrored = leftOnly
+          .filter(_.references.subsetOf(AttributeSet(aj.leftKey)))
+          .map(_.transform {
+            case a: Attribute if a.exprId == aj.leftKey.exprId => aj.rightKey
+          })
+        val pushed = aj.copy(
+          left = Filter(leftOnly.reduce(And), aj.left),
+          right =
+            if (mirrored.isEmpty) aj.right
+            else Filter(mirrored.reduce(And), aj.right))
+        if (rest.isEmpty) pushed else Filter(rest.reduce(And), pushed)
+      }
+  }
+}
+
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
@@ -162,6 +210,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => AsOfJoinKeyPushdown)
     ext.injectFunction((FunctionIdentifier("rolling_hash64"),
       info("rolling_hash64", "rolling_hash64(str) - 64-bit polynomial rolling hash"),
       (exprs: Seq[Expression]) => RollingHash64(exprs.head)))
@@ -207,10 +256,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** Public API over the native operator. */
 object AsOfJoinNative {
 
-  /** Register the planner strategy on an already-built session (the
-    * harness builds sessions without `spark.sql.extensions`). Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Register the planner strategy + pushdown rule on an already-built
+    * session (the harness builds sessions without `spark.sql.extensions`).
+    * Idempotent. */
+  def register(spark: SparkSession): Unit = {
     GraftSqlShim.addStrategy(spark, AsOfJoinStrategy)
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinKeyPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinKeyPushdown
+  }
 
   private def attr(p: LogicalPlan, name: String): Attribute =
     p.output.find(_.name == name).getOrElse(

@@ -38,6 +38,51 @@ class AsOfJoinNativeSpec extends SparkSpec {
       (1L, 20L, "b", 2.0)))  // t=20 matches r t=15; k=2 l.t=10 < r.t=50 drops
   }
 
+  test("key-filter pushdown rule: the filter lands below the join on BOTH " +
+      "sides and reaches the parquet scans; results are unchanged") {
+    val ev = Tables.events(spark, dir)
+    val base = s"${java.nio.file.Files.createTempDirectory("asofpd")}"
+    ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("t"), col("value"))
+      .write.parquet(s"$base/l")
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("t"),
+        col("value").as("rv"))
+      .groupBy(col("user_id"), col("t")).agg(max(col("rv")).as("rv"))
+      .write.parquet(s"$base/r")
+    val l = spark.read.parquet(s"$base/l")
+    val r = spark.read.parquet(s"$base/r")
+
+    val joined = AsOfJoinNative.asofJoin(l, r, "user_id", "t", Seq("rv"))
+    val filtered = joined.filter(col("user_id") < 50)
+
+    // optimized plan: the Filter sits below AsOfJoinPlan, and the key
+    // predicate reaches BOTH parquet scans as a pushed filter
+    val phys = filtered.queryExecution.executedPlan.toString
+    val pushes = "PushedFilters: \\[[^\\]]*LessThan\\(user_id,50\\)".r
+      .findAllIn(phys).length
+    assert(pushes === 2, s"key predicate must reach both scans:\n$phys")
+
+    // unchanged semantics vs filtering after the (unpushed) join
+    val expected = joined.collect().map(_.toSeq)
+      .filter(row => row.head.asInstanceOf[Long] < 50)
+    assert(filtered.collect().map(_.toSeq).toSet === expected.toSet)
+    assert(expected.nonEmpty, "fixture must exercise the filter")
+  }
+
+  test("pushdown rule leaves match-dependent predicates above the join") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (2L, 10L, "c")).toDF("k", "t", "payload")
+    val right = Seq((1L, 5L, 1.0), (2L, 5L, 9.0)).toDF("k", "t", "v")
+    val df = AsOfJoinNative.asofJoin(left, right, "k", "t", Seq("v"))
+      .filter(col("v") > 2.0)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the rightVals predicate must stay ABOVE the as-of join node
+    assert(opt.indexOf("Filter") < opt.indexOf("AsOfJoin"),
+      s"match-dependent filter must not push below:\n$opt")
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("outer variant keeps unmatched left rows with null") {
     import spark.implicits._
     val left = Seq((1L, 10L), (2L, 10L)).toDF("k", "t")
