@@ -608,13 +608,19 @@ object Dedup {
     * shape. Output is byte-identical to [[incrementalDedup]] (same oracle). */
   def incrementalDedupIndexed(s: SparkSession, dir: String): DataFrame = {
     val (inc, _) = deltaSplit(Tables.documents(s, dir))
-    val idx = graft.sources.IndexStore.standingDedupIndex(s, dir)
+    triageAgainstIndex(inc, graft.sources.IndexStore.standingDedupIndex(s, dir))
+  }
+
+  /** Exact + near triage of an arbitrary (doc_id, text) batch against a
+    * persisted dedup index — the per-batch body of the streaming triage
+    * sink and of [[incrementalDedupIndexed]]. */
+  def triageAgainstIndex(inc: DataFrame,
+      idx: graft.sources.IndexStore.DedupIndex): DataFrame =
     incrementalVerdicts(inc,
       idx.digests.select(col("fp")).distinct(),
       idx.bands,
       idx.shingles,
       alsoRelease = Nil)
-  }
 
   /** Shared verdict dataflow over an incoming batch and the standing
     * side's three probe tables — however those were obtained (computed

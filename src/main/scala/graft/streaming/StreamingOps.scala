@@ -365,6 +365,38 @@ object StreamingOps {
       }
       .start()
 
+  /** Full-strength streaming triage sink — [[intakeSink]]'s exact-digest
+    * gate widened to the complete intake policy: each micro-batch is
+    * triaged exact AND near (MinHash band probe + exact-Jaccard verify)
+    * against the persisted [[graft.sources.IndexStore]] dedup index, the
+    * per-doc verdicts land in `verdictPath`, and NOVEL docs append to all
+    * three index tables inside the same foreachBatch — so batch N+1 both
+    * exact- and near-deduplicates against everything accepted through
+    * batch N. Per-batch cost is O(batch × collisions); the standing
+    * corpus is never rescanned. Same idempotence argument as
+    * [[intakeSink]]: a replayed batch finds its own digests/bands already
+    * indexed and triages as duplicates. */
+  def triageSink(incoming: DataFrame, indexRoot: String,
+      verdictPath: String)(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val verdicts = graft.ops.Dedup.triageAgainstIndex(batch,
+          graft.sources.IndexStore.readDedup(s, indexRoot))
+          .localCheckpoint(true) // pin before the index append changes
+                                 // what a re-read would see
+        verdicts.write.mode("append").parquet(verdictPath)
+        val novel = batch.join(
+          verdicts.filter(col("verdict") === "novel").select(col("doc_id")),
+          "doc_id")
+        graft.sources.IndexStore.appendDedup(novel, indexRoot)
+        ()
+      }
+      .start()
+
   /** CDC-style streaming upsert sink: a stream of (key, op, payload)
     * change rows maintains a keyed snapshot table via foreachBatch +
     * [[graft.ops.Upsert.merge]] — each micro-batch is one MERGE applied

@@ -342,6 +342,39 @@ class StreamingSpec extends SparkSpec {
       "batch-2 repeat of A rejected by the appended digest; dup of standing rejected")
   }
 
+  test("streaming triage sink: exact AND near duplicates of earlier batches " +
+      "are caught via the index appends inside the loop") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val dir = "/root/testdata/sf0.001"
+    val standing = graft.ops.Tables.documents(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("triage").toString
+    val idx = s"$base/idx"
+    val verdicts = s"$base/verdicts"
+    IndexStore.buildDedup(standing, idx)
+
+    // a long novel doc, its exact copy, and a near variant (small edit)
+    val novel = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = novel.replace("tok20", "EDITED")
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.triageSink(
+        input.toDF().toDF("doc_id", "text"), idx, verdicts)(s"$base/ckpt")
+    try {
+      input.addData((9300L, novel))
+      q.processAllAvailable()
+      input.addData((9301L, novel), (9302L, near))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(verdicts)
+      .select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
+    assert(got(9300L) === "novel", "first sighting is novel")
+    assert(got(9301L) === "exact", "batch-2 exact copy caught by the append")
+    assert(got(9302L) === "near", "batch-2 near variant caught by the band append")
+  }
+
   test("winnowing sketch: the per-row HOF fold streams unchanged and " +
       "equals the batch window formulation") {
     implicit val sql = spark.sqlContext
