@@ -22,6 +22,7 @@ object GraftFunctions {
     MisraGries.register(spark)
     CountMin.register(spark)
     HllRegs.register(spark)
+    GramAgg.register(spark)
     MinHashSigs.register(spark)
     ShingleHashes.register(spark)
     RollingHash64.register(spark)

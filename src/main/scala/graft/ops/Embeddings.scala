@@ -162,25 +162,31 @@ object EmbeddingStats {
     * D=64), so the only distributed work is the sum, and the eigensolve
     * is driver-side numerics on the result.
     *
-    * Scale shape: each row expands to its (i ≤ j) term list in ONE codegen
-    * projection (no self-join of the exploded frame — that would shuffle
-    * N·D rows twice), then a hash aggregate with map-side partials reduces
-    * to 2,080 groups per partition before the shuffle. Per the float-sum
-    * rule, each product is quantized to integer micro-units BEFORE the
-    * order-dependent sum, so the result is bit-stable across partitionings
-    * and hash-checkable in DuckDB. */
+    * Scale shape: ONE native typed aggregate ([[graft.functions.GramAgg]])
+    * holds the full D(D+1)/2 triangle as a fixed 16 KiB Long buffer per
+    * partial, updated in a tight primitive loop per row and merged
+    * tree-wise — the vector stream never shuffles, only the ~2k-entry
+    * buffers do. (The first formulation exploded N·D(D+1)/2 struct rows
+    * into a hash aggregate — 10M shuffled rows at sf0.1 to fill 2,080
+    * groups; measured 3.6 s vs ~0.4 s for the aggregate.) Per the
+    * float-sum rule, each product is quantized to integer micro-units
+    * BEFORE the order-dependent sum, so the result is bit-stable across
+    * partitionings and hash-checkable in DuckDB. */
   def gramMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GramAgg.register(s)
     val d = graft.ops.VectorOps.Dim
-    Tables.embeddings(s, dir)
+    val agg = Tables.embeddings(s, dir)
       .withColumn("e", expr("cast(embedding AS ARRAY<DOUBLE>)"))
-      .select(explode(expr(
-        s"""flatten(transform(sequence(0, ${d - 1}), i ->
-           |  transform(sequence(i, ${d - 1}), j -> struct(
-           |    i AS i, j AS j,
-           |    CAST(round(element_at(e, i + 1) * element_at(e, j + 1) * 1e6, 0)
-           |      AS BIGINT) AS t))))""".stripMargin)).as("s"))
-      .groupBy(col("s.i").as("i"), col("s.j").as("j"))
-      .agg(count(lit(1)).as("n"), sum(col("s.t")).as("s_xy_micro"))
+      .agg(count(lit(1)).as("n"), expr(s"gram_agg(e, $d)").as("g"))
+    // unfold the row-major triangle buffer into (i, j) rows via a tiny
+    // broadcast mapping — 2,080 rows however large the corpus
+    val mapping = (for (i <- 0 until d; j <- i until d) yield (i, j))
+      .zipWithIndex.map { case ((i, j), k) => (k, i, j) }
+      .toDF("k", "i", "j")
+    agg.select(col("n"), posexplode(col("g")).as(Seq("k", "s_xy_micro")))
+      .join(broadcast(mapping), "k")
+      .select(col("i"), col("j"), col("n"), col("s_xy_micro"))
       .orderBy(col("i"), col("j"))
   }
 }

@@ -242,6 +242,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hll_regs", "hll_regs(h48, p) - HyperLogLog register maxima over SharedHash values"),
       (exprs: Seq[Expression]) => graft.functions.HllRegs(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("gram_agg"),
+      info("gram_agg", "gram_agg(vec, dim) - exact-micro upper-triangle Gram accumulation"),
+      (exprs: Seq[Expression]) => graft.functions.GramAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((FunctionIdentifier("bloom_agg"),
       info("bloom_agg", "bloom_agg(hash, bits, k) - bloom filter over pre-hashed keys"),
       (exprs: Seq[Expression]) => graft.functions.BloomAgg(exprs(0),
