@@ -199,6 +199,70 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("substringSpanRemoval equals a brute-force reference on random " +
+      "small-alphabet corpora (3 seeds)") {
+    val gramLen = Dedup.SubstrGramLen
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      // tiny alphabet + doc lengths straddling the gram length force both
+      // genuine duplicated grams and untouched short docs
+      val docs = (0 until 25).map { id =>
+        val n = 8 + rnd.nextInt(40)
+        (id.toLong, Seq.fill(n)(s"w${rnd.nextInt(6)}").mkString(" "))
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(s"sr$seed").toString
+      docs.map { case (id, t) => (id, t, "s", t.length.toLong) }
+        .toDF("doc_id", "text", "source", "n_chars")
+        .write.parquet(s"$tmp/documents.parquet")
+
+      // brute force: global gram occurrence counts over the SAME hash-free
+      // gram identity (the operator hashes only as an equality proxy)
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+      val occs = docs.flatMap { case (id, _) =>
+        val tk = toks(id)
+        if (tk.length < gramLen) Seq.empty
+        else (0 to tk.length - gramLen).map(p =>
+          (id, p, tk.slice(p, p + gramLen).mkString(" ")))
+      }
+      val counts = occs.groupBy(_._3).view.mapValues(_.size).toMap
+      val expected = docs.map { case (id, t) =>
+        val tk = toks(id)
+        val covered = occs.collect {
+          case (d, p, g) if d == id && counts(g) >= 2 =>
+            p until (p + gramLen)
+        }.flatten.toSet
+        val clean = tk.zipWithIndex.collect {
+          case (w, i) if !covered(i) => w
+        }.mkString(" ")
+        (id, tk.length, covered.size, clean)
+      }.sortBy(_._1)
+
+      val got = Dedup.substringSpanRemoval(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .sortBy(_._1)
+      assert(got.toSeq === expected, s"seed $seed")
+    }
+  }
+
+  test("pcaProject coordinates equal the driver-side (e-mean)-dot-v replay") {
+    val dir = "/root/testdata/sf0.001"
+    val out = EmbeddingStats.pcaProject(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getDouble)).toMap
+    val (means, comps, offsets) = EmbeddingStats.fittedPca.get
+    val vecs = Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    vecs.foreach { case (id, e) =>
+      comps.indices.foreach { k =>
+        // same left-fold order as vec_dot
+        var acc = 0.0; var d = 0
+        while (d < e.length) { acc += e(d) * comps(k)(d); d += 1 }
+        val expect = BigDecimal(acc - offsets(k))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(out(id)(k) === expect, s"vec $id pc_$k")
+      }
+    }
+  }
+
   test("canonicalText is idempotent and invariant under case flips / " +
       "punctuation injection / whitespace runs (5 seeds)") {
     import org.apache.spark.sql.functions.col
