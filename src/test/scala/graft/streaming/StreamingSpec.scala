@@ -342,6 +342,42 @@ class StreamingSpec extends SparkSpec {
       "batch-2 repeat of A rejected by the appended digest; dup of standing rejected")
   }
 
+  test("intake sink across a stop/restart: accepted set has no duplicates " +
+      "and keeps growing from the checkpoint") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val dir = "/root/testdata/sf0.001"
+    val standing = graft.ops.Tables.documents(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("intake-rs").toString
+    val idx = s"$base/idx"
+    IndexStore.buildCurationDigests(standing, idx)
+    val input = MemoryStream[(Long, String)]
+    def start() = StreamingOps.intakeSink(
+      input.toDF().toDF("doc_id", "text"), idx, s"$base/accepted")(
+      s"$base/ckpt")
+
+    val q1 = start()
+    try {
+      input.addData((9400L, "novel doc accepted before the restart"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      // replay-adjacent batch: the SAME text again plus a new novel doc
+      input.addData((9401L, "novel doc accepted before the restart"),
+        (9402L, "novel doc arriving after the restart"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(s"$base/accepted")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(9400L, 9402L),
+      "pre-restart accept persists; its repeat is rejected; new novel lands")
+    assert(got.length === got.distinct.length)
+  }
+
   test("streaming triage sink: exact AND near duplicates of earlier batches " +
       "are caught via the index appends inside the loop") {
     implicit val sql = spark.sqlContext
