@@ -781,6 +781,38 @@ object OracleSql {
          |WHERE jaccard >= ${Dedup.JaccardThreshold}
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // pair graph rolled up by unordered source pair — same banded
+    // candidate/verify CTE as dedup_minhash_pairs
+    "dedup_source_matrix" ->
+      s"""WITH $minhashPairsCte,
+         |good AS (SELECT doc_a, doc_b FROM pairs
+         |  WHERE jaccard >= ${Dedup.JaccardThreshold}),
+         |m AS (SELECT least(da.source, db.source) AS source_x,
+         |  greatest(da.source, db.source) AS source_y
+         |  FROM good JOIN documents da ON da.doc_id = good.doc_a
+         |            JOIN documents db ON db.doc_id = good.doc_b)
+         |SELECT source_x, source_y, count(*) AS n_pairs FROM m
+         |GROUP BY source_x, source_y ORDER BY source_x, source_y""".stripMargin,
+
+    // standing-vocab top-k is fully tie-broken (count desc, token asc) so
+    // the boundary is deterministic; fractions divide the same integers
+    "text_oov" -> {
+      val isInc = s"(${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 10) = 9"
+      s"""WITH t AS (SELECT doc_id, text, $isInc AS is_inc FROM documents),
+         |v AS (SELECT token FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS token
+         |    FROM t WHERE NOT is_inc) u
+         |  GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 1000),
+         |d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM t WHERE is_inc)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN token IN (SELECT token FROM v)
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+         |  round(CAST(sum(CASE WHEN token IN (SELECT token FROM v)
+         |    THEN 0 ELSE 1 END) AS BIGINT) / count(*), 4) AS oov_frac
+         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     // same banded candidates as the minhash pipeline, then asymmetric
     // containment over distinct shingle sets in both directions
     "dedup_containment" ->

@@ -136,6 +136,8 @@ object SparkEntry {
     "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "text_repetition" -> (TextAnalysis.repetitionStats _),
+    "text_oov" -> ((s: SparkSession, d: String) => TextAnalysis.oovRate(s, d)),
+    "dedup_source_matrix" -> (Dedup.sourceDupMatrix _),
     "text_winnow" -> ((s: SparkSession, d: String) => TextAnalysis.winnow(s, d)),
     "dedup_winnow_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.winnowPairs(s, d)),
     "dedup_winnow_probe" -> ((s: SparkSession, d: String) => TextAnalysis.winnowProbe(s, d)),

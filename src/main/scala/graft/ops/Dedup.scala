@@ -230,6 +230,25 @@ object Dedup {
     Caching.materializeAndRelease(pairs, shingled)
   }
 
+  /** Cross-source duplication matrix — "where is my duplication coming
+    * from": the near-dup pair graph rolled up by unordered source pair.
+    * A curation team reads this to decide which crawl/feed pairs to
+    * de-prioritize or to gate against each other. Cost on top of the
+    * pair graph (∝ duplicate density) is two joins against a slim
+    * (doc_id, source) projection plus a tiny grouped count — the matrix
+    * itself is |sources|² regardless of corpus size. */
+  def sourceDupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    minhashPairsRaw(Tables.documents(s, dir))
+      .join(src.toDF("doc_a", "src_a"), "doc_a")
+      .join(src.toDF("doc_b", "src_b"), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_x"), col("source_y"))
+  }
+
   /** Asymmetric containment pairs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| over
     * distinct shingles — the measure that catches QUOTATION-style
     * duplication (a small doc fully embedded in a large one) which

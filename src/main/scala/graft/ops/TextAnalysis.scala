@@ -170,6 +170,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Out-of-vocabulary rate of the delta batch against the STANDING
+    * corpus's top-k vocabulary — the tokenizer-coverage check an intake
+    * pipeline runs before deciding whether arriving data has drifted away
+    * from the vocabulary the tokenizer was fitted on (same delta
+    * convention as the incremental dedup family).
+    *
+    * Scale shape: the vocabulary is a top-k over the wordcount — planned
+    * as TakeOrderedAndProject (no global sort) — and is broadcast into
+    * the delta probe; the delta's token stream never shuffles. The
+    * (count desc, token asc) ranking is fully tie-broken so the vocab
+    * boundary is deterministic on both engines. */
+  def oovRate(s: SparkSession, dir: String, vocabSize: Int = 1000): DataFrame = {
+    val (inc, ex) = Dedup.deltaSplit(Tables.documents(s, dir))
+    val vocab = ex.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"))
+      .withColumn("__in", lit(1))
+    inc.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac", round(col("n_oov") / col("n_tokens"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** Vocabulary extraction: explode tokens → global frequency ranking.
     * The generator (explode) is partition-local; only (token, partial
     * count) pairs shuffle — the classic wordcount shape, which is how a
