@@ -454,6 +454,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.forall(r => Set("en", "es", "fr")(r.getString(2))))
   }
 
+  test("oov rate: tokens outside the standing top-k vocab are counted, " +
+      "fraction matches a driver recount") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.oovRate(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, oov, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(oov <= n && frac >= 0.0 && frac <= 1.0)
+      assert(frac === BigDecimal(oov.toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("source dup matrix: pair totals reconcile with the raw pair graph") {
+    val dir = "/root/testdata/sf0.001"
+    val matrix = Dedup.sourceDupMatrix(spark, dir).collect()
+    val totalFromMatrix = matrix.map(_.getLong(2)).sum
+    val pairs = Dedup.minhashPairs(spark, dir).count()
+    assert(totalFromMatrix === pairs, "every pair lands in exactly one cell")
+    matrix.foreach(r => assert(r.getString(0) <= r.getString(1),
+      "unordered pair normalization"))
+  }
+
   test("substring span removal: duplicated 16-gram spans drop, the rest survives") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("spans").toString
