@@ -952,6 +952,31 @@ object OracleSql {
          |SELECT a AS doc_id, least(a, min(b)) AS cluster
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
+    // near-dup policy keeper: same recursive closure as dedup_clusters,
+    // then the fully-tie-broken (n_chars desc, doc_id asc) window per
+    // cluster; singletons form their own cluster via the left join
+    "dedup_clusters_policy" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |good AS (SELECT doc_a, doc_b FROM pairs
+         |  WHERE jaccard >= ${Dedup.JaccardThreshold}),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM good
+         |  UNION SELECT doc_b, doc_a FROM good),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |  FROM reach GROUP BY a),
+         |m AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+         |  d.n_chars
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |k AS (SELECT cluster, doc_id AS keeper FROM (
+         |  SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY n_chars DESC, doc_id ASC) AS rnk FROM m) t
+         |  WHERE rnk = 1)
+         |SELECT m.doc_id, m.cluster, k.keeper,
+         |  (k.keeper = m.doc_id) AS kept
+         |FROM m JOIN k USING (cluster) ORDER BY m.doc_id""".stripMargin,
+
     "dedup_jaccard_pairs" ->
       s"""WITH tok AS ($tokensCte),
          |sh AS (SELECT doc_id, $shinglesCase AS sh FROM tok WHERE doc_id < 200),

@@ -143,6 +143,7 @@ object SparkEntry {
     "dedup_winnow_probe" -> ((s: SparkSession, d: String) => TextAnalysis.winnowProbe(s, d)),
     "dedup_winnow_probe_indexed" -> ((s: SparkSession, d: String) => TextAnalysis.winnowProbeIndexed(s, d)),
     "dedup_clusters" -> (Dedup.minhashClusters _),
+    "dedup_clusters_policy" -> (Dedup.minhashClustersByPolicy _),
     "corpus_curate" -> (Corpus.curateQuery _),
     "corpus_pack" -> (Corpus.packBins _),
     "corpus_mixture" -> (Corpus.mixtureSample _),

@@ -406,6 +406,33 @@ object Dedup {
     connectedComponents(minhashPairsRaw(Tables.documents(s, dir)))
       .orderBy(col("doc_id"))
 
+  /** Policy keeper over NEAR-dup clusters — the third rung of the policy
+    * ladder ([[exactKeep]] min-id over exact groups, [[exactKeepByPolicy]]
+    * quality over canonical groups, this over MinHash-transitive
+    * clusters): within each connected component of the near-dup graph the
+    * highest-quality member survives (longest text, ties to min doc_id);
+    * singletons keep themselves. The component id stays the min doc_id
+    * (the CC contract) while the KEEPER is chosen by policy — the two are
+    * deliberately different columns so consumers can see both. Cost on
+    * top of the pair graph: one membership join against a slim
+    * (doc_id, n_chars) projection and one window over cluster-sized
+    * groups (∝ duplication, never corpus). */
+  def minhashClustersByPolicy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val comps = connectedComponents(minhashPairsRaw(Tables.documents(s, dir)))
+    val members = docs.join(comps, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    members
+      .withColumn("keeper", first(col("doc_id")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("doc_id"), col("cluster"), col("keeper"),
+        (col("keeper") === col("doc_id")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Degree-oriented edges of an undirected pair graph (doc_a < doc_b
     * rows): each edge points from its lower endpoint to its higher under
     * the total order (degree, id). Out-degrees are then bounded by
