@@ -1850,6 +1850,18 @@ object OracleSql {
        |SELECT vec_id, $cols FROM e ORDER BY vec_id""".stripMargin
   }
 
+  /** Whitening replay: the PCA projection with a per-component
+    * 1/√(λ+ε) literal scale applied before the round. */
+  private def whitenOracle(comps: IndexedSeq[Array[Double]],
+      offsets: IndexedSeq[Double], scales: IndexedSeq[Double]): String = {
+    val cols = comps.indices.map { i =>
+      s"round((${litDot("e", comps(i))} - (CAST(${offsets(i)} AS DOUBLE)))" +
+        s" * (CAST(${scales(i)} AS DOUBLE)), 6) AS wc_$i"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |SELECT vec_id, $cols FROM e ORDER BY vec_id""".stripMargin
+  }
+
   /** The `_indexed` intake variants answer the SAME question from the
     * persisted standing index ([[graft.sources.IndexStore]]); their output
     * contract is byte-identical to the recompute-in-query forms, so they
@@ -1871,6 +1883,8 @@ object OracleSql {
       Similarity.fittedSemCentroids.map(cs => "emb_semdedup" -> semOracle(cs)) ++
       Similarity.fittedPqCodebooks.map(cb => "ann_pq" -> pqOracle(cb)) ++
       graft.ops.EmbeddingStats.fittedPca.map { case (m, c, o) =>
-        "emb_pca" -> pcaOracle(m, c, o) }
+        "emb_pca" -> pcaOracle(m, c, o) } ++
+      graft.ops.EmbeddingStats.fittedWhiten.map { case (c, o, sc) =>
+        "emb_whiten" -> whitenOracle(c, o, sc) }
   }
 }

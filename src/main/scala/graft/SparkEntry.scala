@@ -174,6 +174,7 @@ object SparkEntry {
     "emb_dim_stats" -> (EmbeddingStats.dimStats _),
     "emb_gram" -> (EmbeddingStats.gramMatrix _),
     "emb_pca" -> ((s: SparkSession, d: String) => EmbeddingStats.pcaProject(s, d)),
+    "emb_whiten" -> ((s: SparkSession, d: String) => EmbeddingStats.pcaWhiten(s, d)),
     // multimodal plumbing (decode stubbed)
     "mm_features" -> (Multimodal.featuresQuery _),
     "mm_ann" -> ((s: SparkSession, d: String) => Multimodal.assetAnn(s, d)),

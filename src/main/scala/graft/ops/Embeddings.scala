@@ -42,6 +42,7 @@ object EmbeddingStats {
     * projection from literals — same capture-at-query-time trick as the
     * ANN centroids ([[graft.ops.Similarity]]). */
   @volatile private[graft] var fittedPca: Option[(Array[Double], IndexedSeq[Array[Double]], IndexedSeq[Double])] = None
+  @volatile private[graft] var fittedWhiten: Option[(IndexedSeq[Array[Double]], IndexedSeq[Double], IndexedSeq[Double])] = None
 
   /** Deterministic cyclic-Jacobi eigensolver for a symmetric matrix —
     * fixed sweep count and fixed (p, q) visiting order, no data-dependent
@@ -111,6 +112,30 @@ object EmbeddingStats {
     * sign is fixed (largest-|entry| coordinate made positive), ties on
     * eigenvalues break by dimension index. */
   def pcaProject(s: SparkSession, dir: String, k: Int = PcaK): DataFrame = {
+    val (means, top, offsets, _) = pcaFit(s, dir, k)
+    fittedPca = Some((means, top, offsets))
+    projectOnto(s, dir, top, offsets, top.map(_ => 1.0), "pc_")
+  }
+
+  /** PCA WHITENING — the embedding post-processing pass (Su et al. 2021's
+    * "whitening sentence representations" recipe): the centered projection
+    * scaled per component by 1/√(λ + ε), so downstream cosine geometry is
+    * isotropic across the kept components. Identical distributed shape to
+    * [[pcaProject]] — the scales are two more literals per component, so
+    * the oracle replay stays exact. */
+  def pcaWhiten(s: SparkSession, dir: String, k: Int = PcaK,
+      eps: Double = 1e-9): DataFrame = {
+    val (_, top, offsets, eig) = pcaFit(s, dir, k)
+    val scales = eig.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps))
+    fittedWhiten = Some((top, offsets, scales))
+    projectOnto(s, dir, top, offsets, scales, "wc_")
+  }
+
+  /** The shared driver-side fit: distributed gram + mean aggregates, then
+    * covariance assembly and the Jacobi solve on the tiny result. Returns
+    * (means, top-k components, mean·v offsets, top-k eigenvalues). */
+  private def pcaFit(s: SparkSession, dir: String,
+      k: Int): (Array[Double], IndexedSeq[Array[Double]], IndexedSeq[Double], IndexedSeq[Double]) = {
     graft.functions.VecDot.register(s)
     val d = graft.ops.VectorOps.Dim
     val gram = gramMatrix(s, dir).collect()
@@ -125,32 +150,39 @@ object EmbeddingStats {
       gram((lo, hi))._2 / 1e6 / n - means(i) * means(j)
     }
     val (eig, vecRows) = jacobiEigen(cov)
-    val top = eig.zipWithIndex
+    val picked = eig.zipWithIndex
       .sortBy { case (ev, i) => (-ev, i) }
       .take(k)
-      .map { case (_, i) =>
-        val row = vecRows(i)
-        // sign convention: the largest-|entry| coordinate is positive
-        val m = row.indices.maxBy(j => (math.abs(row(j)), -j))
-        if (row(m) < 0) row.map(x => -x) else row
-      }.toIndexedSeq
+    val top = picked.map { case (_, i) =>
+      val row = vecRows(i)
+      // sign convention: the largest-|entry| coordinate is positive
+      val m = row.indices.maxBy(j => (math.abs(row(j)), -j))
+      if (row(m) < 0) row.map(x => -x) else row
+    }.toIndexedSeq
     // mean·v in vec_dot's own left-fold order so both engines match
     val offsets = top.map { row =>
       var acc = 0.0; var i = 0
       while (i < d) { acc += means(i) * row(i); i += 1 }
       acc
     }
-    fittedPca = Some((means, top, offsets))
+    (means, top, offsets, picked.map(_._1).toIndexedSeq)
+  }
 
+  /** One codegen pass projecting every vector onto literal components:
+    * round((e·v_i − offset_i) · scale_i, 6) per component. */
+  private def projectOnto(s: SparkSession, dir: String,
+      comps: IndexedSeq[Array[Double]], offsets: IndexedSeq[Double],
+      scales: IndexedSeq[Double], prefix: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .withColumn("e", expr("cast(embedding AS ARRAY<DOUBLE>)"))
-    val withPcs = top.zipWithIndex.foldLeft(e.toDF()) { case (df, (row, i)) =>
+    val withPcs = comps.zipWithIndex.foldLeft(e.toDF()) { case (df, (row, i)) =>
       df.withColumn(s"__pc_$i", array(row.map(x => lit(x)): _*))
     }
     withPcs.select(
       col("vec_id") +:
-        top.indices.map(i =>
-          round(expr(s"vec_dot(e, __pc_$i)") - offsets(i), 6).as(s"pc_$i")): _*)
+        comps.indices.map(i =>
+          round((expr(s"vec_dot(e, __pc_$i)") - offsets(i)) * scales(i), 6)
+            .as(s"$prefix$i")): _*)
       .orderBy(col("vec_id"))
   }
 

@@ -59,6 +59,20 @@ class PcaSpec extends SparkSpec {
     assert(variance(p) > 100 * variance(p1))
   }
 
+  test("pcaWhiten: whitened coordinates have ~unit variance per component " +
+      "and zero mean") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = EmbeddingStats.pcaWhiten(spark, dir).collect()
+    val k = rows.head.length - 1
+    (1 to k).foreach { c =>
+      val xs = rows.map(_.getDouble(c))
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      assert(math.abs(m) < 1e-3, s"component $c mean")
+      assert(math.abs(v - 1.0) < 0.05, s"component $c variance $v")
+    }
+  }
+
   test("pcaProject is deterministic across invocations") {
     val dir = "/root/testdata/sf0.001"
     val a = EmbeddingStats.pcaProject(spark, dir).collect().map(_.toString)
