@@ -208,6 +208,16 @@ class CurationExtrasSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(dimPlan).length === 1)
     assert(dimPlan.contains("partial_count") || dimPlan.contains("HashAggregate"),
       "dim stats must partial-aggregate map-side before the 64-group shuffle")
+
+    // text_repetition's claim: one scan, no DATA shuffle — every metric is
+    // per-row (the only exchange is the final presentation sort)
+    val repPlan = TextAnalysis.repetitionStats(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(repPlan).length === 1,
+      "repetition stats must be a single pass over documents")
+    val repExchanges = "Exchange [a-z]+partitioning".r.findAllIn(repPlan).toList
+    assert(repExchanges.forall(_.contains("rangepartitioning")),
+      s"unexpected data shuffle in repetition plan: $repExchanges")
   }
 
   // --- embedding dim stats -------------------------------------------------
