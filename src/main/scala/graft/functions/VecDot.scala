@@ -35,6 +35,13 @@ case class VecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  /** Expression.foldable defaults to false for custom expressions, which
+    * would leave literal·literal dots (PQ/IVF centroid self-dots, PCA
+    * offsets) re-evaluated PER ROW. Folding them runs the same
+    * nullSafeEval once at optimization time — numerically identical, the
+    * oracle replay is unaffected. */
+  override def foldable: Boolean = left.foldable && right.foldable
+
   private def isDoubleArray(t: DataType) = t match {
     case ArrayType(DoubleType, _) => true
     case _ => false
