@@ -813,6 +813,32 @@ object OracleSql {
          |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    // smoothed-KL drift: one token-sorted left fold (the text_entropy
+    // recipe) makes the float sum order-exact on both engines
+    "text_drift" -> {
+      val isInc = s"(${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 10) = 9"
+      s"""WITH t AS (SELECT doc_id, text, $isInc AS is_inc FROM documents),
+         |std AS (SELECT unnest(string_split(text, ' ')) AS token
+         |  FROM t WHERE NOT is_inc),
+         |del AS (SELECT unnest(string_split(text, ' ')) AS token
+         |  FROM t WHERE is_inc),
+         |vocab AS (SELECT token, count(*) AS cs FROM std GROUP BY token
+         |  ORDER BY count(*) DESC, token ASC LIMIT 500),
+         |dcnt AS (SELECT token, count(*) AS cd FROM del GROUP BY token),
+         |j AS (SELECT v.token, CAST(coalesce(d.cd, 0) AS BIGINT) AS cd, v.cs
+         |  FROM vocab v LEFT JOIN dcnt d USING (token)),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |  list_sort(list({'token': token, 'cd': cd, 'cs': cs})) AS ts FROM j),
+         |tot AS (SELECT (SELECT count(*) FROM del) AS nd,
+         |  (SELECT count(*) FROM std) AS ns)
+         |SELECT CAST(k AS INT) AS n_terms,
+         |  round(list_reduce(list_prepend(0.0, list_transform(ts, x ->
+         |    ((x.cd + 1) / (nd + k)) *
+         |      ln(((x.cd + 1) / (nd + k)) / ((x.cs + 1) / (ns + k))))),
+         |    (acc, v) -> acc + v), 6) AS kl_drift
+         |FROM a, tot""".stripMargin
+    },
+
     // same banded candidates as the minhash pipeline, then asymmetric
     // containment over distinct shingle sets in both directions
     "dedup_containment" ->

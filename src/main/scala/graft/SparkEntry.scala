@@ -137,6 +137,7 @@ object SparkEntry {
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "text_repetition" -> (TextAnalysis.repetitionStats _),
     "text_oov" -> ((s: SparkSession, d: String) => TextAnalysis.oovRate(s, d)),
+    "text_drift" -> ((s: SparkSession, d: String) => TextAnalysis.tokenDrift(s, d)),
     "dedup_source_matrix" -> (Dedup.sourceDupMatrix _),
     "text_winnow" -> ((s: SparkSession, d: String) => TextAnalysis.winnow(s, d)),
     "dedup_winnow_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.winnowPairs(s, d)),

@@ -198,6 +198,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-distribution DRIFT of the delta batch vs the standing corpus:
+    * smoothed KL divergence Σ p·ln(p/q) over the standing top-k
+    * vocabulary, with add-one smoothing (p = (c_delta+1)/(N_delta+k),
+    * q = (c_standing+1)/(N_standing+k)) so unseen tokens don't blow up.
+    * The monitoring companion to [[oovRate]]: OOV counts NEW tokens,
+    * drift measures reweighted KNOWN ones — a crawl that shifted topic
+    * mix shows here first.
+    *
+    * Float-sum determinism: the ~k KL terms are summed by ONE left fold
+    * over the token-sorted struct array (the [[charEntropy]] recipe), so
+    * the result is order-exact on both engines. Everything corpus-sized
+    * is a wordcount; the fold runs on a single k-entry row. */
+  def tokenDrift(s: SparkSession, dir: String, vocabSize: Int = 500): DataFrame = {
+    val (inc, ex) = Dedup.deltaSplit(Tables.documents(s, dir))
+    def toks(df: DataFrame) =
+      df.select(explode(split(col("text"), " ")).as("token"))
+    val vocab = toks(ex).groupBy(col("token")).agg(count(lit(1)).as("cs"))
+      .orderBy(col("cs").desc, col("token").asc).limit(vocabSize)
+    val dc = toks(inc).groupBy(col("token")).agg(count(lit(1)).as("cd"))
+    val joined = vocab.join(dc, Seq("token"), "left")
+      .select(col("token"), coalesce(col("cd"), lit(0L)).as("cd"), col("cs"))
+    joined.agg(
+        count(lit(1)).as("k"),
+        array_sort(collect_list(struct(col("token"), col("cd"), col("cs"))))
+          .as("ts"))
+      .crossJoin(toks(inc).agg(count(lit(1)).as("nd")))
+      .crossJoin(toks(ex).agg(count(lit(1)).as("ns")))
+      .select(col("k").cast("int").as("n_terms"),
+        round(expr(
+          """aggregate(ts, 0.0D, (acc, x) ->
+            | acc + ((x.cd + 1) / (nd + k)) *
+            |   ln(((x.cd + 1) / (nd + k)) / ((x.cs + 1) / (ns + k))))"""
+            .stripMargin.replaceAll("\n", " ")), 6).as("kl_drift"))
+  }
+
   /** Vocabulary extraction: explode tokens → global frequency ranking.
     * The generator (explode) is partition-local; only (token, partial
     * count) pairs shuffle — the classic wordcount shape, which is how a

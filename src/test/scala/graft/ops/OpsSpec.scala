@@ -454,6 +454,15 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.forall(r => Set("en", "es", "fr")(r.getString(2))))
   }
 
+  test("token drift: single finite deterministic score over the full vocab") {
+    val dir = "/root/testdata/sf0.001"
+    val a = TextAnalysis.tokenDrift(spark, dir).head()
+    val b = TextAnalysis.tokenDrift(spark, dir).head()
+    assert(a === b, "sorted-fold determinism")
+    assert(a.getInt(0) > 0)
+    assert(!a.getDouble(1).isNaN && !a.getDouble(1).isInfinite)
+  }
+
   test("oov rate: tokens outside the standing top-k vocab are counted, " +
       "fraction matches a driver recount") {
     val dir = "/root/testdata/sf0.001"
