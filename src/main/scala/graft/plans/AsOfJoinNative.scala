@@ -211,6 +211,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfJoinKeyPushdown)
+    ext.injectOptimizerRule(_ => AsOfJoinColumnPruning)
     ext.injectFunction((FunctionIdentifier("rolling_hash64"),
       info("rolling_hash64", "rolling_hash64(str) - 64-bit polynomial rolling hash"),
       (exprs: Seq[Expression]) => RollingHash64(exprs.head)))
@@ -257,6 +258,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
+/** Column pruning through the native as-of join — the second
+  * `Rule[LogicalPlan]`: Catalyst's ColumnPruning cannot narrow a scan
+  * through a node it doesn't know, so a consumer selecting two columns
+  * above an as-of join would still read EVERY left column from disk. For
+  * a Project above the join, the left child is narrowed to the referenced
+  * left attributes plus the join's own key/time (order preserved, so the
+  * node's `output` contract stays consistent), and the right child is
+  * always narrowable to exactly {rightKey, rightTime} ∪ rightVals. The
+  * injected Projects land over the scans where the datasource turns them
+  * into `ReadSchema` pruning. Fires only when it strictly shrinks a side,
+  * so it's a fixpoint no-op afterwards. */
+object AsOfJoinColumnPruning
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(exprs, aj: AsOfJoinPlan) =>
+      val needed = AttributeSet(exprs.flatMap(_.references)) ++
+        AttributeSet(Seq(aj.leftKey, aj.leftTime))
+      val newLeft =
+        if (aj.left.output.forall(needed.contains)) aj.left
+        else Project(aj.left.output.filter(needed.contains), aj.left)
+      val rightNeeded = AttributeSet(
+        Seq(aj.rightKey, aj.rightTime) ++ aj.rightVals)
+      val newRight =
+        if (aj.right.output.forall(rightNeeded.contains)) aj.right
+        else Project(aj.right.output.filter(rightNeeded.contains), aj.right)
+      if ((newLeft eq aj.left) && (newRight eq aj.right)) p
+      else p.copy(child = aj.copy(left = newLeft, right = newRight))
+  }
+}
+
 /** Public API over the native operator. */
 object AsOfJoinNative {
 
@@ -265,9 +299,10 @@ object AsOfJoinNative {
     * Idempotent. */
   def register(spark: SparkSession): Unit = {
     GraftSqlShim.addStrategy(spark, AsOfJoinStrategy)
-    if (!spark.experimental.extraOptimizations.contains(AsOfJoinKeyPushdown))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ AsOfJoinKeyPushdown
+    for (rule <- Seq(AsOfJoinKeyPushdown, AsOfJoinColumnPruning))
+      if (!spark.experimental.extraOptimizations.contains(rule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ rule
   }
 
   private def attr(p: LogicalPlan, name: String): Attribute =

@@ -70,6 +70,34 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture must exercise the filter")
   }
 
+  test("column-pruning rule: a narrow projection above the join narrows " +
+      "BOTH parquet ReadSchemas") {
+    val ev = Tables.events(spark, dir)
+    val base = s"${java.nio.file.Files.createTempDirectory("asofcp")}"
+    // left carries two EXTRA payload columns the query never touches
+    ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("t"), col("value"),
+        col("event_type").as("extra1"), col("event_id").as("extra2"))
+      .write.parquet(s"$base/l")
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("t"), col("value").as("rv"),
+        col("event_id").as("r_extra"))
+      .groupBy(col("user_id"), col("t"))
+      .agg(max(col("rv")).as("rv"), max(col("r_extra")).as("r_extra"))
+      .write.parquet(s"$base/r")
+    val l = spark.read.parquet(s"$base/l")
+    val r = spark.read.parquet(s"$base/r")
+
+    val narrow = AsOfJoinNative.asofJoin(l, r, "user_id", "t", Seq("rv"))
+      .select(col("user_id"), col("rv"))
+    val phys = narrow.queryExecution.executedPlan.toString
+    assert(!phys.contains("extra1") && !phys.contains("extra2"),
+      s"unused left columns must not be read:\n$phys")
+    assert(!phys.contains("r_extra"),
+      s"right columns outside key/time/rightVals must not be read:\n$phys")
+    assert(narrow.count() > 0)
+  }
+
   test("pushdown rule leaves match-dependent predicates above the join") {
     import spark.implicits._
     val left = Seq((1L, 10L, "a"), (2L, 10L, "c")).toDF("k", "t", "payload")
