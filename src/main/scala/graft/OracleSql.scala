@@ -1718,6 +1718,7 @@ object OracleSql {
     // checks for sketch OUTPUTS (the built-in Murmur sketches stay rows-only)
     "text_count_min" -> graft.ops.Sketches.countMinOracle,
     "q_hll_distinct" -> graft.ops.Sketches.hllOracle,
+    "q_hll_rollup" -> graft.ops.Sketches.hllRollupOracle,
 
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),

@@ -123,6 +123,7 @@ object SparkEntry {
     "text_quality_gate" -> (TextAnalysis.qualityGateDynamic _),
     "text_count_min" -> (Sketches.countMinProbes _),
     "q_hll_distinct" -> (Sketches.hllDistinct _),
+    "q_hll_rollup" -> (Sketches.hllRollup _),
     "text_tfidf" -> ((s: SparkSession, d: String) => TermScoring.tfidfTopTerms(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => TermScoring.bm25(s, d)),
     "text_lm_score" -> (TermScoring.lmScore _),

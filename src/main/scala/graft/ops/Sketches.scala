@@ -108,6 +108,64 @@ object Sketches {
          |ORDER BY ex.source""".stripMargin)
   }
 
+  /** Sketch RE-AGGREGATION — the property that makes sketches useful in a
+    * warehouse: per-source register vectors MERGE (elementwise max) into
+    * exactly the sketch a direct global pass would build, so rollups are
+    * answered from pre-aggregated KiB summaries without touching the
+    * stream again. The query emits the estimate from BOTH paths — the
+    * merged per-source sketches and the direct global sketch — and the
+    * hash compare (plus the oracle's independent replay) proves the
+    * algebra holds bit-for-bit on both engines. */
+  def hllRollup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HllRegs.register(s)
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+    s.sql(
+      s"""WITH t AS (SELECT source, explode(split(text, ' ')) AS token FROM documents),
+         |h AS (SELECT source, token, ${SharedHash.spark48("token")} AS h48 FROM t),
+         |r AS (SELECT source, hll_regs(h48, $HllP) AS regs FROM h GROUP BY source),
+         |m AS (SELECT aggregate(collect_list(regs),
+         |    array_repeat(0, $HllM),
+         |    (acc, x) -> zip_with(acc, x, (a, b) -> greatest(a, b))) AS regs
+         |  FROM r),
+         |g AS (SELECT hll_regs(h48, $HllP) AS regs FROM h),
+         |u AS (SELECT 'direct' AS scope, regs FROM g
+         |  UNION ALL SELECT 'merged' AS scope, regs FROM m),
+         |e AS (SELECT scope,
+         |  aggregate(regs, CAST(0 AS BIGINT),
+         |    (acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), $HllQ - x)) AS isum,
+         |  size(filter(regs, x -> x = 0)) AS v
+         |  FROM u)
+         |SELECT scope, ${hllEstimateSql("isum", "v")} AS hll_est
+         |FROM e ORDER BY scope""".stripMargin)
+  }
+
+  /** DuckDB twin of [[hllRollup]]: both branches rebuilt independently —
+    * merged = max-of-per-source-maxima per bucket, direct = global max
+    * per bucket — through the same scaffold and estimator text. */
+  def hllRollupOracle: String =
+    s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+       |h AS (SELECT source, token, ${SharedHash.duck48("token")} AS h48 FROM t),
+       |br AS (SELECT source, h48 % $HllM AS bucket,
+       |  CASE WHEN h48 // $HllM = 0 THEN $HllMaxRho
+       |       ELSE CAST(log2((h48 // $HllM) & -(h48 // $HllM)) AS INT) + 1
+       |  END AS rho FROM h),
+       |persrc AS (SELECT source, bucket, max(rho) AS rho FROM br GROUP BY 1, 2),
+       |merged AS (SELECT bucket, max(rho) AS rho FROM persrc GROUP BY bucket),
+       |direct AS (SELECT bucket, max(rho) AS rho FROM br GROUP BY bucket),
+       |scaffold AS (SELECT unnest(range(0, $HllM)) AS bucket),
+       |u AS (
+       |  SELECT 'direct' AS scope, s.bucket, coalesce(d.rho, 0) AS rho
+       |  FROM scaffold s LEFT JOIN direct d ON d.bucket = s.bucket
+       |  UNION ALL
+       |  SELECT 'merged' AS scope, s.bucket, coalesce(m.rho, 0) AS rho
+       |  FROM scaffold s LEFT JOIN merged m ON m.bucket = s.bucket),
+       |e AS (SELECT scope,
+       |  CAST(sum(CAST(1 AS BIGINT) << ($HllQ - rho)) AS BIGINT) AS isum,
+       |  CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS INT) AS v
+       |  FROM u GROUP BY scope)
+       |SELECT scope, ${hllEstimateSql("isum", "v")} AS hll_est
+       |FROM e ORDER BY scope""".stripMargin
+
   /** DuckDB twin of [[hllDistinct]]: registers via GROUP BY bucket →
     * max(rho) (max commutes — the sketch IS this aggregation), empty
     * buckets restored by a range() scaffold, then the identical estimator

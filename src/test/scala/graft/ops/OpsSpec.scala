@@ -454,6 +454,15 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.forall(r => Set("en", "es", "fr")(r.getString(2))))
   }
 
+  test("hll rollup: merged per-source sketches estimate EXACTLY the direct " +
+      "global sketch (max commutes)") {
+    val rows = Sketches.hllRollup(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet === Set("direct", "merged"))
+    assert(rows("direct") === rows("merged"))
+    assert(rows("direct") > 0)
+  }
+
   test("token drift: single finite deterministic score over the full vocab") {
     val dir = "/root/testdata/sf0.001"
     val a = TextAnalysis.tokenDrift(spark, dir).head()
