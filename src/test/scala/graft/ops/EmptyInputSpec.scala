@@ -91,6 +91,18 @@ class EmptyInputSpec extends SparkSpec {
     assert(BloomGate.incrementalExactTriageIndexed(spark, emptyDir).count() === 0)
   }
 
+  test("round-6 text/dedup additions are empty-safe") {
+    assert(TextAnalysis.repetitionStats(spark, emptyDir).count() === 0)
+    assert(TextAnalysis.oovRate(spark, emptyDir).count() === 0)
+    assert(Dedup.substringSpanRemoval(spark, emptyDir).count() === 0)
+    assert(Dedup.sourceDupMatrix(spark, emptyDir).count() === 0)
+    assert(Dedup.exactKeepByPolicy(spark, emptyDir).count() === 0)
+    assert(Dedup.minhashClustersByPolicy(spark, emptyDir).count() === 0)
+    // drift over nothing: zero terms, zero divergence (the empty fold)
+    val drift = TextAnalysis.tokenDrift(spark, emptyDir).head()
+    assert(drift.getInt(0) === 0 && drift.getDouble(1) === 0.0)
+  }
+
   test("curation-stack additions are empty-safe (PQ fails loudly: no sample, no codebook)") {
     assert(Redaction.redactDocuments(spark, emptyDir).count() === 0)
     assert(Dedup.canonicalGroups(spark, emptyDir).count() === 0)
