@@ -143,7 +143,12 @@ object TextAnalysis {
     * (Gopher weights by characters; occurrence fractions keep the measure
     * integral and engine-exact — the division inputs are the same
     * integers on both engines, so round(x, 4) can't flake.) */
-  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    repetitionStatsOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** The unsorted per-row form — pure projection, so it runs UNCHANGED on
+    * a stream (StreamingSpec pins stream ≡ batch). */
+  def repetitionStatsOf(docs: DataFrame): DataFrame = {
     // longest equal run in the sorted list = the mode's multiplicity
     val maxMult =
       """aggregate(array_sort(g2),
@@ -154,7 +159,7 @@ object TextAnalysis {
         |    'best', greatest(acc.best,
         |      CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1 END)),
         |  acc -> acc.best)""".stripMargin.replaceAll("\n", " ")
-    Tables.documents(s, dir)
+    docs
       .withColumn("tokens", split(col("text"), " "))
       .withColumn("g3", expr(Dedup.shingleExpr))
       .withColumn("g2", expr(
@@ -167,7 +172,6 @@ object TextAnalysis {
         round((size(col("g3")) - size(array_distinct(col("g3"))))
           / size(col("g3")), 4).as("dup3_frac"),
         round(expr(maxMult) / size(col("g2")), 4).as("top2_frac"))
-      .orderBy(col("doc_id"))
   }
 
   /** Out-of-vocabulary rate of the delta batch against the STANDING
