@@ -40,6 +40,18 @@ class GraftExtensionsSpec extends SparkSpec {
       val cand = s2.sql("SELECT misra_gries(t, 2) AS c FROM hh_ext")
         .head().getSeq[String](0)
       assert(cand.contains("a"))
+      // the optimizer rules inject too: a filter above the as-of join
+      // pushes through the node on the config-time path as well
+      val l = Seq((1L, 10L, "x"), (60L, 10L, "y")).toDF("k", "t", "p")
+      val r2 = Seq((1L, 5L, 1.0), (60L, 5L, 2.0)).toDF("k", "t", "v")
+      val filtered = AsOfJoinNative.asofJoin(l, r2, "k", "t", Seq("v"))
+        .filter($"k" < 50)
+      // pushed below the join, the filter lands over LocalRelations and
+      // constant-folds away entirely — success is NO Filter above the node
+      val opt = filtered.queryExecution.optimizedPlan.toString
+      assert(opt.trim.startsWith("AsOfJoinPlan"),
+        s"extensions-injected rule must push the filter below the join:\n$opt")
+      assert(filtered.collect().map(_.getLong(0)).toSeq === Seq(1L))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
