@@ -1720,6 +1720,13 @@ object OracleSql {
     "q_hll_distinct" -> graft.ops.Sketches.hllOracle,
     "q_hll_rollup" -> graft.ops.Sketches.hllRollupOracle,
 
+    // BPE training replayed as one chained CTE per merge round (the
+    // PageRank-oracle pattern): pair-count → fully-tie-broken argmax →
+    // one-pass replace, all in exact integers. `replace` has identical
+    // left-to-right non-overlapping semantics in Spark and DuckDB — that
+    // IS the merge step, so the trajectories agree symbol for symbol.
+    "text_bpe_merges" -> bpeMergesOracle,
+
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
         |t1 AS (SELECT user_id, min(ts) AS t1 FROM ev
@@ -1733,6 +1740,63 @@ object OracleSql {
         |UNION ALL SELECT '3_purchase', count(*) FROM t3
         |ORDER BY stage""".stripMargin
   )
+
+  // --- BPE oracles ---------------------------------------------------------
+
+  /** Adjacent-symbol pair counts (weighted by word freq) of a wrapped-vocab
+    * CTE `v` — the per-round aggregate of BPE training. */
+  private def bpePairsSql(v: String): String =
+    s"""SELECT a, b, sum(freq) AS c FROM (
+       |  SELECT freq,
+       |    unnest(list_transform(range(1, CAST(len(tk) AS BIGINT)), i -> tk[i])) AS a,
+       |    unnest(list_transform(range(1, CAST(len(tk) AS BIGINT)), i -> tk[i + 1])) AS b
+       |  FROM (SELECT freq, string_split(substr(s, 2, len(s) - 2), '><') AS tk FROM $v))
+       |GROUP BY 1, 2""".stripMargin
+
+  /** The full training trajectory: v0 = char-wrapped word-frequency table;
+    * round r = pair counts of v(r-1) → 1-row argmax w_r → v_r with the
+    * winning pair replaced. Result = the merge table w_1..w_k. */
+  private def bpeMergesOracle: String = {
+    val k = graft.ops.Bpe.NumMerges
+    // MATERIALIZED: v(r-1) is consumed by BOTH p_r and v_r — DuckDB's
+    // default CTE inlining would re-expand the whole chain per reference
+    // (2^rounds scans of documents; observed as fd exhaustion)
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (${bpePairsSql(s"v${r - 1}")}),
+         |w$r AS MATERIALIZED (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |v$r AS MATERIALIZED (SELECT replace(s,
+         |  '<' || (SELECT a FROM w$r) || '><' || (SELECT b FROM w$r) || '>',
+         |  '<' || (SELECT a FROM w$r) || (SELECT b FROM w$r) || '>') AS s, freq
+         |  FROM v${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(r =>
+      s"SELECT CAST($r AS INT) AS merge_rank, a AS lhs, b AS rhs, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM w$r").mkString(" UNION ALL ")
+    s"""WITH wf AS (SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY 1),
+       |v0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS s, freq FROM wf),
+       |$rounds
+       |SELECT * FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Encode replay from the stashed merge table: the identical replace
+    * chain in merge-rank order, then symbol counting by '><' occurrences. */
+  private def bpeEncodeOracle(m: Seq[(String, String, Long)]): String = {
+    val chain = m.foldLeft("s0") { case (acc, (a, b, _)) =>
+      s"replace($acc, '<$a><$b>', '<$a$b>')"
+    }
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |e AS (SELECT doc_id, regexp_replace(word, '(.)', '<\\1>', 'g') AS s0
+       |  FROM w WHERE word <> ''),
+       |n AS (SELECT doc_id, $chain AS enc FROM e),
+       |agg AS (SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum((len(enc) - len(replace(enc, '><', ''))) // 2 + 1) AS BIGINT) AS n_bpe
+       |  FROM n GROUP BY doc_id)
+       |SELECT doc_id, n_words, n_bpe, round(n_bpe / n_words, 4) AS bpe_ratio
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
 
   // --- literal-centroid oracles (ann_ivf / ann_pq / emb_semdedup) ---------
   //
@@ -1912,6 +1976,7 @@ object OracleSql {
       graft.ops.EmbeddingStats.fittedPca.map { case (m, c, o) =>
         "emb_pca" -> pcaOracle(m, c, o) } ++
       graft.ops.EmbeddingStats.fittedWhiten.map { case (c, o, sc) =>
-        "emb_whiten" -> whitenOracle(c, o, sc) }
+        "emb_whiten" -> whitenOracle(c, o, sc) } ++
+      graft.ops.Bpe.fittedMerges.map(m => "text_bpe_encode" -> bpeEncodeOracle(m))
   }
 }

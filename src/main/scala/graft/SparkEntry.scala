@@ -128,6 +128,8 @@ object SparkEntry {
     "text_bm25" -> ((s: SparkSession, d: String) => TermScoring.bm25(s, d)),
     "text_lm_score" -> (TermScoring.lmScore _),
     "q_pii_redact" -> (Redaction.redactDocuments _),
+    "text_bpe_merges" -> (Bpe.merges _),
+    "text_bpe_encode" -> (Bpe.encode _),
     // dedup
     "dedup_exact" -> (Dedup.exactGroups _),
     "dedup_exact_keep" -> (Dedup.exactKeep _),

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training + encoding — the tokenizer-fitting
+  * pass an LLM training-data pipeline runs over the cleaned corpus
+  * (Sennrich et al. 2016's word-frequency formulation, the algorithm
+  * behind GPT-2/SentencePiece BPE vocabularies).
+  *
+  * Scale design: the corpus-sized work is exactly two wordcount-shaped
+  * passes — the initial word-frequency aggregate and the final encode
+  * projection. Every training round operates on the DISTINCT-WORD table
+  * (vocabulary-sized: millions of rows at 100 TB, not trillions), so the
+  * per-merge cost is an aggregate over a frame that is orders of
+  * magnitude smaller than the corpus and cached once. The per-round
+  * winner is a 1-row collect of an argmax — the same bounded-driver
+  * pattern as the PQ codebook fit ([[Similarity]]).
+  *
+  * Symbol encoding: a word's symbol sequence is its characters each
+  * wrapped in `<…>` (the corpus charset is `[a-z ]`, so the delimiters
+  * cannot collide — asserted in the spec). The pair `(a, b)` merging into
+  * `ab` is then literally `replace(s, "<a><b>", "<ab>")`: one
+  * left-to-right non-overlapping pass, which is exactly one BPE merge
+  * step, and string `replace` has identical semantics in Spark and DuckDB
+  * — that equivalence is what lets the DuckDB oracle replay the whole
+  * training trajectory as one chained CTE per merge (the PageRank-oracle
+  * pattern) and the encoder as a literal replace chain from the stashed
+  * merge table.
+  *
+  * Determinism: pair counts are exact integer sums of word frequencies;
+  * the winner is argmax with a full tie-break (count DESC, left ASC,
+  * right ASC); encoding applies merges in rank order, one pass each. No
+  * floats anywhere until the final ratio, which divides two exact longs.
+  */
+object Bpe {
+
+  /** Merge rounds the harness queries train. Small enough to keep the
+    * chained-CTE oracle readable; the loop itself is O(rounds). */
+  val NumMerges = 12
+
+  /** Learned merge table, stashed when a BPE query runs so the encode
+    * oracle can replay the replace chain from literals (stash-then-
+    * generate, like the ANN centroids). */
+  @volatile private[graft] var fittedMerges: Option[Seq[(String, String, Long)]] = None
+
+  /** `"abc"` → `"<a><b><c>"`. */
+  private def wrap(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "(.)", "<$1>")
+
+  /** Word-frequency table of the corpus — the only corpus-sized pass in
+    * training. */
+  private def wordFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Adjacent symbol pairs of each vocab entry, weighted by word
+    * frequency. `s` is the wrapped form; symbols recovered by splitting
+    * the interior on `><`. */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("freq"),
+        split(expr("substring(s, 2, length(s) - 2)"), "><").as("tk"))
+      .filter(size(col("tk")) >= 2) // sequence(1, 0) would run DESCENDING in Spark
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> named_struct('a', element_at(tk, i), 'b', element_at(tk, i + 1)))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("c"))
+
+  /** Train `k` merges. Returns (rank-ordered merge list, final vocab
+    * frame). The vocab is cached once; each round adds one codegen'd
+    * `replace` projection on top of it. */
+  private[ops] def fit(s: SparkSession, dir: String,
+      k: Int = NumMerges): Seq[(String, String, Long)] = {
+    var vocab = wordFreq(s, dir).select(wrap(col("word")).as("s"), col("freq")).cache()
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var r = 0
+    while (r < k) {
+      val win = pairCounts(vocab)
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (win.isEmpty) { r = k } // vocab fully merged — stop early
+      else {
+        val (a, b, c) = (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
+        merges += ((a, b, c))
+        vocab = vocab.withColumn("s",
+          expr(s"replace(s, '<$a><$b>', '<$a$b>')"))
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Harness query: the learned merge table itself — rank, the two merged
+    * symbols, and the weighted pair count that won the round. The oracle
+    * replays the full trajectory (pair-count → argmax → replace) as one
+    * chained CTE per round. */
+  def merges(s: SparkSession, dir: String): DataFrame = {
+    val m = fit(s, dir)
+    fittedMerges = Some(m)
+    import s.implicits._
+    m.zipWithIndex
+      .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .select(col("merge_rank").cast("int"), col("lhs"), col("rhs"),
+        col("pair_count"))
+      .orderBy(col("merge_rank"))
+  }
+
+  /** Harness query: encode every document with the learned merges and
+    * report per-doc whitespace-token vs BPE-token counts (the
+    * tokens-per-word compression a tokenizer fit is judged by). The
+    * encode is ONE codegen projection — a chain of `replace` calls in
+    * merge-rank order over each wrapped word — so the corpus pass never
+    * shuffles anything but the final per-doc aggregate. */
+  def encode(s: SparkSession, dir: String): DataFrame = {
+    val m = fit(s, dir)
+    fittedMerges = Some(m)
+    val chain = m.foldLeft("s0") { case (acc, (a, b, _)) =>
+      s"replace($acc, '<$a><$b>', '<$a$b>')"
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("s0", wrap(col("word")))
+      .withColumn("enc", expr(chain))
+      // symbol count = count('><') + 1; each '><' is 2 chars
+      .withColumn("n_sym", expr(
+        "(length(enc) - length(replace(enc, '><', ''))) div 2 + 1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"))
+      .withColumn("bpe_ratio", round(col("n_bpe") / col("n_words"), 4))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** BPE trainer/encoder — hand-computed merge trajectories.
+  *
+  * Fixture A (weighted counts + early stop): words aaab×3, ab, b, ba, aab.
+  *   round 1: (a,a) weight 7 wins; round 2: (a,b) 4; round 3: (aa,ab) 3;
+  *   round 4: tie at 1 between (aa,b) and (b,a) — lex break picks (aa,b);
+  *   round 5: (b,a); round 6: no pairs left → early stop at 5 merges.
+  *
+  * Fixture B (tie-breaks + merge budget): 14 two-char words, every pair
+  * count 1 → the 12-merge budget consumes the first 12 in lexicographic
+  * order, leaving ya/yb unmerged at 2 symbols each.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDocs(docs: Seq[(Long, String)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("bpe: weighted merge trajectory with full tie-break and early stop") {
+    val dir = tmpDocs(Seq(
+      (1L, "aaab aaab ab"),
+      (2L, "aaab b ba"),
+      (3L, "aab")))
+    val m = Bpe.fit(spark, dir)
+    assert(m === Seq(
+      ("a", "a", 7L), ("a", "b", 4L), ("aa", "ab", 3L),
+      ("aa", "b", 1L), ("b", "a", 1L)),
+      "exact trajectory: counts weighted by word freq, ties broken lex, early stop")
+  }
+
+  test("bpe: merges query output matches the fit, rank-ordered") {
+    val dir = tmpDocs(Seq((1L, "aaab aaab ab"), (2L, "aaab b ba"), (3L, "aab")))
+    val rows = Bpe.merges(spark, dir).collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      === Seq((1, "a", "a", 7L), (2, "a", "b", 4L), (3, "aa", "ab", 3L),
+        (4, "aa", "b", 1L), (5, "b", "a", 1L)))
+  }
+
+  test("bpe: the merge budget caps training; unmerged words encode to >1 symbol") {
+    val dir = tmpDocs(Seq(
+      (1L, "ab cd ef gh ij kl mn op"),
+      (2L, "qr st uv wy ya yb")))
+    val m = Bpe.fit(spark, dir)
+    assert(m.length === Bpe.NumMerges, "budget consumed exactly")
+    assert(m.map(x => (x._1, x._2)) === Seq(
+      ("a", "b"), ("c", "d"), ("e", "f"), ("g", "h"), ("i", "j"), ("k", "l"),
+      ("m", "n"), ("o", "p"), ("q", "r"), ("s", "t"), ("u", "v"), ("w", "y")),
+      "all counts tie at 1 → pure lexicographic order; ya/yb fall past the budget")
+
+    val enc = Bpe.encode(spark, dir).collect()
+    val byDoc = enc.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byDoc(1L) === ((8L, 8L, 1.0)), "fully merged doc: 1 symbol per word")
+    assert(byDoc(2L) === ((6L, 8L, 1.3333)),
+      "ya/yb stay 2 symbols: 4*1 + 2*2 = 8 over 6 words")
+  }
+
+  test("bpe: empty corpus and empty text are safe") {
+    val dir = tmpDocs(Seq((1L, "")))
+    assert(Bpe.fit(spark, dir).isEmpty)
+    assert(Bpe.merges(spark, dir).count() === 0L)
+    assert(Bpe.encode(spark, dir).count() === 0L)
+  }
+}
