@@ -872,31 +872,13 @@ object OracleSql {
 
     // the full curation pipeline, recomputed independently end-to-end:
     // exact dedup -> LSH pairs -> recursive-CTE closure -> quality gate
-    "corpus_curate" -> {
-      val ekTok =
-        """SELECT doc_id, text, string_split(text, ' ') AS tokens FROM (
-          |  SELECT doc_id, text,
-          |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
-          |  FROM documents) e WHERE doc_id = keeper""".stripMargin
-      s"""WITH RECURSIVE ${minhashPairsCteFrom(ekTok)},
-         |good AS (SELECT doc_a, doc_b FROM pairs
-         |  WHERE jaccard >= ${Dedup.JaccardThreshold}),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM good
-         |  UNION SELECT doc_b, doc_a FROM good),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
-         |  FROM reach GROUP BY a),
-         |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> cluster)
+    "corpus_curate" ->
+      s"""WITH RECURSIVE $curateDroppedChain
          |SELECT doc_id, CAST(len(tokens) AS INT) AS n_tokens,
          |  round(len(list_distinct(tokens)) / len(tokens), 4) AS ttr
          |FROM tok
-         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-         |  AND len(tokens) BETWEEN ${Corpus.MinTokens} AND ${Corpus.MaxTokens}
-         |  AND len(list_distinct(tokens)) / len(tokens) >= ${Corpus.MinTypeTokenRatio}
-         |ORDER BY doc_id""".stripMargin
-    },
+         |WHERE $curateKeepPredicate
+         |ORDER BY doc_id""".stripMargin,
 
     // sequence-packing manifest: same running-sum bin assignment (unique
     // doc_id per source, so the default RANGE frame matches on both sides)
@@ -1741,6 +1723,64 @@ object OracleSql {
         |ORDER BY stage""".stripMargin
   )
 
+  // --- curation-chain fragments (corpus_curate / quality_distill) ---------
+
+  /** CTE chain ending in `tok` (exact-dedup keepers with tokens) and
+    * `dropped` (near-dup cluster non-keepers, via recursive closure) —
+    * the first two stages of Corpus.curate. Callers must open with
+    * WITH RECURSIVE. */
+  private def curateDroppedChain: String = {
+    val ekTok =
+      """SELECT doc_id, text, string_split(text, ' ') AS tokens FROM (
+        |  SELECT doc_id, text,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |  FROM documents) e WHERE doc_id = keeper""".stripMargin
+    s"""${minhashPairsCteFrom(ekTok)},
+       |good AS (SELECT doc_a, doc_b FROM pairs
+       |  WHERE jaccard >= ${Dedup.JaccardThreshold}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM good
+       |  UNION SELECT doc_b, doc_a FROM good),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+       |  FROM reach GROUP BY a),
+       |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> cluster)""".stripMargin
+  }
+
+  /** Stage-3 keep predicate over `tok` rows (near-dup drop + quality
+    * gate) — Corpus.curate's final filter. */
+  private def curateKeepPredicate: String =
+    s"""doc_id NOT IN (SELECT doc_id FROM dropped)
+       |  AND len(tokens) BETWEEN ${Corpus.MinTokens} AND ${Corpus.MaxTokens}
+       |  AND len(list_distinct(tokens)) / len(tokens) >= ${Corpus.MinTypeTokenRatio}""".stripMargin
+
+  /** quality_distill replay: labels from the curate chain, integer
+    * micro-features, and the stashed micro-weight literals — the logit is
+    * a pure BIGINT sum, so no transcendental parity is involved. */
+  private def qualityDistillOracle(wm: Array[Long]): String = {
+    val sw = graft.ops.TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    val z = (0 until wm.length).map(j => s"f$j*(${wm(j)})").mkString(" + ")
+    s"""WITH RECURSIVE $curateDroppedChain,
+       |cur AS (SELECT doc_id FROM tok WHERE $curateKeepPredicate),
+       |ft AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens
+       |  FROM documents),
+       |fx AS (SELECT doc_id,
+       |  CASE WHEN doc_id IN (SELECT doc_id FROM cur) THEN 1 ELSE 0 END AS label,
+       |  CAST(1000000 AS BIGINT) AS f0,
+       |  len(tokens) * 10000 AS f1,
+       |  (len(list_distinct(tokens)) * 1000000) // len(tokens) AS f2,
+       |  (len(list_filter(tokens, t -> t IN ($sw))) * 1000000) // len(tokens) AS f3,
+       |  n_chars * 1000 AS f4,
+       |  ((n_chars - len(tokens) + 1) * 100000) // len(tokens) AS f5
+       |  FROM ft),
+       |zx AS (SELECT doc_id, label, ($z) AS z FROM fx)
+       |SELECT doc_id, CAST(label AS INT) AS label,
+       |  CAST(z > 0 AS INT) AS pred,
+       |  round(CAST(z AS DOUBLE) / 1e12, 4) AS margin
+       |FROM zx ORDER BY doc_id""".stripMargin
+  }
+
   // --- BPE oracles ---------------------------------------------------------
 
   /** Adjacent-symbol pair counts (weighted by word freq) of a wrapped-vocab
@@ -1977,6 +2017,7 @@ object OracleSql {
         "emb_pca" -> pcaOracle(m, c, o) } ++
       graft.ops.EmbeddingStats.fittedWhiten.map { case (c, o, sc) =>
         "emb_whiten" -> whitenOracle(c, o, sc) } ++
-      graft.ops.Bpe.fittedMerges.map(m => "text_bpe_encode" -> bpeEncodeOracle(m))
+      graft.ops.Bpe.fittedMerges.map(m => "text_bpe_encode" -> bpeEncodeOracle(m)) ++
+      graft.ops.QualityModel.fittedWeights.map(w => "quality_distill" -> qualityDistillOracle(w))
   }
 }

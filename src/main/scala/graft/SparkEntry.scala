@@ -153,6 +153,7 @@ object SparkEntry {
     "corpus_mixture" -> (Corpus.mixtureSample _),
     "corpus_stratified" -> (Corpus.stratifiedSample _),
     "corpus_contamination" -> (Corpus.contamination _),
+    "quality_distill" -> (QualityModel.distill _),
     "dedup_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
     "dedup_simhash" -> (Dedup.simhashSignatures _),
     "dedup_editdist" -> ((s: SparkSession, d: String) => Dedup.editDistancePairs(s, d)),
