@@ -2008,6 +2008,9 @@ object OracleSql {
     base ++
       Map(
         "dedup_winnow_probe_indexed" -> base("dedup_winnow_probe"),
+        // native interval merge join answers the same query as the binned
+        // composition — shared oracle = native/composed/DuckDB 3-way check
+        "q_range_join_native" -> base("q_range_join"),
         "dedup_incremental_indexed" -> base("dedup_incremental"),
         "dedup_bloom_gate_indexed" -> base("dedup_bloom_gate")) ++
       Similarity.fittedIvfCentroids.map(cs => "ann_ivf" -> ivfOracle(cs)) ++

@@ -102,6 +102,7 @@ object SparkEntry {
     "dedup_triangles" -> (Dedup.minhashTriangles _),
     "graph_pagerank" -> (PageRank.dupGraphRank _),
     "q_range_join" -> (RangeJoin.errorContext _),
+    "q_range_join_native" -> (graft.plans.RangeJoinNative.errorContextNative _),
     "q_salted_agg" -> (Skew.saltedUserAgg _),
     "q_salted_join" -> (Skew.saltedJoinAgg _),
     // text analysis

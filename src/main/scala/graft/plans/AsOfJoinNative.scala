@@ -210,6 +210,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => RangeJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfJoinKeyPushdown)
     ext.injectOptimizerRule(_ => AsOfJoinColumnPruning)
     ext.injectFunction((FunctionIdentifier("rolling_hash64"),
