@@ -1702,6 +1702,49 @@ object OracleSql {
     "q_hll_distinct" -> graft.ops.Sketches.hllOracle,
     "q_hll_rollup" -> graft.ops.Sketches.hllRollupOracle,
 
+    // stupid-backoff trigram LM: counts replayed from the same hash-split
+    // train slice; the CASE's alpha literals are the Scala-computed
+    // doubles (0.4*0.4 != 0.16 in IEEE — Double.toString round-trips)
+    "text_lm_backoff" -> {
+      val a1 = graft.ops.TermScoring.BackoffAlpha
+      val a2 = a1 * a1
+      def triCols(src: String) =
+        s"""unnest(list_transform(range(1, CAST(len(toks) AS BIGINT) - 1), i -> toks[i])) AS a,
+           |  unnest(list_transform(range(1, CAST(len(toks) AS BIGINT) - 1), i -> toks[i + 1])) AS b,
+           |  unnest(list_transform(range(1, CAST(len(toks) AS BIGINT) - 1), i -> toks[i + 2])) AS c
+           |  FROM $src WHERE len(toks) >= 3""".stripMargin
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |tr AS (SELECT doc_id, toks FROM tok
+         |  WHERE (${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 10) <> 9),
+         |tt AS (SELECT ${triCols("tr")}),
+         |tm AS (SELECT a, b, c, count(*) AS c3 FROM tt GROUP BY 1, 2, 3),
+         |cx AS (SELECT a, b, CAST(sum(c3) AS BIGINT) AS c12 FROM tm GROUP BY 1, 2),
+         |bt AS (SELECT
+         |  unnest(list_transform(range(1, CAST(len(toks) AS BIGINT)), i -> toks[i])) AS a2,
+         |  unnest(list_transform(range(1, CAST(len(toks) AS BIGINT)), i -> toks[i + 1])) AS b2
+         |  FROM tr WHERE len(toks) >= 2),
+         |bm AS (SELECT a2, b2, count(*) AS c23 FROM bt GROUP BY 1, 2),
+         |b1 AS (SELECT a2 AS a1, CAST(sum(c23) AS BIGINT) AS c2 FROM bm GROUP BY 1),
+         |um AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY 1),
+         |nt AS (SELECT count(*) AS n_tok FROM (SELECT unnest(toks) AS w FROM tr)),
+         |st AS (SELECT doc_id, ${triCols("tok")}),
+         |j AS (SELECT st.doc_id, tm.c3, cx.c12, bm.c23, b1.c2, um.c1, nt.n_tok
+         |  FROM st LEFT JOIN tm USING (a, b, c) LEFT JOIN cx USING (a, b)
+         |  LEFT JOIN bm ON bm.a2 = st.b AND bm.b2 = st.c
+         |  LEFT JOIN b1 ON b1.a1 = st.b
+         |  LEFT JOIN um ON um.w = st.c
+         |  CROSS JOIN nt),
+         |w AS (SELECT doc_id,
+         |  CAST(floor(ln(CASE WHEN c3 IS NOT NULL THEN c3 / c12
+         |    WHEN c23 IS NOT NULL THEN CAST($a1 AS DOUBLE) * (c23 / c2)
+         |    WHEN c1 IS NOT NULL THEN CAST($a2 AS DOUBLE) * (c1 / n_tok)
+         |    ELSE CAST($a2 AS DOUBLE) * (1.0 / n_tok) END) * 1000000) AS BIGINT) AS w_u,
+         |  CASE WHEN c3 IS NULL THEN 1 ELSE 0 END AS bo FROM j)
+         |SELECT doc_id, count(*) AS n_trigrams, CAST(sum(bo) AS BIGINT) AS n_backoff,
+         |  round(CAST(sum(w_u) AS BIGINT) / (count(*) * 1000000.0), 4) AS lm_score
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     // BPE training replayed as one chained CTE per merge round (the
     // PageRank-oracle pattern): pair-count → fully-tie-broken argmax →
     // one-pass replace, all in exact integers. `replace` has identical

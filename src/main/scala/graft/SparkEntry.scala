@@ -128,6 +128,7 @@ object SparkEntry {
     "text_tfidf" -> ((s: SparkSession, d: String) => TermScoring.tfidfTopTerms(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => TermScoring.bm25(s, d)),
     "text_lm_score" -> (TermScoring.lmScore _),
+    "text_lm_backoff" -> (TermScoring.lmBackoff _),
     "q_pii_redact" -> (Redaction.redactDocuments _),
     "text_bpe_merges" -> (Bpe.merges _),
     "text_bpe_encode" -> (Bpe.encode _),

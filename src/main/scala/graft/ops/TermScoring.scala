@@ -165,4 +165,75 @@ object TermScoring {
         round(col("s") / (col("n_bigrams") * lit(1000000.0)), 4).as("lm_score"))
       .orderBy(col("doc_id"))
   }
+
+  /** Stupid-backoff trigram LM (Brants et al. 2007 — the scoring scheme
+    * of web-scale LMs before KenLM): the model trains on the 90% hash
+    * split (the same engine-stable doc split contamination uses) and
+    * scores EVERY document, so held-out docs genuinely exercise the
+    * backoff chain: trigram MLE → 0.4·bigram → 0.4²·unigram → 0.4²·1/N
+    * for OOV. Unlike [[lmScore]]'s self-trained bigram MLE (where every
+    * event is seen), this is the real train/apply split of a quality
+    * filter, and `n_backoff` reports how often the top level missed.
+    *
+    * Scale shape: wordcount-family. Counts are exact integer aggregates
+    * of the train split's token stream; context totals derive from the
+    * model frames themselves (one extra vocab-sized aggregate, not a
+    * second corpus pass). Model joins are left as equi-joins for the
+    *  planner: vocab-bounded models auto-broadcast under AQE, while an
+    * open-domain trigram table at 100 TB correctly falls back to a
+    * shuffled join — never force-broadcast an unbounded model. Per-doc
+    * sums are floored micro-units (float-sum rule).
+    */
+  val BackoffAlpha = 0.4
+
+  def lmBackoff(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val isEval = expr(s"pmod(${graft.functions.SharedHash.spark48("cast(doc_id AS STRING)")}, 10)") === 9
+    val train = toks.filter(!isEval)
+
+    def trigrams(df: DataFrame) = df.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> named_struct(" +
+          "'a', element_at(toks, i), 'b', element_at(toks, i + 1), " +
+          "'c', element_at(toks, i + 2)))")).as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"), col("g.c").as("c"))
+
+    val triM = trigrams(train).groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("c3"))
+    val ctx2 = triM.groupBy(col("a"), col("b")).agg(sum(col("c3")).as("c12"))
+    val biM = train.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> named_struct(" +
+          "'a2', element_at(toks, i), 'b2', element_at(toks, i + 1)))")).as("g"))
+      .select(col("g.a2").as("a2"), col("g.b2").as("b2"))
+      .groupBy(col("a2"), col("b2")).agg(count(lit(1)).as("c23"))
+    val ctx1 = biM.groupBy(col("a2")).agg(sum(col("c23")).as("c2"))
+    val uniM = train.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val nTok = train.select(explode(col("toks")).as("w"))
+      .agg(count(lit(1)).as("n_tok"))
+
+    trigrams(toks)
+      .join(triM, Seq("a", "b", "c"), "left")
+      .join(ctx2, Seq("a", "b"), "left")
+      .join(biM, col("a2") === col("b") && col("b2") === col("c"), "left")
+      .join(ctx1.withColumnRenamed("a2", "a1"), col("a1") === col("b"), "left")
+      .join(uniM, col("w") === col("c"), "left")
+      .crossJoin(broadcast(nTok))
+      .withColumn("lnp", log(
+        when(col("c3").isNotNull, col("c3") / col("c12"))
+          .when(col("c23").isNotNull, lit(BackoffAlpha) * (col("c23") / col("c2")))
+          .when(col("c1").isNotNull,
+            lit(BackoffAlpha * BackoffAlpha) * (col("c1") / col("n_tok")))
+          .otherwise(lit(BackoffAlpha * BackoffAlpha) * (lit(1.0) / col("n_tok")))))
+      .withColumn("w_u", floor(col("lnp") * lit(1000000)).cast("bigint"))
+      .withColumn("bo", when(col("c3").isNull, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("bo")).as("n_backoff"),
+        sum(col("w_u")).as("s"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_backoff"),
+        round(col("s") / (col("n_trigrams") * lit(1000000.0)), 4).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
 }

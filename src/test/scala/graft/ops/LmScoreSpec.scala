@@ -41,4 +41,26 @@ class LmScoreSpec extends SparkSpec {
     val scores = rows.map(_.getDouble(2))
     assert(scores.max > scores.min)
   }
+
+  test("backoff LM: train docs never back off; the backoff chain orders scores sanely") {
+    import org.apache.spark.sql.functions._
+    val out = TermScoring.lmBackoff(spark, dir)
+    assert(out.columns.toSeq === Seq("doc_id", "n_trigrams", "n_backoff", "lm_score"))
+    val evalIds = sf("documents", dir)
+      .filter(expr(s"pmod(${graft.functions.SharedHash.spark48("cast(doc_id AS STRING)")}, 10)") === 9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = out.collect()
+    rows.foreach { r =>
+      val (id, n, bo, sc) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(sc <= 0.0, s"ln p must be <= 0 for doc $id")
+      assert(bo >= 0L && bo <= n)
+      if (!evalIds.contains(id))
+        assert(bo === 0L, s"train doc $id has all its trigrams in the model")
+    }
+    // held-out docs exist in the scored output and at least one backs off
+    val evalRows = rows.filter(r => evalIds.contains(r.getLong(0)))
+    assert(evalRows.nonEmpty)
+    assert(evalRows.exists(_.getLong(2) > 0L),
+      "some held-out doc must hit an unseen trigram")
+  }
 }
