@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object QualityModel {
 
-  val Iters = 24
+  val Iters = 12
   val Lr = 0.5
   val NumFeatures = 6
 
