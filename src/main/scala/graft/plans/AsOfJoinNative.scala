@@ -213,6 +213,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => RangeJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfJoinKeyPushdown)
     ext.injectOptimizerRule(_ => AsOfJoinColumnPruning)
+    ext.injectOptimizerRule(_ => RangeJoinKeyPushdown)
     ext.injectFunction((FunctionIdentifier("rolling_hash64"),
       info("rolling_hash64", "rolling_hash64(str) - 64-bit polynomial rolling hash"),
       (exprs: Seq[Expression]) => RollingHash64(exprs.head)))

@@ -147,13 +147,58 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Filter pushdown through the native range join — same soundness shape
+  * as [[AsOfJoinKeyPushdown]]: every output row carries exactly one left
+  * row's columns, so a deterministic left-only predicate commutes with
+  * the join (it drops whole left rows and all their matches — which is
+  * what running it above the join does too). A predicate over the left
+  * KEY mirrors to the right side (output rows satisfy leftKey =
+  * rightKey), pruning the right scan before the exchange+sort. Without
+  * the rule, Catalyst leaves ANY filter above the unknown node and the
+  * merge runs over the full table. Left-only by design: a rightVals
+  * predicate would also be sound to push under INNER range semantics
+  * (dropping a right row only removes its own output rows — it cannot
+  * change which rows match, unlike the as-of join's last-before rule),
+  * but it is left above for symmetry with the as-of rule; the planner
+  * still evaluates it before the aggregate. Idempotent at fixpoint. */
+object RangeJoinKeyPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, rj: RangeJoinPlan) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond).partition(c =>
+        c.deterministic && c.references.subsetOf(rj.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val mirrored = leftOnly
+          .filter(_.references.subsetOf(AttributeSet(rj.leftKey)))
+          .map(_.transform {
+            case a: Attribute if a.exprId == rj.leftKey.exprId => rj.rightKey
+          })
+        val pushed = rj.copy(
+          left = Filter(leftOnly.reduce(And), rj.left),
+          right =
+            if (mirrored.isEmpty) rj.right
+            else Filter(mirrored.reduce(And), rj.right))
+        if (rest.isEmpty) pushed else Filter(rest.reduce(And), pushed)
+      }
+  }
+}
+
 /** Public API over the native range join. */
 object RangeJoinNative {
 
-  /** Register the planner strategy on an already-built session (the
-    * config-time path is [[GraftExtensions]]). Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Register the planner strategy + pushdown rule on an already-built
+    * session (the config-time path is [[GraftExtensions]]). Idempotent. */
+  def register(spark: SparkSession): Unit = {
     GraftSqlShim.addStrategy(spark, RangeJoinStrategy)
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinKeyPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinKeyPushdown
+  }
 
   private def attr(p: LogicalPlan, name: String): Attribute =
     p.output.find(_.name == name).getOrElse(

@@ -61,6 +61,41 @@ class RangeJoinNativeSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("key-filter pushdown rule: the predicate reaches BOTH parquet scans; " +
+      "results unchanged; match-dependent predicates stay above") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.ops.Tables.events(spark, dir)
+    val base = s"${java.nio.file.Files.createTempDirectory("rjpd")}"
+    ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts")).write.parquet(s"$base/l")
+    ev.select(col("user_id"), col("ts"), col("value").as("rv"))
+      .write.parquet(s"$base/r")
+    val l = spark.read.parquet(s"$base/l")
+    val r = spark.read.parquet(s"$base/r")
+    val fiveMinNs = 5L * 60L * 1000000000L
+
+    val joined = RangeJoinNative.rangeJoin(l, r, "user_id", "ts",
+      -fiveMinNs, 0L, Seq("rv"))
+    val filtered = joined.filter(col("user_id") < 50)
+    val phys = filtered.queryExecution.executedPlan.toString
+    val pushes = "PushedFilters: \\[[^\\]]*LessThan\\(user_id,50\\)".r
+      .findAllIn(phys).length
+    assert(pushes === 2, s"key predicate must reach both scans:\n$phys")
+
+    val expected = joined.collect().map(_.toSeq)
+      .filter(row => row(1).asInstanceOf[Long] < 50)
+    assert(filtered.collect().map(_.toSeq).toSet === expected.toSet)
+    assert(expected.nonEmpty, "fixture must exercise the filter")
+
+    // the rule is left-only by design: a right-value predicate (pushable
+    // in principle for INNER range semantics, unlike as-of) stays above
+    val above = joined.filter(col("rv") > 0.5)
+    val physAbove = above.queryExecution.executedPlan.toString
+    assert(!"PushedFilters: \\[[^\\]]*GreaterThan\\(rv,0.5\\)".r
+      .findAllIn(physAbove).exists(_ => true),
+      s"rv predicate must stay above the join:\n$physAbove")
+  }
+
   test("null keys and times never match; randomized agreement with brute force") {
     val rnd = new scala.util.Random(42)
     val lrows = (1 to 300).map(i =>
