@@ -1751,6 +1751,7 @@ object OracleSql {
     // left-to-right non-overlapping semantics in Spark and DuckDB — that
     // IS the merge step, so the trajectories agree symbol for symbol.
     "text_bpe_merges" -> bpeMergesOracle,
+    "text_bpe_vocab" -> bpeVocabOracle,
 
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
@@ -1836,14 +1837,13 @@ object OracleSql {
        |  FROM (SELECT freq, string_split(substr(s, 2, len(s) - 2), '><') AS tk FROM $v))
        |GROUP BY 1, 2""".stripMargin
 
-  /** The full training trajectory: v0 = char-wrapped word-frequency table;
-    * round r = pair counts of v(r-1) → 1-row argmax w_r → v_r with the
-    * winning pair replaced. Result = the merge table w_1..w_k. */
-  private def bpeMergesOracle: String = {
-    val k = graft.ops.Bpe.NumMerges
-    // MATERIALIZED: v(r-1) is consumed by BOTH p_r and v_r — DuckDB's
-    // default CTE inlining would re-expand the whole chain per reference
-    // (2^rounds scans of documents; observed as fd exhaustion)
+  /** The full training trajectory as a CTE chain: v0 = char-wrapped
+    * word-frequency table; round r = pair counts of v(r-1) → 1-row argmax
+    * w_r → v_r with the winning pair replaced. MATERIALIZED throughout:
+    * v(r-1) is consumed by BOTH p_r and v_r — DuckDB's default CTE
+    * inlining would re-expand the whole chain per reference (2^rounds
+    * scans of documents; observed as fd exhaustion). */
+  private def bpeTrainChain(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s"""p$r AS (${bpePairsSql(s"v${r - 1}")}),
          |w$r AS MATERIALIZED (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
@@ -1852,15 +1852,33 @@ object OracleSql {
          |  '<' || (SELECT a FROM w$r) || (SELECT b FROM w$r) || '>') AS s, freq
          |  FROM v${r - 1})""".stripMargin
     }.mkString(",\n")
-    val union = (1 to k).map(r =>
-      s"SELECT CAST($r AS INT) AS merge_rank, a AS lhs, b AS rhs, " +
-        s"CAST(c AS BIGINT) AS pair_count FROM w$r").mkString(" UNION ALL ")
-    s"""WITH wf AS (SELECT word, count(*) AS freq FROM (
+    s"""wf AS (SELECT word, count(*) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE word <> '' GROUP BY 1),
        |v0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS s, freq FROM wf),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** Merge-table projection of the trajectory. */
+  private def bpeMergesOracle: String = {
+    val k = graft.ops.Bpe.NumMerges
+    val union = (1 to k).map(r =>
+      s"SELECT CAST($r AS INT) AS merge_rank, a AS lhs, b AS rhs, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM w$r").mkString(" UNION ALL ")
+    s"""WITH ${bpeTrainChain(k)}
        |SELECT * FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Final-vocabulary projection: the same replayed trajectory, read out
+    * through v_k's symbols instead of the winner rows — the training is
+    * verified twice through independent projections. */
+  private def bpeVocabOracle: String = {
+    val k = graft.ops.Bpe.NumMerges
+    s"""WITH ${bpeTrainChain(k)}
+       |SELECT symbol, CAST(sum(freq) AS BIGINT) AS n_occ FROM (
+       |  SELECT freq, unnest(string_split(substr(s, 2, len(s) - 2), '><')) AS symbol
+       |  FROM v$k)
+       |GROUP BY 1 ORDER BY n_occ DESC, symbol""".stripMargin
   }
 
   /** Encode replay from the stashed merge table: the identical replace

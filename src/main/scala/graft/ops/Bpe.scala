@@ -112,6 +112,26 @@ object Bpe {
       .orderBy(col("merge_rank"))
   }
 
+  /** Harness query: the final symbol vocabulary after the merge budget —
+    * the tokenizer artifact a dataloader ships. Occurrence counts weight
+    * each distinct word's symbols by the word's corpus frequency, so the
+    * whole readout runs on the vocab-sized table. Fully tie-broken
+    * (count DESC, symbol ASC). */
+  def vocab(s: SparkSession, dir: String): DataFrame = {
+    val m = fit(s, dir)
+    fittedMerges = Some(m)
+    val chain = m.foldLeft("s0") { case (acc, (a, b, _)) =>
+      s"replace($acc, '<$a><$b>', '<$a$b>')"
+    }
+    wordFreq(s, dir)
+      .withColumn("s0", wrap(col("word")))
+      .withColumn("enc", expr(chain))
+      .select(col("freq"),
+        explode(split(expr("substring(enc, 2, length(enc) - 2)"), "><")).as("symbol"))
+      .groupBy(col("symbol")).agg(sum(col("freq")).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("symbol"))
+  }
+
   /** Harness query: encode every document with the learned merges and
     * report per-doc whitespace-token vs BPE-token counts (the
     * tokens-per-word compression a tokenizer fit is judged by). The

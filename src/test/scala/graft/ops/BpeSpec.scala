@@ -61,10 +61,23 @@ class BpeSpec extends SparkSpec {
       "ya/yb stay 2 symbols: 4*1 + 2*2 = 8 over 6 words")
   }
 
+  test("bpe: final vocabulary readout is the merged symbols, freq-weighted") {
+    val dir = tmpDocs(Seq(
+      (1L, "ab cd ef gh ij kl mn op"),
+      (2L, "qr st uv wy ya yb")))
+    val v = Bpe.vocab(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(v === Seq(("y", 2L), ("a", 1L), ("ab", 1L), ("b", 1L), ("cd", 1L),
+      ("ef", 1L), ("gh", 1L), ("ij", 1L), ("kl", 1L), ("mn", 1L), ("op", 1L),
+      ("qr", 1L), ("st", 1L), ("uv", 1L), ("wy", 1L)),
+      "12 merged words -> single symbols; ya/yb contribute y/a/b singles")
+  }
+
   test("bpe: empty corpus and empty text are safe") {
     val dir = tmpDocs(Seq((1L, "")))
     assert(Bpe.fit(spark, dir).isEmpty)
     assert(Bpe.merges(spark, dir).count() === 0L)
     assert(Bpe.encode(spark, dir).count() === 0L)
+    assert(Bpe.vocab(spark, dir).count() === 0L)
   }
 }
