@@ -74,7 +74,7 @@ object Bpe {
   /** Train `k` merges. Returns (rank-ordered merge list, final vocab
     * frame). The vocab is cached once; each round adds one codegen'd
     * `replace` projection on top of it. */
-  private[ops] def fit(s: SparkSession, dir: String,
+  def fit(s: SparkSession, dir: String,
       k: Int = NumMerges): Seq[(String, String, Long)] = {
     var vocab = wordFreq(s, dir).select(wrap(col("word")).as("s"), col("freq")).cache()
     vocab.count()
@@ -141,10 +141,22 @@ object Bpe {
   def encode(s: SparkSession, dir: String): DataFrame = {
     val m = fit(s, dir)
     fittedMerges = Some(m)
+    encodeSymbolsOf(Tables.documents(s, dir), m)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"))
+      .withColumn("bpe_ratio", round(col("n_bpe") / col("n_words"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-word symbol counts under a FIXED merge table — the stateless
+    * projection the batch aggregate above and the streaming intake share
+    * (the tokenizer is fitted offline; applying it is pure, so stream
+    * output ≡ batch output row for row — parity spec in StreamingSpec). */
+  def encodeSymbolsOf(docs: DataFrame, m: Seq[(String, String, Long)]): DataFrame = {
     val chain = m.foldLeft("s0") { case (acc, (a, b, _)) =>
       s"replace($acc, '<$a><$b>', '<$a$b>')"
     }
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .withColumn("s0", wrap(col("word")))
@@ -152,9 +164,6 @@ object Bpe {
       // symbol count = count('><') + 1; each '><' is 2 chars
       .withColumn("n_sym", expr(
         "(length(enc) - length(replace(enc, '><', ''))) div 2 + 1"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"))
-      .withColumn("bpe_ratio", round(col("n_bpe") / col("n_words"), 4))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("word"), col("n_sym"))
   }
 }

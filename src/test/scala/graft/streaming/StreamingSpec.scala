@@ -182,6 +182,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("BPE encode: an offline-fitted merge table applied on the stream " +
+      "equals the batch projection (streaming tokenizer-apply path)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+
+    val dir = "/root/testdata/sf0.001"
+    val merges = graft.ops.Bpe.fit(spark, dir) // tokenizer fitted offline
+    val docs = graft.ops.Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+    val rows = docs.as[(Long, String)].collect()
+
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.Bpe.encodeSymbolsOf(
+        input.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, word, n_sym FROM bpe_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList.sorted
+      val batch = graft.ops.Bpe.encodeSymbolsOf(docs, merges)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList.sorted
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("chunking: the same stateless transform on a stream equals the " +
       "batch output (streaming ingestion → chunk → embed path)") {
     implicit val sql = spark.sqlContext
