@@ -103,6 +103,32 @@ class EmptyInputSpec extends SparkSpec {
     assert(drift.getInt(0) === 0 && drift.getDouble(1) === 0.0)
   }
 
+  test("second-session round-6 additions: empty-safe, and the model fit fails loudly") {
+    // BPE: empty corpus -> no merges, empty outputs (covered in BpeSpec
+    // too; here against the shared empty fixture)
+    assert(Bpe.merges(spark, emptyDir).count() === 0)
+    assert(Bpe.encode(spark, emptyDir).count() === 0)
+    assert(Bpe.vocab(spark, emptyDir).count() === 0)
+    // backoff LM: no docs -> no trigram stream -> empty scores
+    assert(TermScoring.lmBackoff(spark, emptyDir).count() === 0)
+    // quality distill: a model fit on nothing must fail loudly, not emit
+    // a silent all-zero scorer
+    val e = intercept[IllegalArgumentException] {
+      QualityModel.distill(spark, emptyDir).count()
+    }
+    assert(e.getMessage.contains("empty corpus"))
+    // native range join: either side empty -> empty inner result
+    import spark.implicits._
+    val l0 = Seq.empty[(Long, Long)].toDF("k", "t")
+    val r1 = Seq((1L, 1L, 2L)).toDF("k", "t", "v")
+    assert(graft.plans.RangeJoinNative.rangeJoin(l0, r1, "k", "t", -5L, 5L,
+      Seq("v")).count() === 0)
+    val l1 = Seq((1L, 1L)).toDF("k", "t")
+    val r0 = Seq.empty[(Long, Long, Long)].toDF("k", "t", "v")
+    assert(graft.plans.RangeJoinNative.rangeJoin(l1, r0, "k", "t", -5L, 5L,
+      Seq("v")).count() === 0)
+  }
+
   test("curation-stack additions are empty-safe (PQ fails loudly: no sample, no codebook)") {
     assert(Redaction.redactDocuments(spark, emptyDir).count() === 0)
     assert(Dedup.canonicalGroups(spark, emptyDir).count() === 0)
