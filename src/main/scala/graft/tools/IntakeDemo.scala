@@ -63,6 +63,16 @@ object IntakeDemo {
     val drift = TextAnalysis.tokenDrift(spark, dir).head()
     println(f"delta-split monitors: mean OOV $oov%.4f, " +
       f"drift ${drift.getDouble(1)}%.6f over ${drift.getInt(0)}%d vocab terms")
+
+    // accepted docs flow through the offline-fitted tokenizer — the same
+    // stateless projection the streaming intake applies (encodeSymbolsOf)
+    val merges = graft.ops.Bpe.fit(spark, dir)
+    val accepted = IndexStore.readDedup(spark, idx).digests.count()
+    val enc = graft.ops.Bpe.encodeSymbolsOf(standing.select($"doc_id", $"text"), merges)
+      .agg(count(lit(1)).as("words"), sum($"n_sym").as("symbols")).head()
+    println(f"tokenizer: ${merges.size}%d merges fitted; standing corpus " +
+      f"${enc.getLong(0)}%d words -> ${enc.getLong(1)}%d BPE symbols " +
+      f"($accepted%d docs indexed)")
     spark.stop()
   }
 }
