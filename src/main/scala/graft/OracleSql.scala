@@ -1334,6 +1334,64 @@ object OracleSql {
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    // boilerplate removal: same fixed segmentation as text_segment_dedup,
+    // df over DISTINCT docs, drop-everywhere at the minDf threshold
+    "text_boilerplate" -> {
+      val n = TextAnalysis.SegmentLen
+      val minDf = TextAnalysis.BoilerplateMinDf
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens
+         |  FROM documents),
+         |s0 AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(CAST(ceil(len(tokens) / $n.0) AS BIGINT), 1) + 1),
+         |    i -> {'idx': i - 1,
+         |          'seg': array_to_string(tokens[(i-1)*$n+1:(i-1)*$n+$n], ' ')})) AS s
+         |  FROM t),
+         |segs AS (SELECT doc_id, CAST(s.idx AS INT) AS idx, s.seg AS seg FROM s0),
+         |df AS (SELECT seg, count(DISTINCT doc_id) AS df_docs FROM segs
+         |  GROUP BY seg),
+         |j AS (SELECT doc_id, idx, segs.seg AS seg, df_docs
+         |  FROM segs JOIN df USING (seg))
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_segs,
+         |  CAST(count(*) FILTER (WHERE df_docs >= $minDf) AS INT) AS n_boiler,
+         |  COALESCE(string_agg(seg, ' ' ORDER BY idx)
+         |    FILTER (WHERE df_docs < $minDf), '') AS clean_text
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // inverted-index head: df over distinct (doc, term), capped sorted
+    // posting list; fully tie-broken (df desc, token asc) topK boundary
+    "text_postings" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |r AS (SELECT token, doc_id,
+        |  row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM t)
+        |SELECT token, count(*) AS df_docs,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |    FILTER (WHERE rn <= 50) AS postings
+        |FROM r GROUP BY token
+        |ORDER BY df_docs DESC, token ASC LIMIT 30""".stripMargin,
+
+    // collocations: zipped-unnest bigram counts; the lift score is exact
+    // BIGINT floor division on both engines (non-negative operands), and
+    // ranking by lift ≡ ranking by PMI (log is monotone)
+    "text_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+        |             unnest(toks[2:len(toks)]) AS w2
+        |  FROM t WHERE len(toks) >= 2),
+        |b AS (SELECT w1, w2, count(*) AS n_ab FROM p GROUP BY w1, w2
+        |  HAVING count(*) >= 30),
+        |u AS (SELECT unnest(toks) AS w FROM t),
+        |uc AS (SELECT w, count(*) AS n FROM u GROUP BY w),
+        |tot AS (SELECT count(*) AS n_total FROM u)
+        |SELECT b.w1, b.w2, n_ab, ua.n AS n_a, ub.n AS n_b,
+        |  (n_ab * n_total * 10000) // (ua.n * ub.n) AS lift_q4
+        |FROM b CROSS JOIN tot
+        |  JOIN uc ua ON b.w1 = ua.w
+        |  JOIN uc ub ON b.w2 = ub.w
+        |ORDER BY lift_q4 DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin,
+
     // dynamic quality gate: same rank-based per-source cutoff (integer
     // comparison — no interpolated percentile to drift)
     "text_quality_gate" ->

@@ -236,4 +236,43 @@ object TermScoring {
         round(col("s") / (col("n_trigrams") * lit(1000000.0)), 4).as("lm_score"))
       .orderBy(col("doc_id"))
   }
+
+  /** Collocation mining: the topK adjacent-bigram pairs ranked by
+    * association strength. The score is the PMI numerator as an EXACT
+    * integer — lift = P(ab) / (P(a)·P(b)) = n_ab·N / (n_a·n_b), emitted in
+    * 1e-4 units via BIGINT integer division (identical truncation in Spark
+    * `DIV` and DuckDB `//` for non-negative operands, so the oracle is
+    * float-free). log(lift) = PMI is monotone in lift, so the ranking IS
+    * the PMI ranking without either engine evaluating a transcendental.
+    * Overflow headroom: n_ab·N·10⁴ ≤ N²·10⁴, inside int64 for corpora to
+    * ~10⁸ tokens per fitted shard; beyond that the count pass shards first.
+    *
+    * Scale shape: wordcount-shaped — the bigram zip is partition-local,
+    * only (pair, partial count) rows shuffle, and the minPair cutoff prunes
+    * the long tail before the joins. The unigram table and the 1-row total
+    * are broadcast (vocabulary-sized by construction). */
+  def collocationPmi(s: SparkSession, dir: String, minPair: Long = 30,
+      topK: Int = 50): DataFrame = {
+    val toks = Tables.documents(s, dir).select(split(col("text"), " ").as("tokens"))
+    val uni = toks.select(explode(col("tokens")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val tot = uni.agg(sum(col("n")).as("n_total"))
+    val pairs = toks.filter(size(col("tokens")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(tokens) - 1),
+          |  i -> named_struct('w1', element_at(tokens, i),
+          |                    'w2', element_at(tokens, i + 1)))"""
+          .stripMargin.replaceAll("\n", " "))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPair)
+      .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n_a"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n_b"))), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_q4", expr("(n_ab * n_total * 10000) DIV (n_a * n_b)"))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        col("lift_q4"))
+      .orderBy(col("lift_q4").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
 }

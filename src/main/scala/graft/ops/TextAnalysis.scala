@@ -543,16 +543,23 @@ object TextAnalysis {
     * reassembly. The window state per key is one row_number — the same two
     * shuffles at 100 TB, with text moving only where the reassembled
     * output inherently requires it. */
-  def segmentDedup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** (doc_id, idx, seg): the shared fixed-length segmentation — every doc
+    * becomes ⌈tokens/SegmentLen⌉ consecutive 10-token segments (short docs
+    * contribute one clipped segment). One narrow codegen pass, no shuffle. */
+  private def segmentsOf(docs: DataFrame): DataFrame = {
     val n = SegmentLen
     val segsExpr =
       s"""transform(sequence(1, greatest(cast(ceil(size(tokens) / $n.0D) AS INT), 1)),
          |  i -> array_join(slice(tokens, (i - 1) * $n + 1, $n), ' '))"""
         .stripMargin.replaceAll("\n", " ")
-    val segs = Tables.documents(s, dir)
+    docs
       .withColumn("tokens", split(col("text"), " "))
       .select(col("doc_id"), posexplode(expr(segsExpr)).as(Seq("idx", "seg")))
+  }
+
+  def segmentDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = segmentsOf(Tables.documents(s, dir))
     val w = Window
       .partitionBy(col("seg"))
       .orderBy(col("doc_id"), col("idx"))
@@ -588,4 +595,71 @@ object TextAnalysis {
         size(col("kept")).as("n_after"),
         array_join(col("kept"), " ").as("clean_text"))
       .orderBy(col("doc_id"))
+
+  /** Inverted-index build — the retrieval primitive: for the topK
+    * highest-document-frequency terms, the exact df plus the first `cap`
+    * doc_ids (ascending) as a comma-joined posting list.
+    *
+    * Scale shape: ONE shuffle on term — the row_number window
+    * hash-partitions by token, and the following groupBy reuses that
+    * partitioning (verified: no second Exchange in the plan). Aggregate
+    * state is bounded by `cap` entries per term, so a hot term ("the" at
+    * web scale, df ≈ corpus size) costs a within-partition sort but never
+    * an unbounded collect_list. The cap IS the 100 TB design: full posting
+    * lists are corpus-sized and belong in a sharded index sink (IndexStore
+    * territory), not in one aggregate row — this query is the index
+    * HEAD (dictionary + first cap postings), which is what a query planner
+    * consults. */
+  def invertedIndex(s: SparkSession, dir: String, topK: Int = 30,
+      cap: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("token")).orderBy(col("doc_id").asc)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df_docs"),
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("rn") <= cap, col("doc_id")))),
+            x => x.cast("string")),
+          ",").as("postings"))
+      .orderBy(col("df_docs").desc, col("token").asc)
+      .limit(topK)
+  }
+
+  /** Document frequency at/above which a segment counts as boilerplate. */
+  val BoilerplateMinDf = 3
+
+  /** CCNet-style boilerplate removal: a segment that appears in ≥ minDf
+    * DISTINCT documents is boilerplate (header/footer/navigation chrome at
+    * web scale) and is dropped from EVERY document — deliberately different
+    * semantics from [[segmentDedup]], which keeps the first occurrence:
+    * dedup preserves one copy of repeated content, boilerplate removal
+    * decides the content itself is noise once it recurs across documents.
+    *
+    * Scale shape: df is computed over the narrow distinct (doc_id, seg)
+    * projection (map-side partial distinct, then one seg-keyed shuffle);
+    * the df frame is duplicate-density-sized, and the seg-keyed join back
+    * is co-partitioned with it. Document bodies shuffle once for the
+    * per-doc reassembly — inherent to emitting cleaned text, same as
+    * segmentDedup. */
+  def boilerplateFilter(s: SparkSession, dir: String,
+      minDf: Int = BoilerplateMinDf): DataFrame = {
+    val segs = segmentsOf(Tables.documents(s, dir))
+    val dfDocs = segs.select(col("doc_id"), col("seg")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("df_docs"))
+    segs.join(dfDocs, Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_segs"),
+        count(when(col("df_docs") >= minDf, 1)).cast("int").as("n_boiler"),
+        array_join(
+          expr(s"""transform(array_sort(collect_list(
+               |  CASE WHEN df_docs < $minDf THEN struct(idx, seg) END)),
+               |  x -> x.seg)""".stripMargin.replaceAll("\n", " ")),
+          " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -49,6 +49,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(Upsert.documentsUpsert(spark, emptyDir).count() === 0)
   }
 
+  test("indexing trio is empty-safe") {
+    assert(TextAnalysis.invertedIndex(spark, emptyDir).count() === 0)
+    assert(TextAnalysis.boilerplateFilter(spark, emptyDir).count() === 0)
+    assert(TermScoring.collocationPmi(spark, emptyDir).count() === 0)
+  }
+
   test("round-4 operators are empty-safe") {
     assert(Dedup.simhashLshPairs64(spark, emptyDir).count() === 0)
     assert(Dedup.triangleCount(
