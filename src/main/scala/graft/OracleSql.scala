@@ -294,6 +294,21 @@ object OracleSql {
         |  FROM orders JOIN customer ON o_custkey = c_custkey) t
         |WHERE rk <= 2 ORDER BY c_mktsegment, rk""".stripMargin,
 
+    // window replay of the native topk_by aggregate: same total order
+    // (value DESC, event_id ASC); the top sum re-folds in integer cents so
+    // aggregation order can't drift the hash
+    "q_topk_agg" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events)
+        |SELECT event_type,
+        |  string_agg(CAST(event_id AS VARCHAR), ','
+        |    ORDER BY value DESC, event_id ASC) AS top_ids,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM r WHERE rn <= 5
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
         |FROM lineitem

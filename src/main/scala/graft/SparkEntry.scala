@@ -55,6 +55,7 @@ object SparkEntry {
     "q_full_outer" -> (Relational.fullOuterDaily _),
     "q_anti_join" -> (Relational.antiJoin _),
     "q_window_topk" -> (Relational.windowTopK _),
+    "q_topk_agg" -> ((s: SparkSession, d: String) => Relational.topkGrouped(s, d)),
     "q_sort_limit" -> (Relational.sortLimit _),
     "q_rollup_region" -> (Relational.rollupRegion _),
     "q_cube" -> (Relational.cubeOrders _),

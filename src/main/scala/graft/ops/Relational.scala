@@ -404,6 +404,25 @@ object Relational {
         round(max($"value"), 2).as("max_value"))
       .orderBy($"event_type")
 
+  /** Exact top-k per group through the native bounded-heap aggregate
+    * ([[graft.functions.TopKBy]]) instead of the window idiom: the window
+    * plan sorts EVERY event on (type, value); this one reduces each task to
+    * ≤ k entries map-side and shuffles O(groups × k). The top sum is folded
+    * in integer cents (the float-sum rule) so the oracle's re-sum in any
+    * order is bit-exact. */
+  def topkGrouped(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.TopKBy.register(s)
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(expr(s"topk_by(value, event_id, $k)").as("top"))
+      .select($"event_type",
+        array_join(expr("transform(top, x -> cast(x.tag AS string))"), ",")
+          .as("top_ids"),
+        expr("aggregate(top, 0L, (a, x) -> a + cast(round(x.value * 100) AS bigint))")
+          .as("sum_cents"))
+      .orderBy($"event_type")
+  }
+
   /** The SQL-text surface: the engine's tables registered as temp views and
     * queried with a literal SQL string through Spark's parser — written in
     * the DuckDB-compatible subset so the oracle runs the IDENTICAL text.

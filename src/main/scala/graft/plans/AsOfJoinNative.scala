@@ -245,6 +245,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hll_regs", "hll_regs(h48, p) - HyperLogLog register maxima over SharedHash values"),
       (exprs: Seq[Expression]) => graft.functions.HllRegs(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("topk_by"),
+      info("topk_by", "topk_by(value, tag, k) - exact bounded-heap top-k (value DESC, tag ASC) per group"),
+      (exprs: Seq[Expression]) => graft.functions.TopKBy(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((FunctionIdentifier("gram_agg"),
       info("gram_agg", "gram_agg(vec, dim) - exact-micro upper-triangle Gram accumulation"),
       (exprs: Seq[Expression]) => graft.functions.GramAgg(exprs(0),
