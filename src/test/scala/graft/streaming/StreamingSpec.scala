@@ -768,4 +768,46 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("topk_by streams: incremental state across two batches equals the " +
+      "batch aggregate on real events (merge + serde exercised in the " +
+      "state store)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.TopKBy.register(spark)
+
+    val events = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", expr("timestamp_micros(ts div 1000)").as("ts"),
+        $"user_id", $"event_type", $"value")
+    val rows = events.as[StreamEvent].collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+
+    val input = MemoryStream[StreamEvent]
+    val q = input.toDF()
+      .groupBy($"event_type")
+      .agg(expr("topk_by(value, event_id, 5)").as("top"))
+      .select($"event_type", expr("transform(top, x -> x.tag)").as("ids"))
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable() // state written once, merged next batch
+      input.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+
+      val streamed = spark.sql("SELECT event_type, ids FROM topk_stream")
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+
+      val batch = events
+        .groupBy($"event_type")
+        .agg(expr("topk_by(value, event_id, 5)").as("top"))
+        .select($"event_type", expr("transform(top, x -> x.tag)").as("ids"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
