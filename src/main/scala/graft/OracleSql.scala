@@ -1602,6 +1602,9 @@ object OracleSql {
     // indistinguishable from the copy-on-write rewrite, so the oracle is
     // q_upsert's SQL — the same string, so the two can never drift.
     "q_upsert_mor" -> upsertSql,
+    // time travel: as-of batch 0 must reproduce the single-batch merge
+    // byte-for-byte even though a later delete wave sits in the log
+    "q_upsert_asof" -> upsertSql,
 
     // cohort retention: same integer-division day bucketing over the
     // BIGINT epoch-ns timestamps

@@ -92,6 +92,7 @@ object SparkEntry {
     "q_scd2" -> (Analytics.scd2Documents _),
     "q_upsert" -> (Upsert.documentsUpsert _),
     "q_upsert_mor" -> (Upsert.documentsUpsertMor _),
+    "q_upsert_asof" -> (Upsert.documentsUpsertAsOf _),
     "q_zorder_key" -> (CorpusLayout.zorderKeys _),
     "q_zonemap_scan" -> (graft.sources.ZoneMaps.zonemapScan _),
     "q_profile" -> (Profiler.lineitemProfile _),

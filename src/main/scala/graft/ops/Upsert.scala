@@ -73,6 +73,22 @@ object Upsert {
       key, payload)
   }
 
+  /** Time travel: reconstruct the table AS OF delta batch `asOfBatch`
+    * (0-based; negative = the untouched base snapshot). Later batches stay
+    * in the log but are invisible to the reader — the lakehouse as-of-read
+    * (Delta `VERSION AS OF` / Iceberg snapshot read) expressed over the
+    * same MOR op-log the live view folds. At scale the batch predicate is
+    * partition pruning, not a scan-and-drop: delta batches land as separate
+    * tables/files (see documentsUpsertMor's store layout), so batches
+    * beyond the as-of point are never read at all. */
+  def readViewAsOf(base: DataFrame, deltas: Seq[DataFrame], key: String,
+      payload: String, asOfBatch: Int): DataFrame =
+    if (asOfBatch < 0) {
+      base.select(col(key), col(payload), lit("kept").as("status"))
+    } else {
+      readView(base, deltas.take(asOfBatch + 1), key, payload)
+    }
+
   /** [[readView]] over an already-stamped log: `log` carries (key, op,
     * payload, __batch) with the batch sequence persisted — the shape the
     * streaming MOR sink appends — plus an optional `__seq` column ordering
@@ -260,6 +276,25 @@ object Upsert {
     store.create("delta", org.apache.spark.sql.types.StructType(changes.schema.fields))
     store.append("delta", changes)
     readView(store.scan("base"), Seq(store.scan("delta")), "doc_id", "text")
+      .select(col("doc_id"), col("status"),
+        length(col("text")).as("n_chars_new"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Harness query: TIME TRAVEL — a second delta wave (every
+    * doc_id % 10 == 8 row deleted) lands in the log AFTER the standard
+    * changeset, and the read reconstructs the state AS OF batch 0. Oracle
+    * = q_upsert's SQL verbatim: the later batch must be invisible to the
+    * as-of reader, byte-for-byte. If the as-of cut ever leaked batch 1,
+    * the %10==8 docs would vanish and the hash would catch it. */
+  def documentsUpsertAsOf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (snapshot, changes) = changesetOf(docs)
+    val laterWave = docs.filter(pmod(col("doc_id"), lit(10)) === 8)
+      .select(col("doc_id"), lit("delete").as("op"),
+        lit(null).cast("string").as("text"))
+    readViewAsOf(snapshot, Seq(changes, laterWave), "doc_id", "text",
+        asOfBatch = 0)
       .select(col("doc_id"), col("status"),
         length(col("text")).as("n_chars_new"))
       .orderBy(col("doc_id"))

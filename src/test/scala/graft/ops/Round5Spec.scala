@@ -42,6 +42,27 @@ class Round5Spec extends SparkSpec {
     assert(out === Set(1L), "insert-then-delete in one batch must not survive")
   }
 
+  test("readViewAsOf: each as-of point reconstructs exactly the state " +
+      "after that batch; negative = untouched base; last = live view") {
+    val base = baseDf(1L -> "a", 2L -> "b")
+    val b0 = Seq((3L, "insert", "c"), (1L, "update", "a2"))
+      .toDF("k", "op", "v")
+    val b1 = Seq((2L, "delete", null), (4L, "insert", "d"))
+      .toDF("k", "op", "v")
+    def state(asOf: Int) =
+      Upsert.readViewAsOf(base, Seq(b0, b1), "k", "v", asOf)
+        .select("k", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state(-1) === Set(1L -> "a", 2L -> "b"))
+    assert(state(0) === Set(1L -> "a2", 2L -> "b", 3L -> "c"))
+    assert(state(1) === Set(1L -> "a2", 3L -> "c", 4L -> "d"))
+    // the live view agrees with the last as-of point
+    val live = Upsert.readView(base, Seq(b0, b1), "k", "v")
+      .select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state(1) === live)
+  }
+
   // --- mergePrunedCow emptied partitions -----------------------------------
 
   test("mergePrunedCow: a changeset that deletes EVERY surviving row of a " +
