@@ -61,6 +61,26 @@ class IndexingSpec extends SparkSpec {
     assert(keys === keys.sorted)
   }
 
+  /** Run the query, then render the FINAL adaptive plan (AQE hides the
+    * materialized exchanges inside query stages, so assertions go through
+    * the plan string, which includes the full staged tree). */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    // keep only the final section — the rendered string repeats the tree
+    // under "== Initial Plan ==", which would double-count nodes
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def occurrences(plan: String, needle: String): Int =
+    plan.sliding(needle.length).count(_ == needle)
+
+  test("invertedIndex plan: the groupBy reuses the window's token " +
+      "partitioning — exactly ONE shuffle exchange end to end") {
+    val plan = finalPlan(TextAnalysis.invertedIndex(spark, "/root/testdata/sf0.001"))
+    assert(occurrences(plan, "Exchange hashpartitioning") === 1,
+      s"expected 1 shuffle (window + reused partitioning), got:\n$plan")
+  }
+
   // --- collocation PMI -----------------------------------------------------
 
   test("collocationPmi: lift_q4 is the exact floored integer " +
@@ -95,6 +115,15 @@ class IndexingSpec extends SparkSpec {
     // ranking is lift desc with (w1, w2) tie-break — deterministic topK
     val keys = out.map(r => (-r.getLong(5), r.getString(0), r.getString(1))).toSeq
     assert(keys === keys.sorted)
+  }
+
+  test("collocationPmi plan: both unigram joins and the total are " +
+      "broadcast — no sort-merge join anywhere") {
+    val plan = finalPlan(TermScoring.collocationPmi(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("SortMergeJoin"),
+      s"sort-merge join leaked into the PMI plan:\n$plan")
+    assert(occurrences(plan, "BroadcastHashJoin") >= 2,
+      s"expected broadcast unigram joins, got:\n$plan")
   }
 
   // --- boilerplate removal -------------------------------------------------
