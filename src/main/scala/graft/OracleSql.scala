@@ -2149,7 +2149,9 @@ object OracleSql {
         // composition — shared oracle = native/composed/DuckDB 3-way check
         "q_range_join_native" -> base("q_range_join"),
         "dedup_incremental_indexed" -> base("dedup_incremental"),
-        "dedup_bloom_gate_indexed" -> base("dedup_bloom_gate")) ++
+        "dedup_bloom_gate_indexed" -> base("dedup_bloom_gate"),
+        // segment-merged postings must be byte-identical to the recompute
+        "text_postings_indexed" -> base("text_postings")) ++
       Similarity.fittedIvfCentroids.map(cs => "ann_ivf" -> ivfOracle(cs)) ++
       Similarity.fittedSemCentroids.map(cs => "emb_semdedup" -> semOracle(cs)) ++
       Similarity.fittedPqCodebooks.map(cb => "ann_pq" -> pqOracle(cb)) ++

@@ -123,6 +123,7 @@ object SparkEntry {
     "text_segment_dedup" -> (TextAnalysis.segmentDedup _),
     "text_boilerplate" -> ((s: SparkSession, d: String) => TextAnalysis.boilerplateFilter(s, d)),
     "text_postings" -> ((s: SparkSession, d: String) => TextAnalysis.invertedIndex(s, d)),
+    "text_postings_indexed" -> ((s: SparkSession, d: String) => TextAnalysis.invertedIndexIndexed(s, d)),
     "text_pmi" -> ((s: SparkSession, d: String) => TermScoring.collocationPmi(s, d)),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "text_heavy_by_lang" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHittersByLang(s, d)),

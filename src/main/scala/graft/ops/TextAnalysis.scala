@@ -629,6 +629,25 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** [[invertedIndex]]'s head served from the PERSISTED standing postings
+    * index plus one in-query segment over the delta batch — the standing
+    * corpus's text is never rescanned; only its vocabulary-sized segment
+    * table is read and merged (IndexStore.mergePostings). Output is
+    * byte-identical to the full recompute, which is exactly what the
+    * shared text_postings oracle asserts. */
+  def invertedIndexIndexed(s: SparkSession, dir: String, topK: Int = 30,
+      cap: Int = 50): DataFrame = {
+    val standing = graft.sources.IndexStore.standingPostingsIndex(s, dir)
+    val (inc, _) = Dedup.deltaSplit(Tables.documents(s, dir))
+    val delta = graft.sources.IndexStore.postingsSegmentOf(inc, cap)
+    graft.sources.IndexStore.mergePostings(standing.unionByName(delta), cap)
+      .select(col("token"), col("df_docs"),
+        array_join(transform(col("postings"), x => x.cast("string")), ",")
+          .as("postings"))
+      .orderBy(col("df_docs").desc, col("token").asc)
+      .limit(topK)
+  }
+
   /** Document frequency at/above which a segment counts as boilerplate. */
   val BoilerplateMinDf = 3
 

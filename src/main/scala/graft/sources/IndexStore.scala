@@ -94,6 +94,51 @@ object IndexStore {
     bands = s.read.parquet(s"$root/bands"),
     shingles = s.read.parquet(s"$root/shingles"))
 
+  // --- inverted-index (postings) segments -----------------------------------
+
+  /** One aggregated postings SEGMENT over `docs`: the full dictionary —
+    * (token, df_docs, first-`cap` sorted doc_ids). Lucene-style segmented
+    * maintenance: an append writes a new segment aggregated over the delta
+    * ONLY, and readers merge segments — the live view costs
+    * O(vocabulary × segments), never a corpus rescan. Merging capped lists
+    * stays EXACT because the global first-cap of a union is contained in
+    * the union of the per-segment first-caps. */
+  def postingsSegmentOf(docs: DataFrame, cap: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("token")).orderBy(col("doc_id").asc)
+    docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df_docs"),
+        sort_array(collect_list(when(col("rn") <= cap, col("doc_id"))))
+          .as("postings"))
+  }
+
+  def buildPostings(docs: DataFrame, path: String, cap: Int = 50): Unit =
+    postingsSegmentOf(docs, cap).write.mode("overwrite").parquet(path)
+
+  /** Append ONLY the delta's segment — O(delta); the standing corpus is
+    * not an input. Returns the appended frame for input-file assertions. */
+  def appendPostings(deltaDocs: DataFrame, path: String,
+      cap: Int = 50): DataFrame = {
+    val seg = postingsSegmentOf(deltaDocs, cap)
+    seg.write.mode("append").parquet(path)
+    seg
+  }
+
+  def readPostings(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** Collapse segment rows into the live dictionary: dfs sum (disjoint doc
+    * sets per segment); postings = first-cap of the per-segment capped
+    * lists' union. */
+  def mergePostings(segments: DataFrame, cap: Int = 50): DataFrame =
+    segments.groupBy(col("token"))
+      .agg(sum(col("df_docs")).as("df_docs"),
+        slice(sort_array(flatten(collect_list(col("postings")))), 1, cap)
+          .as("postings"))
+
   // --- curation digest index (streaming front door) -------------------------
 
   /** Per-doc [[graft.ops.Redaction.curationFp]] digests — what the
@@ -140,6 +185,17 @@ object IndexStore {
       p
     })
     readWinnow(s, root)
+  }
+
+  /** The persisted standing postings index for `dir` (memoized build). */
+  def standingPostingsIndex(s: SparkSession, dir: String): DataFrame = {
+    val root = builtRoots.computeIfAbsent(s"postings:$dir", _ => {
+      val (_, ex) = Dedup.deltaSplit(Tables.documents(s, dir))
+      val p = rootFor(s, "postings", dir)
+      buildPostings(ex, p)
+      p
+    })
+    readPostings(s, root)
   }
 
   /** The persisted standing dedup index for `dir` (memoized build). */

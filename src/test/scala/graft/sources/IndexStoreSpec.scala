@@ -112,6 +112,34 @@ class IndexStoreSpec extends SparkSpec {
       sortedRows(Dedup.incrementalDedup(spark, dir)))
   }
 
+  test("appendPostings writes a delta-only segment and the merged view " +
+      "equals a from-scratch recompute") {
+    val docs = Tables.documents(spark, dir)
+    val standingDir = tmp("post-standing")
+    val deltaDir = tmp("post-delta")
+    val standing = asTable(docs.filter(col("doc_id") % 5 =!= 0), standingDir)
+    val delta = asTable(docs.filter(col("doc_id") % 5 === 0), deltaDir)
+
+    val idxPath = tmp("post-idx") + "/seg"
+    IndexStore.buildPostings(standing, idxPath)
+    val appended = IndexStore.appendPostings(delta, idxPath)
+    val inputs = appended.inputFiles
+    assert(inputs.nonEmpty && inputs.forall(_.contains(deltaDir)),
+      s"append read outside the delta dir: ${inputs.mkString(", ")}")
+
+    // two merged segments ≡ one segment over the whole corpus
+    val merged = IndexStore.mergePostings(IndexStore.readPostings(spark, idxPath))
+    val rebuilt = IndexStore.postingsSegmentOf(docs)
+      .select(col("token"), col("df_docs"),
+        expr("slice(postings, 1, 50)").as("postings"))
+    assert(sortedRows(merged) === sortedRows(rebuilt))
+  }
+
+  test("indexed postings head ≡ the recompute-in-query twin (row for row)") {
+    assert(sortedRows(TextAnalysis.invertedIndexIndexed(spark, dir)) ===
+      sortedRows(TextAnalysis.invertedIndex(spark, dir)))
+  }
+
   test("indexed probe's plan never scans the documents table for the standing side") {
     // force the memoized standing index to exist, then check the probe plan
     TextAnalysis.winnowProbeIndexed(spark, dir).count()
