@@ -1562,6 +1562,31 @@ object OracleSql {
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
     },
 
+    // conjunctive search: same BM25 contribution CTEs, AND-gated on every
+    // query term being present, n_hits carried as the summed tf
+    "text_search" -> {
+      import graft.ops.TermScoring.{K1, B, QueryTerms}
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS dl,
+         |  string_split(text, ' ') AS tokens FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM d),
+         |t AS (SELECT doc_id, dl, unnest(tokens) AS term FROM d),
+         |tq AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+         |  WHERE term IN (${inList(QueryTerms)}) GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*) AS df FROM tq GROUP BY 1),
+         |sc AS (SELECT doc_id, term, tf, CAST(floor(
+         |    round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+         |      * (tf * ($K1 + 1))
+         |      / (tf + $K1 * (1 - $B + $B * dl / avgdl))
+         |      * 1000000) AS BIGINT) AS contrib_u
+         |  FROM tq JOIN df USING (term) CROSS JOIN stats)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_hits,
+         |  round(sum(contrib_u) / 1000000.0, 6) AS score
+         |FROM sc GROUP BY doc_id
+         |HAVING count(DISTINCT term) = ${QueryTerms.size}
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+
     // column profiler: one SELECT per profiled column, string-rendered
     // min/max (UTC session makes timestamp rendering identical)
     "q_profile" -> {

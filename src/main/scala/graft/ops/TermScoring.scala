@@ -51,7 +51,10 @@ object TermScoring {
     * per-term contributions are rounded before summing so the cross-engine
     * sum is over identical representable values, and ranking uses the
     * rounded score with doc_id tie-break — bit-stable row selection. */
-  def bm25(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  /** Per-(doc, query-term) BM25 contribution rows — the shared core of the
+    * disjunctive ranking ([[bm25]]) and the conjunctive search
+    * ([[searchConjunctive]]). */
+  private def bm25Contrib(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .withColumn("dl", size(split(col("text"), " ")))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
@@ -62,7 +65,7 @@ object TermScoring {
     val tf = terms.groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "term")
+    tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         round(log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6))
@@ -74,12 +77,30 @@ object TermScoring {
         col("idf") * (col("tf") * (lit(K1) + 1)) /
           (col("tf") + lit(K1) * (lit(1) - lit(B) + lit(B) * col("dl") / col("avgdl")))
           * lit(1000000)).cast("bigint"))
+  }
+
+  def bm25(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    bm25Contrib(s, dir)
       .groupBy(col("doc_id"))
       .agg(round(sum(col("contrib_u")) / 1000000.0, 6).as("score"))
-    scored
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
-  }
+
+  /** Conjunctive keyword search: documents containing EVERY query term,
+    * BM25-ranked — the composition an inverted index serves. Same scale
+    * shape as [[bm25]] (the query-term filter prunes the explode to a
+    * vocabulary-bounded stream before any shuffle); the AND gate is a
+    * count-distinct over ≤ |query| terms per doc, not a self-join. */
+  def searchConjunctive(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25Contrib(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("n_hits"),
+        round(sum(col("contrib_u")) / 1000000.0, 6).as("score"))
+      .filter(col("n_terms") === QueryTerms.size)
+      .select(col("doc_id"), col("n_hits"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
 
   /** Sparse lexical-cosine near-dup pairs — the third similarity modality
     * next to dense embedding-cosine ([[Similarity.cosineDupPairs]]) and

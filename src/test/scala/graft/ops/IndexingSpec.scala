@@ -126,6 +126,27 @@ class IndexingSpec extends SparkSpec {
       s"expected broadcast unigram joins, got:\n$plan")
   }
 
+  // --- conjunctive search --------------------------------------------------
+
+  test("searchConjunctive: every hit contains ALL query terms, n_hits is " +
+      "the summed term frequency, and ranking is score-desc with doc_id " +
+      "tie-break") {
+    val out = TermScoring.searchConjunctive(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val texts = sf("documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val (id, hits) = (r.getLong(0), r.getLong(1))
+      val toks = texts(id).split(" ")
+      TermScoring.QueryTerms.foreach(t =>
+        assert(toks.contains(t), s"doc $id missing query term '$t'"))
+      assert(hits === toks.count(TermScoring.QueryTerms.contains(_)))
+    }
+    val keys = out.map(r => (-r.getDouble(2), r.getLong(0))).toSeq
+    assert(keys === keys.sorted)
+  }
+
   // --- boilerplate removal -------------------------------------------------
 
   test("boilerplateFilter: a segment recurring in >= minDf distinct docs " +
