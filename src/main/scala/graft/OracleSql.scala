@@ -77,6 +77,10 @@ object OracleSql {
   private def dotChain(a: String, b: String): String =
     (1 to VectorOps.Dim).map(i => s"$a[$i]*$b[$i]").mkString("(", " + ", ")")
 
+  /** Truncated-prefix dot chain (ann_truncate's 16-dim coarse pass). */
+  private def dotChainHead(a: String, b: String, dims: Int): String =
+    (1 to dims).map(i => s"$a[$i]*$b[$i]").mkString("(", " + ", ")")
+
   /** The hyperplane-LSH bucket as literal SQL: each of the 16 sign bits is
     * a left-associated dot chain against the seeded plane's coefficients
     * (printed via Double.toString, which round-trips exactly). Bit-identical
@@ -1010,6 +1014,27 @@ object OracleSql {
          |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Exactness makes the oracle algorithm-independent: the prefix filter
+    // must reproduce the full intersection-count join bit-for-bit. The
+    // threshold test uses the unrounded ratio on both sides (one IEEE
+    // division); round(,4) is display-only.
+    "dedup_prefix_join" ->
+      s"""WITH tok AS ($tokensCte),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  list_transform(($shinglesCase), x -> ${SharedHash.duck48("x")})) AS hs
+         |  FROM tok),
+         |sz AS (SELECT doc_id, len(hs) AS sz FROM sh),
+         |ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*) AS i FROM ex a JOIN ex b ON a.h = b.h
+         |  AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b,
+         |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jraw
+         |  FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
+         |  JOIN sz sb ON sb.doc_id = inter.doc_b)
+         |SELECT doc_a, doc_b, round(jraw, 4) AS jaccard FROM j
+         |WHERE jraw >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_editdist" ->
       """WITH heads AS (
         |  SELECT doc_id, substr(text, 1, 40) AS head
@@ -1081,6 +1106,28 @@ object OracleSql {
          |  CAST(row_number() OVER (PARTITION BY q_id
          |    ORDER BY sim DESC, c_id ASC) AS INT) AS rnk FROM p)
          |SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    // Matryoshka rerank: the 100-candidate coarse shortlist (16-dim
+    // cosine, ties on (rounded sim16, c_id)) is replayed exactly, then
+    // reranked by full-dim cosine — deterministic end to end, so unlike
+    // IVF/PQ this ANN variant gets a full hash oracle.
+    "ann_truncate" ->
+      s"""WITH $embCte,
+         |hh AS (SELECT vec_id, e, nrm,
+         |  ${dotChainHead("e", "e", 16)} AS hn FROM n),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |  round(${dotChainHead("q.e", "c.e", 16)} /
+         |    (sqrt(q.hn) * sqrt(c.hn)), 6) AS sim16,
+         |  round(${dotChain("q.e", "c.e")} /
+         |    (sqrt(q.nrm) * sqrt(c.nrm)), 6) AS sim
+         |  FROM hh q JOIN hh c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         |sl AS (SELECT q_id, c_id, sim, row_number() OVER (
+         |  PARTITION BY q_id ORDER BY sim16 DESC, c_id ASC) AS crnk FROM p),
+         |f AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (
+         |  PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INT) AS rnk
+         |  FROM sl WHERE crnk <= 100)
+         |SELECT q_id, rnk, c_id, sim FROM f WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
 
     // per-dimension stats in exact integer micro-units (the float-sum
@@ -1793,6 +1840,47 @@ object OracleSql {
          |FROM r$Iters r JOIN deg d ON d.src = r.doc_id
          |ORDER BY r.rank DESC, r.doc_id""".stripMargin
     },
+
+    // Multi-source BFS: the recursive walk enumerates every (node, dist)
+    // reachable within MaxHops; min(dist) per node is the BFS distance —
+    // the engine's frontier iteration must reproduce it exactly.
+    "graph_dist" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |good AS (SELECT doc_a, doc_b FROM pairs
+         |  WHERE jaccard >= ${graft.ops.Dedup.JaccardThreshold}),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+         |  UNION ALL SELECT doc_b, doc_a FROM good),
+         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+         |walk(doc_id, dist) AS (
+         |  SELECT doc_id, 0 FROM nodes
+         |  WHERE doc_id % ${graft.ops.Bfs.SeedMod} = 0
+         |  UNION
+         |  SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e
+         |  ON e.src = w.doc_id WHERE w.dist < ${graft.ops.Bfs.MaxHops})
+         |SELECT doc_id, CAST(min(dist) AS INT) AS dist FROM walk
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Markov transition matrix: micro-unit probabilities via exact integer
+    // floor division on both engines (`div` / `//`)
+    "q_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS next_type FROM events),
+        |c AS (SELECT event_type AS src, next_type AS dst, count(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY src) AS BIGINT)
+        |    AS p_micro
+        |FROM c ORDER BY src, dst""".stripMargin,
+
+    // Incremental view maintenance: the oracle recomputes the aggregate
+    // from scratch; the engine merges stored view + delta partials. The
+    // micro-unit integer sum is what makes the two orders identical.
+    "q_incr_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_micro
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // strictly-ordered funnel: same successive conditional-min staging
     // Count-Min / HLL: the sketch states commute (integer sums / register

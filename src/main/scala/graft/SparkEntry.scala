@@ -91,6 +91,7 @@ object SparkEntry {
     "q_cohort_retention" -> (Analytics.cohortRetention _),
     "q_scd2" -> (Analytics.scd2Documents _),
     "q_upsert" -> (Upsert.documentsUpsert _),
+    "q_incr_agg" -> (ViewMaintain.incrementalAgg _),
     "q_upsert_mor" -> (Upsert.documentsUpsertMor _),
     "q_upsert_asof" -> (Upsert.documentsUpsertAsOf _),
     "q_zorder_key" -> (CorpusLayout.zorderKeys _),
@@ -100,9 +101,11 @@ object SparkEntry {
     "q_iqr_outliers" -> (DataQuality.iqrOutliers _),
     "q_histogram" -> ((s: SparkSession, d: String) => DataQuality.valueHistogram(s, d)),
     "q_funnel" -> (Analytics.funnel _),
+    "q_transitions" -> (Analytics.transitions _),
     "q_gapfill" -> (Analytics.gapFillDaily _),
     "dedup_triangles" -> (Dedup.minhashTriangles _),
     "graph_pagerank" -> (PageRank.dupGraphRank _),
+    "graph_dist" -> (Bfs.dupGraphDistance _),
     "q_range_join" -> (RangeJoin.errorContext _),
     "q_range_join_native" -> (graft.plans.RangeJoinNative.errorContextNative _),
     "q_salted_agg" -> (Skew.saltedUserAgg _),
@@ -165,6 +168,7 @@ object SparkEntry {
     "corpus_contamination" -> (Corpus.contamination _),
     "quality_distill" -> (QualityModel.distill _),
     "dedup_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
+    "dedup_prefix_join" -> ((s: SparkSession, d: String) => Dedup.prefixJoinPairs(s, d)),
     "dedup_simhash" -> (Dedup.simhashSignatures _),
     "dedup_editdist" -> ((s: SparkSession, d: String) => Dedup.editDistancePairs(s, d)),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
@@ -181,6 +185,7 @@ object SparkEntry {
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => Similarity.lshTopKMultiProbe(s, d)),
     "ann_lsh_buckets" -> (Similarity.lshBuckets _),
+    "ann_truncate" -> ((s: SparkSession, d: String) => Similarity.truncatedTopK(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "ann_pq" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     "emb_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineDupPairs(s, d)),

@@ -92,6 +92,42 @@ object Analytics {
       .orderBy(col("stage"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for every (src → dst) event-type bigram, its observed count and
+    * conditional probability. The per-row transition-probability feature
+    * behind session-behavior models and bot/anomaly heuristics (an
+    * improbable transition chain flags scripted traffic).
+    *
+    * Probabilities are emitted in integer micro-units via floor division
+    * (n·1e6 // Σn), so the result is partition-invariant and
+    * bit-identical in the oracle — the float-sum rule. Scale shape: one
+    * window shuffle keyed by user_id (sequences form where the user's
+    * events already sit), then a bigram count whose cardinality is
+    * |event_type|² — broadcast-tiny regardless of corpus size. */
+  def transitions(s: SparkSession, dir: String): DataFrame =
+    transitionsOf(Tables.events(s, dir))
+
+  /** Core of [[transitions]] over any (user_id, event_id, ts, event_type)
+    * frame. */
+  def transitionsOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val grand = Window.partitionBy(col("src"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(grand))
+      // `div` is exact BIGINT division (DuckDB `//`) — a double divide +
+      // cast could land one ulp below the true quotient and floor wrong
+      .withColumn("p_micro", expr("(n * 1000000) div tot"))
+      .drop("tot")
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** Type-2 slowly-changing-dimension history: collapse a batch-stamped
     * changelog of observed attribute states into validity intervals
     * (valid_from, valid_to, is_current) — the warehouse-standard dimension

@@ -527,6 +527,77 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Prefix-filtered exact all-pairs Jaccard join (the AllPairs/PPJoin
+    * family — Bayardo et al., WWW 2007; Xiao et al., TODS 2011): every
+    * pair of documents in the FULL corpus whose shingle-set Jaccard is
+    * ≥ `threshold`, with no candidate-recall gamble and no bounded id
+    * range. This is the scalable EXACT counterpart to both
+    * [[jaccardPairs]] (exact but O(n²)) and [[minhashPairsRaw]]
+    * (scalable but probabilistic recall).
+    *
+    * The prefix-filter theorem: order every set by one global total order
+    * (here ascending document frequency, rarest first, ties by hash), and
+    * keep only each set's first |S| − ⌈t·|S|⌉ + 1 elements. Any pair with
+    * J ≥ t must share at least one element of both prefixes, so an
+    * equi-join on prefix elements is a LOSSLESS candidate generator. The
+    * rarest-first order makes it sharp: frequent shingles (boilerplate)
+    * land in suffixes and never generate join keys, which is also the
+    * skew guard — no hot hash key can exceed the corpus' rare-token
+    * collision count.
+    *
+    * Scale shape: the join carries only (8-byte hash, doc_id, set size);
+    * document text and full shingle arrays never enter the candidate
+    * shuffle. The verify join fetches arrays for candidate pairs only
+    * (∝ near-dup density). Sets are 48-bit shingle hashes on BOTH sides
+    * (engine and oracle), so a hash collision inflates a Jaccard
+    * identically in each — the standard gram-hash trade. The threshold
+    * filter uses the UNROUNDED ratio (one IEEE division, bit-identical
+    * cross-engine); `jaccard` is rounded for display only. */
+  def prefixJoinPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame =
+    prefixJoinPairsOf(Tables.documents(s, dir), threshold)
+
+  /** Core of [[prefixJoinPairs]] over any (doc_id, text) frame. */
+  def prefixJoinPairsOf(docs: DataFrame,
+      threshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = shingled(docs)
+      .select(col("doc_id"), array_distinct(col("hs")).as("hs"))
+      .withColumn("sz", size(col("hs")).cast("long"))
+      .cache()
+    sets.count() // force: prefix explode + two verify legs are 3 consumers
+
+    val ex = sets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+    val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
+    val prefixes = ex.join(freq, "h")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("h"), col("doc_id"), col("sz"))
+
+    val cand = prefixes.toDF("h", "doc_a", "sz_a")
+      .join(prefixes.toDF("h2", "doc_b", "sz_b"),
+        col("h") === col("h2") && col("doc_a") < col("doc_b") &&
+          // length filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t
+          col("sz_a") >= col("sz_b") * threshold &&
+          col("sz_b") >= col("sz_a") * threshold)
+      .select(col("doc_a"), col("doc_b")).distinct()
+
+    val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+      col("sz").as("sz_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+      col("sz").as("sz_b"))
+    val pairs = cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jraw",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jraw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jraw"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+    Caching.materializeAndRelease(pairs, sets)
+  }
+
   /** Edit-distance near-dup pairs over document heads (bounded id range —
     * levenshtein is O(len²) per pair, so the scale path always gates it
     * behind a cheap candidate filter like minhashPairs; this is the exact

@@ -131,6 +131,70 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Matryoshka-style truncated-dimension ANN (the retrieval recipe from
+    * Kusupati et al. 2022, "Matryoshka Representation Learning": rank
+    * cheaply on a low-dimensional PREFIX of the embedding, then rerank the
+    * shortlist with the full vector). Coarse pass: cosine over the first
+    * `headDims` dims → top-`candidates` per query; fine pass: exact
+    * full-dim cosine over the shortlist only → top-`k`.
+    *
+    * Plan shape is the point: the coarse window shuffle carries only
+    * (c_id, 16-dim head, head norm) — at 100 TB the head is a separate
+    * narrow column (or the leading bytes of the vector column), so the
+    * scan reads ¼ of the flops AND ¼ of the bytes of brute force; the
+    * 64-dim vectors are fetched by the rerank join for ~`candidates`
+    * rows per query, never scanned twice. Query side broadcast both
+    * passes. Deterministic: coarse shortlist ties break on (rounded
+    * sim16, c_id), so the oracle replays the exact same shortlist. */
+  def truncatedTopK(s: SparkSession, dir: String, k: Int = 5,
+      numQueries: Int = 5, headDims: Int = 16,
+      candidates: Int = 100): DataFrame = {
+    graft.functions.VecDot.register(s)
+    truncatedTopKOf(Tables.embeddings(s, dir), k, numQueries, headDims,
+      candidates)
+  }
+
+  /** Core of [[truncatedTopK]] over any (vec_id, embedding) frame. */
+  def truncatedTopKOf(raw: DataFrame, k: Int = 5, numQueries: Int = 5,
+      headDims: Int = 16, candidates: Int = 100): DataFrame = {
+    graft.functions.VecDot.register(raw.sparkSession)
+    val e = raw
+      .withColumn("e", expr("cast(embedding AS ARRAY<DOUBLE>)"))
+      .withColumn("nrm", expr("vec_dot(e, e)"))
+      .withColumn("h", expr(s"slice(e, 1, $headDims)"))
+      .withColumn("hn", expr("vec_dot(h, h)"))
+      .cache()
+    e.count() // force: coarse + two rerank legs would re-derive the slice
+
+    val qh = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("h").as("qh"), col("hn").as("qhn"))
+    val ch = e.select(col("vec_id").as("c_id"), col("h").as("ch"),
+      col("hn").as("chn"))
+    val wCoarse = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim16").desc, col("c_id").asc)
+    val shortlist = broadcast(qh).join(ch, col("q_id") =!= col("c_id"))
+      .withColumn("sim16", round(
+        expr("vec_dot(qh, ch)") / (sqrt(col("qhn")) * sqrt(col("chn"))), 6))
+      .withColumn("crnk", row_number().over(wCoarse))
+      .filter(col("crnk") <= candidates)
+      .select(col("q_id"), col("c_id"))
+
+    val qf = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val cf = e.select(col("vec_id").as("c_id"), col("e").as("ce"),
+      col("nrm").as("cn"))
+    val wFine = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    val out = shortlist.join(cf, "c_id").join(broadcast(qf), "q_id")
+      .withColumn("sim", round(
+        expr("vec_dot(qe, ce)") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+      .withColumn("rnk", row_number().over(wFine))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+    graft.ops.Caching.materializeAndRelease(out, e)
+  }
+
   /** doc-side LSH signature: bucket int from the sign bits of plane dots. */
   private def withBuckets(e: DataFrame): DataFrame = {
     val bitCols = planes.zipWithIndex.map { case (p, i) =>

@@ -1,0 +1,157 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-6 close-out additions: prefix-filtered exact similarity join,
+  * Matryoshka truncated-dim rerank, multi-source BFS, Markov transitions,
+  * incremental aggregate-view maintenance. */
+class Round6ExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // --- prefix-filtered exact all-pairs jaccard -----------------------------
+
+  /** 5 families of 8 near-identical docs: pairs exist only within a
+    * family, with varying overlap from the per-doc noise suffix. */
+  private def craftedDocs = (0 until 40).map { i =>
+    val base = (0 until 12).map(t => s"tok${i / 8}_$t").mkString(" ")
+    val noise = (0 until i % 4).map(j => s"extra${i % 8}_$j").mkString(" ")
+    (i.toLong, (base + " " + noise).trim)
+  }.toDF("doc_id", "text")
+
+  test("prefix join: reproduces brute-force all-pairs exactly at every threshold") {
+    val docs = craftedDocs.cache()
+    val sets = Dedup.shingled(docs)
+      .select(col("doc_id"), array_distinct(col("hs")).as("hs"))
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.prefixJoinPairsOf(docs, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val brute = sets.toDF("doc_a", "hs_a")
+        .join(sets.toDF("doc_b", "hs_b"), col("doc_a") < col("doc_b"))
+        .withColumn("inter",
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+        .withColumn("jraw", col("inter") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+        .filter(col("jraw") >= t)
+        .select(col("doc_a"), col("doc_b"), round(col("jraw"), 4))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == brute, s"threshold $t")
+      assert(got.nonEmpty, s"threshold $t found nothing — test corpus broken")
+    }
+    docs.unpersist()
+  }
+
+  test("prefix join: cross-family pairs are absent, within-family present") {
+    val got = Dedup.prefixJoinPairsOf(craftedDocs, 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(got.forall { case (a, b, _) => a / 8 == b / 8 })
+    assert(got.exists { case (a, b, _) => a / 8 == 0 && b / 8 == 0 })
+  }
+
+  // --- matryoshka truncated rerank -----------------------------------------
+
+  test("truncated rerank: with a full-corpus shortlist it IS brute force") {
+    val n = sf("embeddings", dir).count().toInt
+    val got = Similarity.truncatedTopK(spark, dir, candidates = n)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(spark, dir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == brute)
+  }
+
+  test("truncated rerank: tight shortlist recovers true neighbors when the prefix carries the signal") {
+    // Matryoshka premise: information concentrates in the leading dims.
+    // 6 clusters separated in the 16-dim head; the 48-dim tail is small
+    // deterministic jitter — so head ranking finds the right shortlist
+    // even at candidates = 10 of 60.
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 60).map { i =>
+      val c = i % 6
+      val head = (0 until 16).map(d =>
+        (if (d == c) 1.0f else 0.1f) + rnd.nextFloat() * 0.05f)
+      val tail = (0 until 48).map(_ => rnd.nextFloat() * 0.02f)
+      (i.toLong, (head ++ tail).toArray)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.truncatedTopKOf(vecs, candidates = 10)
+      .select(col("q_id"), col("c_id")).as[(Long, Long)].collect().toSet
+    // brute-force truth = full-corpus shortlist (rerank over everything)
+    val brute = Similarity.truncatedTopKOf(vecs, candidates = 60)
+      .select(col("q_id"), col("c_id")).as[(Long, Long)].collect().toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  // --- multi-source bfs ----------------------------------------------------
+
+  test("bfs: path-graph distances, disconnected seed, hop cap") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val d = Bfs.hopDistance(pairs,
+        col("doc_id") === 0 || col("doc_id") === 10, maxHops = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(d == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4,
+      10L -> 0, 11L -> 1), s"got $d") // nodes 5, 6 are beyond the cap
+  }
+
+  test("bfs: cycle terminates and multi-source takes the minimum") {
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 0L)).toDF("doc_a", "doc_b")
+    val d = Bfs.hopDistance(ring,
+        col("doc_id") === 0 || col("doc_id") === 3, maxHops = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(d == Map(0L -> 0, 3L -> 0, 1L -> 1, 2L -> 1, 4L -> 1, 5L -> 1))
+  }
+
+  test("bfs: no seeds in the graph yields an empty result, not a crash") {
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    assert(Bfs.hopDistance(pairs, col("doc_id") === 99).count() == 0)
+  }
+
+  // --- markov transitions --------------------------------------------------
+
+  test("transitions: handmade sequences give exact counts and floor probabilities") {
+    val ev = Seq(
+      (1L, 1L, 100L, "A"), (2L, 1L, 200L, "B"),
+      (3L, 1L, 300L, "A"), (4L, 1L, 400L, "C"),
+      (5L, 2L, 100L, "A"), (6L, 2L, 200L, "B"))
+      .toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Analytics.transitionsOf(ev)
+      .as[(String, String, Long, Long)].collect().toSet
+    // user 1: A→B, B→A, A→C; user 2: A→B. src A: 3 total.
+    assert(got == Set(
+      ("A", "B", 2L, 666666L), ("A", "C", 1L, 333333L),
+      ("B", "A", 1L, 1000000L)))
+  }
+
+  test("transitions: per-src micro-probabilities sum to 1e6 minus floor loss") {
+    val rows = Analytics.transitions(spark, dir)
+      .groupBy(col("src"))
+      .agg(sum(col("p_micro")).as("p"), count(lit(1)).as("k"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, p, k) =>
+      assert(p > 1000000L - k && p <= 1000000L, s"src $src sums to $p")
+    }
+  }
+
+  // --- incremental aggregate view ------------------------------------------
+
+  test("incremental view merge equals the from-scratch aggregate") {
+    val got = ViewMaintain.incrementalAgg(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = sf("events", dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 1e6, 0) AS BIGINT)")).as("sum_micro"))
+      .orderBy(col("user_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // second call reuses the memoized stored view (same result, no rebuild)
+    val again = ViewMaintain.incrementalAgg(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(again == want)
+  }
+}
