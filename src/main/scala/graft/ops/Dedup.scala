@@ -574,6 +574,9 @@ object Dedup {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("h"), col("doc_id"), col("sz"))
+      .cache()
+    prefixes.count() // force: both self-join legs read the prefix pipeline
+                     // (explode + freq join + window) — uncached it runs 2×
 
     val cand = prefixes.toDF("h", "doc_a", "sz_a")
       .join(prefixes.toDF("h2", "doc_b", "sz_b"),
@@ -595,7 +598,7 @@ object Dedup {
       .filter(col("jraw") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jraw"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-    Caching.materializeAndRelease(pairs, sets)
+    Caching.materializeAndRelease(pairs, sets, prefixes)
   }
 
   /** Edit-distance near-dup pairs over document heads (bounded id range —

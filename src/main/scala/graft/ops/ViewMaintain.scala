@@ -26,10 +26,25 @@ import org.apache.spark.sql.functions._
 object ViewMaintain {
 
   /** The view definition: per-user event count + micro-unit value sum. */
-  private def statsOf(events: DataFrame): DataFrame =
+  def viewOf(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(expr("CAST(round(value * 1e6, 0) AS BIGINT)")).as("sum_micro"))
+
+  private def statsOf(events: DataFrame): DataFrame = viewOf(events)
+
+  /** view ⊕ view: the self-maintainability merge — count/sum partials
+    * combine per key; either side may lack a key. */
+  def mergeViews(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.select(col("user_id"), col("n_events").as("n0"),
+        col("sum_micro").as("s0"))
+      .join(delta.select(col("user_id"), col("n_events").as("n1"),
+        col("sum_micro").as("s1")), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("s0"), lit(0L)) + coalesce(col("s1"), lit(0L)))
+          .as("sum_micro"))
 
   private val fixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -53,18 +68,52 @@ object ViewMaintain {
     * equal the from-scratch aggregate over ALL events. */
   def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
     val stored = s.read.parquet(storedView(s, dir))
-      .select(col("user_id"), col("n_events").as("n0"),
-        col("sum_micro").as("s0"))
     val delta = statsOf(
-        Tables.events(s, dir).filter(col("event_id") % 10 === 9))
-      .select(col("user_id"), col("n_events").as("n1"),
-        col("sum_micro").as("s1"))
-    stored.join(delta, Seq("user_id"), "full_outer")
-      .select(col("user_id"),
-        (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
-          .as("n_events"),
-        (coalesce(col("s0"), lit(0L)) + coalesce(col("s1"), lit(0L)))
-          .as("sum_micro"))
-      .orderBy(col("user_id"))
+      Tables.events(s, dir).filter(col("event_id") % 10 === 9))
+    mergeViews(stored, delta).orderBy(col("user_id"))
+  }
+
+  // --- versioned view store (the streaming sink's exactly-once flip) -------
+
+  /** List the committed view versions under `root` (subdirs `v=<id>`). */
+  def viewVersions(s: SparkSession, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+      .sorted
+  }
+
+  /** Read the newest committed view strictly OLDER than `beforeId`
+    * (empty view if none) — the replay-safe read: a half-written or
+    * fully-written version of the CURRENT batch is never an input to its
+    * own re-run. */
+  def readViewBefore(s: SparkSession, root: String,
+      beforeId: Long): DataFrame =
+    viewVersions(s, root).filter(_ < beforeId).lastOption match {
+      case Some(v) => s.read.parquet(s"$root/v=$v")
+      case None =>
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("user_id", LongType),
+            StructField("n_events", LongType),
+            StructField("sum_micro", LongType))))
+    }
+
+  /** Apply one event micro-batch to the versioned view store: read the
+    * latest version before `batchId`, merge the batch's partial
+    * aggregate, overwrite `v=<batchId>`. Deterministic in (store state,
+    * batch, batchId), so a crash-replay of the same batch rewrites the
+    * SAME bytes — the foreachBatch exactly-once-effect recipe, here as a
+    * versioned-directory flip instead of truncate-and-rewrite (readers
+    * never observe a half-swapped view; old versions double as time
+    * travel until compacted away). */
+  def applyViewBatch(events: DataFrame, root: String, batchId: Long): Unit = {
+    val s = events.sparkSession
+    mergeViews(readViewBefore(s, root, batchId), viewOf(events))
+      .write.mode("overwrite").parquet(s"$root/v=$batchId")
   }
 }

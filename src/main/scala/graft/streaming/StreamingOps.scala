@@ -464,6 +464,31 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming incremental-aggregate-view sink: an event stream maintains
+    * the per-user stats view ([[graft.ops.ViewMaintain.viewOf]]) as a
+    * VERSIONED parquet store — each micro-batch merges its map-side
+    * partial aggregate into the latest committed version and writes
+    * `v=<batchId>` ([[graft.ops.ViewMaintain.applyViewBatch]]).
+    *
+    * Exactly-once effect WITHOUT a dedup column: the merge reads only
+    * versions strictly older than the current batch id, so a
+    * crash-replay of batch N deterministically rewrites the same
+    * `v=N` bytes — the version flip is the idempotence mechanism, and
+    * readers never observe a half-swapped view (they list committed
+    * versions, same discipline as a transaction-log table format; old
+    * versions double as time travel until compacted). The streaming twin
+    * of q_incr_agg: after any prefix of batches, the newest version
+    * equals the batch aggregate of every event seen so far. */
+  def aggViewSink(events: DataFrame, viewRoot: String)(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.ViewMaintain.applyViewBatch(batch, viewRoot, batchId)
+      }
+      .start()
+
   /** Read the reconciled view of a base + MOR delta-log pair maintained
     * by [[upsertSinkMor]]: the log (already batch-stamped) folds per key
     * in `__batch` order through Upsert.readView's state machine. */

@@ -810,4 +810,40 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("agg-view sink: newest version equals the batch aggregate after every prefix; replay rewrites identically") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ops.ViewMaintain
+    val root = java.nio.file.Files.createTempDirectory("aggview").toString
+    val ck = java.nio.file.Files.createTempDirectory("aggview-ck").toString
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.aggViewSink(input.toDF(), root)(ck)
+    def viewAt(v: Long) = spark.read.parquet(s"$root/v=$v")
+      .orderBy(col("user_id")).as[(Long, Long, Long)].collect().toSeq
+    def aggOf(evs: Seq[StreamEvent]) = ViewMaintain.viewOf(evs.toDF())
+      .orderBy(col("user_id")).as[(Long, Long, Long)].collect().toSeq
+    try {
+      val b1 = Seq(ev(1, 0, 1, "click", 1.5), ev(2, 1, 1, "view", 2.0),
+        ev(3, 2, 2, "click", 0.25))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      val b2 = Seq(ev(4, 3, 2, "click", 1.0), ev(5, 4, 3, "view", 4.0))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+
+      val versions = ViewMaintain.viewVersions(spark, root)
+      assert(versions.size == 2, s"versions $versions")
+      // prefix property: each committed version is the aggregate of
+      // exactly the batches up to it
+      assert(viewAt(versions.head) == aggOf(b1))
+      assert(viewAt(versions.last) == aggOf(b1 ++ b2))
+      // crash-replay of the last batch: reads only versions < its id, so
+      // it deterministically rewrites the same view
+      ViewMaintain.applyViewBatch(b2.toDF(), root, versions.last)
+      assert(viewAt(versions.last) == aggOf(b1 ++ b2))
+      assert(ViewMaintain.viewVersions(spark, root) == versions)
+    } finally q.stop()
+  }
 }
