@@ -1035,6 +1035,32 @@ object OracleSql {
          |SELECT doc_a, doc_b, round(jraw, 4) AS jaccard FROM j
          |WHERE jraw >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Exact-recall intake probe: same algorithm-independent oracle shape
+    // as dedup_prefix_join, restricted to (standing, delta) cross pairs
+    // under the shared hash-bucket split. The engine answers it from the
+    // persisted index without reading standing text; the oracle recomputes
+    // everything — byte equality proves the index path loses nothing.
+    "dedup_prefix_probe_indexed" ->
+      s"""WITH tok AS (SELECT doc_id, text,
+         |  string_split(text, ' ') AS tokens,
+         |  (${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 10) = 9 AS is_inc
+         |  FROM documents),
+         |sh AS (SELECT doc_id, is_inc, list_distinct(
+         |  list_transform(($shinglesCase), x -> ${SharedHash.duck48("x")})) AS hs
+         |  FROM tok),
+         |sz AS (SELECT doc_id, len(hs) AS sz FROM sh),
+         |ex AS (SELECT doc_id, is_inc, unnest(hs) AS h FROM sh),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*) AS i FROM ex a JOIN ex b ON a.h = b.h
+         |  AND NOT a.is_inc AND b.is_inc GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b,
+         |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jraw
+         |  FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
+         |  JOIN sz sb ON sb.doc_id = inter.doc_b)
+         |SELECT doc_a, doc_b, round(jraw, 4) AS jaccard FROM j
+         |WHERE jraw >= ${graft.ops.Dedup.JaccardThreshold}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_editdist" ->
       """WITH heads AS (
         |  SELECT doc_id, substr(text, 1, 40) AS head

@@ -560,20 +560,10 @@ object Dedup {
   /** Core of [[prefixJoinPairs]] over any (doc_id, text) frame. */
   def prefixJoinPairsOf(docs: DataFrame,
       threshold: Double = 0.3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sets = shingled(docs)
-      .select(col("doc_id"), array_distinct(col("hs")).as("hs"))
-      .withColumn("sz", size(col("hs")).cast("long"))
-      .cache()
+    val sets = prefixSetsOf(docs).cache()
     sets.count() // force: prefix explode + two verify legs are 3 consumers
 
-    val ex = sets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
-    val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("f"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
-    val prefixes = ex.join(freq, "h")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("h"), col("doc_id"), col("sz"))
+    val prefixes = prefixesUnder(sets, prefixFreqOf(sets), threshold)
       .cache()
     prefixes.count() // force: both self-join legs read the prefix pipeline
                      // (explode + freq join + window) — uncached it runs 2×
@@ -586,11 +576,51 @@ object Dedup {
           col("sz_b") >= col("sz_a") * threshold)
       .select(col("doc_a"), col("doc_b")).distinct()
 
-    val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
-      col("sz").as("sz_a"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
-      col("sz").as("sz_b"))
-    val pairs = cand.join(a, "doc_a").join(b, "doc_b")
+    val pairs = verifyExactPairs(cand, sets, sets, threshold)
+    Caching.materializeAndRelease(pairs, sets, prefixes)
+  }
+
+  /** (doc_id, distinct 48-bit shingle-hash set, size) — the set frame
+    * every prefix-filter op works over. */
+  private[graft] def prefixSetsOf(docs: DataFrame): DataFrame =
+    shingled(docs)
+      .select(col("doc_id"), array_distinct(col("hs")).as("hs"))
+      .withColumn("sz", size(col("hs")).cast("long"))
+
+  /** Document-frequency dictionary (h, f) of a set frame — the global
+    * rarest-first order's sort key. */
+  private[graft] def prefixFreqOf(sets: DataFrame): DataFrame =
+    sets.select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("f"))
+
+  /** Per-doc prefixes (h, doc_id, sz) of `sets` under the (f, h) total
+    * order given by `freq`; tokens absent from the dictionary order FIRST
+    * (f = 0 — they are the rarest possible). Prefix length is
+    * |S| − ⌈t·|S|⌉ + 1, the lossless bound. Correctness needs only that
+    * BOTH joined sides use the SAME dictionary — stale frequencies blunt
+    * pruning sharpness, never recall, which is what lets a persisted
+    * dictionary be rebuilt periodically instead of per-append. */
+  private[graft] def prefixesUnder(sets: DataFrame, freq: DataFrame,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
+    sets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+      .join(freq, Seq("h"), "left")
+      .withColumn("f", coalesce(col("f"), lit(0L)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("h"), col("doc_id"), col("sz"))
+  }
+
+  /** Exact Jaccard verify of candidate (doc_a, doc_b) pairs against the
+    * two sides' set frames; threshold on the unrounded IEEE ratio. */
+  private[graft] def verifyExactPairs(cand: DataFrame, aSets: DataFrame,
+      bSets: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(aSets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(bSets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("sz").as("sz_b")), "doc_b")
       .withColumn("inter",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("jraw",
@@ -598,7 +628,40 @@ object Dedup {
       .filter(col("jraw") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jraw"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-    Caching.materializeAndRelease(pairs, sets, prefixes)
+
+  /** Exact-similarity intake probe: delta docs against the standing
+    * corpus via its PERSISTED prefix index — the exact-recall member of
+    * the incremental triage family ([[incrementalDedupIndexed]] is the
+    * MinHash-probabilistic one). Emits (standing doc_a, delta doc_b,
+    * jaccard) for every cross pair with Jaccard ≥ t; the prefix filter's
+    * losslessness makes the recall guarantee exact, not banded.
+    *
+    * Cost is O(delta prefixes × collisions) INCLUDING the standing side:
+    * the standing corpus's text is never read — only its vocabulary-sized
+    * df dictionary (the frozen order both sides must share), its prefix
+    * table (the join's build side), and, for verified candidates only,
+    * its set table. */
+  def prefixProbe(deltaDocs: DataFrame,
+      idx: graft.sources.IndexStore.PrefixIndex,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val dSets = prefixSetsOf(deltaDocs).cache()
+    dSets.count() // force: prefix derivation + verify leg both read it
+    val dPref = prefixesUnder(dSets, idx.freq, threshold)
+    val cand = idx.prefixes.toDF("h", "doc_a", "sz_a")
+      .join(dPref.toDF("h2", "doc_b", "sz_b"),
+        col("h") === col("h2") &&
+          col("sz_a") >= col("sz_b") * threshold &&
+          col("sz_b") >= col("sz_a") * threshold)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val pairs = verifyExactPairs(cand, idx.sets, dSets, threshold)
+    Caching.materializeAndRelease(pairs, dSets)
+  }
+
+  /** Harness query: [[prefixProbe]] with the hash-bucket delta split and
+    * the memoized standing index. */
+  def prefixProbeIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (inc, _) = deltaSplit(Tables.documents(s, dir))
+    prefixProbe(inc, graft.sources.IndexStore.standingPrefixIndex(s, dir))
   }
 
   /** Edit-distance near-dup pairs over document heads (bounded id range —

@@ -116,4 +116,17 @@ object ViewMaintain {
     mergeViews(readViewBefore(s, root, batchId), viewOf(events))
       .write.mode("overwrite").parquet(s"$root/v=$batchId")
   }
+
+  /** Compaction for the versioned store: keep the newest `keep` versions,
+    * delete the rest — bounds storage and the time-travel horizon. Safe
+    * concurrently with readers of kept versions; the newest version is
+    * self-contained (each version is the FULL merged view, not a delta),
+    * so compaction never needs a rewrite. */
+  def compactViews(s: SparkSession, root: String, keep: Int = 2): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    viewVersions(s, root).dropRight(keep).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/v=$v"), true)
+    }
+  }
 }

@@ -161,6 +161,55 @@ object IndexStore {
   def readCurationDigests(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  // --- prefix-join (exact similarity) index ---------------------------------
+
+  /** Tables for [[graft.ops.Dedup.prefixProbe]]'s exact-similarity intake
+    * probe: the standing corpus's distinct shingle-hash sets, its
+    * document-frequency dictionary (the FROZEN global rarest-first order
+    * both join sides must share), and per-doc prefixes under it. */
+  final case class PrefixIndex(freq: DataFrame, prefixes: DataFrame,
+    sets: DataFrame)
+
+  /** Index `docs` for the exact-similarity probe at `root`. */
+  def buildPrefix(docs: DataFrame, root: String,
+      threshold: Double = Dedup.JaccardThreshold): Unit = {
+    val sets = Dedup.prefixSetsOf(docs).cache()
+    sets.count() // three derivations of one shingle pass
+    val freq = Dedup.prefixFreqOf(sets)
+    sets.write.mode("overwrite").parquet(s"$root/sets")
+    freq.write.mode("overwrite").parquet(s"$root/freq")
+    Dedup.prefixesUnder(sets, freq, threshold)
+      .write.mode("overwrite").parquet(s"$root/prefixes")
+    sets.unpersist()
+  }
+
+  /** Append ONLY the delta docs' sets + prefixes, computed under the
+    * FROZEN stored dictionary — O(delta); the standing corpus is not an
+    * input and the dictionary is not rewritten. Safe because prefix
+    * correctness needs a CONSISTENT order, not a current one: stale
+    * frequencies blunt candidate pruning, never recall
+    * ([[graft.ops.Dedup.prefixesUnder]]); refreshing the dictionary (and
+    * re-deriving prefixes) is periodic maintenance, like compaction.
+    * Returns the appended prefix frame. */
+  def appendPrefix(deltaDocs: DataFrame, root: String,
+      threshold: Double = Dedup.JaccardThreshold): DataFrame = {
+    val s = deltaDocs.sparkSession
+    val sets = Dedup.prefixSetsOf(deltaDocs).cache()
+    sets.count()
+    val pre = Dedup.prefixesUnder(sets, s.read.parquet(s"$root/freq"),
+      threshold)
+    sets.write.mode("append").parquet(s"$root/sets")
+    pre.write.mode("append").parquet(s"$root/prefixes")
+    sets.unpersist()
+    pre
+  }
+
+  def readPrefix(s: SparkSession, root: String): PrefixIndex =
+    PrefixIndex(
+      freq = s.read.parquet(s"$root/freq"),
+      prefixes = s.read.parquet(s"$root/prefixes"),
+      sets = s.read.parquet(s"$root/sets"))
+
   // --- harness fixtures ------------------------------------------------------
 
   /** Standing-corpus indexes for the harness's delta convention
@@ -196,6 +245,17 @@ object IndexStore {
       p
     })
     readPostings(s, root)
+  }
+
+  /** The persisted standing prefix index for `dir` (memoized build). */
+  def standingPrefixIndex(s: SparkSession, dir: String): PrefixIndex = {
+    val root = builtRoots.computeIfAbsent(s"prefix:$dir", _ => {
+      val (_, ex) = Dedup.deltaSplit(Tables.documents(s, dir))
+      val p = rootFor(s, "prefix", dir)
+      buildPrefix(ex, p)
+      p
+    })
+    readPrefix(s, root)
   }
 
   /** The persisted standing dedup index for `dir` (memoized build). */

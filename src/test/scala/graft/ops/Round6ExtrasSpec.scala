@@ -137,6 +137,68 @@ class Round6ExtrasSpec extends SparkSpec {
     }
   }
 
+  // --- prefix probe (exact intake triage) ----------------------------------
+
+  test("prefix probe: index-served cross pairs equal the brute-force cross join") {
+    val tmp = java.nio.file.Files.createTempDirectory("prefixidx").toString
+    val docs = craftedDocs.cache()
+    val standing = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    graft.sources.IndexStore.buildPrefix(standing, tmp)
+    val got = Dedup.prefixProbe(delta,
+        graft.sources.IndexStore.readPrefix(spark, tmp))
+      .as[(Long, Long, Double)].collect().toSet
+    val cand = standing.select(col("doc_id").as("doc_a"))
+      .crossJoin(delta.select(col("doc_id").as("doc_b")))
+    val brute = Dedup.verifyExactPairs(cand, Dedup.prefixSetsOf(standing),
+        Dedup.prefixSetsOf(delta), 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "test corpus produced no cross pairs")
+    docs.unpersist()
+  }
+
+  test("prefix index appends are delta-only and the appended index probes like a rebuild") {
+    val tmp = java.nio.file.Files.createTempDirectory("prefixapp").toString
+    val s1p = s"$tmp/standing1"; val s2p = s"$tmp/standing2"
+    val idxInc = s"$tmp/idx_inc"; val idxFull = s"$tmp/idx_full"
+    val standing = craftedDocs.filter(col("doc_id") % 5 =!= 0)
+    standing.filter(col("doc_id") < 20).write.parquet(s1p)
+    standing.filter(col("doc_id") >= 20).write.parquet(s2p)
+    val delta = craftedDocs.filter(col("doc_id") % 5 === 0)
+
+    graft.sources.IndexStore.buildPrefix(spark.read.parquet(s1p), idxInc)
+    val appended = graft.sources.IndexStore.appendPrefix(
+      spark.read.parquet(s2p), idxInc)
+    // O(delta): the appended rows derive from the delta parquet + the
+    // frozen dictionary — never the standing batch's files
+    assert(appended.inputFiles.nonEmpty)
+    assert(appended.inputFiles.forall(f => !f.contains("standing1")))
+
+    // stale dictionary (batch-1 frequencies only) must not cost recall:
+    // the incrementally-built index answers exactly like a full rebuild
+    graft.sources.IndexStore.buildPrefix(standing, idxFull)
+    def probe(root: String) = Dedup.prefixProbe(delta,
+        graft.sources.IndexStore.readPrefix(spark, root))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probe(idxInc) == probe(idxFull))
+    assert(probe(idxInc).nonEmpty)
+  }
+
+  test("view compaction keeps only the newest versions, which stay self-contained") {
+    val root = java.nio.file.Files.createTempDirectory("viewcomp").toString
+    def batch(rows: (Long, Double)*) = rows.toSeq.toDF("user_id", "value")
+    ViewMaintain.applyViewBatch(batch(1L -> 1.0, 2L -> 2.0), root, 0)
+    ViewMaintain.applyViewBatch(batch(1L -> 0.5), root, 1)
+    ViewMaintain.applyViewBatch(batch(3L -> 4.0), root, 2)
+    ViewMaintain.compactViews(spark, root, keep = 1)
+    assert(ViewMaintain.viewVersions(spark, root) == Seq(2L))
+    val got = spark.read.parquet(s"$root/v=2").orderBy(col("user_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1500000L), (2L, 1L, 2000000L),
+      (3L, 1L, 4000000L)))
+  }
+
   // --- incremental aggregate view ------------------------------------------
 
   test("incremental view merge equals the from-scratch aggregate") {
