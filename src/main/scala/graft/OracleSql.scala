@@ -1899,6 +1899,32 @@ object OracleSql {
         |    AS p_micro
         |FROM c ORDER BY src, dst""".stripMargin,
 
+    // Last-touch attribution: IGNORE NULLS carry over [unbounded, -1] —
+    // identical window semantics both engines, revenue in micro-units
+    "q_attribution" ->
+      """WITH t AS (SELECT user_id, event_id, event_type, value,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_id END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_id,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+        |  FROM events)
+        |SELECT event_id AS purchase_id, user_id, touch_id, touch_type,
+        |  CAST(round(value * 1e6, 0) AS BIGINT) AS revenue_micro
+        |FROM t WHERE event_type = 'purchase' AND touch_id IS NOT NULL
+        |ORDER BY purchase_id""".stripMargin,
+
+    // Merkle-segment checksums: bit_xor folds commute, so the checksum is
+    // partition-invariant by algebra; 48-bit hashes xor without overflow
+    "q_checksum" ->
+      s"""SELECT CAST(doc_id % ${graft.ops.DataQuality.ChecksumSegments} AS INT)
+         |  AS segment, count(*) AS n_rows,
+         |  bit_xor(${SharedHash.duck48(
+              "concat_ws('~|~', CAST(doc_id AS VARCHAR), text, lang, " +
+                "source, CAST(n_chars AS VARCHAR))")}) AS checksum
+         |FROM documents GROUP BY 1 ORDER BY segment""".stripMargin,
+
     // Incremental view maintenance: the oracle recomputes the aggregate
     // from scratch; the engine merges stored view + delta partials. The
     // micro-unit integer sum is what makes the two orders identical.

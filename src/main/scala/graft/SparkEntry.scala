@@ -102,6 +102,8 @@ object SparkEntry {
     "q_histogram" -> ((s: SparkSession, d: String) => DataQuality.valueHistogram(s, d)),
     "q_funnel" -> (Analytics.funnel _),
     "q_transitions" -> (Analytics.transitions _),
+    "q_attribution" -> (Analytics.lastTouchAttribution _),
+    "q_checksum" -> ((s: SparkSession, d: String) => DataQuality.segmentChecksums(s, d)),
     "q_gapfill" -> (Analytics.gapFillDaily _),
     "dedup_triangles" -> (Dedup.minhashTriangles _),
     "graph_pagerank" -> (PageRank.dupGraphRank _),

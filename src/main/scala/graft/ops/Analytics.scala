@@ -128,6 +128,40 @@ object Analytics {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** Last-touch attribution: each purchase credits the user's most recent
+    * non-purchase event strictly before it (the marketing-analytics
+    * staple; first-touch is the same window with `first`). One window pass
+    * per user — `last(..., ignoreNulls)` over rows [unbounded, -1] carries
+    * the latest touch WITHOUT a self-join or as-of join against the
+    * purchase stream; revenue rides along in exact micro-units.
+    *
+    * Scale shape: one shuffle keyed by user_id (same exchange the
+    * sessionize/funnel family uses); output is purchase-count-sized. */
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame =
+    lastTouchOf(Tables.events(s, dir))
+
+  /** Core of [[lastTouchAttribution]]. */
+  def lastTouchOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .withColumn("touch_id", last(
+        when(col("event_type") =!= "purchase", col("event_id")),
+        ignoreNulls = true).over(w))
+      .withColumn("touch_type", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("touch_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("touch_id"), col("touch_type"),
+        expr("CAST(round(value * 1e6, 0) AS BIGINT)").as("revenue_micro"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Type-2 slowly-changing-dimension history: collapse a batch-stamped
     * changelog of observed attribute states into validity intervals
     * (valid_from, valid_to, is_current) — the warehouse-standard dimension

@@ -130,4 +130,35 @@ object DataQuality {
         max(col("hi_micro")).as("hi_micro"))
       .orderBy(col("event_type"))
   }
+
+  val ChecksumSegments = 16
+
+  /** Merkle-style segment checksums of the documents table — the
+    * anti-entropy primitive (Dynamo/Cassandra repair): two replicas (or a
+    * table and its backup/migration copy) exchange this SEGMENTS-sized
+    * vector and re-sync only the segments whose checksums diverge,
+    * instead of diffing 100 TB row by row.
+    *
+    * Each row hashes ALL its columns through the cross-engine 48-bit
+    * family; segments fold row hashes with bit_xor — commutative and
+    * associative, so the checksum is partition- and order-invariant BY
+    * ALGEBRA (no sort anywhere), and any single-row change flips its
+    * segment's checksum. One codegen scan into a 16-group aggregate;
+    * xor'ing 48-bit values never overflows or signs. */
+  def segmentChecksums(s: SparkSession, dir: String,
+      segments: Int = ChecksumSegments): DataFrame =
+    segmentChecksumsOf(Tables.documents(s, dir), segments)
+
+  /** Core of [[segmentChecksums]] over any documents-shaped frame. */
+  def segmentChecksumsOf(docs: DataFrame,
+      segments: Int = ChecksumSegments): DataFrame = {
+    val rowHash = graft.functions.SharedHash.spark48(
+      "concat_ws('~|~', cast(doc_id AS string), text, lang, source, " +
+        "cast(n_chars AS string))")
+    docs
+      .groupBy(pmod(col("doc_id"), lit(segments)).cast("int").as("segment"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"bit_xor($rowHash)").as("checksum"))
+      .orderBy(col("segment"))
+  }
 }

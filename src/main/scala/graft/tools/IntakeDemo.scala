@@ -58,6 +58,20 @@ object IntakeDemo {
         f"(index now ${IndexStore.readDedup(spark, idx).digests.count()}%d digests)")
     }
 
+    // the exact-recall probe: the same intake question with a GUARANTEE —
+    // every standing pair at J ≥ 0.3 surfaces (prefix filter is lossless),
+    // where the band triage above is probabilistic
+    val pidx = s"$root/prefix"
+    IndexStore.buildPrefix(standing, pidx)
+    val probeBatch = (base.take(2).map { case (i, t) => (9200L + i, t) }
+      .toSeq :+ (9300L, "entirely novel probe content"))
+      .toDF("doc_id", "text")
+    val exactPairs = Dedup.prefixProbe(probeBatch,
+      IndexStore.readPrefix(spark, pidx))
+    println(f"exact probe:          ${probeBatch.count()}%d docs -> " +
+      f"${exactPairs.count()}%d standing pairs at J>=0.3 " +
+      "(exact recall; standing text unread)")
+
     val oov = TextAnalysis.oovRate(spark, dir)
       .agg(round(avg($"oov_frac"), 4)).head().getDouble(0)
     val drift = TextAnalysis.tokenDrift(spark, dir).head()

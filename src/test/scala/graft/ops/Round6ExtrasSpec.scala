@@ -199,6 +199,45 @@ class Round6ExtrasSpec extends SparkSpec {
       (3L, 1L, 4000000L)))
   }
 
+  // --- merkle segment checksums --------------------------------------------
+
+  test("segment checksums: partition-invariant, and a one-row change flips exactly its segment") {
+    val docs = sf("documents", dir).cache()
+    val base = DataQuality.segmentChecksumsOf(docs)
+      .as[(Int, Long, Long)].collect().toSeq
+    val shuffled = DataQuality.segmentChecksumsOf(docs.repartition(1))
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(base == shuffled) // xor folds commute — layout can't matter
+    // corrupt one row: only its segment's checksum may change, counts never
+    val tampered = docs.withColumn("text",
+      when(col("doc_id") === 7, concat(col("text"), lit(" x")))
+        .otherwise(col("text")))
+    val after = DataQuality.segmentChecksumsOf(tampered)
+      .as[(Int, Long, Long)].collect().toSeq
+    val diffs = base.zip(after).filter { case (b, a) => b != a }
+    assert(diffs.map(_._1._1) == Seq(7 % DataQuality.ChecksumSegments))
+    assert(diffs.forall { case (b, a) => b._2 == a._2 && b._3 != a._3 })
+    docs.unpersist()
+  }
+
+  // --- last-touch attribution ----------------------------------------------
+
+  test("attribution: purchases credit the latest prior touch; touchless purchases drop") {
+    val ev = Seq(
+      (1L, 1L, 100L, "view", 10.0), (2L, 1L, 200L, "click", 0.0),
+      (3L, 1L, 300L, "purchase", 5.0), (4L, 1L, 400L, "purchase", 7.0),
+      (5L, 1L, 500L, "click", 0.0), (6L, 1L, 600L, "purchase", 9.0),
+      (7L, 2L, 100L, "purchase", 3.0)) // user 2: purchase with no touch
+      .toDF("event_id", "user_id", "sec", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Analytics.lastTouchOf(ev)
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (3L, 1L, 2L, "click", 5000000L),  // latest touch = click 2
+      (4L, 1L, 2L, "click", 7000000L),  // consecutive purchase: same touch
+      (6L, 1L, 5L, "click", 9000000L))) // new click wins
+  }
+
   // --- incremental aggregate view ------------------------------------------
 
   test("incremental view merge equals the from-scratch aggregate") {
