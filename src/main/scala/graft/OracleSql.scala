@@ -1635,6 +1635,47 @@ object OracleSql {
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
     },
 
+    // RRF hybrid: replays the two hash-oracled constituent rankings
+    // (text_bm25's contribution CTEs, ann_topk's cosine chain for vec 0)
+    // and fuses with exact integer reciprocals — the composition itself
+    // is hash-checked
+    "text_hybrid" -> {
+      import graft.ops.TermScoring.{K1, B, QueryTerms}
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS dl,
+         |  string_split(text, ' ') AS tokens FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM d),
+         |t AS (SELECT doc_id, dl, unnest(tokens) AS term FROM d),
+         |tq AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+         |  WHERE term IN (${inList(QueryTerms)}) GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*) AS df FROM tq GROUP BY 1),
+         |sc AS (SELECT doc_id, CAST(floor(
+         |    round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+         |      * (tf * ($K1 + 1))
+         |      / (tf + $K1 * (1 - $B + $B * dl / avgdl))
+         |      * 1000000) AS BIGINT) AS contrib_u
+         |  FROM tq JOIN df USING (term) CROSS JOIN stats),
+         |lex0 AS (SELECT doc_id, round(sum(contrib_u) / 1000000.0, 6) AS score
+         |  FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20),
+         |lexr AS (SELECT doc_id, CAST(row_number() OVER (
+         |  ORDER BY score DESC, doc_id ASC) AS INT) AS lex_rnk FROM lex0),
+         |$embCte,
+         |semp AS (SELECT c.vec_id AS doc_id,
+         |  round(${dotChain("q.e", "c.e")} /
+         |    (sqrt(q.nrm) * sqrt(c.nrm)), 6) AS sim
+         |  FROM n q JOIN n c ON q.vec_id = 0 AND c.vec_id <> 0),
+         |semr0 AS (SELECT doc_id, CAST(row_number() OVER (
+         |  ORDER BY sim DESC, doc_id ASC) AS INT) AS sem_rnk FROM semp),
+         |semr AS (SELECT doc_id, sem_rnk FROM semr0 WHERE sem_rnk <= 20),
+         |f AS (SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+         |  l.lex_rnk, r.sem_rnk,
+         |  (COALESCE(1000000 // (60 + l.lex_rnk), 0)
+         |    + COALESCE(1000000 // (60 + r.sem_rnk), 0)) AS rrf
+         |  FROM lexr l FULL OUTER JOIN semr r ON l.doc_id = r.doc_id)
+         |SELECT doc_id, CAST(rrf AS BIGINT) AS rrf_u, lex_rnk, sem_rnk
+         |FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+
     // conjunctive search: same BM25 contribution CTEs, AND-gated on every
     // query term being present, n_hits carried as the summed tf
     "text_search" -> {

@@ -139,6 +139,7 @@ object SparkEntry {
     "text_tfidf" -> ((s: SparkSession, d: String) => TermScoring.tfidfTopTerms(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => TermScoring.bm25(s, d)),
     "text_search" -> ((s: SparkSession, d: String) => TermScoring.searchConjunctive(s, d)),
+    "text_hybrid" -> ((s: SparkSession, d: String) => TermScoring.hybridSearch(s, d)),
     "text_lm_score" -> (TermScoring.lmScore _),
     "text_lm_backoff" -> (TermScoring.lmBackoff _),
     "q_pii_redact" -> (Redaction.redactDocuments _),

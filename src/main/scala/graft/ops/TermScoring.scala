@@ -86,6 +86,44 @@ object TermScoring {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
 
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009 — the standard lexical⊕dense combiner): the BM25 top-`poolK`
+    * over [[QueryTerms]] and the dense cosine top-`poolK` (query =
+    * vector 0's embedding; testdata convention vec_id i ↔ doc i) fuse per
+    * document as Σ 1/(rrfK + rank) over the lists containing it, top-`k`
+    * by fused score. RRF needs no score calibration between retrievers —
+    * only ranks — which is why it is the production default for hybrid
+    * search.
+    *
+    * Exact arithmetic: each reciprocal is 1e6 div (rrfK + rank) in
+    * BIGINT, so fused scores are exact integers (the float-sum rule), and
+    * since both constituent rankings are already hash-oracled (text_bm25 /
+    * ann_topk) the COMPOSITION gets a full hash oracle too.
+    *
+    * Scale shape: each branch is its existing scale-designed op (the
+    * vocabulary-pruned BM25 stream; the broadcast-query cosine scan — at
+    * corpus scale the dense branch swaps in ann_lsh/ann_truncate, same
+    * (doc_id, rank) contract). The fusion itself is a full-outer join of
+    * two k-sized lists — negligible at any scale. */
+  def hybridSearch(s: SparkSession, dir: String, k: Int = 10,
+      poolK: Int = 20, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25(s, dir, poolK)
+      .withColumn("lex_rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+      .select(col("doc_id"), col("lex_rnk"))
+    val sem = graft.ops.Similarity.bruteForceTopK(s, dir, k = poolK,
+        numQueries = 1)
+      .select(col("c_id").as("doc_id"), col("rnk").cast("int").as("sem_rnk"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_u",
+        coalesce(expr(s"1000000L div (${rrfK}L + lex_rnk)"), lit(0L)) +
+          coalesce(expr(s"1000000L div (${rrfK}L + sem_rnk)"), lit(0L)))
+      .orderBy(col("rrf_u").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("rrf_u"), col("lex_rnk"), col("sem_rnk"))
+  }
+
   /** Conjunctive keyword search: documents containing EVERY query term,
     * BM25-ranked — the composition an inverted index serves. Same scale
     * shape as [[bm25]] (the query-term filter prunes the explode to a

@@ -199,6 +199,27 @@ class Round6ExtrasSpec extends SparkSpec {
       (3L, 1L, 4000000L)))
   }
 
+  // --- hybrid RRF ----------------------------------------------------------
+
+  test("hybrid RRF: fused top-10 recomputes exactly from the constituent rankings") {
+    val lex = TermScoring.bm25(spark, dir, 20)
+      .select(col("doc_id")).as[Long].collect().toSeq // already rank order
+      .zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+    val sem = Similarity.bruteForceTopK(spark, dir, k = 20, numQueries = 1)
+      .select(col("c_id"), col("rnk")).as[(Long, Int)].collect().toMap
+    val expected = (lex.keySet ++ sem.keySet).toSeq.map { d =>
+      val r = lex.get(d).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        sem.get(d).map(r => 1000000L / (60 + r)).getOrElse(0L)
+      (d, r)
+    }.sortBy { case (d, r) => (-r, d) }.take(10)
+    val got = TermScoring.hybridSearch(spark, dir)
+      .select(col("doc_id"), col("rrf_u")).as[(Long, Long)].collect().toSeq
+    assert(got == expected)
+    // both retrievers actually contribute to the fused list
+    assert(got.exists { case (d, _) => lex.contains(d) })
+    assert(got.exists { case (d, _) => sem.contains(d) })
+  }
+
   // --- merkle segment checksums --------------------------------------------
 
   test("segment checksums: partition-invariant, and a one-row change flips exactly its segment") {
