@@ -154,6 +154,39 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("round-6 close-out operators are empty-safe") {
+    assert(Dedup.prefixJoinPairsOf(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() === 0)
+    assert(Bfs.hopDistance(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"),
+      col("doc_id") === 0).count() === 0)
+    assert(Analytics.transitionsOf(
+      Seq.empty[(Long, Long, java.sql.Timestamp, String)]
+        .toDF("event_id", "user_id", "ts", "event_type")).count() === 0)
+    assert(Analytics.lastTouchOf(
+      Seq.empty[(Long, Long, java.sql.Timestamp, String, Double)]
+        .toDF("event_id", "user_id", "ts", "event_type", "value"))
+      .count() === 0)
+    assert(DataQuality.segmentChecksumsOf(
+      Seq.empty[(Long, String, String, String, Long)]
+        .toDF("doc_id", "text", "lang", "source", "n_chars")).count() === 0)
+    // empty index + empty probe batch: the exact intake probe on day one
+    val idx = java.nio.file.Files.createTempDirectory("emptypfx").toString
+    graft.sources.IndexStore.buildPrefix(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), idx)
+    assert(Dedup.prefixProbe(
+      Seq((1L, "some incoming doc text")).toDF("doc_id", "text"),
+      graft.sources.IndexStore.readPrefix(spark, idx)).count() === 0)
+    // view maintenance from nothing: merge with a missing store is the
+    // delta itself; an empty batch over a store is a no-op
+    val vroot = java.nio.file.Files.createTempDirectory("emptyview").toString
+    ViewMaintain.applyViewBatch(
+      Seq((1L, 2.0)).toDF("user_id", "value"), vroot, 0)
+    ViewMaintain.applyViewBatch(
+      Seq.empty[(Long, Double)].toDF("user_id", "value"), vroot, 1)
+    assert(spark.read.parquet(s"$vroot/v=1").count() === 1)
+  }
+
   test("single-doc corpus: pair and dedup operators degrade to no-pairs, " +
       "not errors") {
     val tmp = java.nio.file.Files.createTempDirectory("single").toString
