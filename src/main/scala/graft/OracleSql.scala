@@ -951,6 +951,42 @@ object OracleSql {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // multi-epoch mixture: integer percent div/mod against the same
+    // hash bucket; the repeat explode replays as unnest(range(n))
+    "corpus_epochs" -> {
+      val cases = Corpus.EpochPct
+        .map { case (src, pct) => s"WHEN '$src' THEN $pct" }.mkString(" ")
+      s"""WITH r AS (SELECT doc_id, source,
+         |  (CASE source $cases ELSE ${Corpus.EpochDefaultPct} END) AS f_pct,
+         |  CAST(${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 100 AS INT)
+         |    AS bucket
+         |  FROM documents),
+         |n AS (SELECT doc_id, source,
+         |  (f_pct // 100 +
+         |   CASE WHEN bucket < f_pct % 100 THEN 1 ELSE 0 END) AS n_copies
+         |  FROM r)
+         |SELECT doc_id, source, CAST(t.c AS INT) AS copy
+         |FROM n, unnest(range(n_copies)) AS t(c)
+         |ORDER BY doc_id, copy""".stripMargin
+    },
+
+    // curriculum shards: range banding on micro-unit TTR + per-phase
+    // hash-ordered position — both replayed verbatim
+    "corpus_curriculum" -> {
+      val h = SharedHash.duck48("CAST(doc_id AS VARCHAR)")
+      val p = graft.ops.Corpus.CurriculumPhases
+      s"""WITH q AS (SELECT doc_id,
+         |  CAST(round(len(list_distinct(string_split(text, ' '))) /
+         |    len(string_split(text, ' ')) * 1e6, 0) AS BIGINT) AS ttr_u,
+         |  $h AS h FROM documents),
+         |ph AS (SELECT doc_id, ttr_u, h,
+         |  CAST(least($p - 1, ttr_u * $p // 1000000) AS INT) AS phase
+         |  FROM q)
+         |SELECT doc_id, ttr_u, phase, CAST(row_number() OVER (
+         |  PARTITION BY phase ORDER BY h, doc_id) AS INT) AS pos
+         |FROM ph ORDER BY doc_id""".stripMargin
+    },
+
     // stratified exact-size sample: same hash ordering, same per-stratum
     // ceil cutoff
     "corpus_stratified" -> {

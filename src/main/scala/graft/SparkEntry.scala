@@ -168,6 +168,8 @@ object SparkEntry {
     "corpus_pack" -> (Corpus.packBins _),
     "corpus_mixture" -> (Corpus.mixtureSample _),
     "corpus_stratified" -> (Corpus.stratifiedSample _),
+    "corpus_epochs" -> (Corpus.epochMixture _),
+    "corpus_curriculum" -> (Corpus.curriculumShards _),
     "corpus_contamination" -> (Corpus.contamination _),
     "quality_distill" -> (QualityModel.distill _),
     "dedup_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),

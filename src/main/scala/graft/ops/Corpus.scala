@@ -173,4 +173,71 @@ object Corpus {
       .orderBy(col("doc_id"))
     Caching.materializeAndRelease(out, toks)
   }
+
+  /** Epoch factors in integer percent: src0 sees ~2.5 epochs, src3 is
+    * downsampled to 0.4 — the multi-epoch source weighting every modern
+    * pretraining mix uses (some sources repeat, some subsample). */
+  val EpochPct: Seq[(String, Int)] = Seq(
+    "src0" -> 250, "src1" -> 100, "src2" -> 150, "src3" -> 40)
+  val EpochDefaultPct = 120
+
+  /** Multi-epoch mixture materialization: each document is emitted
+    * ⌊f⌋ + Bernoulli(f mod 1) times for its source's epoch factor f —
+    * e.g. f = 2.5 → every doc appears twice and half the docs (chosen by
+    * the engine-stable hash bucket, NOT rng) appear a third time, so the
+    * source contributes exactly ~2.5 epochs in expectation and
+    * reproducibly in fact. The `copy` index makes repeats first-class
+    * rows a downstream shuffler can interleave.
+    *
+    * All arithmetic is integer percent (f_pct div/mod 100 against the
+    * same pmod-100 hash bucket [[mixtureFilter]] samples with), and the
+    * repeat explode is a codegen `sequence` — a stateless per-row
+    * transform, no shuffle until the presentation sort. */
+  def epochMixture(s: SparkSession, dir: String): DataFrame = {
+    val bucket = expr(s"pmod(${graft.functions.SharedHash
+      .spark48("cast(doc_id AS STRING)")}, 100)")
+    val fPct = EpochPct.foldLeft(lit(EpochDefaultPct)) {
+      case (acc, (src, pct)) => when(col("source") === src, pct).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("f_pct", fPct)
+      .withColumn("n_copies",
+        (expr("f_pct div 100") +
+          when(bucket.cast("int") < expr("f_pct % 100"), 1).otherwise(0))
+          .cast("int"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(0, n_copies - 1)")).as("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
+  val CurriculumPhases = 8
+
+  /** Curriculum shard manifest: documents band into [[CurriculumPhases]]
+    * quality phases by type-token ratio (micro-units), with a stable
+    * position inside each phase for batch scheduling. Banding is by SCORE
+    * RANGE (least(7, ttr_u·8 div 1e6)), not ntile — a global ntile is a
+    * corpus-wide total sort; fixed bands are a stateless per-row
+    * projection, and the within-phase order is one phase-keyed window
+    * over (hash, doc_id) — both scale-flat. Phase sizes are uneven by
+    * design (band curricula are; the phase boundaries are what training
+    * schedules key on). */
+  def curriculumShards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = expr(graft.functions.SharedHash.spark48("cast(doc_id AS STRING)"))
+    val w = Window.partitionBy(col("phase")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("CAST(round(size(array_distinct(tokens)) / size(tokens) * 1e6, 0) AS BIGINT)")
+          .as("ttr_u"))
+      .withColumn("phase",
+        least(lit(CurriculumPhases - 1),
+          expr(s"ttr_u * $CurriculumPhases div 1000000")).cast("int"))
+      .withColumn("h", h)
+      .withColumn("pos", row_number().over(w).cast("int"))
+      .select(col("doc_id"), col("ttr_u"), col("phase"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
 }

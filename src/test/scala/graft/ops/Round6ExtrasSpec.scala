@@ -199,6 +199,43 @@ class Round6ExtrasSpec extends SparkSpec {
       (3L, 1L, 4000000L)))
   }
 
+  // --- multi-epoch mixture & curriculum ------------------------------------
+
+  test("epoch mixture: copies are contiguous per doc and per-source totals hit floor+frac exactly") {
+    val rows = Corpus.epochMixture(spark, dir)
+      .as[(Long, String, Int)].collect().toSeq
+    // copy indexes 0..n-1 per doc
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted == (0 until rs.size).toSeq)
+    }
+    // per-source totals: n*floor + exact count of bucket<frac docs
+    val docs = sf("documents", dir)
+      .withColumn("bucket", expr(
+        s"pmod(${graft.functions.SharedHash.spark48("cast(doc_id AS STRING)")}, 100)").cast("int"))
+      .select(col("doc_id"), col("source"), col("bucket"))
+      .as[(Long, String, Int)].collect().toSeq
+    val fPct = Corpus.EpochPct.toMap
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val f = fPct.getOrElse(src, Corpus.EpochDefaultPct)
+      val want = ds.size * (f / 100) + ds.count(_._3 < f % 100)
+      val got = rows.count(_._2 == src)
+      assert(got == want, s"source $src: $got != $want")
+    }
+  }
+
+  test("curriculum shards: band formula replayed, positions dense per phase") {
+    val rows = Corpus.curriculumShards(spark, dir)
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    assert(rows.size == sf("documents", dir).count())
+    rows.foreach { case (_, ttrU, phase, _) =>
+      assert(phase == math.min(Corpus.CurriculumPhases - 1,
+        ttrU * Corpus.CurriculumPhases / 1000000).toInt)
+    }
+    rows.groupBy(_._3).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted == (1 to rs.size).toSeq) // dense 1..n
+    }
+  }
+
   // --- hybrid RRF ----------------------------------------------------------
 
   test("hybrid RRF: fused top-10 recomputes exactly from the constituent rankings") {
