@@ -50,6 +50,36 @@ class Round6ExtrasSpec extends SparkSpec {
     assert(got.exists { case (a, b, _) => a / 8 == 0 && b / 8 == 0 })
   }
 
+  test("prefix join: rarest-first ordering prunes candidates a value order cannot") {
+    // boilerplate-heavy corpus: every doc shares a 30-token template and
+    // differs only in a 4-token tail — the skew case the frequency order
+    // exists for. Under (df, h) order the template shingles (df = 40)
+    // sort AFTER each doc's rare tail shingles, so prefixes hold only
+    // rare tokens; under a uniform dictionary (pure hash order) template
+    // shingles land in prefixes and collide corpus-wide.
+    val docs = (0 until 40).map { i =>
+      val template = (0 until 8).map(t => s"boiler_$t").mkString(" ")
+      val tail = (0 until 30).map(j => s"doc${i}_$j").mkString(" ")
+      (i.toLong, s"$template $tail")
+    }.toDF("doc_id", "text")
+    val sets = Dedup.prefixSetsOf(docs).cache()
+    def candidates(freq: org.apache.spark.sql.DataFrame): Long = {
+      val pre = Dedup.prefixesUnder(sets, freq, 0.3)
+      pre.toDF("h", "doc_a", "sz_a")
+        .join(pre.toDF("h2", "doc_b", "sz_b"),
+          col("h") === col("h2") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct().count()
+    }
+    val sharp = candidates(Dedup.prefixFreqOf(sets))
+    val blunt = candidates(sets.select(explode(col("hs")).as("h"))
+      .distinct().withColumn("f", lit(1L)))
+    assert(sharp < blunt,
+      s"frequency order ($sharp) should beat uniform order ($blunt)")
+    assert(blunt >= 10 * sharp.max(1),
+      s"expected an order-of-magnitude gap, got $sharp vs $blunt")
+    sets.unpersist()
+  }
+
   // --- matryoshka truncated rerank -----------------------------------------
 
   test("truncated rerank: with a full-corpus shortlist it IS brute force") {
