@@ -912,6 +912,29 @@ object OracleSql {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
          |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
+    // packed-sample manifest: same window, offset arithmetic exposed
+    "corpus_pack_offsets" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+         |    AS BIGINT) AS cum FROM t)
+         |SELECT doc_id, source,
+         |  CAST((cum - n_tokens) // ${Corpus.TokenBudget} AS INT) AS bin,
+         |  CAST(cum - n_tokens -
+         |    ((cum - n_tokens) // ${Corpus.TokenBudget}) * ${Corpus.TokenBudget}
+         |    AS INT) AS "offset",
+         |  n_tokens
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // k-anonymity audit: group-cardinality report with suppression flag
+    "q_kanon" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  (count(*) < ${graft.ops.DataQuality.KAnonThreshold}) AS suppress
+         |FROM documents GROUP BY lang, source
+         |ORDER BY lang, source""".stripMargin,
+
     // decontamination: identical 8-token shingle hashing, hash split, and
     // overlap join recomputed from the same SharedHash constants
     "corpus_contamination" -> {

@@ -169,6 +169,8 @@ object SparkEntry {
     "corpus_mixture" -> (Corpus.mixtureSample _),
     "corpus_stratified" -> (Corpus.stratifiedSample _),
     "corpus_epochs" -> (Corpus.epochMixture _),
+    "corpus_pack_offsets" -> (Corpus.packOffsets _),
+    "q_kanon" -> ((s: SparkSession, d: String) => DataQuality.kAnonymityReport(s, d)),
     "corpus_curriculum" -> (Corpus.curriculumShards _),
     "corpus_contamination" -> (Corpus.contamination _),
     "quality_distill" -> (QualityModel.distill _),

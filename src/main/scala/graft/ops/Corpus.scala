@@ -212,6 +212,29 @@ object Corpus {
       .orderBy(col("doc_id"), col("copy"))
   }
 
+  /** Per-document packed-sample manifest — the loader-facing detail
+    * [[packBins]] aggregates away: where inside its bin each document
+    * starts (`offset`), so a training loader can seek straight to sample
+    * boundaries in a packed sequence file. Same single window pass as
+    * packBins (one source-keyed shuffle); the offset is pure arithmetic
+    * on the running sum. */
+  def packOffsets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        expr(s"(cum - n_tokens) div $TokenBudget").cast("int"))
+      .withColumn("offset",
+        (col("cum") - col("n_tokens") - col("bin") * TokenBudget)
+          .cast("int"))
+      .select(col("doc_id"), col("source"), col("bin"), col("offset"),
+        col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val CurriculumPhases = 8
 
   /** Curriculum shard manifest: documents band into [[CurriculumPhases]]

@@ -131,6 +131,22 @@ object DataQuality {
       .orderBy(col("event_type"))
   }
 
+  val KAnonThreshold = 5
+
+  /** k-anonymity audit over the quasi-identifier (lang, source): groups
+    * smaller than k are re-identification risks a release policy must
+    * suppress or generalize. One partial/final count aggregate — the
+    * audit is group-cardinality-sized regardless of corpus size; the
+    * suppression decision rides on each group row as a flag so the
+    * release step is a broadcast-able semi-join against this report. */
+  def kAnonymityReport(s: SparkSession, dir: String,
+      k: Int = KAnonThreshold): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("suppress", col("n_docs") < k)
+      .orderBy(col("lang"), col("source"))
+
   val ChecksumSegments = 16
 
   /** Merkle-style segment checksums of the documents table — the

@@ -100,6 +100,38 @@ class FunnelProcessor
   }
 }
 
+/** One (src → dst) event-type transition observed for a user — the
+  * streaming bigram row [[StreamingOps.transitionEdges]] emits. */
+final case class TransitionEdge(user_id: Long, src: String, dst: String)
+
+/** Last-event linker for the streaming Markov matrix: state is the
+  * user's latest (event-time, id, type); each event in batch order emits
+  * the edge from its predecessor — including the cross-batch edge from
+  * the stored state to the batch's first event. */
+class TransitionProcessor
+    extends StatefulProcessor[Long, StreamEvent, TransitionEdge] {
+  @transient private var st: ValueState[LastEvent] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[LastEvent]("last",
+      Encoders.product[LastEvent], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[StreamEvent],
+      timerValues: TimerValues): Iterator[TransitionEdge] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var last = if (st.exists()) Option(st.get()) else None
+    val out = Seq.newBuilder[TransitionEdge]
+    sorted.foreach { e =>
+      last.foreach(p => out += TransitionEdge(key, p.typ, e.event_type))
+      last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+    }
+    last.foreach(st.update)
+    out.result().iterator
+  }
+}
+
+final case class LastEvent(t: Long, id: Long, typ: String)
+
 /** CDC observation for the streaming SCD2 twin: `key` re-observed with
   * `value` at logical time `batch`. */
 final case class ScdObservation(key: Long, value: Long, batch: Int)
@@ -229,6 +261,22 @@ object StreamingOps {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming twin of [[graft.ops.Analytics.transitionsOf]]'s bigram
+    * stream: per-user last-event state links consecutive events ACROSS
+    * micro-batches, so each arriving event emits exactly one (src → dst)
+    * edge once a predecessor exists; aggregate downstream and the counts
+    * equal the batch window's when batches respect event-time order (the
+    * funnel/SCD2 caveat: cross-batch reordering reconciles via the batch
+    * query). State per user is ONE (ts, event_id, type) triple — bounded
+    * and TTL-able; the edge stream is the same wordcount shape the batch
+    * op aggregates. Requires [[requireRocksDb]]. */
+  def transitionEdges(events: Dataset[StreamEvent]): Dataset[TransitionEdge] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 

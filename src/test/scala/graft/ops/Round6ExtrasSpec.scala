@@ -266,6 +266,29 @@ class Round6ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("pack offsets: every offset lands inside the budget and bins reconcile with packBins") {
+    val rows = Corpus.packOffsets(spark, dir)
+      .as[(Long, String, Int, Int, Int)].collect().toSeq
+    rows.foreach { case (_, _, _, off, _) =>
+      assert(off >= 0 && off < Corpus.TokenBudget)
+    }
+    val fromOffsets = rows.groupBy(r => (r._2, r._3))
+      .map { case (k, rs) => k -> (rs.size.toLong, rs.map(_._5.toLong).sum) }
+    val fromBins = Corpus.packBins(spark, dir)
+      .as[(String, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(fromOffsets == fromBins)
+  }
+
+  test("k-anonymity report: suppression flags recompute from group sizes") {
+    val rows = DataQuality.kAnonymityReport(spark, dir)
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    rows.foreach { case (_, _, n, sup) =>
+      assert(sup == (n < DataQuality.KAnonThreshold))
+    }
+    assert(rows.map(_._3).sum == sf("documents", dir).count())
+  }
+
   // --- hybrid RRF ----------------------------------------------------------
 
   test("hybrid RRF: fused top-10 recomputes exactly from the constituent rankings") {

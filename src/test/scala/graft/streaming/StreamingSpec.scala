@@ -811,6 +811,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions: cross-batch linked edges aggregate to the batch bigram counts") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    withRocksDb {
+      val dir = "/root/testdata/sf0.001"
+      // millisecond-truncated ts on BOTH sides so ordering ties break
+      // identically by event_id in the stream sort and the batch window
+      val evDf = graft.ops.Tables.events(spark, dir)
+        .select($"event_id", expr("timestamp_millis(ts div 1000000)").as("ts"),
+          $"user_id", $"event_type", $"value")
+      val rows = evDf.as[StreamEvent].collect()
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      val input = MemoryStream[StreamEvent]
+      val q = StreamingOps.transitionEdges(input.toDS())
+        .writeStream.format("memory").queryName("trans_parity")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        input.addData(b1.toIndexedSeq: _*)
+        q.processAllAvailable() // state holds each user's last event
+        input.addData(b2.toIndexedSeq: _*)
+        q.processAllAvailable() // first batch-2 event links across batches
+        val streamed = spark.sql(
+          "SELECT src, dst, count(*) AS n FROM trans_parity GROUP BY src, dst")
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        val batch = graft.ops.Analytics.transitionsOf(evDf)
+          .select($"src", $"dst", $"n")
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        assert(streamed === batch)
+      } finally q.stop()
+    }
+  }
+
   test("agg-view sink: newest version equals the batch aggregate after every prefix; replay rewrites identically") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
