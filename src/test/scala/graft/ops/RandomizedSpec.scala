@@ -315,4 +315,85 @@ class RandomizedSpec extends SparkSpec {
       }
     }
   }
+
+  test("prefix join equals naive all-pairs jaccard on random corpora (3 seeds)") {
+    import org.apache.spark.sql.functions._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed + 600)
+      // docs draw 6-14 tokens from a 30-word vocab: dense overlap, so
+      // pairs straddle the threshold from both sides
+      val docs = (0 until 30).map { i =>
+        val n = 6 + rnd.nextInt(9)
+        (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(30)}").mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val sets = Dedup.prefixSetsOf(df)
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[Long](1).toSet).toMap
+      val naive = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        sa = sets(a); sb = sets(b)
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= 0.3
+      } yield (a, b)).toSet
+      val got = Dedup.prefixJoinPairsOf(df, 0.3)
+        .select(col("doc_a"), col("doc_b"))
+        .as[(Long, Long)].collect().toSet
+      assert(got === naive, s"seed=$seed")
+    }
+  }
+
+  test("bfs hop distance equals naive BFS on random graphs (3 seeds)") {
+    import org.apache.spark.sql.functions.col
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed + 700)
+      val edges = (1 to 40)
+        .map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val nodes = adj.keySet
+      val seeds = nodes.filter(_ % 3 == 0)
+      // naive multi-source BFS to 4 hops
+      var dist = seeds.map(_ -> 0).toMap
+      var frontier = seeds
+      for (d <- 1 to 4) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .diff(dist.keySet)
+        dist = dist ++ next.map(_ -> d)
+        frontier = next
+      }
+      val got = Bfs.hopDistance(edges.toDF("doc_a", "doc_b"),
+          col("doc_id") % 3 === 0)
+        .as[(Long, Int)].collect().toMap
+      assert(got === dist, s"seed=$seed")
+    }
+  }
+
+  test("transition matrix equals a naive fold on random event streams (3 seeds)") {
+    import org.apache.spark.sql.functions._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed + 800)
+      val types = Seq("view", "click", "purchase")
+      val ev = (1 to 120).map { i =>
+        (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(40).toLong,
+          types(rnd.nextInt(3)))
+      }
+      val naiveCounts = ev.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (e._3, e._1)).map(_._4).sliding(2)
+          .collect { case Seq(a, b) => (a, b) }
+      }.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+      val naive = naiveCounts.map { case ((src, dst), n) =>
+        val tot = naiveCounts.collect {
+          case ((s, _), m) if s == src => m }.sum
+        (src, dst, n, n * 1000000L / tot)
+      }.toSet
+      val got = Analytics.transitionsOf(
+          ev.toDF("event_id", "user_id", "sec", "event_type")
+            .withColumn("ts", timestamp_seconds(col("sec"))))
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(got === naive, s"seed=$seed")
+    }
+  }
 }

@@ -331,6 +331,25 @@ class Round6ExtrasSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("segment checksums: xor algebra makes the integrity table O(delta)-maintainable") {
+    // checksum(base ∪ delta) = checksum(base) XOR checksum(delta) per
+    // segment — an append updates the standing table without rescanning
+    // the base, the same delta discipline as the indexes
+    val docs = sf("documents", dir)
+    val base = docs.filter(col("doc_id") % 7 =!= 0)
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+    def cs(df: org.apache.spark.sql.DataFrame) =
+      DataQuality.segmentChecksumsOf(df)
+        .as[(Int, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val all = cs(docs); val b = cs(base); val d = cs(delta)
+    all.foreach { case (seg, (n, x)) =>
+      val (bn, bx) = b.getOrElse(seg, (0L, 0L))
+      val (dn, dx) = d.getOrElse(seg, (0L, 0L))
+      assert(n == bn + dn && x == (bx ^ dx), s"segment $seg")
+    }
+  }
+
   // --- last-touch attribution ----------------------------------------------
 
   test("attribution: purchases credit the latest prior touch; touchless purchases drop") {
