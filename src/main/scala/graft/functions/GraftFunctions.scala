@@ -23,6 +23,7 @@ object GraftFunctions {
     CountMin.register(spark)
     HllRegs.register(spark)
     GramAgg.register(spark)
+    TopKBy.register(spark)
     MinHashSigs.register(spark)
     ShingleHashes.register(spark)
     RollingHash64.register(spark)
