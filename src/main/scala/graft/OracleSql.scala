@@ -1038,6 +1038,31 @@ object OracleSql {
          |SELECT a AS doc_id, least(a, min(b)) AS cluster
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
+    // exact-recall clusters: the intersection-count pair join (no prefix
+    // filter — exactness makes the oracle algorithm-independent) closed
+    // transitively; the engine's prefix-filtered CC must reproduce it
+    "dedup_clusters_exact" ->
+      s"""WITH RECURSIVE tok AS ($tokensCte),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  list_transform(($shinglesCase), x -> ${SharedHash.duck48("x")})) AS hs
+         |  FROM tok),
+         |sz AS (SELECT doc_id, len(hs) AS sz FROM sh),
+         |ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*) AS i FROM ex a JOIN ex b ON a.h = b.h
+         |  AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |good AS (SELECT doc_a, doc_b FROM inter
+         |  JOIN sz sa ON sa.doc_id = inter.doc_a
+         |  JOIN sz sb ON sb.doc_id = inter.doc_b
+         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM good
+         |  UNION SELECT doc_b, doc_a FROM good),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
     // near-dup policy keeper: same recursive closure as dedup_clusters,
     // then the fully-tie-broken (n_chars desc, doc_id asc) window per
     // cluster; singletons form their own cluster via the left join

@@ -177,6 +177,7 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
     "dedup_prefix_join" -> ((s: SparkSession, d: String) => Dedup.prefixJoinPairs(s, d)),
     "dedup_prefix_probe_indexed" -> (Dedup.prefixProbeIndexed _),
+    "dedup_clusters_exact" -> (Dedup.exactJoinClusters _),
     "dedup_simhash" -> (Dedup.simhashSignatures _),
     "dedup_editdist" -> ((s: SparkSession, d: String) => Dedup.editDistancePairs(s, d)),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),

@@ -406,6 +406,17 @@ object Dedup {
     connectedComponents(minhashPairsRaw(Tables.documents(s, dir)))
       .orderBy(col("doc_id"))
 
+  /** Exact-recall dedup clusters: connected components over the
+    * prefix-join pair graph — the GUARANTEED twin of [[minhashClusters]].
+    * Band-based clusters can miss a true pair whose signatures never
+    * collide; these cannot, by the prefix filter's losslessness, so the
+    * cluster assignment is a pure function of the corpus with no
+    * recall gamble anywhere in the chain. Same CC machinery, same
+    * output contract (cluster = min member id). */
+  def exactJoinClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(prefixJoinPairs(s, dir))
+      .orderBy(col("doc_id"))
+
   /** Policy keeper over NEAR-dup clusters — the third rung of the policy
     * ladder ([[exactKeep]] min-id over exact groups, [[exactKeepByPolicy]]
     * quality over canonical groups, this over MinHash-transitive

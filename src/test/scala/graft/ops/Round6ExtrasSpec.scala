@@ -80,6 +80,22 @@ class Round6ExtrasSpec extends SparkSpec {
     sets.unpersist()
   }
 
+  test("exact clusters: every MinHash cluster refines into one exact cluster") {
+    // guaranteed containment: a string-jaccard pair also passes
+    // hash-jaccard (collisions only inflate it), and minhash pairs verify
+    // string-jaccard — so band clusters can never straddle exact clusters
+    val exact = Dedup.exactJoinClusters(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long)].collect().toMap
+    val banded = Dedup.minhashClusters(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long)].collect().toSeq
+    assert(banded.nonEmpty && exact.nonEmpty)
+    banded.groupBy(_._2).foreach { case (c, members) =>
+      val exactIds = members.map(m => exact.get(m._1)).distinct
+      assert(exactIds.size == 1 && exactIds.head.isDefined,
+        s"minhash cluster $c straddles exact clusters $exactIds")
+    }
+  }
+
   // --- matryoshka truncated rerank -----------------------------------------
 
   test("truncated rerank: with a full-corpus shortlist it IS brute force") {
