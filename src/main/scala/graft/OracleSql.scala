@@ -2050,6 +2050,63 @@ object OracleSql {
                 "source, CAST(n_chars AS VARCHAR))")}) AS checksum
          |FROM documents GROUP BY 1 ORDER BY segment""".stripMargin,
 
+    // The multimodal STUB decode is a deterministic nibble histogram of
+    // the (ASCII) payload bytes — SQL-expressible after all, so the whole
+    // mapPartitions decode plumbing is hash-pinned: single-precision
+    // fractions (REAL division, exactly Scala's Float math), a
+    // double-promoted left-fold feature sum, first-match argmax. The
+    // genuinely environment-bound branch (real ImageIO decode) stays
+    // spec-covered with real PNG fixtures; the harness's
+    // octet-stream payloads all take the stub path by design.
+    "mm_features" -> {
+      val fracs = (0 until 16).map(j =>
+        s"CAST(CAST(len(list_filter(codes, c -> c // 16 = $j)) AS REAL)" +
+          s" / CAST(n AS REAL) AS REAL) AS f$j").mkString(", ")
+      val chain = (1 until 16)
+        .foldLeft("CAST(f0 AS DOUBLE)")((acc, j) => s"($acc + f$j)")
+      val lst = (0 until 16).map(j => s"f$j").mkString("[", ",", "]")
+      s"""WITH c AS (SELECT doc_id AS asset_id, n_chars AS n_bytes,
+         |  length(text) AS n,
+         |  list_transform(range(1, length(text) + 1), i -> ascii(text[i]))
+         |    AS codes
+         |  FROM documents),
+         |f AS (SELECT asset_id, n_bytes, n, $fracs FROM c)
+         |SELECT asset_id, n_bytes,
+         |  round($chain, 4) AS feature_sum,
+         |  CAST(list_position($lst, list_max($lst)) AS BIGINT) AS argmax_bin
+         |FROM f ORDER BY asset_id""".stripMargin
+    },
+
+    // Asset ANN over the stub features: same histogram CTE promoted to
+    // DOUBLE vectors, then the standard cosine chain — mm search is now
+    // hash-checked end to end (features AND ranking)
+    "mm_ann" -> {
+      val fracs = (0 until 16).map(j =>
+        s"CAST(CAST(len(list_filter(codes, c -> c // 16 = $j)) AS REAL)" +
+          s" / CAST(n AS REAL) AS REAL) AS f$j").mkString(", ")
+      val lst = (0 until 16).map(j => s"CAST(f$j AS DOUBLE)")
+        .mkString("[", ",", "]")
+      def dot(a: String, b: String) =
+        (1 to 16).map(i => s"$a[$i]*$b[$i]").mkString("(", " + ", ")")
+      s"""WITH c0 AS (SELECT doc_id AS asset_id, length(text) AS n,
+         |  list_transform(range(1, length(text) + 1), i -> ascii(text[i]))
+         |    AS codes
+         |  FROM documents),
+         |f AS (SELECT asset_id, $fracs FROM c0),
+         |e0 AS (SELECT asset_id, $lst AS e FROM f),
+         |n0 AS (SELECT asset_id, e, ${dot("e", "e")} AS nrm FROM e0
+         |  WHERE ${dot("e", "e")} > 0),
+         |p AS (SELECT q.asset_id AS q_id, c.asset_id AS c_id,
+         |  round(${dot("q.e", "c.e")} / (sqrt(q.nrm) * sqrt(c.nrm)), 6)
+         |    AS sim
+         |  FROM n0 q JOIN n0 c ON q.asset_id < 3 AND q.asset_id <> c.asset_id),
+         |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (
+         |  PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INT) AS rnk
+         |  FROM p)
+         |SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin
+    },
+
     // Incremental view maintenance: the oracle recomputes the aggregate
     // from scratch; the engine merges stored view + delta partials. The
     // micro-unit integer sum is what makes the two orders identical.

@@ -167,8 +167,12 @@ object Multimodal {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** Query surface: per-asset feature summary (rows-only check — the
-    * feature math is stubbed, not an oracle-able public semantic). */
+  /** Query surface: per-asset feature summary. Fully hash-oracled: the
+    * stub histogram is a deterministic function of the (ASCII) payload
+    * bytes that DuckDB replays in single-precision — so the decode
+    * PLUMBING (mapPartitions batching, Float math, fold order, argmax
+    * tie-break) is bit-pinned even though the real-codec branch is
+    * environment-bound. */
   def featuresQuery(s: SparkSession, dir: String): DataFrame =
     extractFeatures(synthesizeAssets(s, dir)).toDF()
       .select(col("asset_id"), col("n_bytes"),
