@@ -50,22 +50,35 @@ object Bench {
       // a failure in either pass stays visible as -1
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Per-query map first (it's long — tail-capture may truncate it), then
-    // the total as the FINAL, short line so a captured tail always parses:
-    // the driver's BENCH_r0{1..3}.json all recorded "parsed": null because
-    // the single long line got cut.
-    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // Locale.ROOT: the f-interpolator formats with the JVM default locale,
     // and a comma-decimal locale would emit invalid JSON ("0,29"), silently
     // re-breaking the tail-parse guarantee this layout exists for
     def num(v: Double, places: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // Failed queries (-1 sentinels) are COUNTED, never summed: a sentinel
+    // inside `total` would print a nonsense number exactly when the bench
+    // most needs to be readable.
+    val failures = results.values.count(_ < 0)
+    val total = results.values.filter(_ >= 0).sum
+    // Both passes stay visible (min alone would mask a regression that hits
+    // only one pass — spill, contention): emit the worse pass per query
+    // where it exceeds the min by >25%, so intermittent slowness is in the
+    // record without doubling the headline map.
+    val spread = results.toSeq.collect {
+      case (k, v) if v >= 0 && math.max(pass1(k), pass2(k)) > v * 1.25 =>
+        s"\"" + k + "\":" + num(math.max(pass1(k), pass2(k)), 2)
+    }.mkString("{", ",", "}")
+    // Per-query maps first (they're long — tail-capture may truncate them),
+    // then the total as the FINAL, short line so a captured tail always
+    // parses: the driver's BENCH_r0{1..3}.json all recorded "parsed": null
+    // because the single long line got cut.
+    println(s"""{"metric":"pass_max_over_125pct","unit":"sec","queries":$spread,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     val slow = results.toSeq.sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + num(v, 2) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"slowest":$slow,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"failures":$failures,"slowest":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

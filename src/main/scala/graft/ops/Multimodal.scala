@@ -66,12 +66,15 @@ object Multimodal {
     * [width, height, meanR, meanG, meanB, meanLuminance,
     *  10-bin luminance histogram (fractions)]. Same vector width as the
     * stub so both branches share the AssetFeatures schema. Returns None
-    * when the bytes aren't a decodable image (ImageIO.read yields null),
-    * so corrupt payloads degrade to the stub instead of failing a 100 TB
-    * job on one bad file. */
+    * when the bytes aren't a decodable image — ImageIO.read yields null
+    * for unclaimed formats but THROWS (IOException, and some plugin
+    * readers RuntimeExceptions) on truncated bytes a reader claims, so
+    * both failure shapes must degrade to the stub instead of failing a
+    * 100 TB job on one bad file. */
   def decodeImage(content: Array[Byte]): Option[Array[Float]] = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(content))
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val (w, h) = (img.getWidth, img.getHeight)

@@ -78,6 +78,14 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
       val joined = new JoinedRow
+      // saturating add: a window bound past Long range means "no cutoff on
+      // that side", so clamping keeps the merge correct where a wrapped
+      // add would silently drop or admit rows
+      def satAdd(a: Long, b: Long): Long = {
+        val s = a + b
+        if (((a ^ s) & (b ^ s)) < 0) { if (a > 0) Long.MaxValue else Long.MinValue }
+        else s
+      }
       new Iterator[InternalRow] {
         // sliding window of right rows for the current key, time-sorted;
         // `head` is a lazy eviction pointer (compacted when it dominates)
@@ -102,6 +110,8 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
               val l = lIter.next()
               val lk = l.getLong(lKeyOrd)
               val lt = l.getLong(lTimeOrd)
+              val winHi = satAdd(lt, hiB)
+              val winLo = satAdd(lt, loB)
               if (!bufValid || bufKey != lk) {
                 buf.clear(); head = 0; bufKey = lk; bufValid = true
               }
@@ -114,14 +124,14 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
                 else {
                   val rk = rPending.getLong(rKeyOrd)
                   if (rk < lk) rPending = null // behind every remaining left key's rows
-                  else if (rk == lk && rPending.getLong(rTimeOrd) <= lt + hiB) {
+                  else if (rk == lk && rPending.getLong(rTimeOrd) <= winHi) {
                     buf += rPending; rPending = null
                   } else scanning = false
                 }
               }
               // evict rows below the window; lt is non-decreasing per key
               while (head < buf.length &&
-                buf(head).getLong(rTimeOrd) < lt + loB) head += 1
+                buf(head).getLong(rTimeOrd) < winLo) head += 1
               if (head > 256 && head * 2 > buf.length) {
                 buf.remove(0, head); head = 0
               }

@@ -119,7 +119,15 @@ object IndexStore {
     postingsSegmentOf(docs, cap).write.mode("overwrite").parquet(path)
 
   /** Append ONLY the delta's segment — O(delta); the standing corpus is
-    * not an input. Returns the appended frame for input-file assertions. */
+    * not an input. Returns the appended frame for input-file assertions.
+    *
+    * PRECONDITION: segments must cover DISJOINT doc sets —
+    * [[mergePostings]] SUMS per-segment `df_docs`, so appending the same
+    * delta twice (e.g. a crash-replayed batch) double-counts document
+    * frequencies with no read-side distinct to absorb it (the digest
+    * tables tolerate replay; this one does not). A replaying caller must
+    * write batchId-keyed segment files so a retry overwrites rather than
+    * re-appends. */
   def appendPostings(deltaDocs: DataFrame, path: String,
       cap: Int = 50): DataFrame = {
     val seg = postingsSegmentOf(deltaDocs, cap)
@@ -160,6 +168,75 @@ object IndexStore {
 
   def readCurationDigests(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
+
+  // --- batch-keyed delta segments (streaming exactly-once) ------------------
+  //
+  // The streaming sinks need their index appends to be REPLAYABLE: a
+  // crash-replayed micro-batch must (a) not see its own, possibly
+  // half-written, segment when it re-triages, and (b) overwrite — not
+  // re-append — its output. Plain `mode("append")` gives neither, so the
+  // sinks write each batch's rows as an overwritten `_delta/b=<batchId>`
+  // directory (the ViewMaintain versioned-flip discipline). The `_delta`
+  // subtree is invisible to plain readers of the root — Spark's file
+  // listing skips underscore-prefixed paths — so the batch-query layout
+  // and its oracles are untouched.
+
+  /** Overwrite `df` as the batch-keyed segment `root/_delta/b=<batchId>`:
+    * deterministic in (df, batchId), so a crash-replay rewrites identical
+    * bytes instead of appending a duplicate segment. */
+  def writeDeltaSegment(df: DataFrame, root: String, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$root/_delta/b=$batchId")
+
+  /** Segment ids present under `root/_delta`, sorted. */
+  def deltaSegmentIds(s: SparkSession, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_delta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("b=")).map(_.stripPrefix("b=").toLong).sorted
+  }
+
+  /** The standing table at `root` plus every delta segment with id
+    * STRICTLY below `beforeId` — the replay-safe read: batch N re-triaging
+    * after a crash reads exactly the state batch N saw the first time,
+    * whether or not its own `b=N` segment landed. */
+  def readWithDeltasBefore(s: SparkSession, root: String,
+      beforeId: Long): DataFrame = {
+    val standing = s.read.parquet(root)
+    val segs = deltaSegmentIds(s, root).filter(_ < beforeId)
+    if (segs.isEmpty) standing
+    else standing.unionByName(
+      s.read.parquet(segs.map(v => s"$root/_delta/b=$v"): _*))
+  }
+
+  /** Batch-keyed variant of [[appendCurationDigests]] for the streaming
+    * intake sink. Returns the segment frame. */
+  def appendCurationDigestsVersioned(deltaDocs: DataFrame, path: String,
+      batchId: Long): DataFrame = {
+    val d = curationDigestsOf(deltaDocs)
+    writeDeltaSegment(d, path, batchId)
+    d
+  }
+
+  /** Batch-keyed variant of [[appendDedup]] for the streaming triage
+    * sink: one overwritten `b=<batchId>` segment per probe table. */
+  def appendDedupVersioned(deltaDocs: DataFrame, root: String,
+      batchId: Long): DedupIndex = {
+    val d = deltaDocs.cache(); d.count()
+    val parts = dedupParts(d)
+    writeDeltaSegment(parts.digests, s"$root/digests", batchId)
+    writeDeltaSegment(parts.bands, s"$root/bands", batchId)
+    writeDeltaSegment(parts.shingles, s"$root/shingles", batchId)
+    d.unpersist()
+    parts
+  }
+
+  /** Replay-safe dedup-index read for micro-batch `beforeId`. */
+  def readDedupBefore(s: SparkSession, root: String,
+      beforeId: Long): DedupIndex = DedupIndex(
+    digests = readWithDeltasBefore(s, s"$root/digests", beforeId),
+    bands = readWithDeltasBefore(s, s"$root/bands", beforeId),
+    shingles = readWithDeltasBefore(s, s"$root/shingles", beforeId))
 
   // --- prefix-join (exact similarity) index ---------------------------------
 

@@ -388,30 +388,43 @@ object StreamingOps {
     * batch N+1 deduplicates against everything accepted through batch N
     * without any rescan. Per-batch cost is O(batch + collisions): the
     * probe join reads the index, the appends are delta-proportional
-    * parquet writes. Exactly-once effect: a replayed batch re-triages
-    * against an index that already holds its digests, so its docs triage
-    * as duplicates and nothing is double-accepted — the loop is naturally
-    * idempotent (the one append duplicated by a crash mid-batch only adds
-    * redundant digest rows, which the read-side distinct absorbs). */
+    * parquet writes. Exactly-once effect by the versioned-segment
+    * discipline ([[graft.sources.IndexStore.writeDeltaSegment]]): the
+    * triage reads the standing index plus only delta segments with id <
+    * batchId — never the batch's own, possibly half-landed, segment — so
+    * a crash-replay recomputes IDENTICAL verdicts and both writes are
+    * `b=<batchId>`-keyed overwrites that rewrite the same bytes. (The
+    * naive append ordering is not recoverable by ordering alone: digests
+    * first loses the accepted docs on replay, accepted docs first
+    * duplicates them.) The accepted output is therefore partitioned by
+    * micro-batch (`b=<id>` directories) — per-batch lineage for free. */
   def intakeSink(incoming: DataFrame, indexPath: String,
       acceptedPath: String)(
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val triaged = curationFrontDoorWithDigests(batch,
-          graft.sources.IndexStore.readCurationDigests(s, indexPath))
-          .localCheckpoint(true) // pin: the index append below changes
-                                 // what the triage would re-read
-        val acceptedIds = triaged.filter(!col("is_dup")).select(col("doc_id"))
-        val accepted = batch.join(acceptedIds, "doc_id")
-        accepted.write.mode("append").parquet(acceptedPath)
-        graft.sources.IndexStore.appendCurationDigests(accepted, indexPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        intakeBatch(batch, batchId, indexPath, acceptedPath)
       }
       .start()
+
+  /** One [[intakeSink]] micro-batch — exposed so the spec can replay a
+    * batch id and assert the crash-recovery contract (same bytes, no
+    * duplicates, no verdict flips). */
+  def intakeBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      acceptedPath: String): Unit = {
+    import graft.sources.IndexStore
+    val s = batch.sparkSession
+    val triaged = curationFrontDoorWithDigests(batch,
+      IndexStore.readWithDeltasBefore(s, indexPath, batchId))
+      .localCheckpoint(true) // pin: consumed by both writes below
+    val acceptedIds = triaged.filter(!col("is_dup")).select(col("doc_id"))
+    val accepted = batch.join(acceptedIds, "doc_id").localCheckpoint(true)
+    accepted.write.mode("overwrite").parquet(s"$acceptedPath/b=$batchId")
+    IndexStore.appendCurationDigestsVersioned(accepted, indexPath, batchId)
+    ()
+  }
 
   /** Full-strength streaming triage sink — [[intakeSink]]'s exact-digest
     * gate widened to the complete intake policy: each micro-batch is
@@ -421,29 +434,37 @@ object StreamingOps {
     * three index tables inside the same foreachBatch — so batch N+1 both
     * exact- and near-deduplicates against everything accepted through
     * batch N. Per-batch cost is O(batch × collisions); the standing
-    * corpus is never rescanned. Same idempotence argument as
-    * [[intakeSink]]: a replayed batch finds its own digests/bands already
-    * indexed and triages as duplicates. */
+    * corpus is never rescanned. Same exactly-once recipe as
+    * [[intakeSink]]: the triage reads index segments with id < batchId
+    * only, so a crash-replay recomputes identical verdicts (no
+    * novel→exact flips from seeing its own landed segment) and the
+    * verdict write is a `b=<batchId>`-keyed overwrite. */
   def triageSink(incoming: DataFrame, indexRoot: String,
       verdictPath: String)(
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val verdicts = graft.ops.Dedup.triageAgainstIndex(batch,
-          graft.sources.IndexStore.readDedup(s, indexRoot))
-          .localCheckpoint(true) // pin before the index append changes
-                                 // what a re-read would see
-        verdicts.write.mode("append").parquet(verdictPath)
-        val novel = batch.join(
-          verdicts.filter(col("verdict") === "novel").select(col("doc_id")),
-          "doc_id")
-        graft.sources.IndexStore.appendDedup(novel, indexRoot)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        triageBatch(batch, batchId, indexRoot, verdictPath)
       }
       .start()
+
+  /** One [[triageSink]] micro-batch — exposed for the replay spec. */
+  def triageBatch(batch: DataFrame, batchId: Long, indexRoot: String,
+      verdictPath: String): Unit = {
+    import graft.sources.IndexStore
+    val s = batch.sparkSession
+    val verdicts = graft.ops.Dedup.triageAgainstIndex(batch,
+      IndexStore.readDedupBefore(s, indexRoot, batchId))
+      .localCheckpoint(true) // pin: consumed by the write and the novel join
+    verdicts.write.mode("overwrite").parquet(s"$verdictPath/b=$batchId")
+    val novel = batch.join(
+      verdicts.filter(col("verdict") === "novel").select(col("doc_id")),
+      "doc_id")
+    IndexStore.appendDedupVersioned(novel, indexRoot, batchId)
+    ()
+  }
 
   /** CDC-style streaming upsert sink: a stream of (key, op, payload)
     * change rows maintains a keyed snapshot table via foreachBatch +

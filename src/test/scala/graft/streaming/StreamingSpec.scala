@@ -406,6 +406,67 @@ class StreamingSpec extends SparkSpec {
     assert(got.length === got.distinct.length)
   }
 
+  test("intake batch crash-replay is exactly-once: re-running a completed " +
+      "batch id rewrites the same accepted set, no duplicates, no losses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IndexStore
+    val standing = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("intake-replay").toString
+    val idx = s"$base/idx"
+    val accepted = s"$base/accepted"
+    IndexStore.buildCurationDigests(standing, idx)
+
+    val batch = Seq((9500L, "novel doc whose batch will be replayed"),
+      (9501L, "second novel doc in the replayed batch")).toDF("doc_id", "text")
+    StreamingOps.intakeBatch(batch, 1L, idx, accepted)
+    val once = spark.read.parquet(accepted).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // worst-case replay: the batch FULLY completed (digests landed), then
+    // the checkpoint commit was lost and the batch re-runs. The old
+    // append-ordering design either duplicated or dropped the docs here.
+    StreamingOps.intakeBatch(batch, 1L, idx, accepted)
+    val twice = spark.read.parquet(accepted).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(once === Seq(9500L, 9501L))
+    assert(twice === once, "replay rewrites the same accepted set")
+    // and the next batch still dedups against the replayed batch's digests
+    StreamingOps.intakeBatch(
+      Seq((9502L, "novel doc whose batch will be replayed")).toDF("doc_id", "text"),
+      2L, idx, accepted)
+    val after = spark.read.parquet(accepted).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === Seq(9500L, 9501L), "batch-2 repeat rejected by b=1 segment")
+  }
+
+  test("triage batch crash-replay is exactly-once: verdicts do not flip " +
+      "and the verdict table is not re-appended") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val standing = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("triage-replay").toString
+    val idx = s"$base/idx"
+    val verdicts = s"$base/verdicts"
+    IndexStore.buildDedup(standing, idx)
+
+    val novel = (1 to 40).map(i => s"rtok$i").mkString(" ")
+    val batch = Seq((9600L, novel)).toDF("doc_id", "text")
+    StreamingOps.triageBatch(batch, 1L, idx, verdicts)
+    // full-completion replay: the b=1 index segments HAVE landed; the old
+    // design would re-read them and flip this doc's verdict novel -> exact
+    StreamingOps.triageBatch(batch, 1L, idx, verdicts)
+    val got = spark.read.parquet(verdicts)
+      .select($"doc_id", $"verdict").as[(Long, String)].collect().toSeq
+    assert(got === Seq((9600L, "novel")),
+      "one verdict row, still novel after replay")
+    // the NEXT batch does see b=1 and catches the duplicate
+    StreamingOps.triageBatch(Seq((9601L, novel)).toDF("doc_id", "text"),
+      2L, idx, verdicts)
+    val v2 = spark.read.parquet(verdicts)
+      .select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
+    assert(v2(9601L) === "exact")
+  }
+
   test("streaming triage sink: exact AND near duplicates of earlier batches " +
       "are caught via the index appends inside the loop") {
     implicit val sql = spark.sqlContext
