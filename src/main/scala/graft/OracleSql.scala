@@ -2453,6 +2453,56 @@ object OracleSql {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** IVF+PQ replay: the assignment CTEs gate the ADC scoring by probed
+    * cell (the equi-join that distinguishes ann_ivfpq from ann_pq's full
+    * ADC scan), then the PQ encode / CASE-lookup ADC / exact-rerank
+    * pieces replay verbatim from the stashed codebooks. */
+  private def ivfpqOracle(cs: IndexedSeq[Array[Double]],
+      cbs: IndexedSeq[Array[Array[Double]]]): String = {
+    import graft.ops.Similarity.{AnnK, AnnQueries, IvfProbe, PqCodes, PqRerank}
+    val m = cbs.length
+    val subDim = VectorOps.Dim / m
+    def off(j: Int) = j * subDim
+    val dCols = (for (j <- 0 until m; c <- 0 until PqCodes) yield {
+      val cb = cbs(j)(c)
+      s"(${selfDot("e", off(j), subDim)} - 2*${litDot("e", cb, off(j))}" +
+        s" + ${litNorm(cb)}) AS d2_${j}_$c"
+    }).mkString(", ")
+    val codeCols = (0 until m).map { j =>
+      val l = (0 until PqCodes).map(c => s"d2_${j}_$c").mkString("[", ", ", "]")
+      s"CAST(list_position($l, list_min($l)) - 1 AS INT) AS code_$j"
+    }.mkString(", ")
+    val adcTerms = (0 until m).map { j =>
+      val cases = (0 until PqCodes).map(c =>
+        s"WHEN $c THEN ${litDot("q.qe", cbs(j)(c), off(j))}").mkString(" ")
+      s"(CASE c.code_$j $cases END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH $embCte,
+       |${assignCtes(cs)},
+       |c0 AS (SELECT vec_id, nrm, cell, $dCols FROM a),
+       |cd AS (SELECT vec_id, nrm, cell, $codeCols FROM c0),
+       |qd AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn,
+       |  CAST(generate_subscripts(ds, 1) - 1 AS INT) AS cell,
+       |  unnest(ds) AS dist2 FROM a WHERE vec_id < $AnnQueries),
+       |pr AS (SELECT q_id, qe, qn, cell FROM (
+       |  SELECT q_id, qe, qn, cell, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dist2 ASC, cell ASC) AS p FROM qd) t WHERE p <= $IvfProbe),
+       |adc AS (SELECT q.q_id, q.qe, q.qn, c.vec_id AS c_id,
+       |  $adcTerms / (sqrt(q.qn) * sqrt(c.nrm)) AS adc_sim
+       |  FROM pr q JOIN cd c ON c.cell = q.cell AND q.q_id <> c.vec_id),
+       |rr AS (SELECT q_id, qe, qn, c_id FROM (
+       |  SELECT q_id, qe, qn, c_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adc_sim DESC, c_id ASC) AS p FROM adc) t
+       |  WHERE p <= $PqRerank),
+       |sc AS (SELECT p.q_id, p.c_id,
+       |  round(${dotChain("p.qe", "x.e")} / (sqrt(p.qn) * sqrt(x.nrm)), 6) AS sim
+       |  FROM rr p JOIN n x ON x.vec_id = p.c_id),
+       |r AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+       |  ORDER BY sim DESC, c_id ASC) AS INT) AS rnk, c_id, sim FROM sc)
+       |SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= $AnnK
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** PCA projection replay from the stashed fit: each coordinate is
     * dotChain(e, component literals) − (mean·component literal), exactly
     * the engine's (e − mean)·v = e·v − mean·v factoring. */
@@ -2500,6 +2550,13 @@ object OracleSql {
         // segment-merged postings must be byte-identical to the recompute
         "text_postings_indexed" -> base("text_postings")) ++
       Similarity.fittedIvfCentroids.map(cs => "ann_ivf" -> ivfOracle(cs)) ++
+      // the indexed probe answers the same question under the INDEX's
+      // frozen centroids — assignment under fixed centroids is the same
+      // argmin whether it ran at build, append, or replay time
+      Similarity.fittedIvfIndexCentroids.map(cs =>
+        "ann_ivf_indexed" -> ivfOracle(cs)) ++
+      Similarity.fittedIvfPq.map { case (cs, cbs) =>
+        "ann_ivfpq" -> ivfpqOracle(cs, cbs) } ++
       Similarity.fittedSemCentroids.map(cs => "emb_semdedup" -> semOracle(cs)) ++
       Similarity.fittedPqCodebooks.map(cb => "ann_pq" -> pqOracle(cb)) ++
       graft.ops.EmbeddingStats.fittedPca.map { case (m, c, o) =>

@@ -196,7 +196,9 @@ object SparkEntry {
     "ann_lsh_buckets" -> (Similarity.lshBuckets _),
     "ann_truncate" -> ((s: SparkSession, d: String) => Similarity.truncatedTopK(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "ann_ivf_indexed" -> ((s: SparkSession, d: String) => Similarity.ivfTopKIndexed(s, d)),
     "ann_pq" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
+    "ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "emb_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineDupPairs(s, d)),
     "emb_dup_lsh" -> ((s: SparkSession, d: String) => Similarity.cosineDupLsh(s, d)),
     "emb_semdedup" -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),

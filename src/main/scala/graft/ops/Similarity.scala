@@ -64,27 +64,25 @@ object Similarity {
   @volatile private[graft] var fittedIvfCentroids: Option[IndexedSeq[Array[Double]]] = None
   @volatile private[graft] var fittedSemCentroids: Option[IndexedSeq[Array[Double]]] = None
   @volatile private[graft] var fittedPqCodebooks: Option[IndexedSeq[Array[Array[Double]]]] = None
+  @volatile private[graft] var fittedIvfIndexCentroids: Option[IndexedSeq[Array[Double]]] = None
+  @volatile private[graft] var fittedIvfPq: Option[(IndexedSeq[Array[Double]], IndexedSeq[Array[Array[Double]]])] = None
 
-  /** Codegen'd nearest-centroid assignment over LITERAL centroids — the
-    * PQ encoder's first-minimum argmin idiom (array_position of the min),
+  /** The centroid matrix as one literal array<array<double>> column. */
+  private def matrixLit(centroids: IndexedSeq[Array[Double]]) =
+    array(centroids.map(c => array(c.map(v => lit(v)): _*)): _*)
+
+  /** Nearest-centroid assignment over LITERAL centroids via the native
+    * fused [[graft.functions.VecArgminCells]] expression — first-minimum
+    * argmin with every distance the (e·e − 2·e·c) + c·c left-fold chain,
     * so the DuckDB oracle replays the assignment bit-for-bit from the
     * exported constants. ml's KMeansModel.transform would be numerically
     * equivalent but not REPLAYABLE (fastSquaredDistance's internal order
     * isn't a left fold); at 100 TB this is also the cheaper path — one
     * codegen projection, no ml pipeline on the full corpus. */
-  private def assignCells(df: DataFrame,
-      centroids: IndexedSeq[Array[Double]]): DataFrame = {
-    val withC = centroids.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      d.withColumn(s"cc_$i", array(c.map(v => lit(v)): _*))
-    }
-    val dists = centroids.indices.map(i =>
-      expr(s"vec_dot(e, e) - 2 * vec_dot(e, cc_$i) + vec_dot(cc_$i, cc_$i)"))
-    withC
-      .withColumn("cell",
-        (array_position(array(dists: _*), array_min(array(dists: _*))) - 1)
-          .cast("int"))
-      .drop(centroids.indices.map(i => s"cc_$i"): _*)
-  }
+  private[graft] def assignCells(df: DataFrame,
+      centroids: IndexedSeq[Array[Double]]): DataFrame =
+    df.withColumn("cell",
+      call_function("argmin_cells", col("e"), matrixLit(centroids)))
 
   /** Deterministic ~1/step sample for bounded quantizer fits that does NOT
     * assume dense/contiguous vec_ids (r5 ADVICE): rate comes from a pmod of
@@ -103,12 +101,16 @@ object Similarity {
   /** All vector math below uses the native codegen vec_dot expression; its
     * accumulation order is bit-identical to the HOF fold and the oracle's
     * term chain (see VecDotImpl), so oracle hash-matches are preserved. */
-  private def embedded(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VecDot.register(s)
-    Tables.embeddings(s, dir)
+  private[graft] def embeddedOf(raw: DataFrame): DataFrame = {
+    graft.functions.VecDot.register(raw.sparkSession)
+    graft.functions.VecArgmin.register(raw.sparkSession)
+    raw
       .withColumn("e", expr("cast(embedding AS ARRAY<DOUBLE>)"))
       .withColumn("nrm", expr("vec_dot(e, e)"))
   }
+
+  private def embedded(s: SparkSession, dir: String): DataFrame =
+    embeddedOf(Tables.embeddings(s, dir))
 
   /** Exact cosine top-k: for each query vector (vec_id < numQueries), the k
     * nearest neighbors by cosine similarity. The query side is broadcast;
@@ -306,34 +308,39 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** IVF (inverted-file) approximate top-k: k-means coarse quantizer (seeded
-    * ml.KMeans), vectors assigned to their nearest centroid, queries probe
-    * the `nProbe` nearest cells and score only those candidates. The
-    * centroid count scales with √N; candidates per query drop from N to
-    * ~N·nProbe/nCells — the standard billion-vector recipe. */
-  def ivfTopK(s: SparkSession, dir: String, k: Int = AnnK,
-      numQueries: Int = AnnQueries, nCells: Int = IvfCells,
-      nProbe: Int = IvfProbe): DataFrame = {
+  /** Bounded-sample seeded ml.KMeans coarse-quantizer fit. A coarse
+    * quantizer needs rough cells, not convergence — cap sweeps and train
+    * on a deterministic BOUNDED sample (~8k vectors): centroids are
+    * statistics of the distribution, so at corpus scale the fit cost must
+    * not grow with N (assignment still touches every vector, but that's
+    * one codegen projection). */
+  private[graft] def fitIvfCentroids(e: DataFrame,
+      nCells: Int = IvfCells): IndexedSeq[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
-    val e = embedded(s, dir)
-      .withColumn("fv", array_to_vector(col("e")))
-      .cache()
-    // a coarse quantizer needs rough cells, not convergence — cap sweeps
-    // and train on a deterministic BOUNDED sample (~8k vectors): centroids
-    // are statistics of the distribution, so at corpus scale the fit cost
-    // must not grow with N (assignment below still touches every vector)
-    val step = math.max(1L, e.count() / 8000L)
+    val fv = e.withColumn("fv", array_to_vector(col("e")))
+    val step = math.max(1L, fv.count() / 8000L)
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(hashSample(e, step, nCells))
-    val centroidArrays = model.clusterCenters.map(_.toArray).toIndexedSeq
-    fittedIvfCentroids = Some(centroidArrays)
-    val assigned = assignCells(e.drop("fv"), centroidArrays)
-      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+      .fit(hashSample(fv, step, nCells))
+    model.clusterCenters.map(_.toArray).toIndexedSeq
+  }
 
-    // tiny centroid table, broadcast into the probe ranking
+  /** The IVF probe half over an already-assigned (vec_id, e, nrm, cell)
+    * frame: rank cells per query by centroid distance, take the `nProbe`
+    * nearest, score candidates in those cells only, exact top-k.
+    *
+    * `pruneCells = true` additionally pushes the probed-cell set (bounded:
+    * numQueries × nProbe ids, collected driver-side) into a static
+    * `cell IN (...)` filter — when `assigned` is a parquet index
+    * PARTITIONED BY cell ([[graft.sources.IndexStore.buildAnn]]), that
+    * filter is partition pruning: only probed inverted lists are read,
+    * the scan-side shape IVF exists for. Semantics are unchanged (the
+    * probe join gates the same rows); only the scan narrows. */
+  private def ivfProbeTopK(assigned: DataFrame,
+      centroidArrays: IndexedSeq[Array[Double]], k: Int, numQueries: Int,
+      nProbe: Int, pruneCells: Boolean = false): DataFrame = {
+    val s = assigned.sparkSession
     import s.implicits._
     val centroids = centroidArrays.zipWithIndex
       .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
@@ -348,10 +355,17 @@ object Similarity {
       .filter(col("pr") <= nProbe)
       .select(col("q_id"), col("qe"), col("qn"), col("cell"))
 
+    val cands =
+      if (!pruneCells) assigned
+      else {
+        val probed = probes.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSeq // ≤ numQueries × nProbe values
+        assigned.filter(col("cell").isin(probed: _*))
+      }
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id").asc)
-    val out = broadcast(probes)
-      .join(assigned.withColumnRenamed("vec_id", "c_id")
+    broadcast(probes)
+      .join(cands.withColumnRenamed("vec_id", "c_id")
         .withColumnRenamed("e", "ce").withColumnRenamed("nrm", "cn"), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("sim", round(
@@ -360,8 +374,44 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
       .orderBy(col("q_id"), col("rnk"))
-    e.unpersist()
-    out
+  }
+
+  /** IVF (inverted-file) approximate top-k: k-means coarse quantizer (seeded
+    * ml.KMeans), vectors assigned to their nearest centroid, queries probe
+    * the `nProbe` nearest cells and score only those candidates. The
+    * centroid count scales with √N; candidates per query drop from N to
+    * ~N·nProbe/nCells — the standard billion-vector recipe. This variant
+    * fits + assigns in-query; [[ivfTopKIndexed]] probes the PERSISTED
+    * standing index instead — the form a 100 TB deployment runs. */
+  def ivfTopK(s: SparkSession, dir: String, k: Int = AnnK,
+      numQueries: Int = AnnQueries, nCells: Int = IvfCells,
+      nProbe: Int = IvfProbe): DataFrame = {
+    val e = embedded(s, dir).cache()
+    val centroidArrays = fitIvfCentroids(e, nCells)
+    fittedIvfCentroids = Some(centroidArrays)
+    val assigned = assignCells(e, centroidArrays)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    val out = ivfProbeTopK(assigned, centroidArrays, k, numQueries, nProbe)
+    Caching.materializeAndRelease(out, e)
+  }
+
+  /** [[ivfTopK]] probing the persisted standing ANN index
+    * ([[graft.sources.IndexStore.standingAnnIndex]]): centroids were
+    * FROZEN at build time, every vector (standing + appended deltas) is
+    * already assigned in the cell-partitioned parquet index, so the query
+    * does no fit and no corpus-wide assignment — it ranks 16 centroids,
+    * reads the probed cell partitions, and scores ~N·nProbe/nCells
+    * candidates. The output contract matches the literal-centroid replay
+    * oracle exactly: assignment under frozen centroids is the same
+    * argmin wherever it runs (build, append, or oracle). */
+  def ivfTopKIndexed(s: SparkSession, dir: String, k: Int = AnnK,
+      numQueries: Int = AnnQueries, nProbe: Int = IvfProbe): DataFrame = {
+    val (centroidArrays, cells) =
+      graft.sources.IndexStore.standingAnnIndex(s, dir)
+    fittedIvfIndexCentroids = Some(centroidArrays)
+    graft.functions.VecDot.register(s)
+    ivfProbeTopK(cells, centroidArrays, k, numQueries, nProbe,
+      pruneCells = true)
   }
 
   /** Embedding near-dup pairs at scale: hyperplane-LSH band buckets gate
@@ -579,28 +629,28 @@ object Similarity {
     }
     fittedPqCodebooks = Some(codebooks)
 
-    // encode: nearest codebook entry per subspace, as codegen'd argmin
-    // over literal centroids (no ml transform chain, no UDFs)
+    // encode: nearest codebook entry per subspace via the fused native
+    // argmin expression — one loop per subspace instead of kCodes literal
+    // columns + three generic array-expression walks per row (no ml
+    // transform chain, no UDFs); arithmetic is term-identical to the
+    // oracle's (sub·sub − 2·sub·c) + c·c first-minimum chain
+    val codes = withSubs
+      .select(col("vec_id") +: col("nrm") +:
+        (0 until m).map(j =>
+          call_function("argmin_cells", col(s"sub_$j"),
+            matrixLit(codebooks(j).toIndexedSeq)).as(s"code_$j")): _*)
+
+    // query side: LUT_j[c] = dot(q_sub_j, centroid_{j,c}); only these 5
+    // rows materialize the per-code literal centroid columns
     def centroidLit(j: Int, c: Int) =
       array(codebooks(j)(c).map(v => lit(v)): _*)
-    def codeCol(j: Int): org.apache.spark.sql.Column = {
-      val d2 = (0 until kCodes).map { c =>
-        val cl = s"cb_${j}_$c"
-        expr(s"vec_dot(sub_$j, sub_$j) - 2 * vec_dot(sub_$j, $cl) + vec_dot($cl, $cl)")
-      }
-      array_position(array(d2: _*), array_min(array(d2: _*))).cast("int") - 1
-    }
-    val withCbs = (0 until m).foldLeft(withSubs) { (df, j) =>
+    val qWithCbs = (0 until m).foldLeft(
+        withSubs.filter(col("vec_id") < numQueries)) { (df, j) =>
       (0 until kCodes).foldLeft(df) { (d, c) =>
         d.withColumn(s"cb_${j}_$c", centroidLit(j, c))
       }
     }
-    val codes = withCbs
-      .select(col("vec_id") +: col("nrm") +:
-        (0 until m).map(j => codeCol(j).as(s"code_$j")): _*)
-
-    // query side: LUT_j[c] = dot(q_sub_j, centroid_{j,c}); 5 rows broadcast
-    val q = withCbs.filter(col("vec_id") < numQueries)
+    val q = qWithCbs
       .select(col("vec_id").as("q_id") +: col("e").as("qe") +:
         col("nrm").as("qn") +:
         (0 until m).map { j =>
@@ -615,6 +665,111 @@ object Similarity {
     val cands = broadcast(q)
       .crossJoin(codes.withColumnRenamed("vec_id", "c_id")
         .withColumnRenamed("nrm", "cn"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("adc_sim", adc / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("pq_rnk", row_number().over(wPq))
+      .filter(col("pq_rnk") <= rerank)
+      .select(col("q_id"), col("qe"), col("qn"), col("c_id"))
+
+    // exact rerank of the surviving ~rerank rows per query
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    val out = cands
+      .join(e.select(col("vec_id").as("c_id"), col("e").as("ce"),
+        col("nrm").as("cn")), "c_id")
+      .withColumn("sim", round(
+        expr("vec_dot(qe, ce)") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+    Caching.materializeAndRelease(out, e)
+  }
+
+  /** IVF+PQ — the two halves composed into the actual billion-vector
+    * recipe (Jégou et al. 2011; the FAISS `IVFx,PQy` default): the IVF
+    * coarse quantizer gates WHICH vectors are scored (queries probe
+    * `nProbe` of `nCells` cells), PQ's asymmetric-distance lookup scores
+    * the gated candidates WITHOUT decoding them, and the top `rerank`
+    * survivors get one exact pass. [[ivfTopK]] alone scores every vector
+    * in probed cells at full width; [[pqTopK]] alone ADC-scans the whole
+    * code table (compressed linear scan). Composed, the per-query cost is
+    * ~(N·nProbe/nCells) one-byte-code lookups + `rerank` exact dots — the
+    * only full-corpus work is the one-off encode.
+    *
+    * Scale shape: both quantizers are driver-small bounded-sample fits;
+    * the code table carries (vec_id, cell, m codes, nrm) — no vectors;
+    * queries + LUTs broadcast into an EQUI-join on cell (the gate that
+    * [[pqTopK]]'s crossJoin lacks); only the rerank join touches full
+    * vectors, for ~rerank rows per query. Everything downstream of the
+    * two fits is deterministic, so the harness oracle replays assignment,
+    * encode, gated ADC, and rerank from the stashed literals end-to-end.
+    */
+  def ivfPqTopK(s: SparkSession, dir: String, k: Int = AnnK,
+      numQueries: Int = AnnQueries, nCells: Int = IvfCells,
+      nProbe: Int = IvfProbe, m: Int = PqM, kCodes: Int = PqCodes,
+      rerank: Int = PqRerank): DataFrame = {
+    val subDim = Dim / m
+    val e = embedded(s, dir).cache()
+
+    // two bounded fits: coarse centroids (ml.KMeans on ~8k vectors) and
+    // per-subspace codebooks (in-process Lloyd on ~4k subvectors)
+    val centroidArrays = fitIvfCentroids(e, nCells)
+    val withSubs = (0 until m).foldLeft(e.toDF()) { (df, j) =>
+      df.withColumn(s"sub_$j", slice(col("e"), j * subDim + 1, subDim))
+    }
+    val step = math.max(1L, e.count() / 4000L)
+    val sampleRows = hashSample(withSubs, step, kCodes)
+      .select((0 until m).map(j => col(s"sub_$j")): _*).collect()
+    val codebooks: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
+      val pts = sampleRows.map(_.getSeq[Double](j).toArray)
+      lloyd(pts, kCodes, iters = 15, seed = 42L + j)
+    }
+    fittedIvfPq = Some((centroidArrays, codebooks))
+
+    // one encode pass: cell assignment + m sub-codes, all fused argmins
+    val coded = assignCells(withSubs, centroidArrays)
+      .select(col("vec_id") +: col("nrm") +: col("cell") +:
+        (0 until m).map(j =>
+          call_function("argmin_cells", col(s"sub_$j"),
+            matrixLit(codebooks(j).toIndexedSeq)).as(s"code_$j")): _*)
+
+    // query side: probe the nProbe nearest cells AND carry the ADC LUTs
+    import s.implicits._
+    val centroids = centroidArrays.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+    def centroidLit(j: Int, c: Int) =
+      array(codebooks(j)(c).map(v => lit(v)): _*)
+    val qWithCbs = (0 until m).foldLeft(
+        withSubs.filter(col("vec_id") < numQueries)) { (df, j) =>
+      (0 until kCodes).foldLeft(df) { (d, c) =>
+        d.withColumn(s"cb_${j}_$c", centroidLit(j, c))
+      }
+    }
+    val qLut = qWithCbs
+      .select(col("vec_id").as("q_id") +: col("e").as("qe") +:
+        col("nrm").as("qn") +:
+        (0 until m).map { j =>
+          array((0 until kCodes).map(c =>
+            expr(s"vec_dot(sub_$j, cb_${j}_$c)")): _*).as(s"lut_$j")
+        }: _*)
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist2").asc, col("cell").asc)
+    val probes = broadcast(qLut).crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        expr("vec_dot(qe, qe) - 2 * vec_dot(qe, centroid) + vec_dot(centroid, centroid)"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .drop("centroid", "dist2", "pr")
+
+    // gated ADC: equi-join on cell — candidates ∝ probed-cell occupancy
+    val adc = (0 until m).map(j =>
+      element_at(col(s"lut_$j"), col(s"code_$j") + 1)).reduce(_ + _)
+    val wPq = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_sim").desc, col("c_id").asc)
+    val cands = broadcast(probes)
+      .join(coded.withColumnRenamed("vec_id", "c_id")
+        .withColumnRenamed("nrm", "cn"), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("adc_sim", adc / (sqrt(col("qn")) * sqrt(col("cn"))))
       .withColumn("pq_rnk", row_number().over(wPq))

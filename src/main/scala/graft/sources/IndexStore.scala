@@ -287,6 +287,64 @@ object IndexStore {
       prefixes = s.read.parquet(s"$root/prefixes"),
       sets = s.read.parquet(s"$root/sets"))
 
+  // --- ANN (IVF) standing index ---------------------------------------------
+
+  /** The vector twin of the prefix index: a persisted IVF structure so ANN
+    * probes never refit or re-assign the standing corpus.
+    *
+    *   - `root/centroids`: the coarse quantizer, FROZEN at build time —
+    *     (cell, centroid) — the same frozen-dictionary discipline as the
+    *     prefix index's df order: appends and probes must share ONE
+    *     quantizer, and a stale quantizer costs cell balance (probe cost),
+    *     never correctness — assignment under any fixed centroids is a
+    *     pure function of the vector.
+    *   - `root/cells`: (vec_id, e, nrm) PARTITIONED BY cell — the inverted
+    *     lists. A probe's `cell IN (probed)` filter is partition pruning:
+    *     only ~nProbe/nCells of the corpus bytes are read.
+    *
+    * Appends assign ONLY the delta under the frozen centroids — O(delta),
+    * the standing corpus is never an input (spec-asserted via
+    * `inputFiles`, like the text indexes). */
+  def buildAnn(embRaw: DataFrame, root: String,
+      nCells: Int = graft.ops.Similarity.IvfCells): Unit = {
+    val s = embRaw.sparkSession
+    import s.implicits._
+    val e = graft.ops.Similarity.embeddedOf(embRaw).cache()
+    val cs = graft.ops.Similarity.fitIvfCentroids(e, nCells)
+    cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    graft.ops.Similarity.assignCells(e, cs)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$root/cells")
+    e.unpersist()
+  }
+
+  /** Assign ONLY the delta vectors under the FROZEN stored centroids and
+    * append their inverted-list rows — O(delta). Returns the appended
+    * frame for input-file assertions. */
+  def appendAnn(deltaRaw: DataFrame, root: String): DataFrame = {
+    val cs = readAnnCentroids(deltaRaw.sparkSession, root)
+    val assigned = graft.ops.Similarity
+      .assignCells(graft.ops.Similarity.embeddedOf(deltaRaw), cs)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    assigned.write.partitionBy("cell").mode("append").parquet(s"$root/cells")
+    assigned
+  }
+
+  /** The frozen coarse quantizer — nCells rows, driver-bounded. */
+  def readAnnCentroids(s: SparkSession,
+      root: String): IndexedSeq[Array[Double]] =
+    s.read.parquet(s"$root/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2).toIndexedSeq
+
+  /** The cell-partitioned inverted lists (vec_id, e, nrm, cell). */
+  def readAnnCells(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/cells")
+      .select(col("vec_id"), col("e"), col("nrm"),
+        col("cell").cast("int").as("cell"))
+
   // --- harness fixtures ------------------------------------------------------
 
   /** Standing-corpus indexes for the harness's delta convention
@@ -333,6 +391,33 @@ object IndexStore {
       p
     })
     readPrefix(s, root)
+  }
+
+  /** The harness delta convention on the embeddings table: hash bucket 9
+    * of vec_id is the incoming batch (the vector analog of
+    * [[graft.ops.Dedup.deltaSplit]]). Returns (incoming, standing). */
+  private def annDeltaSplit(emb: DataFrame): (DataFrame, DataFrame) = {
+    val bucket = expr(
+      s"pmod(${graft.functions.SharedHash.spark48("cast(vec_id AS STRING)")}, 10)")
+    val b = emb.withColumn("__b", bucket)
+    (b.filter(col("__b") === 9).drop("__b"),
+      b.filter(col("__b") =!= 9).drop("__b"))
+  }
+
+  /** The persisted standing ANN index for `dir` (memoized: built over the
+    * standing split, delta split appended under the frozen centroids — so
+    * the index covers the full corpus exactly as a continuously-fed
+    * deployment's would). Returns (frozen centroids, cells). */
+  def standingAnnIndex(s: SparkSession,
+      dir: String): (IndexedSeq[Array[Double]], DataFrame) = {
+    val root = builtRoots.computeIfAbsent(s"ann:$dir", _ => {
+      val (inc, ex) = annDeltaSplit(Tables.embeddings(s, dir))
+      val p = rootFor(s, "ann", dir)
+      buildAnn(ex, p)
+      appendAnn(inc, p)
+      p
+    })
+    (readAnnCentroids(s, root), readAnnCells(s, root))
   }
 
   /** The persisted standing dedup index for `dir` (memoized build). */
