@@ -287,6 +287,136 @@ object IndexStore {
       prefixes = s.read.parquet(s"$root/prefixes"),
       sets = s.read.parquet(s"$root/sets"))
 
+  // --- physical maintenance (compaction, segment folding, rebuild) ----------
+  //
+  // Append-only maintenance is O(delta) in WORK but accumulates FILES: each
+  // `mode("append")` lands a fresh set of part files, and after thousands
+  // of intake batches the probe side pays listing + open overhead per tiny
+  // file. Compaction is the physical half of the contract: rewrite the
+  // same rows into few files, leaving every read view byte-identical.
+  // Single-writer, offline-between-batches discipline (same as
+  // ViewMaintain.compactViews): these run as table maintenance, never
+  // concurrently with an appender.
+
+  /** Parquet data-file count under `path` — the probe-side cost appends
+    * accumulate. Skips `_`/`.`-prefixed side entries (incl. the streaming
+    * `_delta` subtree, which has its own lifecycle via [[foldDeltas]]). */
+  def parquetFileCount(s: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    def walk(d: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(d).filter(st => visible(st.getPath.getName)).map { st =>
+        if (st.isDirectory) walk(st.getPath) else 1
+      }.sum
+    if (fs.exists(p)) walk(p) else 0
+  }
+
+  /** Rewrite the FLAT append table at `path` into `targetFiles` files iff
+    * its data-file count exceeds `maxFiles`. Row set unchanged; the
+    * streaming `_delta` subtree (and any other `_`-prefixed entry) is
+    * preserved untouched, so [[readWithDeltasBefore]] views are unchanged
+    * too. Returns true iff a rewrite happened. (For partitioned tables —
+    * the ANN cells — compaction must preserve the partition layout;
+    * they get rewritten by their own rebuild, not this.) */
+  def compactTable(s: SparkSession, path: String, maxFiles: Int = 64,
+      targetFiles: Int = 4): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || parquetFileCount(s, path) <= maxFiles) false
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
+      s.read.parquet(path).coalesce(targetFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      // swap data files in place, preserving _-prefixed entries
+      fs.listStatus(p).foreach { st =>
+        if (!st.getPath.getName.startsWith("_"))
+          fs.delete(st.getPath, true)
+      }
+      fs.listStatus(tmp).foreach { st =>
+        if (!st.getPath.getName.startsWith("_"))
+          fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(p, st.getPath.getName))
+      }
+      fs.delete(tmp, true)
+      true
+    }
+  }
+
+  /** Compact all three dedup probe tables. */
+  def compactDedup(s: SparkSession, root: String, maxFiles: Int = 64,
+      targetFiles: Int = 4): Boolean =
+    Seq("digests", "bands", "shingles")
+      .map(t => compactTable(s, s"$root/$t", maxFiles, targetFiles))
+      .exists(identity)
+
+  /** Compact the prefix index's append-accumulating tables (`freq` is
+    * build/rebuild-only — always few files). */
+  def compactPrefix(s: SparkSession, root: String, maxFiles: Int = 64,
+      targetFiles: Int = 4): Boolean =
+    Seq("sets", "prefixes")
+      .map(t => compactTable(s, s"$root/$t", maxFiles, targetFiles))
+      .exists(identity)
+
+  /** Postings compaction is LOGICAL as well as physical: segment rows for
+    * one token merge into one row ([[mergePostings]] — exact, because the
+    * global first-cap is contained in the union of per-segment first-caps),
+    * written back as a single dense segment. The merged view read through
+    * [[mergePostings]] is unchanged. */
+  def compactPostings(s: SparkSession, path: String, cap: Int = 50,
+      targetFiles: Int = 4): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
+    mergePostings(s.read.parquet(path), cap).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
+  /** Fold every streaming delta segment with id < `upTo` into the
+    * standing table and drop the segment dirs: for any batch ≥ `upTo`,
+    * [[readWithDeltasBefore]] sees the identical row set before and after.
+    * `upTo` must not exceed the checkpoint's committed watermark (folding
+    * a segment an uncommitted batch might replay would change what that
+    * replay reads). Offline maintenance — run between batches; a crash
+    * between the append and the segment delete leaves duplicated rows, so
+    * rerun-after-crash callers need the read-side-distinct tables
+    * (digests) or a fresh [[compactTable]]-style rewrite. */
+  def foldDeltas(s: SparkSession, root: String, upTo: Long): Boolean = {
+    val segs = deltaSegmentIds(s, root).filter(_ < upTo)
+    if (segs.isEmpty) false
+    else {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      s.read.parquet(segs.map(v => s"$root/_delta/b=$v"): _*)
+        .write.mode("append").parquet(root)
+      segs.foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/_delta/b=$v"), true))
+      true
+    }
+  }
+
+  /** Re-freeze the prefix dictionary: recompute document frequencies from
+    * the full persisted set table and re-derive EVERY prefix under the new
+    * order — the periodic maintenance [[appendPrefix]]'s frozen-dictionary
+    * contract defers to. Appends between rebuilds blunt pruning sharpness
+    * (stale f means a no-longer-rare hash may sit in a prefix), never
+    * recall, so rebuild cadence is a cost knob, not a correctness one.
+    * After a rebuild the index is row-identical to [[buildPrefix]] run
+    * from scratch on the same corpus. */
+  def rebuildPrefix(s: SparkSession, root: String,
+      threshold: Double = Dedup.JaccardThreshold): Unit = {
+    val sets = s.read.parquet(s"$root/sets").cache()
+    sets.count() // freq + prefix derivations share the one set scan
+    Dedup.prefixFreqOf(sets)
+      .write.mode("overwrite").parquet(s"$root/freq")
+    Dedup.prefixesUnder(sets, s.read.parquet(s"$root/freq"), threshold)
+      .write.mode("overwrite").parquet(s"$root/prefixes")
+    sets.unpersist()
+    ()
+  }
+
   // --- ANN (IVF) standing index ---------------------------------------------
 
   /** The vector twin of the prefix index: a persisted IVF structure so ANN

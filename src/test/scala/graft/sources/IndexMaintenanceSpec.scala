@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.{Dedup, Tables}
+
+/** Physical index maintenance: compaction leaves every read view
+  * byte-identical while shrinking the file count, delta folding preserves
+  * the replay-safe streaming views, and the prefix-dictionary rebuild
+  * restores from-scratch sharpness without touching recall. */
+class IndexMaintenanceSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("compactTable: rows identical, file count collapses, threshold " +
+      "respected") {
+    val docs = Tables.documents(spark, dir)
+    val path = tmp("cmp-winnow") + "/fp"
+    IndexStore.buildWinnow(docs.filter(col("doc_id") % 4 === 0), path)
+    (1 to 3).foreach(i =>
+      IndexStore.appendWinnow(docs.filter(col("doc_id") % 4 === i), path))
+
+    val before = sortedRows(IndexStore.readWinnow(spark, path))
+    val filesBefore = IndexStore.parquetFileCount(spark, path)
+    // under threshold: no-op
+    assert(!IndexStore.compactTable(spark, path, maxFiles = filesBefore))
+    assert(IndexStore.parquetFileCount(spark, path) === filesBefore)
+    // over threshold: rewrite (build + 3 appends ≥ 4 files)
+    assert(filesBefore >= 4, s"fixture landed only $filesBefore files")
+    assert(IndexStore.compactTable(spark, path, maxFiles = filesBefore - 1,
+      targetFiles = 1))
+    val filesAfter = IndexStore.parquetFileCount(spark, path)
+    assert(filesAfter === 1, s"still $filesAfter files")
+    assert(sortedRows(IndexStore.readWinnow(spark, path)) === before)
+  }
+
+  test("compactTable preserves the streaming _delta subtree and its " +
+      "replay-safe views") {
+    val docs = Tables.documents(spark, dir).limit(100)
+    val path = tmp("cmp-delta") + "/digests"
+    IndexStore.buildCurationDigests(docs.filter(col("doc_id") % 2 === 0), path)
+    IndexStore.appendCurationDigests(docs.filter(col("doc_id") % 2 === 1), path)
+    IndexStore.appendCurationDigestsVersioned(
+      docs.filter(col("doc_id") < 10), path, batchId = 1L)
+
+    val viewBefore = sortedRows(IndexStore.readWithDeltasBefore(spark, path, 2L))
+    assert(IndexStore.compactTable(spark, path, maxFiles = 1, targetFiles = 1))
+    assert(IndexStore.deltaSegmentIds(spark, path) === Seq(1L),
+      "compaction must not touch _delta segments")
+    assert(sortedRows(IndexStore.readWithDeltasBefore(spark, path, 2L)) ===
+      viewBefore)
+  }
+
+  test("foldDeltas: views at or above the fold watermark are unchanged, " +
+      "segment dirs are gone") {
+    val docs = Tables.documents(spark, dir).limit(120)
+    val path = tmp("fold") + "/digests"
+    IndexStore.buildCurationDigests(docs.filter(col("doc_id") % 3 === 0), path)
+    IndexStore.appendCurationDigestsVersioned(
+      docs.filter(col("doc_id") % 3 === 1), path, batchId = 1L)
+    IndexStore.appendCurationDigestsVersioned(
+      docs.filter(col("doc_id") % 3 === 2), path, batchId = 2L)
+
+    val viewAt3 = sortedRows(IndexStore.readWithDeltasBefore(spark, path, 3L))
+    assert(IndexStore.foldDeltas(spark, path, upTo = 3L))
+    assert(IndexStore.deltaSegmentIds(spark, path).isEmpty)
+    assert(sortedRows(IndexStore.readWithDeltasBefore(spark, path, 3L)) ===
+      viewAt3)
+    // idempotent when nothing is left to fold
+    assert(!IndexStore.foldDeltas(spark, path, upTo = 3L))
+  }
+
+  test("compactPostings: merged dictionary view identical, segments " +
+      "collapse to one") {
+    val docs = Tables.documents(spark, dir)
+    val path = tmp("cmp-post") + "/seg"
+    IndexStore.buildPostings(docs.filter(col("doc_id") % 3 === 0), path)
+    IndexStore.appendPostings(docs.filter(col("doc_id") % 3 === 1), path)
+    IndexStore.appendPostings(docs.filter(col("doc_id") % 3 === 2), path)
+
+    def view = IndexStore.mergePostings(IndexStore.readPostings(spark, path))
+      .select(col("token"), col("df_docs"), concat_ws("|", col("postings")))
+    val before = sortedRows(view)
+    val filesBefore = IndexStore.parquetFileCount(spark, path)
+    IndexStore.compactPostings(spark, path, targetFiles = 1)
+    assert(IndexStore.parquetFileCount(spark, path) < filesBefore)
+    assert(sortedRows(view) === before)
+  }
+
+  test("rebuildPrefix: index row-identical to a from-scratch build, probe " +
+      "results (exact recall) unchanged by append-then-rebuild") {
+    val docs = Tables.documents(spark, dir)
+    val standing = docs.filter(col("doc_id") % 5 =!= 0)
+    val late = docs.filter(col("doc_id") % 5 === 0)
+    val probe = docs.filter(col("doc_id") % 7 === 3).limit(30)
+
+    val inc = tmp("pfx-inc")
+    IndexStore.buildPrefix(standing, inc)
+    IndexStore.appendPrefix(late, inc) // stale-dictionary prefixes
+    val probeStale = sortedRows(
+      Dedup.prefixProbe(probe, IndexStore.readPrefix(spark, inc)))
+
+    IndexStore.rebuildPrefix(spark, inc)
+    val full = tmp("pfx-full")
+    IndexStore.buildPrefix(docs, full)
+
+    val a = IndexStore.readPrefix(spark, inc)
+    val b = IndexStore.readPrefix(spark, full)
+    assert(sortedRows(a.freq) === sortedRows(b.freq))
+    assert(sortedRows(a.prefixes) === sortedRows(b.prefixes))
+    // recall is dictionary-independent: stale and rebuilt probes agree
+    assert(sortedRows(Dedup.prefixProbe(probe, a)) === probeStale)
+  }
+}
