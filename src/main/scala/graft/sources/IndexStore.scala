@@ -287,6 +287,32 @@ object IndexStore {
       prefixes = s.read.parquet(s"$root/prefixes"),
       sets = s.read.parquet(s"$root/sets"))
 
+  /** Batch-keyed variant of [[appendPrefix]] for the streaming
+    * exact-recall intake sink: the delta's sets + prefixes (derived under
+    * the FROZEN dictionary) land as overwritten `b=<batchId>` segments, so
+    * a crash-replayed micro-batch rewrites identical bytes. The frozen
+    * `freq` dictionary is never written by a batch — only
+    * [[rebuildPrefix]] maintenance touches it. */
+  def appendPrefixVersioned(deltaDocs: DataFrame, root: String,
+      batchId: Long, threshold: Double = Dedup.JaccardThreshold): DataFrame = {
+    val s = deltaDocs.sparkSession
+    val sets = Dedup.prefixSetsOf(deltaDocs).cache()
+    sets.count()
+    val pre = Dedup.prefixesUnder(sets, s.read.parquet(s"$root/freq"),
+      threshold)
+    writeDeltaSegment(sets, s"$root/sets", batchId)
+    writeDeltaSegment(pre, s"$root/prefixes", batchId)
+    sets.unpersist()
+    pre
+  }
+
+  /** Replay-safe prefix-index read for micro-batch `beforeId`. */
+  def readPrefixBefore(s: SparkSession, root: String,
+      beforeId: Long): PrefixIndex = PrefixIndex(
+    freq = s.read.parquet(s"$root/freq"),
+    prefixes = readWithDeltasBefore(s, s"$root/prefixes", beforeId),
+    sets = readWithDeltasBefore(s, s"$root/sets", beforeId))
+
   // --- physical maintenance (compaction, segment folding, rebuild) ----------
   //
   // Append-only maintenance is O(delta) in WORK but accumulates FILES: each

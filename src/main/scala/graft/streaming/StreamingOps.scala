@@ -450,6 +450,45 @@ object StreamingOps {
       }
       .start()
 
+  /** Exact-recall streaming intake — the prefix-join twin of
+    * [[triageSink]]: each micro-batch probes the persisted PREFIX index
+    * ([[graft.ops.Dedup.prefixProbe]] — lossless candidates, exact
+    * Jaccard verify, no banding probability) and then appends its own
+    * sets + prefixes under the FROZEN dictionary inside the same
+    * foreachBatch, so batch N+1 exact-dedups against everything through
+    * batch N. Emitted pairs are (standing doc_a, batch doc_b, jaccard).
+    *
+    * Same exactly-once recipe as the other sinks: the probe reads index
+    * segments with id < batchId only and both writes are
+    * `b=<batchId>`-keyed overwrites — a crash-replay recomputes identical
+    * pairs and rewrites the same bytes. The dictionary stays frozen
+    * across batches (stale df blunts pruning, never recall), refreshed
+    * only by [[graft.sources.IndexStore.rebuildPrefix]] maintenance. */
+  def prefixIntakeSink(incoming: DataFrame, indexRoot: String,
+      pairsPath: String)(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        prefixIntakeBatch(batch, batchId, indexRoot, pairsPath)
+      }
+      .start()
+
+  /** One [[prefixIntakeSink]] micro-batch — exposed for the replay spec. */
+  def prefixIntakeBatch(batch: DataFrame, batchId: Long, indexRoot: String,
+      pairsPath: String): Unit = {
+    import graft.sources.IndexStore
+    val s = batch.sparkSession
+    val idx = IndexStore.readPrefixBefore(s, indexRoot, batchId)
+    // prefixProbe materializes its pairs (localCheckpoint) before return,
+    // so the index append below can't change what the write sees
+    val pairs = graft.ops.Dedup.prefixProbe(batch, idx)
+    pairs.write.mode("overwrite").parquet(s"$pairsPath/b=$batchId")
+    IndexStore.appendPrefixVersioned(batch, indexRoot, batchId)
+    ()
+  }
+
   /** One [[triageSink]] micro-batch — exposed for the replay spec. */
   def triageBatch(batch: DataFrame, batchId: Long, indexRoot: String,
       verdictPath: String): Unit = {

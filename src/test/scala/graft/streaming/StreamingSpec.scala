@@ -467,6 +467,42 @@ class StreamingSpec extends SparkSpec {
     assert(v2(9601L) === "exact")
   }
 
+  test("streaming prefix intake: exact-recall cross-batch pairs, crash-" +
+      "replay rewrites identical pairs, frozen dictionary untouched") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val base = java.nio.file.Files.createTempDirectory("pfx-stream").toString
+    val idx = s"$base/idx"
+    val pairsPath = s"$base/pairs"
+    def toks(p: String, n: Int = 40) = (1 to n).map(i => s"$p$i")
+    val t1 = toks("ptok").mkString(" ")
+    val t2 = (toks("ptok").dropRight(2) ++ Seq("chgA", "chgB")).mkString(" ")
+    val t3 = toks("qtok").mkString(" ")
+    val t4 = (toks("qtok").dropRight(2) ++ Seq("chgC", "chgD")).mkString(" ")
+    IndexStore.buildPrefix(
+      Seq((100L, t1), (101L, toks("ztok").mkString(" "))).toDF("doc_id", "text"),
+      idx)
+    val freqBefore = spark.read.parquet(s"$idx/freq").count()
+
+    val batch1 = Seq((200L, t2), (201L, t3)).toDF("doc_id", "text")
+    StreamingOps.prefixIntakeBatch(batch1, 1L, idx, pairsPath)
+    def pairs = spark.read.parquet(pairsPath)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(pairs === Seq((100L, 200L)), "standing near-dup found, novel not")
+    // full-completion crash replay: b=1 segments HAVE landed; the probe
+    // must not see them (else 201 would pair with itself via sets) and the
+    // pair write must overwrite, not duplicate
+    StreamingOps.prefixIntakeBatch(batch1, 1L, idx, pairsPath)
+    assert(pairs === Seq((100L, 200L)), "replay rewrote identical pairs")
+    // batch 2's near-dup of batch 1's NOVEL doc: caught via the b=1
+    // segments — the in-loop append is what makes recall cross-batch
+    StreamingOps.prefixIntakeBatch(Seq((300L, t4)).toDF("doc_id", "text"),
+      2L, idx, pairsPath)
+    assert(pairs === Seq((100L, 200L), (201L, 300L)))
+    // batches never rewrite the frozen dictionary
+    assert(spark.read.parquet(s"$idx/freq").count() === freqBefore)
+  }
+
   test("streaming triage sink: exact AND near duplicates of earlier batches " +
       "are caught via the index appends inside the loop") {
     implicit val sql = spark.sqlContext
