@@ -2557,6 +2557,11 @@ object OracleSql {
         "ann_ivf_indexed" -> ivfOracle(cs)) ++
       Similarity.fittedIvfPq.map { case (cs, cbs) =>
         "ann_ivfpq" -> ivfpqOracle(cs, cbs) } ++
+      // the indexed probe replays under the INDEX's frozen quantizers —
+      // assignment + encode are pure functions of the vector given those,
+      // so recomputing them from the embeddings table IS the index
+      Similarity.fittedIvfPqIndex.map { case (cs, cbs) =>
+        "ann_ivfpq_indexed" -> ivfpqOracle(cs, cbs) } ++
       Similarity.fittedSemCentroids.map(cs => "emb_semdedup" -> semOracle(cs)) ++
       Similarity.fittedPqCodebooks.map(cb => "ann_pq" -> pqOracle(cb)) ++
       graft.ops.EmbeddingStats.fittedPca.map { case (m, c, o) =>

@@ -199,6 +199,7 @@ object SparkEntry {
     "ann_ivf_indexed" -> ((s: SparkSession, d: String) => Similarity.ivfTopKIndexed(s, d)),
     "ann_pq" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     "ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
+    "ann_ivfpq_indexed" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopKIndexed(s, d)),
     "emb_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineDupPairs(s, d)),
     "emb_dup_lsh" -> ((s: SparkSession, d: String) => Similarity.cosineDupLsh(s, d)),
     "emb_semdedup" -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),

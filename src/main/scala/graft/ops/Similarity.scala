@@ -66,6 +66,7 @@ object Similarity {
   @volatile private[graft] var fittedPqCodebooks: Option[IndexedSeq[Array[Array[Double]]]] = None
   @volatile private[graft] var fittedIvfIndexCentroids: Option[IndexedSeq[Array[Double]]] = None
   @volatile private[graft] var fittedIvfPq: Option[(IndexedSeq[Array[Double]], IndexedSeq[Array[Array[Double]]])] = None
+  @volatile private[graft] var fittedIvfPqIndex: Option[(IndexedSeq[Array[Double]], IndexedSeq[Array[Array[Double]]])] = None
 
   /** The centroid matrix as one literal array<array<double>> column. */
   private def matrixLit(centroids: IndexedSeq[Array[Double]]) =
@@ -339,13 +340,25 @@ object Similarity {
     * probe join gates the same rows); only the scan narrows. */
   private def ivfProbeTopK(assigned: DataFrame,
       centroidArrays: IndexedSeq[Array[Double]], k: Int, numQueries: Int,
+      nProbe: Int, pruneCells: Boolean = false): DataFrame =
+    ivfProbeQueries(
+      assigned.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"),
+          col("nrm").as("qn")),
+      assigned, centroidArrays, k, nProbe, pruneCells)
+
+  /** Flat-IVF probe of an EXPLICIT query frame `(q_id, qe, qn)` against an
+    * assigned cells frame under frozen centroids — the building block
+    * shared by the harness probes (queries drawn from the corpus) and the
+    * streaming vector intake sink (queries = the incoming micro-batch). */
+  private[graft] def ivfProbeQueries(q: DataFrame, assigned: DataFrame,
+      centroidArrays: IndexedSeq[Array[Double]], k: Int,
       nProbe: Int, pruneCells: Boolean = false): DataFrame = {
     val s = assigned.sparkSession
     import s.implicits._
+    graft.functions.VecDot.register(s)
     val centroids = centroidArrays.zipWithIndex
       .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
-    val q = assigned.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("dist2").asc, col("cell").asc)
     val probes = broadcast(q).crossJoin(broadcast(centroids))
@@ -789,5 +802,131 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
       .orderBy(col("q_id"), col("rnk"))
     Caching.materializeAndRelease(out, e)
+  }
+
+  /** Sub-vector slice columns `sub_0..sub_{m-1}` — the shared pre-pass for
+    * PQ codebook fits and encodes. A narrow codegen projection. */
+  private[graft] def withSubCols(df: DataFrame, m: Int = PqM): DataFrame = {
+    val subDim = Dim / m
+    (0 until m).foldLeft(df) { (d, j) =>
+      d.withColumn(s"sub_$j", slice(col("e"), j * subDim + 1, subDim))
+    }
+  }
+
+  /** Per-subspace PQ codebooks from a deterministic BOUNDED sample (~4k
+    * subvectors) — driver-side Lloyd, same rationale as [[pqTopK]]'s inline
+    * fit: codebooks are statistics of the distribution, so a distributed
+    * fit buys only job overhead. Used by the persisted standing index
+    * ([[graft.sources.IndexStore.buildAnn]]), where the result is FROZEN:
+    * appends and probes must encode under one codebook set, and staleness
+    * costs quantization sharpness (probe precision), never correctness. */
+  private[graft] def fitPqCodebooksOf(e: DataFrame, m: Int = PqM,
+      kCodes: Int = PqCodes): IndexedSeq[Array[Array[Double]]] = {
+    val withSubs = withSubCols(e.toDF(), m)
+    val step = math.max(1L, e.count() / 4000L)
+    val sampleRows = hashSample(withSubs, step, kCodes)
+      .select((0 until m).map(j => col(s"sub_$j")): _*).collect()
+    (0 until m).map { j =>
+      lloyd(sampleRows.map(_.getSeq[Double](j).toArray), kCodes, iters = 15,
+        seed = 42L + j)
+    }
+  }
+
+  /** PQ-encode an assigned frame `(vec_id, e, nrm, cell, …)` under FROZEN
+    * codebooks → `(vec_id, nrm, cell, code_0..code_{m-1})` via the fused
+    * native argmin — one byte of payload per subspace, the row shape the
+    * 100 TB ADC scan reads instead of full vectors. */
+  private[graft] def encodePq(assigned: DataFrame,
+      codebooks: IndexedSeq[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    graft.functions.VecArgmin.register(assigned.sparkSession)
+    withSubCols(assigned, m).select(
+      col("vec_id") +: col("nrm") +: col("cell") +:
+        (0 until m).map(j =>
+          call_function("argmin_cells", col(s"sub_$j"),
+            matrixLit(codebooks(j).toIndexedSeq)).as(s"code_$j")): _*)
+  }
+
+  /** [[ivfPqTopK]] probing the PERSISTED standing index
+    * ([[graft.sources.IndexStore.standingAnnPq]]) — the full
+    * index-once-probe-forever form of the billion-vector recipe: centroids
+    * AND codebooks were frozen at build time, every vector's cell + codes
+    * are already materialized in cell-partitioned parquet, so the query
+    * fits nothing and touches no full vectors until rerank. The probed
+    * cell set is collected (≤ numQueries·nProbe ints) and pushed as a
+    * static IN filter, so partition pruning reads only the probed
+    * inverted lists of the CODES table (~N·nProbe/nCells one-byte-code
+    * rows); the rerank join reads full vectors for ~rerank rows/query from
+    * the cells table. Deterministic given the stored quantizers → the
+    * literal-replay oracle hash-checks the whole chain. */
+  def ivfPqTopKIndexed(s: SparkSession, dir: String, k: Int = AnnK,
+      numQueries: Int = AnnQueries, nProbe: Int = IvfProbe,
+      rerank: Int = PqRerank): DataFrame = {
+    val (cs, cbs, codes, cells) = graft.sources.IndexStore.standingAnnPq(s, dir)
+    fittedIvfPqIndex = Some((cs, cbs))
+    graft.functions.VecDot.register(s)
+    val m = cbs.length
+    val kCodes = cbs.head.length
+    import s.implicits._
+    val centroids = cs.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+
+    // query side: full vectors from the cells table; LUT_j[c] = dot(sub_j,
+    // codebook_{j,c}) materialized only for the numQueries rows
+    def centroidLit(j: Int, c: Int) =
+      array(cbs(j)(c).map(v => lit(v)): _*)
+    val qWithCbs = (0 until m).foldLeft(
+        withSubCols(cells.filter(col("vec_id") < numQueries), m)) { (df, j) =>
+      (0 until kCodes).foldLeft(df) { (d, c) =>
+        d.withColumn(s"cb_${j}_$c", centroidLit(j, c))
+      }
+    }
+    val qLut = qWithCbs
+      .select(col("vec_id").as("q_id") +: col("e").as("qe") +:
+        col("nrm").as("qn") +:
+        (0 until m).map { j =>
+          array((0 until kCodes).map(c =>
+            expr(s"vec_dot(sub_$j, cb_${j}_$c)")): _*).as(s"lut_$j")
+        }: _*)
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist2").asc, col("cell").asc)
+    val probes = broadcast(qLut).crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        expr("vec_dot(qe, qe) - 2 * vec_dot(qe, centroid) + vec_dot(centroid, centroid)"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .drop("centroid", "dist2", "pr")
+
+    // static probed-cell set → parquet PARTITION pruning on codes
+    val probed = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ numQueries × nProbe values
+    val gated = codes.filter(col("cell").isin(probed: _*))
+
+    val adc = (0 until m).map(j =>
+      element_at(col(s"lut_$j"), col(s"code_$j") + 1)).reduce(_ + _)
+    val wPq = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_sim").desc, col("c_id").asc)
+    val cands = broadcast(probes)
+      .join(gated.withColumnRenamed("vec_id", "c_id")
+        .withColumnRenamed("nrm", "cn"), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("adc_sim", adc / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("pq_rnk", row_number().over(wPq))
+      .filter(col("pq_rnk") <= rerank)
+      .select(col("q_id"), col("qe"), col("qn"), col("c_id"))
+
+    // exact rerank of the surviving ~rerank rows per query, full vectors
+    // fetched from the cells table only here
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    cands
+      .join(cells.select(col("vec_id").as("c_id"), col("e").as("ce"),
+        col("nrm").as("cn")), "c_id")
+      .withColumn("sim", round(
+        expr("vec_dot(qe, ce)") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+      .orderBy(col("q_id"), col("rnk"))
   }
 }

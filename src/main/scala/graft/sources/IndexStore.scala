@@ -457,12 +457,20 @@ object IndexStore {
     *   - `root/cells`: (vec_id, e, nrm) PARTITIONED BY cell — the inverted
     *     lists. A probe's `cell IN (probed)` filter is partition pruning:
     *     only ~nProbe/nCells of the corpus bytes are read.
+    *   - `root/codebooks`: the frozen per-subspace PQ codebooks
+    *     (sub, code, centroid) — m·kCodes rows, driver-small.
+    *   - `root/codes`: (vec_id, nrm, code_0..code_{m-1}) PARTITIONED BY
+    *     cell — the compressed scan path. An IVF+PQ probe prunes to the
+    *     probed cells' CODE partitions (one byte per subspace per vector)
+    *     and only the ~rerank survivors per query touch `cells`.
     *
-    * Appends assign ONLY the delta under the frozen centroids — O(delta),
-    * the standing corpus is never an input (spec-asserted via
+    * Appends assign + encode ONLY the delta under the frozen quantizers —
+    * O(delta), the standing corpus is never an input (spec-asserted via
     * `inputFiles`, like the text indexes). */
   def buildAnn(embRaw: DataFrame, root: String,
-      nCells: Int = graft.ops.Similarity.IvfCells): Unit = {
+      nCells: Int = graft.ops.Similarity.IvfCells,
+      m: Int = graft.ops.Similarity.PqM,
+      kCodes: Int = graft.ops.Similarity.PqCodes): Unit = {
     val s = embRaw.sparkSession
     import s.implicits._
     val e = graft.ops.Similarity.embeddedOf(embRaw).cache()
@@ -470,21 +478,31 @@ object IndexStore {
     cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
-    graft.ops.Similarity.assignCells(e, cs)
+    val assigned = graft.ops.Similarity.assignCells(e, cs)
       .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$root/cells")
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(s"$root/cells")
+    val cbs = graft.ops.Similarity.fitPqCodebooksOf(e, m, kCodes)
+    cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
+    graft.ops.Similarity.encodePq(assigned, cbs)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$root/codes")
     e.unpersist()
   }
 
-  /** Assign ONLY the delta vectors under the FROZEN stored centroids and
-    * append their inverted-list rows — O(delta). Returns the appended
-    * frame for input-file assertions. */
+  /** Assign + PQ-encode ONLY the delta vectors under the FROZEN stored
+    * quantizers and append their inverted-list + code rows — O(delta).
+    * Returns the appended cells frame for input-file assertions. */
   def appendAnn(deltaRaw: DataFrame, root: String): DataFrame = {
-    val cs = readAnnCentroids(deltaRaw.sparkSession, root)
+    val s = deltaRaw.sparkSession
+    val cs = readAnnCentroids(s, root)
     val assigned = graft.ops.Similarity
       .assignCells(graft.ops.Similarity.embeddedOf(deltaRaw), cs)
       .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
     assigned.write.partitionBy("cell").mode("append").parquet(s"$root/cells")
+    graft.ops.Similarity.encodePq(assigned, readAnnCodebooks(s, root))
+      .write.partitionBy("cell").mode("append").parquet(s"$root/codes")
     assigned
   }
 
@@ -500,6 +518,53 @@ object IndexStore {
     s.read.parquet(s"$root/cells")
       .select(col("vec_id"), col("e"), col("nrm"),
         col("cell").cast("int").as("cell"))
+
+  /** Batch-keyed ANN append for the streaming vector intake sink: assign +
+    * PQ-encode the batch under the FROZEN stored quantizers, written as
+    * `b=<batchId>` overwrite segments next to the base cells/codes tables —
+    * crash-replay rewrites identical bytes (assignment and encode are pure
+    * functions of the vector given the frozen quantizers). Returns the
+    * assigned segment frame for input-file assertions. */
+  def appendAnnVersioned(deltaRaw: DataFrame, root: String,
+      batchId: Long): DataFrame = {
+    val s = deltaRaw.sparkSession
+    val cs = readAnnCentroids(s, root)
+    val assigned = graft.ops.Similarity
+      .assignCells(graft.ops.Similarity.embeddedOf(deltaRaw), cs)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell")).cache()
+    assigned.count()
+    writeDeltaSegment(assigned, s"$root/cells", batchId)
+    writeDeltaSegment(
+      graft.ops.Similarity.encodePq(assigned, readAnnCodebooks(s, root)),
+      s"$root/codes", batchId)
+    assigned.unpersist()
+    assigned
+  }
+
+  /** Replay-safe cells read for micro-batch `beforeId`: base partitions
+    * plus every `b < beforeId` delta segment. */
+  def readAnnCellsBefore(s: SparkSession, root: String,
+      beforeId: Long): DataFrame =
+    readWithDeltasBefore(s, s"$root/cells", beforeId)
+      .select(col("vec_id"), col("e"), col("nrm"),
+        col("cell").cast("int").as("cell"))
+
+  /** The frozen PQ codebooks — codebooks(j)(c) = subspace-j centroid c. */
+  def readAnnCodebooks(s: SparkSession,
+      root: String): IndexedSeq[Array[Array[Double]]] =
+    s.read.parquet(s"$root/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map { case (_, g) => g.sortBy(_._2).map(_._3).toArray }
+
+  /** The cell-partitioned PQ codes (vec_id, nrm, cell, code_0..). */
+  def readAnnCodes(s: SparkSession, root: String): DataFrame = {
+    val df = s.read.parquet(s"$root/codes")
+    val codeCols = df.columns.filter(_.startsWith("code_"))
+      .sortBy(_.stripPrefix("code_").toInt)
+    df.select(col("vec_id") +: col("nrm") +:
+      col("cell").cast("int").as("cell") +: codeCols.map(col): _*)
+  }
 
   // --- harness fixtures ------------------------------------------------------
 
@@ -566,15 +631,29 @@ object IndexStore {
     * deployment's would). Returns (frozen centroids, cells). */
   def standingAnnIndex(s: SparkSession,
       dir: String): (IndexedSeq[Array[Double]], DataFrame) = {
-    val root = builtRoots.computeIfAbsent(s"ann:$dir", _ => {
+    val root = annRoot(s, dir)
+    (readAnnCentroids(s, root), readAnnCells(s, root))
+  }
+
+  /** The SAME standing index exposed through its PQ layer: (frozen
+    * centroids, frozen codebooks, cell-partitioned codes, cell-partitioned
+    * full-vector lists). One corpus index serves flat-IVF probes
+    * ([[standingAnnIndex]]) and IVF+PQ probes — the deployment shape. */
+  def standingAnnPq(s: SparkSession, dir: String): (IndexedSeq[Array[Double]],
+      IndexedSeq[Array[Array[Double]]], DataFrame, DataFrame) = {
+    val root = annRoot(s, dir)
+    (readAnnCentroids(s, root), readAnnCodebooks(s, root),
+      readAnnCodes(s, root), readAnnCells(s, root))
+  }
+
+  private def annRoot(s: SparkSession, dir: String): String =
+    builtRoots.computeIfAbsent(s"ann:$dir", _ => {
       val (inc, ex) = annDeltaSplit(Tables.embeddings(s, dir))
       val p = rootFor(s, "ann", dir)
       buildAnn(ex, p)
       appendAnn(inc, p)
       p
     })
-    (readAnnCentroids(s, root), readAnnCells(s, root))
-  }
 
   /** The persisted standing dedup index for `dir` (memoized build). */
   def standingDedupIndex(s: SparkSession, dir: String): DedupIndex = {

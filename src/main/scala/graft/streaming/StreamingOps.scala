@@ -489,6 +489,51 @@ object StreamingOps {
     ()
   }
 
+  /** Streaming vector intake over the persisted ANN standing index — the
+    * vector twin of [[prefixIntakeSink]]: each micro-batch of embeddings
+    * first PROBES the index for its top-k nearest standing neighbors
+    * (flat-IVF gate under the index's FROZEN centroids — the arriving-data
+    * shape of similarity triage: near-dup flagging, semantic routing),
+    * then appends its own cell + PQ-code rows inside the same
+    * foreachBatch, so batch N+1 probes against everything through batch N.
+    *
+    * Same exactly-once recipe as the other intake sinks: the probe reads
+    * cells segments with id < batchId only, neighbor output and index
+    * segments are `b=<batchId>`-keyed overwrites — a crash-replay
+    * recomputes identical rows and rewrites the same bytes. Quantizers
+    * stay frozen across batches (stale centroids cost cell balance, never
+    * correctness); periodic re-fits are offline maintenance, like
+    * [[graft.sources.IndexStore.rebuildPrefix]]. */
+  def annIntakeSink(incoming: DataFrame, indexRoot: String,
+      neighborsPath: String)(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        annIntakeBatch(batch, batchId, indexRoot, neighborsPath)
+      }
+      .start()
+
+  /** One [[annIntakeSink]] micro-batch — exposed for the replay spec. */
+  def annIntakeBatch(batch: DataFrame, batchId: Long, indexRoot: String,
+      neighborsPath: String): Unit = {
+    import graft.sources.IndexStore
+    val s = batch.sparkSession
+    val cs = IndexStore.readAnnCentroids(s, indexRoot)
+    val standing = IndexStore.readAnnCellsBefore(s, indexRoot, batchId)
+    val q = graft.ops.Similarity.embeddedOf(batch)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("nrm").as("qn"))
+    val neighbors = graft.ops.Similarity
+      .ivfProbeQueries(q, standing, cs, graft.ops.Similarity.AnnK,
+        graft.ops.Similarity.IvfProbe, pruneCells = true)
+    // materialize before the index append below can extend the cells view
+    neighbors.write.mode("overwrite").parquet(s"$neighborsPath/b=$batchId")
+    IndexStore.appendAnnVersioned(batch, indexRoot, batchId)
+    ()
+  }
+
   /** One [[triageSink]] micro-batch — exposed for the replay spec. */
   def triageBatch(batch: DataFrame, batchId: Long, indexRoot: String,
       verdictPath: String): Unit = {

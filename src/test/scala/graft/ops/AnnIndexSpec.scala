@@ -100,6 +100,43 @@ class AnnIndexSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
   }
 
+  test("append-maintained PQ codes equal frozen-quantizer encode over the " +
+      "full corpus (build-then-append loses nothing in the codes table)") {
+    val emb = Tables.embeddings(spark, dir)
+    val root = tmp("ann-idx-pq")
+    IndexStore.buildAnn(emb.filter(col("vec_id") % 5 =!= 0), root)
+    IndexStore.appendAnn(emb.filter(col("vec_id") % 5 === 0), root)
+
+    val cs = IndexStore.readAnnCentroids(spark, root)
+    val cbs = IndexStore.readAnnCodebooks(spark, root)
+    assert(cbs.length === Similarity.PqM)
+    assert(cbs.forall(_.length === Similarity.PqCodes))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1).toList).toMap
+    val fromIndex = keyed(IndexStore.readAnnCodes(spark, root)
+      .select(col("vec_id") +: (0 until Similarity.PqM)
+        .map(j => col(s"code_$j")): _*))
+    val direct = keyed(Similarity.encodePq(
+        Similarity.assignCells(Similarity.embeddedOf(emb), cs), cbs)
+      .select(col("vec_id") +: (0 until Similarity.PqM)
+        .map(j => col(s"code_$j")): _*))
+    assert(fromIndex === direct)
+    assert(fromIndex.size === emb.count())
+  }
+
+  test("indexed IVF+PQ probe: exact-rerank scores agree with brute force, " +
+      "recall holds, deterministic across probes") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val exact = keyed(Similarity.bruteForceTopK(spark, dir).collect())
+    val a = keyed(Similarity.ivfPqTopKIndexed(spark, dir).collect())
+    a.foreach { case (k, sim) =>
+      exact.get(k).foreach(es => assert(es === sim, s"score drift at $k")) }
+    val recall = a.keySet.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.25, s"indexed IVF+PQ recall@5: $recall")
+    assert(keyed(Similarity.ivfPqTopKIndexed(spark, dir).collect()) === a)
+  }
+
   test("IVF+PQ: exact-rerank scores agree with brute force, recall holds, " +
       "deterministic") {
     def keyed(rows: Array[org.apache.spark.sql.Row]) =

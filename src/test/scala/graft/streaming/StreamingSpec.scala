@@ -503,6 +503,48 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/freq").count() === freqBefore)
   }
 
+  test("streaming ANN intake: incoming vectors probe the standing index, " +
+      "cross-batch recall via in-loop appends, crash-replay idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.IndexStore
+    val base = java.nio.file.Files.createTempDirectory("ann-stream").toString
+    val idx = s"$base/idx"
+    val nbrs = s"$base/nbrs"
+    val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    IndexStore.buildAnn(emb.filter($"vec_id" < 300), idx)
+
+    val b1 = emb.filter($"vec_id" >= 300 && $"vec_id" < 320)
+    StreamingOps.annIntakeBatch(b1.toDF(), 1L, idx, nbrs)
+    def nbrRows(b: Long) = spark.read.parquet(s"$nbrs/b=$b")
+      .select($"q_id", $"rnk", $"c_id", $"sim").collect()
+    val n1 = nbrRows(1L)
+    assert(n1.map(_.getLong(0)).distinct.length === 20)
+    assert(n1.forall(r => r.getLong(2) < 300),
+      "batch 1 probes only the standing corpus (its own segment is b=1)")
+    // full-completion crash replay: segments landed, but the probe reads
+    // b < 1 only and both writes overwrite — identical bytes, no growth
+    StreamingOps.annIntakeBatch(b1.toDF(), 1L, idx, nbrs)
+    assert(nbrRows(1L).map(_.toString).sorted.toSeq ===
+      n1.map(_.toString).sorted.toSeq)
+    assert(IndexStore.readAnnCellsBefore(spark, idx, 2L).count() === 320)
+
+    // batch 2 = exact copies of batch 1's vectors under new ids: the twin
+    // appended by batch 1 must surface at cosine 1.0 — cross-batch recall
+    // exists only because appends happen inside the micro-batch
+    val b2 = b1.select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    StreamingOps.annIntakeBatch(b2.toDF(), 2L, idx, nbrs)
+    val byQ = nbrRows(2L).groupBy(_.getLong(0))
+    assert(byQ.size === 20)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.exists(r => r.getLong(2) === q - 1000L &&
+        r.getDouble(3) === 1.0), s"twin of $q not found at sim 1.0")
+    }
+    // the PQ code segments follow the same versioned lifecycle
+    assert(IndexStore.readWithDeltasBefore(spark, s"$idx/codes", 3L)
+      .count() === 340)
+  }
+
   test("streaming triage sink: exact AND near duplicates of earlier batches " +
       "are caught via the index appends inside the loop") {
     implicit val sql = spark.sqlContext
