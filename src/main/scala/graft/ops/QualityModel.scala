@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   */
 object QualityModel {
 
-  val Iters = 12
+  // 8 rounds: the loss trajectory has flattened well before this (spec
+  // asserts descent + ≥0.8 label accuracy), and each round is a full scan
+  // of the cached feature frame — iterations are the query's cost driver.
+  val Iters = 8
   val Lr = 0.5
   val NumFeatures = 6
 
