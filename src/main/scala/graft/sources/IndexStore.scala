@@ -519,6 +519,54 @@ object IndexStore {
       .select(col("vec_id"), col("e"), col("nrm"),
         col("cell").cast("int").as("cell"))
 
+  /** ANN variant of [[foldDeltas]]: the base cells/codes tables are
+    * PARTITIONED BY cell, so folded rows must land through partitionBy
+    * appends (a plain root append would mix flat files into a partitioned
+    * layout). Same watermark + crash caveats as [[foldDeltas]]; read views
+    * ([[readAnnCellsBefore]] and the codes twin) see identical row sets
+    * before and after, and partition pruning now covers the folded rows. */
+  def foldAnnDeltas(s: SparkSession, root: String, upTo: Long): Boolean = {
+    var any = false
+    Seq("cells", "codes").foreach { t =>
+      val path = s"$root/$t"
+      val segs = deltaSegmentIds(s, path).filter(_ < upTo)
+      if (segs.nonEmpty) {
+        any = true
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        s.read.parquet(segs.map(v => s"$path/_delta/b=$v"): _*)
+          .write.partitionBy("cell").mode("append").parquet(path)
+        segs.foreach(v => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$path/_delta/b=$v"), true))
+      }
+    }
+    any
+  }
+
+  /** Re-freeze the ANN quantizers: fold outstanding delta segments, then
+    * re-fit coarse centroids AND PQ codebooks over the full persisted
+    * corpus and re-assign + re-encode every vector — the periodic
+    * maintenance the frozen-quantizer contract defers to (the vector twin
+    * of [[rebuildPrefix]]). Appends between rebuilds cost cell balance and
+    * quantization sharpness (probe cost/precision), never correctness.
+    * Offline-only: folds at Long.MaxValue, so never run while a streaming
+    * intake checkpoint could still replay a batch. The corpus is staged to
+    * a side directory first because [[buildAnn]] overwrites the very cells
+    * table it would otherwise still be reading from. */
+  def rebuildAnn(s: SparkSession, root: String,
+      nCells: Int = graft.ops.Similarity.IvfCells,
+      m: Int = graft.ops.Similarity.PqM,
+      kCodes: Int = graft.ops.Similarity.PqCodes): Unit = {
+    foldAnnDeltas(s, root, Long.MaxValue)
+    val staging = s"$root/_rebuild_src"
+    readAnnCells(s, root).select(col("vec_id"), col("e").as("embedding"))
+      .write.mode("overwrite").parquet(staging)
+    buildAnn(s.read.parquet(staging), root, nCells, m, kCodes)
+    val p = new org.apache.hadoop.fs.Path(staging)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
   /** Batch-keyed ANN append for the streaming vector intake sink: assign +
     * PQ-encode the batch under the FROZEN stored quantizers, written as
     * `b=<batchId>` overwrite segments next to the base cells/codes tables —

@@ -118,4 +118,64 @@ class IndexMaintenanceSpec extends SparkSpec {
     // recall is dictionary-independent: stale and rebuilt probes agree
     assert(sortedRows(Dedup.prefixProbe(probe, a)) === probeStale)
   }
+
+  test("foldAnnDeltas: read views identical, segments retired, folded rows " +
+      "land in cell partition dirs (pruning restored)") {
+    val emb = Tables.embeddings(spark, dir)
+    val root = tmp("ann-fold")
+    IndexStore.buildAnn(emb.filter(col("vec_id") < 300), root)
+    IndexStore.appendAnnVersioned(
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400), root, 1L)
+    IndexStore.appendAnnVersioned(emb.filter(col("vec_id") >= 400), root, 2L)
+
+    val cellsBefore = sortedRows(IndexStore.readAnnCellsBefore(spark, root, 3L))
+    val codesBefore = sortedRows(
+      IndexStore.readWithDeltasBefore(spark, s"$root/codes", 3L)
+        .select(col("vec_id"), col("cell").cast("int")))
+    assert(IndexStore.foldAnnDeltas(spark, root, 3L))
+    assert(IndexStore.deltaSegmentIds(spark, s"$root/cells").isEmpty)
+    assert(IndexStore.deltaSegmentIds(spark, s"$root/codes").isEmpty)
+    assert(sortedRows(IndexStore.readAnnCellsBefore(spark, root, 3L))
+      === cellsBefore)
+    assert(sortedRows(IndexStore.readAnnCodes(spark, root)
+      .select(col("vec_id"), col("cell"))) === codesBefore)
+    // second fold is a no-op
+    assert(!IndexStore.foldAnnDeltas(spark, root, 3L))
+  }
+
+  test("rebuildAnn: re-frozen quantizers cover the full corpus exactly " +
+      "once, and every stored cell/code matches direct assignment/encode " +
+      "under the new quantizers") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val root = tmp("ann-rebuild")
+    IndexStore.buildAnn(emb.filter(col("vec_id") < 250), root)
+    IndexStore.appendAnn(
+      emb.filter(col("vec_id") >= 250 && col("vec_id") < 350), root)
+    IndexStore.appendAnnVersioned(emb.filter(col("vec_id") >= 350), root, 1L)
+
+    IndexStore.rebuildAnn(spark, root)
+    val cs = IndexStore.readAnnCentroids(spark, root)
+    val cbs = IndexStore.readAnnCodebooks(spark, root)
+    val cells = IndexStore.readAnnCells(spark, root)
+    assert(cells.count() === emb.count(), "every vector exactly once")
+    assert(cells.select(col("vec_id")).distinct().count() === emb.count())
+    val stored = cells.select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val direct = Similarity.assignCells(Similarity.embeddedOf(emb), cs)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stored === direct, "cells must reflect the NEW frozen centroids")
+    def codeMap(df: DataFrame) = df
+      .select(col("vec_id") +: (0 until Similarity.PqM)
+        .map(j => col(s"code_$j")): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).toList).toMap
+    assert(codeMap(IndexStore.readAnnCodes(spark, root)) ===
+      codeMap(Similarity.encodePq(
+        Similarity.assignCells(Similarity.embeddedOf(emb), cs), cbs)),
+      "codes must reflect the NEW frozen codebooks")
+    // the staging snapshot is gone and no delta segments survive
+    assert(IndexStore.deltaSegmentIds(spark, s"$root/cells").isEmpty)
+    assert(!new java.io.File(s"$root/_rebuild_src").exists())
+  }
 }
