@@ -2124,6 +2124,7 @@ object OracleSql {
     "text_count_min" -> graft.ops.Sketches.countMinOracle,
     "q_hll_distinct" -> graft.ops.Sketches.hllOracle,
     "q_hll_rollup" -> graft.ops.Sketches.hllRollupOracle,
+    "q_quantile_sketch" -> graft.ops.Sketches.quantileSketchOracle(),
 
     // stupid-backoff trigram LM: counts replayed from the same hash-split
     // train slice; the CASE's alpha literals are the Scala-computed

@@ -136,6 +136,7 @@ object SparkEntry {
     "text_count_min" -> (Sketches.countMinProbes _),
     "q_hll_distinct" -> (Sketches.hllDistinct _),
     "q_hll_rollup" -> (Sketches.hllRollup _),
+    "q_quantile_sketch" -> ((s: SparkSession, d: String) => Sketches.quantileSketch(s, d)),
     "text_tfidf" -> ((s: SparkSession, d: String) => TermScoring.tfidfTopTerms(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => TermScoring.bm25(s, d)),
     "text_search" -> ((s: SparkSession, d: String) => TermScoring.searchConjunctive(s, d)),

@@ -190,4 +190,67 @@ object Sketches {
        |SELECT ex.source, ex.n_exact, ${hllEstimateSql("isum", "v")} AS hll_est
        |FROM ex JOIN e ON ex.source = e.source
        |ORDER BY ex.source""".stripMargin
+
+  val QsK = 512
+  val QsQuantiles: Seq[(String, Double)] =
+    Seq(("p50", 0.50), ("p90", 0.90), ("p99", 0.99))
+
+  /** Deterministic mergeable quantile sketch — the hash-checkable twin of
+    * `approx_percentile` (whose built-in Murmur digest is rows-only): a
+    * bottom-[[QsK]]-by-[[SharedHash]] sample is a pure function of the
+    * input SET (order/partition-free), kept by the bounded-state
+    * [[graft.functions.TopKBy]] aggregate — O(k) per partial buffer,
+    * map-side reduction, the value stream never corpus-sorts (the same
+    * trade KMV/bottom-k distinct sketches make). Order statistics of the
+    * sample estimate the quantiles; the DuckDB oracle replays sample AND
+    * estimator exactly, so the ESTIMATES are hash-checked end to end.
+    *
+    * Scale shape: one narrow aggregate scan → 512-entry state; a broadcast
+    * id join fetches sampled values; the rank window runs on 512 rows.
+    * Accuracy (±O(1/√k) quantile rank error) is spec-asserted against the
+    * exact percentiles, outside the correctness contract. */
+  def quantileSketch(s: SparkSession, dir: String, k: Int = QsK): DataFrame =
+    quantileSketchOf(Tables.events(s, dir), k)
+
+  /** Core of [[quantileSketch]] over any (event_id, value, …) frame. */
+  def quantileSketchOf(events: DataFrame, k: Int = QsK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val s = events.sparkSession
+    graft.functions.TopKBy.register(s)
+    val ev = events.select(col("event_id"), col("value"))
+    val h = SharedHash.spark48("cast(event_id AS string)")
+    // bottom-k by hash == topk_by of the NEGATED hash (48-bit hashes are
+    // exact in DOUBLE, so the double order IS the integer hash order);
+    // ties (hash collisions across distinct ids) break by tag = id ASC,
+    // mirroring the oracle's ORDER BY hash, event_id
+    val picked = ev
+      .select(expr(s"topk_by(CAST(-($h) AS DOUBLE), event_id, $k)").as("kept"))
+      .select(explode(col("kept")).as("e"))
+      .select(col("e.tag").as("event_id"))
+    val sample = broadcast(picked).join(ev, "event_id")
+    val w = Window.orderBy(col("value").asc, col("event_id").asc)
+    val ranked = sample
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    QsQuantiles.map { case (label, q) =>
+      ranked.filter(col("r") === ceil(lit(q) * col("n")))
+        .select(lit(label).as("q"), round(col("value"), 6).as("est"))
+    }.reduce(_ union _).orderBy(col("q"))
+  }
+
+  /** DuckDB twin of [[quantileSketch]]: identical sample (ORDER BY hash,
+    * id LIMIT k) and identical ceil(q·n) order-statistic estimator. */
+  def quantileSketchOracle(k: Int = QsK): String = {
+    val sels = QsQuantiles.map { case (label, q) =>
+      s"SELECT '$label' AS q, round(value, 6) AS est FROM r WHERE r = ceil($q * n)"
+    }.mkString("\n|", "\n|UNION ALL ", "")
+    s"""WITH s AS (SELECT event_id, value FROM events
+       |  ORDER BY ${SharedHash.duck48("cast(event_id AS VARCHAR)")} ASC, event_id ASC LIMIT $k),
+       |r AS (SELECT value, event_id,
+       |  row_number() OVER (ORDER BY value ASC, event_id ASC) AS r,
+       |  count(*) OVER () AS n FROM s)
+       |SELECT q, est FROM ($sels) ORDER BY q""".stripMargin
+  }
 }

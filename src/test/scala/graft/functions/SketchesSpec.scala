@@ -100,4 +100,31 @@ class SketchesSpec extends SparkSpec {
     assert(out.length === 30)
     out.foreach { case Row(_, n: Long, est: Long) => assert(est >= n) }
   }
+
+  test("quantile sketch: estimates land within the expected rank error of " +
+      "the exact quantiles, and the sample is partition-invariant") {
+    val ests = Sketches.quantileSketch(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ests.keySet === Sketches.QsQuantiles.map(_._1).toSet)
+    // rank of each estimate in the FULL value distribution must sit within
+    // ~4/sqrt(k) of the target quantile (bottom-k-by-hash is a uniform
+    // sample; 4σ at k=512 is ±0.177 — loose enough to be deterministic in
+    // effect while still catching a broken sample or estimator)
+    val values = graft.ops.Tables.events(spark, dir)
+      .select(col("value")).collect().map(_.getDouble(0)).sorted
+    val n = values.length.toDouble
+    val tol = 4.0 / math.sqrt(Sketches.QsK.toDouble)
+    Sketches.QsQuantiles.foreach { case (label, q) =>
+      val est = ests(label)
+      val rank = values.count(_ <= est) / n
+      assert(math.abs(rank - q) <= tol,
+        s"$label: estimate $est sits at rank $rank, target $q ± $tol")
+    }
+    // the kept sample is a pure function of the input SET: any partitioning
+    // (update/merge schedule) yields identical estimates
+    val ev = graft.ops.Tables.events(spark, dir)
+    def estsOf(parts: Int) = Sketches.quantileSketchOf(ev.repartition(parts))
+      .collect().map(_.toString).toSeq
+    assert(estsOf(1) === estsOf(13))
+  }
 }
