@@ -25,6 +25,38 @@ class RelationalSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
 
+  test("events.ts normalizes to identical epoch-nanos whether the parquet " +
+      "writes TIMESTAMP(MICROS) or BIGINT nanos (schema-drift tolerance)") {
+    // the round-7 testdata regeneration flipped the physical type under
+    // every event-time operator; Tables.events is the single choke point
+    // that absorbs either encoding
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ts-enc").toString
+    val rows = Seq((1L, 1700000000123456L), (2L, 1700000456789012L),
+      (3L, 915148800000001L)) // 1999: pre-epoch-2000 edge intact
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, us) =>
+        org.apache.spark.sql.Row(id, java.time.LocalDateTime.ofEpochSecond(
+          us / 1000000L, (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC))
+      }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampNTZType))))
+      .write.mode("overwrite").parquet(s"$base/micros/events.parquet")
+    rows.map { case (id, us) => (id, us * 1000L) }.toDF("event_id", "ts")
+      .write.parquet(s"$base/nanos/events.parquet")
+
+    def view(sub: String) = Tables.events(spark, s"$base/$sub")
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val micros = view("micros")
+    val nanos = view("nanos")
+    assert(micros === nanos, "both physical encodings must normalize alike")
+    assert(micros === rows.map { case (id, us) => id -> us * 1000L }.toMap)
+  }
+
   test("split counts partition the events table") {
     val counts = Relational.splitCounts(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
