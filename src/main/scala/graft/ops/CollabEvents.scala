@@ -15,18 +15,42 @@ import graft.collab.{Scoring, Training, Validation}
   */
 object CollabEvents {
 
-  /** events → typed ratings: int user, dense int product id per event_type
-    * (deterministic alphabetical indexing), double rating. */
+  /** Dense Int user index for ml.ALS: ALS hard-requires Int user/item
+    * columns, but warehouse-scale user ids are 64-bit — a raw `cast(...
+    * AS int)` silently works at small SF and OVERFLOWS past 2^31
+    * (surfaced by the ×10 ScaleUp replica, whose per-copy key offset
+    * produces ids like 6000000235). The production prep is id
+    * compaction: sort-distinct + zipWithIndex — fully distributed (no
+    * single-partition ranking window), deterministic (index = rank in
+    * user_id order), failing fast at ALS's 2^31 cardinality ceiling.
+    * Returns (user_id BIGINT, user INT). */
+  private[ops] def userIndex(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    val rdd = ev.select(col("user_id")).distinct().orderBy(col("user_id"))
+      .rdd.zipWithIndex.map { case (r, i) =>
+        require(i < Int.MaxValue, "ml.ALS caps distinct users at 2^31")
+        org.apache.spark.sql.Row(r.getLong(0), i.toInt)
+      }
+    s.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("user",
+        org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
+
+  /** events → typed ratings: dense int user id (via [[userIndex]] — the
+    * original 64-bit `user_id` rides along for output map-back), dense int
+    * product id per event_type (deterministic alphabetical indexing),
+    * double rating. */
   def ratingsFromEvents(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val typeIds = ev.select(col("event_type")).distinct()
       .withColumn("product",
         (row_number().over(Window.orderBy(col("event_type"))) - 1))
     ev.join(broadcast(typeIds), "event_type")
-      .select(col("event_id"),
-        col("user_id").cast("int").as("user"),
-        col("product"),
-        col("value").as("rating"))
+      .join(userIndex(ev), "user_id")
+      .select(col("event_id"), col("user"), col("user_id"),
+        col("product"), col("value").as("rating"))
   }
 
   /** Train on the I split, score the V split, return one summary row:
@@ -67,14 +91,17 @@ object CollabEvents {
     val train = ratings.filter(pmod(col("event_id"), lit(10)) < 8)
       .select("user", "product", "rating")
     val model = Training.train(train, maxIter = 10)
+    // dense ids exist only for the fit: map back to the 64-bit user_id
+    val ids = ratings.select(col("user"), col("user_id")).distinct()
     val out = model.recommendForAllUsers(k)
       .select(col("user"), posexplode(col("recommendations")))
-      .select(col("user"), (col("pos") + 1).cast("int").as("rnk"),
+      .join(ids, "user")
+      .select(col("user_id").as("user"),
+        (col("pos") + 1).cast("int").as("rnk"),
         col("col.product").as("product"),
         col("col.rating").cast("double").as("score"))
       .orderBy(col("user"), col("rnk"))
-    ratings.unpersist()
-    out
+    Caching.materializeAndRelease(out, ratings)
   }
 
   /** Flagship entry frame: scored validation pairs with actual + predicted
@@ -88,7 +115,11 @@ object CollabEvents {
     val model = Training.train(train, maxIter = 10)
     val scored = Scoring.predict(model,
       valid.select("user", "product").distinct())
+    val ids = ratings.select(col("user"), col("user_id")).distinct()
     Validation.joined(valid, scored.select("user", "product", "prediction"))
+      .join(ids, "user")
+      .select(col("user_id").as("user"), col("product"), col("rating"),
+        col("prediction"))
       .orderBy(col("user"), col("product"))
   }
 }

@@ -708,7 +708,7 @@ class CollabEventsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     val trainedProducts = CollabEvents.ratingsFromEvents(spark, dir)
       .select("product").distinct().collect().map(_.getInt(0)).toSet
-    rows.groupBy(_.getInt(0)).foreach { case (user, rs) =>
+    rows.groupBy(_.getLong(0)).foreach { case (user, rs) =>
       assert(rs.length === k, s"user $user should get exactly $k recs")
       val byRank = rs.sortBy(_.getInt(1))
       assert(byRank.map(_.getInt(1)).toSeq === (1 to k),
@@ -719,5 +719,23 @@ class CollabEventsSpec extends SparkSpec {
       rs.foreach(r => assert(trainedProducts.contains(r.getInt(2)),
         "recommended product must come from the trained catalog"))
     }
+  }
+
+  test("ALS user-id compaction: 64-bit user ids beyond Int range train " +
+      "and score (the raw int cast overflowed at the x10 scale replica)") {
+    // same shape ScaleUp produces: a copy of the events table with user
+    // ids offset past 2^31
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("als-wide").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    ev.withColumn("user_id", col("user_id") + lit(6000000000L))
+      .write.parquet(s"$base/events.parquet")
+    val row = CollabEvents.alsRmse(spark, base, maxIter = 2).head()
+    assert(!row.getDouble(0).isNaN && row.getDouble(0) >= 0.0)
+    assert(row.getLong(3) > 0, "wide-id pairs scored")
+    // outputs carry the ORIGINAL 64-bit ids, not the dense fit ids
+    val users = CollabEvents.ratingsFromEvents(spark, base)
+      .select(max(col("user_id"))).head().getLong(0)
+    assert(users > Int.MaxValue.toLong)
   }
 }
