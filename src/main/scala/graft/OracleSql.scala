@@ -271,7 +271,7 @@ object OracleSql {
 
     "q_join_revenue" ->
       """SELECT c_mktsegment,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS revenue_cents,
         | count(*) AS n_lines
         |FROM customer JOIN orders ON c_custkey = o_custkey
         | JOIN lineitem ON o_orderkey = l_orderkey

@@ -75,7 +75,12 @@ object Relational {
       .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
       .groupBy($"c_mktsegment")
       .agg(
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+        // float-sum rule (like starJoinRevenue): per-line discounted price
+        // floors into integral cents, so the BIGINT sum is exact and
+        // order-independent — a raw double sum rounded to 2 places
+        // diverged from DuckDB by one cent at the ×10 replica (6M lines)
+        sum(floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100)
+          .cast("bigint")).as("revenue_cents"),
         count(lit(1)).as("n_lines"))
       .orderBy($"c_mktsegment")
 
