@@ -333,7 +333,8 @@ object OracleSql {
     "q_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
         | coalesce(o_orderstatus, 'ALL') AS status,
-        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        | count(*) AS n,
+        | CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
 
@@ -486,8 +487,9 @@ object OracleSql {
     // the oracle is the PLAIN group-by: identical results prove the salted
     // two-phase shuffle layout is semantically transparent
     "q_salted_agg" ->
-      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total,
-        | round(round(sum(value), 2) / count(*), 4) AS mean
+      """SELECT user_id, count(*) AS n,
+        | round(CAST(sum(floor(value * 1e6)) AS BIGINT) / 1e6, 2) AS total,
+        | round(CAST(sum(floor(value * 1e6)) AS BIGINT) / (count(*) * 1e6), 4) AS mean
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // independent cross-check: binned range join vs DuckDB's native

@@ -190,10 +190,14 @@ object Relational {
   def cubeOrders(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .cube($"o_orderpriority", $"o_orderstatus")
-      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      // float-sum rule: integral cents sum exactly in BIGINT — the raw
+      // double sum rounded to 2 flipped its last digit vs DuckDB at the
+      // ×10 replica's 1.5M-row grand-total cell
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"o_totalprice" * 100).cast("bigint")).as("total_cents"))
       .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
         coalesce($"o_orderstatus", lit("ALL")).as("status"),
-        $"n", $"total")
+        $"n", $"total_cents")
       .orderBy($"priority", $"status")
 
   /** JSON extraction from the events props column (semi-structured path:

@@ -27,16 +27,19 @@ object Skew {
       uniqueCol: String, buckets: Int = 8): DataFrame = {
     val salted = df.withColumn("__salt",
       pmod(hash(col(uniqueCol)), lit(buckets)))
+    // float-sum rule: per-row micro-units sum exactly in BIGINT, so the
+    // salted two-phase accumulation is bit-identical to ANY grouping order
+    // — the earlier round-the-double-sum-first trick still drifted from
+    // DuckDB at the ×10 replica (rounding can't fix a sum whose ulps
+    // already differ); exact integers can
     val partial = salted.groupBy(col(key), col("__salt"))
-      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
-    // mean is derived from the ROUNDED total: salting reorders float
-    // additions, so the raw sums can differ from an unsalted plan by ulps;
-    // rounding first gives both (and the oracle) identical quotient inputs
+      .agg(sum(floor(col(valueCol) * 1e6).cast("bigint")).as("__pmicro"),
+        count(lit(1)).as("__pcnt"))
     partial.groupBy(col(key))
-      .agg(sum(col("__psum")).as("__sum"), sum(col("__pcnt")).as("n"))
+      .agg(sum(col("__pmicro")).as("__micro"), sum(col("__pcnt")).as("n"))
       .select(col(key), col("n"),
-        round(col("__sum"), 2).as("total"),
-        round(round(col("__sum"), 2) / col("n"), 4).as("mean"))
+        round(col("__micro") / 1e6, 2).as("total"),
+        round(col("__micro") / (col("n") * 1e6), 4).as("mean"))
   }
 
   /** Harness query: salted per-user aggregate over events; oracle is the

@@ -91,9 +91,15 @@ class RelationalSpec extends SparkSpec {
 
   test("salted aggregation equals the plain group-by") {
     val salted = Skew.saltedUserAgg(spark, dir).collect()
+    // identical micro-unit formulation, no salt: the claim is that the
+    // two-phase salted plan is TRANSPARENT, which exact integer partials
+    // make literally true under any grouping order
     val plain = Tables.events(spark, dir).groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
-        round(round(sum(col("value")), 2) / count(lit(1)), 4).as("mean"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(floor(col("value") * 1e6).cast("bigint")) / 1e6, 2)
+          .as("total"),
+        round(sum(floor(col("value") * 1e6).cast("bigint")) /
+          (count(lit(1)) * 1e6), 4).as("mean"))
       .orderBy(col("user_id")).collect()
     assert(salted.length === plain.length)
     salted.zip(plain).foreach { case (s, p) =>

