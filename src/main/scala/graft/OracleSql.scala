@@ -231,8 +231,9 @@ object OracleSql {
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q_unpivot" ->
-      """SELECT measure, count(*) AS n, round(sum(val), 2) AS total,
-        | round(avg(val), 6) AS mean
+      """SELECT measure, count(*) AS n,
+        | round(CAST(sum(CAST(floor(val * 1e6) AS BIGINT)) AS BIGINT) / 1e6, 2) AS total,
+        | round(CAST(sum(CAST(floor(val * 1e6) AS BIGINT)) AS BIGINT) / (count(*) * 1e6), 6) AS mean
         |FROM (
         |  SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
         |  UNION ALL
@@ -271,7 +272,7 @@ object OracleSql {
 
     "q_join_revenue" ->
       """SELECT c_mktsegment,
-        | CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS revenue_cents,
+        | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         | count(*) AS n_lines
         |FROM customer JOIN orders ON c_custkey = o_custkey
         | JOIN lineitem ON o_orderkey = l_orderkey
@@ -334,7 +335,7 @@ object OracleSql {
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
         | coalesce(o_orderstatus, 'ALL') AS status,
         | count(*) AS n,
-        | CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS total_cents
+        | CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
 
@@ -488,8 +489,8 @@ object OracleSql {
     // two-phase shuffle layout is semantically transparent
     "q_salted_agg" ->
       """SELECT user_id, count(*) AS n,
-        | round(CAST(sum(floor(value * 1e6)) AS BIGINT) / 1e6, 2) AS total,
-        | round(CAST(sum(floor(value * 1e6)) AS BIGINT) / (count(*) * 1e6), 4) AS mean
+        | round(CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6, 2) AS total,
+        | round(CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) / (count(*) * 1e6), 4) AS mean
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // independent cross-check: binned range join vs DuckDB's native

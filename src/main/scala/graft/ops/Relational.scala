@@ -622,8 +622,12 @@ object Relational {
           |         'extendedprice', l_extendedprice,
           |         'discount', l_discount) AS (measure, val)""".stripMargin))
       .groupBy($"measure")
-      .agg(count(lit(1)).as("n"), round(sum($"val"), 2).as("total"),
-        round(avg($"val"), 6).as("mean"))
+      // float-sum rule: micro-unit BIGINT sums; the raw double sum's last
+      // rounded digit drifted from DuckDB at 6M lines (×10 replica)
+      .agg(count(lit(1)).as("n"),
+        round(sum(floor($"val" * 1e6).cast("bigint")) / 1e6, 2).as("total"),
+        round(sum(floor($"val" * 1e6).cast("bigint")) /
+          (count(lit(1)) * 1e6), 6).as("mean"))
       .orderBy($"measure")
 
   /** Correlated subqueries: EXISTS gate + scalar count per row — Catalyst

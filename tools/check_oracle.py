@@ -21,7 +21,7 @@ def norm(df):
     return df
 
 
-def main(sf_dir, out_dir):
+def connect(sf_dir):
     import os
     con = duckdb.connect()
     for t in TABLES:
@@ -30,12 +30,20 @@ def main(sf_dir, out_dir):
         p = f"{sf_dir}/{t}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    return con
+
+
+def main(sf_dir, out_dir):
     import os
+    # fresh connection per query: one long-lived connection accumulates
+    # enough temp/catalog state over dozens of replica-scale oracles to
+    # hit DuckDB's allocator (observed at the x10 sweep)
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ran = sorted(d for d in os.listdir(out_dir)
                  if os.path.isdir(f"{out_dir}/{d}"))
     n_pass = n_fail = n_rows_only = 0
     for name in ran:
+        con = connect(sf_dir)
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
