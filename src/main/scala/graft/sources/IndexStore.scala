@@ -614,6 +614,50 @@ object IndexStore {
       col("cell").cast("int").as("cell") +: codeCols.map(col): _*)
   }
 
+  // --- BPE tokenizer artifact -----------------------------------------------
+  //
+  // The tokenizer twin of the ANN index: a pipeline fits BPE ONCE over the
+  // cleaned corpus and ships the rank-ordered merge table; every encode job
+  // (batch or streaming) then applies the FROZEN merges as a pure codegen
+  // projection. Persisting the fit closes the last fit-per-query gap: the
+  // merge table (rounds × 3 columns) and the final merged vocab frame
+  // (vocabulary-sized, NOT corpus-sized) are the whole artifact.
+
+  /** Fit `k` BPE merges over `docs` and persist the artifact at `root`:
+    *   - `root/merges`: (merge_rank, lhs, rhs, pair_count) — driver-small
+    *   - `root/vocab`:  (s, freq) — the final merged distinct-word frame,
+    *     from which the vocabulary readout derives WITHOUT re-scanning the
+    *     corpus (fit already paid the one corpus-sized word-frequency pass).
+    */
+  def buildBpe(docs: DataFrame, root: String,
+      k: Int = graft.ops.Bpe.NumMerges): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (m, finalVocab) = graft.ops.Bpe.fitFull(docs, k)
+    m.zipWithIndex.map { case ((a, b, c), i) => (i + 1, a, b, c) }
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/merges")
+    finalVocab.coalesce(1).write.mode("overwrite").parquet(s"$root/vocab")
+  }
+
+  /** The frozen rank-ordered merge table — rounds rows, driver-bounded. */
+  def readBpeMerges(s: SparkSession, root: String): Seq[(String, String, Long)] =
+    s.read.parquet(s"$root/merges").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).map(t => (t._2, t._3, t._4)).toSeq
+
+  /** The frozen final merged vocab frame (s, freq) — vocabulary-sized. */
+  def readBpeVocab(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/vocab")
+
+  /** Re-fit the tokenizer over a (grown/drifted) corpus and overwrite the
+    * artifact — the periodic maintenance the frozen-merges contract defers
+    * to, like [[rebuildPrefix]]/[[rebuildAnn]]. Stale merges cost
+    * compression ratio (tokens per word), never correctness: encoding
+    * under ANY fixed merge table is a pure function of the word. */
+  def rebuildBpe(docs: DataFrame, root: String,
+      k: Int = graft.ops.Bpe.NumMerges): Unit = buildBpe(docs, root, k)
+
   // --- harness fixtures ------------------------------------------------------
 
   /** Standing-corpus indexes for the harness's delta convention
@@ -702,6 +746,25 @@ object IndexStore {
       appendAnn(inc, p)
       p
     })
+
+  private def bpeRoot(s: SparkSession, dir: String): String =
+    builtRoots.computeIfAbsent(s"bpe:$dir", _ => {
+      val p = rootFor(s, "bpe", dir)
+      buildBpe(Tables.documents(s, dir), p)
+      p
+    })
+
+  /** The persisted standing BPE merge table for `dir` (memoized build —
+    * fit once per (application, corpus), read by every BPE query and the
+    * streaming encode). Trained on the FULL documents table: the
+    * tokenizer is fitted over the whole cleaned corpus, and the oracle
+    * replays the same full-corpus trajectory. */
+  def standingBpeMerges(s: SparkSession, dir: String): Seq[(String, String, Long)] =
+    readBpeMerges(s, bpeRoot(s, dir))
+
+  /** The persisted final merged vocab frame for `dir` (memoized build). */
+  def standingBpeVocab(s: SparkSession, dir: String): DataFrame =
+    readBpeVocab(s, bpeRoot(s, dir))
 
   /** The persisted standing dedup index for `dir` (memoized build). */
   def standingDedupIndex(s: SparkSession, dir: String): DedupIndex = {

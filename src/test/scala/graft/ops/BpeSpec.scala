@@ -73,6 +73,39 @@ class BpeSpec extends SparkSpec {
       "12 merged words -> single symbols; ya/yb contribute y/a/b singles")
   }
 
+  test("bpe: persisted artifact round-trips the fit exactly (merges + vocab)") {
+    val dir = tmpDocs(Seq((1L, "aaab aaab ab"), (2L, "aaab b ba"), (3L, "aab")))
+    val root = java.nio.file.Files.createTempDirectory("bpe_idx").toString
+    graft.sources.IndexStore.buildBpe(Tables.documents(spark, dir), root)
+    // artifact-read ≡ refit: the frozen merge table IS the fit
+    assert(graft.sources.IndexStore.readBpeMerges(spark, root)
+      === Bpe.fit(spark, dir))
+    // the persisted final vocab frame replays the full replace chain:
+    // reading it out must equal re-deriving symbols from the corpus
+    val fromArtifact = graft.sources.IndexStore.readBpeVocab(spark, root)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val (_, fromFit) = Bpe.fitFull(Tables.documents(spark, dir))
+    assert(fromArtifact ===
+      fromFit.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
+  }
+
+  test("bpe: queries are served by the standing artifact, not a refit " +
+      "(one build per corpus dir)") {
+    val dir = tmpDocs(Seq((1L, "aaab aaab ab"), (2L, "aaab b ba"), (3L, "aab")))
+    // first query builds the memoized artifact; the rest read it
+    val m = Bpe.merges(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(m === Bpe.fit(spark, dir), "query output ≡ direct fit")
+    // vocab derives from the persisted vocab-sized frame — its plan must
+    // not rescan the documents table
+    val vocabInputs = Bpe.vocab(spark, dir).inputFiles.mkString(",")
+    assert(!vocabInputs.contains("documents.parquet"),
+      s"vocab readout reads the artifact, not the corpus: $vocabInputs")
+    // encode DOES scan the corpus (it encodes every doc) but under the
+    // frozen merges; its totals must match the budget-capped trajectory
+    assert(Bpe.encode(spark, dir).count() === 3L)
+  }
+
   test("bpe: empty corpus and empty text are safe") {
     val dir = tmpDocs(Seq((1L, "")))
     assert(Bpe.fit(spark, dir).isEmpty)
