@@ -2061,18 +2061,24 @@ object OracleSql {
     // genuinely environment-bound branch (real ImageIO decode) stays
     // spec-covered with real PNG fixtures; the harness's
     // octet-stream payloads all take the stub path by design.
+    // Per-bin counts come from regexp char-class strips, NOT a
+    // materialized per-character codes list: count(bin j) = chars removed
+    // by deleting [\x{16j}-\x{16j+15}]. Identical integers → identical
+    // REAL fractions (the engine's Float path), and the oracle stays
+    // streaming-friendly at replica scale — the old list_transform form
+    // materialized a length(text)-element list per document and OOM'd
+    // DuckDB at the ×10 sweep (byte≡char holds: the corpus is ASCII, the
+    // same assumption the engine's text→binary cast and the previous
+    // ascii()-per-char form already made).
     "mm_features" -> {
       val fracs = (0 until 16).map(j =>
-        s"CAST(CAST(len(list_filter(codes, c -> c // 16 = $j)) AS REAL)" +
+        s"CAST(CAST(${mmBinCount(j)} AS REAL)" +
           s" / CAST(n AS REAL) AS REAL) AS f$j").mkString(", ")
       val chain = (1 until 16)
         .foldLeft("CAST(f0 AS DOUBLE)")((acc, j) => s"($acc + f$j)")
       val lst = (0 until 16).map(j => s"f$j").mkString("[", ",", "]")
       s"""WITH c AS (SELECT doc_id AS asset_id, n_chars AS n_bytes,
-         |  length(text) AS n,
-         |  list_transform(range(1, length(text) + 1), i -> ascii(text[i]))
-         |    AS codes
-         |  FROM documents),
+         |  length(text) AS n, text AS t FROM documents),
          |f AS (SELECT asset_id, n_bytes, n, $fracs FROM c)
          |SELECT asset_id, n_bytes,
          |  round($chain, 4) AS feature_sum,
@@ -2082,22 +2088,22 @@ object OracleSql {
 
     // Asset ANN over the stub features: same histogram CTE promoted to
     // DOUBLE vectors, then the standard cosine chain — mm search is now
-    // hash-checked end to end (features AND ranking)
+    // hash-checked end to end (features AND ranking). n0 is MATERIALIZED:
+    // it feeds both self-join sides, and re-expanding it would re-run the
+    // 16 regexp strips over the whole corpus per side.
     "mm_ann" -> {
       val fracs = (0 until 16).map(j =>
-        s"CAST(CAST(len(list_filter(codes, c -> c // 16 = $j)) AS REAL)" +
+        s"CAST(CAST(${mmBinCount(j)} AS REAL)" +
           s" / CAST(n AS REAL) AS REAL) AS f$j").mkString(", ")
       val lst = (0 until 16).map(j => s"CAST(f$j AS DOUBLE)")
         .mkString("[", ",", "]")
       def dot(a: String, b: String) =
         (1 to 16).map(i => s"$a[$i]*$b[$i]").mkString("(", " + ", ")")
       s"""WITH c0 AS (SELECT doc_id AS asset_id, length(text) AS n,
-         |  list_transform(range(1, length(text) + 1), i -> ascii(text[i]))
-         |    AS codes
-         |  FROM documents),
+         |  text AS t FROM documents),
          |f AS (SELECT asset_id, $fracs FROM c0),
          |e0 AS (SELECT asset_id, $lst AS e FROM f),
-         |n0 AS (SELECT asset_id, e, ${dot("e", "e")} AS nrm FROM e0
+         |n0 AS MATERIALIZED (SELECT asset_id, e, ${dot("e", "e")} AS nrm FROM e0
          |  WHERE ${dot("e", "e")} > 0),
          |p AS (SELECT q.asset_id AS q_id, c.asset_id AS c_id,
          |  round(${dot("q.e", "c.e")} / (sqrt(q.nrm) * sqrt(c.nrm)), 6)
@@ -2193,6 +2199,17 @@ object OracleSql {
         |UNION ALL SELECT '3_purchase', count(*) FROM t3
         |ORDER BY stage""".stripMargin
   )
+
+  // --- multimodal stub-histogram fragment ----------------------------------
+
+  /** Count of characters of `t` in stub-histogram bin `j` (codepoints
+    * 16j..16j+15) as a char-class strip — no per-character list. RE2 hex
+    * escapes pass through DuckDB string literals unprocessed. */
+  private def mmBinCount(j: Int): String = {
+    val lo = f"${16 * j}%02x"
+    val hi = f"${16 * j + 15}%02x"
+    s"(length(t) - length(regexp_replace(t, '[\\x$lo-\\x$hi]', '', 'g')))"
+  }
 
   // --- curation-chain fragments (corpus_curate / quality_distill) ---------
 

@@ -4,9 +4,14 @@ outDir, run the matching oracle SQL from oracle_sql.json in DuckDB over the
 sf tables, sort columns by name, and compare values.
 
 Usage: check_oracle.py <sfDir> <outDir>
+
+Also importable: check(sf_dir, out_dir, names=None) returns
+{name: (status, detail)} with status in {"pass", "fail", "rows_only"} —
+tools/scalecheck.py builds its replica-scale gate on this.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -22,7 +27,6 @@ def norm(df):
 
 
 def connect(sf_dir):
-    import os
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata is one file per table; ScaleUp replicas are
@@ -33,70 +37,74 @@ def connect(sf_dir):
     return con
 
 
-def main(sf_dir, out_dir):
-    import os
-    # fresh connection per query: one long-lived connection accumulates
-    # enough temp/catalog state over dozens of replica-scale oracles to
-    # hit DuckDB's allocator (observed at the x10 sweep)
+def check_one(con, oracle, out_dir, name):
+    """Compare one query dir against its oracle. Returns (status, detail)."""
+    try:
+        got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+    except Exception as e:
+        return "fail", f"cannot read spark output: {e}"
+    if name not in oracle:
+        if len(got) > 0:
+            return "rows_only", f"{len(got)} rows"
+        return "rows_only", "0 rows (ROWS-ONLY-EMPTY!)"
+    try:
+        exp = con.execute(oracle[name]).df()
+    except Exception as e:
+        return "fail", f"oracle SQL error: {str(e).splitlines()[0]}"
+    g, e = norm(got), norm(exp)
+    if list(g.columns) != list(e.columns):
+        return "fail", f"columns {list(g.columns)} vs {list(e.columns)}"
+    if len(g) != len(e):
+        return "fail", f"rows {len(g)} vs {len(e)}"
+    for c in g.columns:
+        gv, ev = g[c].tolist(), e[c].tolist()
+        for i, (a, b) in enumerate(zip(gv, ev)):
+            if a is None and b is None:
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if a != b and not (math.isnan(a) and math.isnan(b)):
+                    return "fail", f"first diff col={c} row={i}: spark={a!r} oracle={b!r}"
+            elif str(a) != str(b):
+                return "fail", f"first diff col={c} row={i}: spark={a!r} oracle={b!r}"
+    # dtype note (schema-match is part of the driver's gate)
+    dd = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+          if str(g[c].dtype) != str(e[c].dtype)]
+    note = f"{len(g)} rows" + (f"  [dtype diff: {dd}]" if dd else "")
+    return "pass", note
+
+
+def check(sf_dir, out_dir, names=None, quiet=False):
+    """Check every (or the named subset of) query dirs in out_dir against
+    their oracles on sf_dir's tables. Returns {name: (status, detail)}."""
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ran = sorted(d for d in os.listdir(out_dir)
                  if os.path.isdir(f"{out_dir}/{d}"))
-    n_pass = n_fail = n_rows_only = 0
+    if names is not None:
+        ran = [n for n in ran if n in set(names)]
+    results = {}
+    label = {"pass": "PASS ", "fail": "FAIL ", "rows_only": "ROWS-ONLY"}
     for name in ran:
+        # fresh connection per query, closed explicitly: one long-lived
+        # connection accumulates enough temp/catalog state over dozens of
+        # replica-scale oracles to hit DuckDB's allocator (observed at the
+        # x10 sweep), and leaving cleanup to refcounting re-creates the
+        # same pressure under exceptions / other interpreters
         con = connect(sf_dir)
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
-        except Exception as e:
-            print(f"FAIL  {name}: cannot read spark output: {e}")
-            n_fail += 1
-            continue
-        if name not in oracle:
-            status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY!"
-            print(f"{status:9s} {name}: {len(got)} rows")
-            n_rows_only += 1
-            continue
-        try:
-            exp = con.execute(oracle[name]).df()
-        except Exception as e:
-            print(f"FAIL  {name}: oracle SQL error: {str(e).splitlines()[0]}")
-            n_fail += 1
-            continue
-        g, e = norm(got), norm(exp)
-        if list(g.columns) != list(e.columns):
-            print(f"FAIL  {name}: columns {list(g.columns)} vs {list(e.columns)}")
-            n_fail += 1
-            continue
-        if len(g) != len(e):
-            print(f"FAIL  {name}: rows {len(g)} vs {len(e)}")
-            n_fail += 1
-            continue
-        bad = None
-        for c in g.columns:
-            gv, ev = g[c].tolist(), e[c].tolist()
-            for i, (a, b) in enumerate(zip(gv, ev)):
-                if a is None and b is None:
-                    continue
-                if isinstance(a, float) and isinstance(b, float):
-                    if a != b and not (math.isnan(a) and math.isnan(b)):
-                        bad = (c, i, a, b)
-                        break
-                elif str(a) != str(b):
-                    bad = (c, i, a, b)
-                    break
-            if bad:
-                break
-        if bad:
-            c, i, a, b = bad
-            print(f"FAIL  {name}: first diff col={c} row={i}: spark={a!r} oracle={b!r}")
-            n_fail += 1
-        else:
-            # dtype note (schema-match is part of the driver's gate)
-            dd = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
-                  if str(g[c].dtype) != str(e[c].dtype)]
-            note = f"  [dtype diff: {dd}]" if dd else ""
-            print(f"PASS  {name}: {len(g)} rows{note}")
-            n_pass += 1
+            results[name] = check_one(con, oracle, out_dir, name)
+        finally:
+            con.close()
+        if not quiet:
+            st, detail = results[name]
+            print(f"{label[st]:9s} {name}: {detail}", flush=True)
+    return results
+
+
+def main(sf_dir, out_dir):
+    results = check(sf_dir, out_dir)
+    n_pass = sum(1 for s, _ in results.values() if s == "pass")
+    n_fail = sum(1 for s, _ in results.values() if s == "fail")
+    n_rows_only = sum(1 for s, _ in results.values() if s == "rows_only")
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
     return 1 if n_fail else 0
 

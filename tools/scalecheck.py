@@ -1,0 +1,161 @@
+#!/usr/bin/env python3
+"""Replica-scale correctness + scaling gate (VERDICT r8 ask #3): one command
+that (a) builds — or reuses — a ×N replica of a testdata dir via
+graft.tools.ScaleUp, (b) runs graft.Verify over BOTH the base dir and the
+replica, (c) re-checks every oracled query against DuckDB on the replica,
+and (d) emits per-query base→replica wall-time ratios and hash verdicts as
+one JSON file. Round 8's five scale bugs (an Int overflow past 2^31, four
+float-sum drifts) were caught by exactly this sweep run by hand; this tool
+makes it a repeatable gate instead of a one-round act.
+
+Usage:
+  python3 tools/scalecheck.py [--copies 10] [--src /root/testdata/sf0.1]
+      [--dst target/scale_x{copies}] [--out SCALECHECK.json]
+      [--queries a,b,c] [--skip a,b] [--cpus 16] [--no-default-skip]
+
+Recommended round-close recipe (mirrors the r8 sweep discipline):
+  python3 tools/scalecheck.py --copies 10 --out SCALECHECK_x10.json
+  python3 tools/scalecheck.py --copies 3 --out SCALECHECK_x3.json \
+      --queries dedup_prefix_join,dedup_clusters_exact
+The exact all-pairs family is output-quadratic in duplicate-group size
+(×10 replica: ~440-460 s/query, honest cost of exact semantics), so it is
+skipped at copies >= 5 by default and swept at ×3 — same split as r8.
+"""
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# output-quadratic at replica scale (duplicate-dense corpus): swept at x3
+QUADRATIC = ["dedup_prefix_join", "dedup_clusters_exact"]
+
+TIME_RE = re.compile(r"^\[verify-time\] (\S+) ([0-9.]+)")
+
+
+def run_sbt(main_args, env_extra=None, log_name=None):
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
+    cmd = ["sbt", "-batch", f"runMain {main_args}"]
+    print(f"+ {' '.join(cmd)}", flush=True)
+    p = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True, text=True)
+    if log_name:
+        with open(log_name, "w") as f:
+            f.write(p.stdout)
+            f.write("\n--- stderr ---\n")
+            f.write(p.stderr)
+    if p.returncode != 0:
+        tail = "\n".join(p.stdout.splitlines()[-20:])
+        raise RuntimeError(f"sbt failed ({main_args}):\n{tail}")
+    return p.stdout
+
+
+def parse_times(stdout):
+    times = {}
+    for line in stdout.splitlines():
+        m = TIME_RE.match(line)
+        if m:
+            times[m.group(1)] = float(m.group(2))
+    return times
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset (default: all)")
+    ap.add_argument("--skip", default=None,
+                    help="comma-separated queries to drop from the run")
+    ap.add_argument("--cpus", default="16")
+    ap.add_argument("--no-default-skip", action="store_true",
+                    help="run the quadratic pair family even at copies>=5")
+    args = ap.parse_args()
+
+    dst = args.dst or f"{REPO}/target/scale_x{args.copies}"
+    out_file = args.out or f"{REPO}/SCALECHECK_x{args.copies}.json"
+
+    queries = args.queries.split(",") if args.queries else None
+    skip = set(args.skip.split(",")) if args.skip else set()
+    if queries is None and args.copies >= 5 and not args.no_default_skip:
+        skip |= set(QUADRATIC)
+
+    # 1. build (or reuse) the replica — ScaleUp is deterministic in
+    # (src, copies), so an existing dst with all tables is the same data
+    have = all(os.path.exists(f"{dst}/{t}.parquet") for t in
+               ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "documents", "embeddings"])
+    if not have:
+        run_sbt(f"graft.tools.ScaleUp {args.src} {dst} {args.copies}",
+                log_name=f"{REPO}/target/scalecheck_scaleup.log")
+    else:
+        print(f"reusing replica at {dst}", flush=True)
+
+    # 2+3. Verify on base and replica, capturing [verify-time] lines.
+    # The base run goes first and unfiltered (cheap at sf0.1) so its
+    # [verify-time] names give the full query list; the replica run —
+    # where a skipped quadratic query would cost ~8 min — gets an
+    # explicit subset of (names - skip).
+    base_subset = ""
+    if queries is not None:
+        base_subset = " " + ",".join(q for q in queries if q not in skip)
+
+    base_out = f"{REPO}/target/scalecheck_base_x{args.copies}"
+    repl_out = f"{REPO}/target/scalecheck_replica_x{args.copies}"
+    env = {"SPARK_GRAFT_CPUS": args.cpus}
+    t_base = parse_times(run_sbt(
+        f"graft.Verify {args.src} {base_out}{base_subset}", env,
+        log_name=f"{REPO}/target/scalecheck_verify_base.log"))
+    names = sorted(set(t_base) - skip)
+    repl_subset = " " + ",".join(names)
+    t_repl = parse_times(run_sbt(
+        f"graft.Verify {dst} {repl_out}{repl_subset}", env,
+        log_name=f"{REPO}/target/scalecheck_verify_replica.log"))
+
+    # 4. oracle gate on the REPLICA (base-scale correctness is the
+    # driver's own sf0.01 gate; this one exists to catch scale-only bugs)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import check_oracle
+    verdicts = check_oracle.check(dst, repl_out, names=names)
+
+    # 5. emit the gate file
+    per_query = {}
+    for n in names:
+        st, detail = verdicts.get(n, ("missing", "no replica output"))
+        b, r = t_base.get(n), t_repl.get(n)
+        per_query[n] = {
+            "status": st, "detail": detail,
+            "base_sec": b, "replica_sec": r,
+            "ratio": round(r / b, 2) if b and r and b > 0 else None,
+        }
+    ratios = sorted(q["ratio"] for q in per_query.values()
+                    if q["ratio"] is not None)
+    summary = {
+        "copies": args.copies, "src": args.src, "dst": dst,
+        "n_queries": len(names),
+        "n_pass": sum(1 for q in per_query.values() if q["status"] == "pass"),
+        "n_fail": sum(1 for q in per_query.values() if q["status"] == "fail"),
+        "n_rows_only": sum(1 for q in per_query.values()
+                           if q["status"] == "rows_only"),
+        "n_missing": sum(1 for q in per_query.values()
+                         if q["status"] == "missing"),
+        "skipped": sorted(skip),
+        "median_time_ratio": ratios[len(ratios) // 2] if ratios else None,
+        "total_base_sec": round(sum(v for v in t_base.values()), 1),
+        "total_replica_sec": round(sum(v for v in t_repl.values()), 1),
+    }
+    with open(out_file, "w") as f:
+        json.dump({"summary": summary, "queries": per_query}, f, indent=1)
+    print(json.dumps(summary, indent=1))
+    print(f"wrote {out_file}")
+    return 1 if summary["n_fail"] or summary["n_missing"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
