@@ -614,6 +614,87 @@ object IndexStore {
       col("cell").cast("int").as("cell") +: codeCols.map(col): _*)
   }
 
+  // --- rebuild trigger policy (drift metrics) --------------------------------
+  //
+  // rebuildPrefix/rebuildAnn exist because the frozen-dictionary contract
+  // trades correctness-neutral staleness for O(delta) appends — but at
+  // 100 TB "when to re-freeze" IS the maintenance job. These metrics make
+  // the decision measurable: both are vocabulary-/cell-sized aggregates
+  // (never a corpus text/vector scan), cheap enough to run after every
+  // intake batch, and each maintain* method is the one-line policy "rebuild
+  // iff the metric crossed the threshold".
+
+  /** IVF cell-occupancy snapshot over the standing index INCLUDING
+    * unfolded streaming delta segments: a drifting vector stream piles new
+    * rows into whichever frozen cells sit nearest, and the hot cell's size
+    * is exactly what a probe of that cell must scan. skew = max/mean
+    * occupancy (1.0 = perfectly balanced; mean counts the frozen
+    * quantizer's EMPTY cells too — an emptying index is also drift). */
+  final case class AnnOccupancy(nCells: Int, nVectors: Long, maxCell: Long) {
+    def meanCell: Double = if (nCells == 0) 0.0 else nVectors.toDouble / nCells
+    def skew: Double = if (meanCell > 0) maxCell / meanCell else 0.0
+  }
+
+  def annCellOccupancy(s: SparkSession, root: String): AnnOccupancy = {
+    val nCells = readAnnCentroids(s, root).length
+    val counts = readAnnCellsBefore(s, root, Long.MaxValue)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    AnnOccupancy(nCells, counts.sum, if (counts.isEmpty) 0L else counts.max)
+  }
+
+  /** Re-freeze the ANN quantizers iff occupancy skew exceeds `maxSkew`.
+    * Returns true iff a rebuild ran. Offline-only (delegates to
+    * [[rebuildAnn]], which folds deltas at Long.MaxValue first). */
+  def maintainAnn(s: SparkSession, root: String, maxSkew: Double,
+      nCells: Int = graft.ops.Similarity.IvfCells,
+      m: Int = graft.ops.Similarity.PqM,
+      kCodes: Int = graft.ops.Similarity.PqCodes): Boolean = {
+    val occ = annCellOccupancy(s, root)
+    if (occ.skew <= maxSkew) false
+    else { rebuildAnn(s, root, nCells, m, kCodes); true }
+  }
+
+  /** Prefix dictionary-frequency drift: total-variation distance between
+    * the FROZEN document-frequency distribution (`root/freq`) and the
+    * distribution recomputed from the full persisted set table — 0.0 when
+    * the dictionary still matches the corpus, 1.0 when the vocabulary has
+    * completely turned over (hashes absent from one side carry their full
+    * mass). Drift blunts prefix pruning (a no-longer-rare hash sitting in
+    * prefixes inflates candidate counts), never recall — so the threshold
+    * is a probe-cost knob. Cost: one vocabulary-sized full-outer join +
+    * two aggregates; the double sum is a monitoring metric, not an
+    * oracled quantity, so float accumulation order is immaterial. */
+  def prefixFreqDrift(s: SparkSession, root: String): Double = {
+    val frozen = s.read.parquet(s"$root/freq")
+      .select(col("h"), col("f").as("f_old"))
+    val current = Dedup.prefixFreqOf(s.read.parquet(s"$root/sets"))
+      .select(col("h"), col("f").as("f_new"))
+    val joined = frozen.join(current, Seq("h"), "full_outer")
+      .select(coalesce(col("f_old"), lit(0L)).as("a"),
+        coalesce(col("f_new"), lit(0L)).as("b"))
+      .cache()
+    val t = joined.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+      .collect()(0)
+    val (ta, tb) = (Option(t.get(0)).fold(0L)(_ => t.getLong(0)),
+      Option(t.get(1)).fold(0L)(_ => t.getLong(1)))
+    val d =
+      if (tb == 0L && ta == 0L) 0.0
+      else if (ta == 0L || tb == 0L) 1.0
+      else joined.agg(sum(abs(
+          col("a") / lit(ta.toDouble) - col("b") / lit(tb.toDouble))))
+        .collect()(0).getDouble(0) / 2.0
+    joined.unpersist()
+    d
+  }
+
+  /** Re-freeze the prefix dictionary iff frequency drift exceeds
+    * `maxDrift`. Returns true iff a rebuild ran. */
+  def maintainPrefix(s: SparkSession, root: String, maxDrift: Double,
+      threshold: Double = Dedup.JaccardThreshold): Boolean =
+    if (prefixFreqDrift(s, root) <= maxDrift) false
+    else { rebuildPrefix(s, root, threshold); true }
+
   // --- BPE tokenizer artifact -----------------------------------------------
   //
   // The tokenizer twin of the ANN index: a pipeline fits BPE ONCE over the

@@ -119,6 +119,64 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(sortedRows(Dedup.prefixProbe(probe, a)) === probeStale)
   }
 
+  test("annCellOccupancy + maintainAnn: a cell-concentrated delta crosses " +
+      "the skew threshold, the triggered rebuild rebalances") {
+    val emb = Tables.embeddings(spark, dir)
+    val root = tmp("ann-drift")
+    IndexStore.buildAnn(emb.filter(col("vec_id") < 400), root)
+    val base = IndexStore.annCellOccupancy(spark, root)
+    assert(base.nVectors === 400L)
+
+    // drift fixture: re-keyed copies of the fullest cell's own vectors —
+    // assignment under the FROZEN centroids routes every copy back into
+    // that one cell, the worst-case intake stream for a stale quantizer
+    val cells = IndexStore.readAnnCells(spark, root)
+    val hot = cells.groupBy(col("cell")).count()
+      .orderBy(col("count").desc, col("cell")).first().getInt(0)
+    val hotVecs = emb.join(
+      cells.filter(col("cell") === hot).select(col("vec_id")), "vec_id")
+    (1 to 4).foreach(i => IndexStore.appendAnn(
+      hotVecs.withColumn("vec_id", col("vec_id") + lit(100000L * i)), root))
+    val drifted = IndexStore.annCellOccupancy(spark, root)
+    assert(drifted.skew > base.skew, "hot-cell appends must raise skew")
+
+    // under the threshold: measurement only, no rebuild
+    assert(!IndexStore.maintainAnn(spark, root, maxSkew = drifted.skew + 1.0))
+    // crossed: rebuild runs, the re-fit quantizer splits the hot region
+    assert(IndexStore.maintainAnn(spark, root,
+      maxSkew = (base.skew + drifted.skew) / 2.0))
+    val after = IndexStore.annCellOccupancy(spark, root)
+    assert(after.nVectors === drifted.nVectors, "rebuild must not lose rows")
+    assert(after.skew < drifted.skew,
+      s"rebalanced skew ${after.skew} should beat drifted ${drifted.skew}")
+  }
+
+  test("prefixFreqDrift + maintainPrefix: vocabulary turnover crosses the " +
+      "drift threshold, the triggered re-freeze restores drift zero") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val root = tmp("pfx-drift2")
+    IndexStore.buildPrefix(docs.filter(col("doc_id") < 300), root)
+    // a fresh build's dictionary IS the corpus distribution: drift exact 0
+    assert(IndexStore.prefixFreqDrift(spark, root) === 0.0)
+
+    // delta with a disjoint vocabulary: every shingle hash is new, so the
+    // frozen dictionary's mass and the new mass diverge toward TV ~ 0.5
+    val driftedDocs = (0 until 300).map { i =>
+      (100000L + i, (0 until 40).map(j => s"zq${(i * 7 + j) % 90}").mkString(" "))
+    }.toDF("doc_id", "text")
+    IndexStore.appendPrefix(driftedDocs, root)
+    val drift = IndexStore.prefixFreqDrift(spark, root)
+    assert(drift > 0.25, s"vocabulary turnover must register: $drift")
+
+    assert(!IndexStore.maintainPrefix(spark, root, maxDrift = drift + 0.1),
+      "under the threshold: no rebuild")
+    assert(IndexStore.maintainPrefix(spark, root, maxDrift = drift / 2),
+      "crossed: re-freeze runs")
+    assert(IndexStore.prefixFreqDrift(spark, root) === 0.0,
+      "after re-freeze the dictionary matches the corpus again")
+  }
+
   test("foldAnnDeltas: read views identical, segments retired, folded rows " +
       "land in cell partition dirs (pruning restored)") {
     val emb = Tables.embeddings(spark, dir)
