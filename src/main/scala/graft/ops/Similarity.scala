@@ -349,11 +349,17 @@ object Similarity {
 
   /** Flat-IVF probe of an EXPLICIT query frame `(q_id, qe, qn)` against an
     * assigned cells frame under frozen centroids — the building block
-    * shared by the harness probes (queries drawn from the corpus) and the
-    * streaming vector intake sink (queries = the incoming micro-batch). */
+    * shared by the harness probes (queries drawn from the corpus, where
+    * `selfExclude=true` drops the trivial self-match) and the streaming
+    * vector intake sink (queries = the incoming micro-batch — pass
+    * `selfExclude=false` there: incoming ids are from a DIFFERENT id
+    * space, and an incoming vec_id that happens to collide with a
+    * standing vec_id must not silently drop that legitimate standing
+    * neighbor). */
   private[graft] def ivfProbeQueries(q: DataFrame, assigned: DataFrame,
       centroidArrays: IndexedSeq[Array[Double]], k: Int,
-      nProbe: Int, pruneCells: Boolean = false): DataFrame = {
+      nProbe: Int, pruneCells: Boolean = false,
+      selfExclude: Boolean = true): DataFrame = {
     val s = assigned.sparkSession
     import s.implicits._
     graft.functions.VecDot.register(s)
@@ -380,7 +386,7 @@ object Similarity {
     broadcast(probes)
       .join(cands.withColumnRenamed("vec_id", "c_id")
         .withColumnRenamed("e", "ce").withColumnRenamed("nrm", "cn"), Seq("cell"))
-      .filter(col("q_id") =!= col("c_id"))
+      .filter(if (selfExclude) col("q_id") =!= col("c_id") else lit(true))
       .withColumn("sim", round(
         expr("vec_dot(qe, ce)") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
       .withColumn("rnk", row_number().over(w))

@@ -29,11 +29,23 @@ object Tables {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
       case _ =>
-        // NTZ carries no zone; interpret as UTC to match DuckDB's epoch_ns.
-        s.conf.set("spark.sql.session.timeZone", "UTC")
+        // NTZ carries no zone; interpret the wall clock as UTC to match
+        // DuckDB's epoch_ns — via PURE field extraction (days/hours/
+        // minutes/fractional seconds are zone-free on TIMESTAMP_NTZ), so
+        // the conversion neither reads nor mutates session timezone state
+        // and a later session-timezone change cannot shift lazily
+        // evaluated rows. date_part('SECOND') carries the microsecond
+        // fraction as DECIMAL(8,6); ROUND before the cast — a plain cast
+        // truncates and Decimal×1e6 is exact, so round is a no-op on the
+        // value but keeps the intent explicit.
+        import org.apache.spark.sql.functions._
         df.withColumn("ts",
-          org.apache.spark.sql.functions.unix_micros(
-            df.col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+          (unix_date(df.col("ts").cast(org.apache.spark.sql.types.DateType))
+              .cast("long") * 86400000000L +
+            expr("extract(HOUR FROM ts)").cast("long") * 3600000000L +
+            expr("extract(MINUTE FROM ts)").cast("long") * 60000000L +
+            expr("cast(round(date_part('SECOND', ts) * 1000000, 0) as long)"))
+            * 1000L)
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -525,9 +525,13 @@ object StreamingOps {
     val q = graft.ops.Similarity.embeddedOf(batch)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         col("nrm").as("qn"))
+    // selfExclude=false: the incoming batch's vec_ids are a different id
+    // space from the standing index — an id collision must not drop a
+    // legitimate standing neighbor
     val neighbors = graft.ops.Similarity
       .ivfProbeQueries(q, standing, cs, graft.ops.Similarity.AnnK,
-        graft.ops.Similarity.IvfProbe, pruneCells = true)
+        graft.ops.Similarity.IvfProbe, pruneCells = true,
+        selfExclude = false)
     // materialize before the index append below can extend the cells view
     neighbors.write.mode("overwrite").parquet(s"$neighborsPath/b=$batchId")
     IndexStore.appendAnnVersioned(batch, indexRoot, batchId)

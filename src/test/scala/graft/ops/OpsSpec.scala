@@ -55,6 +55,20 @@ class RelationalSpec extends SparkSpec {
     val nanos = view("nanos")
     assert(micros === nanos, "both physical encodings must normalize alike")
     assert(micros === rows.map { case (id, us) => id -> us * 1000L }.toMap)
+
+    // session-timezone independence: the NTZ→nanos conversion is pure
+    // field extraction, so neither the timezone at frame-BUILD time nor
+    // at ACTION time (lazy-eval hazard) may shift a value
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata") // +05:30
+      assert(view("micros") === micros, "build+act under a shifted zone")
+      val lazyFrame = Tables.events(spark, s"$base/micros")
+        .select(col("event_id"), col("ts"))
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assert(lazyFrame.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        === micros, "frame built under one zone, evaluated under another")
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
   test("split counts partition the events table") {
