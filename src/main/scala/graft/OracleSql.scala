@@ -1091,6 +1091,14 @@ object OracleSql {
          |  (k.keeper = m.doc_id) AS kept
          |FROM m JOIN k USING (cluster) ORDER BY m.doc_id""".stripMargin,
 
+    // duplicate-group size histogram: the pre-join scout for the exact
+    // pair family (group of size g contributes g*(g-1)/2 true pairs)
+    "dedup_group_histogram" ->
+      """SELECT group_size, count(*) AS n_groups FROM (
+        |  SELECT md5(text) AS fp, count(*) AS group_size
+        |  FROM documents GROUP BY 1)
+        |GROUP BY 1 ORDER BY group_size""".stripMargin,
+
     "dedup_jaccard_pairs" ->
       s"""WITH tok AS ($tokensCte),
          |sh AS (SELECT doc_id, $shinglesCase AS sh FROM tok WHERE doc_id < 200),

@@ -175,6 +175,7 @@ object SparkEntry {
     "corpus_curriculum" -> (Corpus.curriculumShards _),
     "corpus_contamination" -> (Corpus.contamination _),
     "quality_distill" -> (QualityModel.distill _),
+    "dedup_group_histogram" -> (Dedup.dupGroupHistogram _),
     "dedup_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
     "dedup_prefix_join" -> ((s: SparkSession, d: String) => Dedup.prefixJoinPairs(s, d)),
     "dedup_prefix_probe_indexed" -> (Dedup.prefixProbeIndexed _),

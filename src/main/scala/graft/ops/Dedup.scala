@@ -568,9 +568,27 @@ object Dedup {
       threshold: Double = 0.3): DataFrame =
     prefixJoinPairsOf(Tables.documents(s, dir), threshold)
 
-  /** Core of [[prefixJoinPairs]] over any (doc_id, text) frame. */
-  def prefixJoinPairsOf(docs: DataFrame,
-      threshold: Double = 0.3): DataFrame = {
+  /** Core of [[prefixJoinPairs]] over any (doc_id, text) frame.
+    *
+    * GUARDRAIL for duplicate-dense corpora: the exact answer is
+    * output-quadratic in duplicate-group size (g near-identical docs →
+    * g·(g−1)/2 true pairs — at a ×10 replica this query grew from 4.7 s
+    * to 461 s as true pairs grew ~1000×). That cost is inherent to exact
+    * all-pairs semantics, so before pointing this at a big corpus, scout
+    * with [[dupGroupHistogram]] (one cheap digest aggregate); if heavy
+    * groups exist, either route exact duplicates through
+    * [[exactGroups]]/[[canonicalGroups]] first or pass
+    * `maxCandidatesPerDoc` — a per-doc candidate budget (the ANN-nProbe
+    * shape): candidates rank per doc_a by ascending doc_b and only the
+    * first `c` reach the verify join, bounding verify work to O(c·n).
+    * The capped output is a DETERMINISTIC SUBSET of the exact output
+    * (candidates ⊇ true pairs; the rank order is unique), but which true
+    * pairs fit the budget depends on the prefix-filter's candidate set,
+    * so the capped variant is a work-bound policy knob, not an oracled
+    * quantity — `None` (the default) preserves the exact, fully-oracled
+    * semantics unchanged. */
+  def prefixJoinPairsOf(docs: DataFrame, threshold: Double = 0.3,
+      maxCandidatesPerDoc: Option[Int] = None): DataFrame = {
     val sets = prefixSetsOf(docs).cache()
     sets.count() // force: prefix explode + two verify legs are 3 consumers
 
@@ -579,7 +597,7 @@ object Dedup {
     prefixes.count() // force: both self-join legs read the prefix pipeline
                      // (explode + freq join + window) — uncached it runs 2×
 
-    val cand = prefixes.toDF("h", "doc_a", "sz_a")
+    val cand0 = prefixes.toDF("h", "doc_a", "sz_a")
       .join(prefixes.toDF("h2", "doc_b", "sz_b"),
         col("h") === col("h2") && col("doc_a") < col("doc_b") &&
           // length filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t
@@ -587,8 +605,52 @@ object Dedup {
           col("sz_b") >= col("sz_a") * threshold)
       .select(col("doc_a"), col("doc_b")).distinct()
 
+    val cand = maxCandidatesPerDoc match {
+      case None => cand0
+      case Some(c) =>
+        // deterministic candidate budget: the window ranks (id, id) rows
+        // only — document text/arrays never enter this shuffle
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_a")).orderBy(col("doc_b"))
+        cand0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= c).drop("__rn")
+    }
+
     val pairs = verifyExactPairs(cand, sets, sets, threshold)
     Caching.materializeAndRelease(pairs, sets, prefixes)
+  }
+
+  /** Duplicate-group size histogram — the PRE-JOIN scout for the exact
+    * pair family: (group_size, n_groups) over exact-content digest
+    * groups. Output rows ~ distinct group sizes (tiny); cost is one
+    * digest aggregate — bodies never shuffle. A corpus whose histogram
+    * has heavy tails (say a 10k-doc group → 5·10⁷ true pairs from that
+    * group alone) makes the quadratic cost of [[prefixJoinPairsOf]]
+    * VISIBLE before anyone pays it. */
+  def dupGroupHistogram(s: SparkSession, dir: String): DataFrame =
+    dupGroupHistogramOf(Tables.documents(s, dir))
+
+  def dupGroupHistogramOf(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
+      .orderBy(col("group_size"))
+
+  /** Upper bound on the prefix join's CANDIDATE-pair count:
+    * Σ_h c_h·(c_h−1)/2 over prefix-element frequencies. This is the
+    * number the join's shuffle + verify cost actually scales with, and —
+    * unlike [[dupGroupHistogramOf]]'s exact-digest floor — it sees
+    * NEAR-dup families (which keep distinct digests but share prefix
+    * hashes). Cost: the same cached prefix derivation the join itself
+    * needs, then one vocabulary-sized aggregate — so a planner can price
+    * the join before paying for it and decide between exact, capped, or
+    * cluster-first execution. */
+  def candidatePairBound(docs: DataFrame, threshold: Double = 0.3): Long = {
+    val sets = prefixSetsOf(docs)
+    val r = prefixesUnder(sets, prefixFreqOf(sets), threshold)
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2"))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** (doc_id, distinct 48-bit shingle-hash set, size) — the set frame

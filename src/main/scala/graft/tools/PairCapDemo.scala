@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.ops.{Dedup, Tables}
+
+/** Runnable evidence for the exact pair family's duplicate-dense guardrail
+  * (BENCH.md): prints the pre-join duplicate-group histogram scout, then
+  * times `prefixJoinPairsOf` with the per-doc candidate budget engaged —
+  * and optionally the uncapped exact join for contrast (output-quadratic on
+  * a duplicate-dense replica; ~460 s at ×10 in round 8).
+  * `sbt "runMain graft.tools.PairCapDemo [sfDir] [cap] [alsoUncapped]"` */
+object PairCapDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cap = if (args.length > 1) args(1).toInt else 8
+    val alsoUncapped = args.length > 2 && args(2) == "uncapped"
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("graft-pair-cap-demo")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // the scout: is this corpus duplicate-dense enough to go quadratic?
+    val hist = Dedup.dupGroupHistogram(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val quadPairs = hist.map { case (g, n) => n * g * (g - 1) / 2 }.sum
+    println(s"dup-group histogram (size -> groups): " +
+      hist.map { case (g, n) => s"$g->$n" }.mkString(", "))
+    println(s"exact-dup pair floor from identical text alone: $quadPairs")
+    // near-dup families keep distinct digests but share prefix hashes —
+    // this bound is what the join cost actually scales with
+    println(s"prefix candidate-pair upper bound: " +
+      Dedup.candidatePairBound(Tables.documents(spark, dir), 0.3))
+
+    def time(label: String, fn: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = fn
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s, $n pairs")
+    }
+    val docs = Tables.documents(spark, dir)
+    time(s"capped (budget $cap/doc)",
+      Dedup.prefixJoinPairsOf(docs, 0.3, Some(cap)).count())
+    if (alsoUncapped)
+      time("uncapped exact", Dedup.prefixJoinPairsOf(docs, 0.3).count())
+    spark.stop()
+  }
+}

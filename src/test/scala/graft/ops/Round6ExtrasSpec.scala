@@ -43,6 +43,46 @@ class Round6ExtrasSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("prefix join: candidate budget yields a deterministic subset of the " +
+      "exact output, bounded per doc, invariant under repartitioning") {
+    val docs = craftedDocs.cache()
+    val exact = Dedup.prefixJoinPairsOf(docs, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val cap = 3
+    val capped = Dedup.prefixJoinPairsOf(docs, 0.3, Some(cap))
+      .as[(Long, Long, Double)].collect()
+    assert(capped.toSet.subsetOf(exact),
+      "every capped pair is a true pair of the exact output")
+    assert(capped.groupBy(_._1).values.forall(_.length <= cap),
+      "per-doc output cannot exceed the candidate budget")
+    assert(capped.nonEmpty && capped.length < exact.size,
+      "fixture dense enough that the budget actually bites")
+    // deterministic: the (doc_a, doc_b) rank order is unique, so a
+    // different physical partitioning replays the same subset
+    val again = Dedup.prefixJoinPairsOf(docs.repartition(7), 0.3, Some(cap))
+      .as[(Long, Long, Double)].collect()
+    assert(again.sorted.toSeq === capped.sorted.toSeq)
+    // the pre-join cost scout upper-bounds the true pair count
+    assert(Dedup.candidatePairBound(docs, 0.3) >= exact.size,
+      "candidate bound must dominate the verified pair count")
+    docs.unpersist()
+  }
+
+  test("dup-group histogram: the pre-join scout counts exact-digest group " +
+      "sizes (the quadratic-pair predictor)") {
+    val docs = (0 until 20).map { i =>
+      // 1 group of 5 copies, 1 of 3, 12 singletons
+      val text = if (i < 5) "copy copy copy" else if (i < 8) "dup dup"
+        else s"unique text $i"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("hist").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val hist = Dedup.dupGroupHistogram(spark, tmp)
+      .as[(Long, Long)].collect().toMap
+    assert(hist === Map(1L -> 12L, 3L -> 1L, 5L -> 1L))
+  }
+
   test("prefix join: cross-family pairs are absent, within-family present") {
     val got = Dedup.prefixJoinPairsOf(craftedDocs, 0.3)
       .as[(Long, Long, Double)].collect()
