@@ -214,7 +214,8 @@ object SparkEntry {
     "mm_ann" -> ((s: SparkSession, d: String) => Multimodal.assetAnn(s, d)),
     // ML (ALS — not SQL-expressible, SURVEY §7.4.6)
     "cf_als_rmse" -> ((s: SparkSession, d: String) => CollabEvents.alsRmse(s, d)),
-    "cf_als_recommend" -> ((s: SparkSession, d: String) => CollabEvents.alsRecommend(s, d))
+    "cf_als_recommend" -> ((s: SparkSession, d: String) => CollabEvents.alsRecommend(s, d)),
+    "cf_als_score_saved" -> ((s: SparkSession, d: String) => CollabEvents.alsScoreFromSaved(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

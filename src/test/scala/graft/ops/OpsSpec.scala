@@ -741,6 +741,31 @@ class CollabEventsSpec extends SparkSpec {
     }
   }
 
+  test("ALS train-once/score-from-saved: loaded factor matrices reproduce " +
+      "the in-memory model's predictions bit for bit") {
+    import graft.collab.{Scoring, Training}
+    val dir = "/root/testdata/sf0.001"
+    val ratings = CollabEvents.ratingsFromEvents(spark, dir).cache()
+    val train = ratings.filter(pmod(col("event_id"), lit(10)) < 8)
+      .select("user", "product", "rating")
+    val valid = ratings.filter(pmod(col("event_id"), lit(10)) >= 8)
+      .select("user", "product").distinct()
+    val model = Training.train(train, maxIter = 2)
+    val path = java.nio.file.Files.createTempDirectory("als-save").toString
+    Training.save(model, path)
+    def scoreMap(m: org.apache.spark.ml.recommendation.ALSModel) =
+      Scoring.predict(m, valid).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(scoreMap(Training.load(path)) === scoreMap(model),
+      "parquet factor round-trip must be exact")
+    ratings.unpersist()
+
+    // the harness query runs end to end off the standing saved model
+    val q = CollabEvents.alsScoreFromSaved(spark, dir)
+    assert(q.columns.toSeq === Seq("user", "product", "prediction"))
+    assert(q.count() > 0)
+  }
+
   test("ALS user-id compaction: 64-bit user ids beyond Int range train " +
       "and score (the raw int cast overflowed at the x10 scale replica)") {
     // same shape ScaleUp produces: a copy of the events table with user
