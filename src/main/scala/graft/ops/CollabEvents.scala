@@ -23,6 +23,10 @@ object CollabEvents {
     * compaction: sort-distinct + zipWithIndex — fully distributed (no
     * single-partition ranking window), deterministic (index = rank in
     * user_id order), failing fast at ALS's 2^31 cardinality ceiling.
+    * Cost note: the global sort is O(|users| log |users|) on the DISTINCT
+    * user set, not O(events) — it exists only to make the index
+    * deterministic (any stable order works); a deployment indifferent to
+    * determinism could drop the orderBy and save the sort exchange.
     * Returns (user_id BIGINT, user INT). */
   private[ops] def userIndex(ev: DataFrame): DataFrame = {
     val s = ev.sparkSession
