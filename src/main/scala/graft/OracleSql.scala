@@ -1015,6 +1015,19 @@ object OracleSql {
 
     // stratified exact-size sample: same hash ordering, same per-stratum
     // ceil cutoff
+    // per-source frequency cap: same engine-stable hash order as the
+    // stratified sample, absolute cap instead of a fraction
+    "corpus_source_cap" -> {
+      val h = SharedHash.duck48("CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id, source, $h AS h FROM documents),
+         |r AS (SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |    AS INT) AS rnk FROM d)
+         |SELECT doc_id, source, rnk FROM r
+         |WHERE rnk <= ${Corpus.SourceCapN}
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "corpus_stratified" -> {
       val h = SharedHash.duck48("CAST(doc_id AS VARCHAR)")
       s"""WITH d AS (SELECT doc_id, source, $h AS h FROM documents),

@@ -169,6 +169,7 @@ object SparkEntry {
     "corpus_pack" -> (Corpus.packBins _),
     "corpus_mixture" -> (Corpus.mixtureSample _),
     "corpus_stratified" -> (Corpus.stratifiedSample _),
+    "corpus_source_cap" -> ((s: SparkSession, d: String) => Corpus.sourceCap(s, d)),
     "corpus_epochs" -> (Corpus.epochMixture _),
     "corpus_pack_offsets" -> (Corpus.packOffsets _),
     "q_kanon" -> ((s: SparkSession, d: String) => DataQuality.kAnonymityReport(s, d)),

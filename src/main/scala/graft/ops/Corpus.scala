@@ -107,6 +107,33 @@ object Corpus {
   def mixtureSample(s: SparkSession, dir: String): DataFrame =
     mixtureFilter(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
+  // bites at every harness sf (25 docs/source at sf0.01, 250 at sf0.1),
+  // so the oracle actually exercises the rank-filter path
+  val SourceCapN = 20
+
+  /** Per-source frequency cap — the domain-cap discipline of web-scale
+    * pipelines (CCNet/C4-style: no single domain/source contributes more
+    * than `cap` documents however large it is, curbing boilerplate-heavy
+    * mega-domains). The absolute-cap complement to
+    * [[stratifiedSample]]'s proportional sampling. Kept docs are chosen
+    * by the engine-stable 48-bit hash order (tie-broken by doc_id), so
+    * the capped corpus is reproducible across runs, engines, and cluster
+    * layouts. One window shuffle keyed by source carrying only (doc_id,
+    * source, 8-byte hash) — bodies never move; at 100 TB the window's
+    * per-source sort is the standard two-phase distributed top-k. */
+  def sourceCap(s: SparkSession, dir: String,
+      cap: Int = SourceCapN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = expr(graft.functions.SharedHash.spark48("cast(doc_id AS STRING)"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cap)
+      .select(col("doc_id"), col("source"), col("rnk").cast("int").as("rnk"))
+      .orderBy(col("doc_id"))
+  }
+
   val StratifiedPct = 20
 
   /** Stratified EXACT-size sampling: each source keeps exactly

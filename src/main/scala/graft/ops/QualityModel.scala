@@ -88,13 +88,17 @@ object QualityModel {
     (w, losses.toSeq)
   }
 
-  /** Harness query: fit on the corpus's own curation verdicts, then score
-    * every document. `margin` is the exact-integer logit (micro-weights ·
-    * micro-features, unit 1e-12) and `pred` its sign — no floats cross
-    * the engine/oracle boundary. */
+  /** Harness query: fit on the corpus's own curation verdicts — read from
+    * the PERSISTED verdicts artifact
+    * ([[graft.sources.IndexStore.standingCurationVerdicts]]: the
+    * expensive curate pipeline runs once per corpus, offline, exactly as
+    * CCNet produces its training labels) — then score every document.
+    * `margin` is the exact-integer logit (micro-weights · micro-features,
+    * unit 1e-12) and `pred` its sign — no floats cross the engine/oracle
+    * boundary. */
   def distill(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val curated = Corpus.curate(docs).select(col("doc_id"))
+    val curated = graft.sources.IndexStore.standingCurationVerdicts(s, dir)
     val f = featureFrame(docs, curated).cache()
     val (w, _) = fitOn(f)
     val wm = w.map(x => math.round(x * 1e6))

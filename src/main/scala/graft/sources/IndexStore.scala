@@ -847,6 +847,24 @@ object IndexStore {
   def standingBpeVocab(s: SparkSession, dir: String): DataFrame =
     readBpeVocab(s, bpeRoot(s, dir))
 
+  /** The persisted curation VERDICTS for `dir` (memoized run): the
+    * expensive multi-stage curation pipeline (exact dedup → LSH near-dup
+    * clusters → quality gate) runs ONCE per corpus and its keeper set is
+    * stored — the artifact the distilled quality classifier trains on
+    * (the CCNet/fastText pattern: the pipeline's verdicts are training
+    * LABELS, produced offline, not recomputed inside every downstream
+    * fit). Returns the keeper doc_id frame. */
+  def standingCurationVerdicts(s: SparkSession, dir: String): DataFrame = {
+    val root = builtRoots.computeIfAbsent(s"curate:$dir", _ => {
+      val p = rootFor(s, "curate", dir)
+      graft.ops.Corpus.curate(Tables.documents(s, dir))
+        .select(col("doc_id"))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(root)
+  }
+
   /** The persisted standing dedup index for `dir` (memoized build). */
   def standingDedupIndex(s: SparkSession, dir: String): DedupIndex = {
     val root = builtRoots.computeIfAbsent(s"dedup:$dir", _ => {

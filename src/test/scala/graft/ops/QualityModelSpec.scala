@@ -35,6 +35,15 @@ class QualityModelSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("standing curation verdicts: the persisted artifact equals a direct " +
+      "curate run (distill trains on stored labels, not a refit)") {
+    val direct = Corpus.curate(Tables.documents(spark, dir))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val stored = graft.sources.IndexStore.standingCurationVerdicts(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(stored === direct)
+  }
+
   test("distill query: schema, determinism, and accuracy over the labels") {
     val out = QualityModel.distill(spark, dir)
     assert(out.columns.toSeq === Seq("doc_id", "label", "pred", "margin"))

@@ -266,6 +266,26 @@ class Round3Spec extends SparkSpec {
     assert(ids1 === ids2)
   }
 
+  test("source cap: no source exceeds the cap, undersized sources keep " +
+      "everything, selection is reproducible and hash-ordered") {
+    val cap = 3
+    val bySource = Tables.documents(spark, dir).collect()
+      .groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    val capped = Corpus.sourceCap(spark, dir, cap).collect()
+    val keptBySrc = capped.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    bySource.foreach { case (src, n) =>
+      assert(keptBySrc.getOrElse(src, 0) === math.min(n, cap), s"source $src")
+    }
+    assert(capped.forall(_.getInt(2) <= cap), "rnk bounded by the cap")
+    // reproducible: a second run (different partitioning) keeps identical ids
+    val ids1 = capped.map(_.getLong(0)).toSet
+    val ids2 = Corpus.sourceCap(spark, dir, cap).collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    // capped set nests: cap 3 ⊆ cap 5 (hash order is a fixed total order)
+    val ids5 = Corpus.sourceCap(spark, dir, 5).collect().map(_.getLong(0)).toSet
+    assert(ids1.subsetOf(ids5))
+  }
+
   // --- column profiler -----------------------------------------------------
 
   test("profiler: one row per column, stats agree with direct computation") {
