@@ -109,6 +109,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(drift.getInt(0) === 0 && drift.getDouble(1) === 0.0)
   }
 
+  test("round-9 additions are empty-safe") {
+    assert(Corpus.sourceCap(spark, emptyDir).count() === 0)
+    assert(Dedup.dupGroupHistogram(spark, emptyDir).count() === 0)
+    assert(Dedup.candidatePairBound(
+      Tables.documents(spark, emptyDir)) === 0L)
+    assert(Dedup.prefixJoinPairsOf(
+      Tables.documents(spark, emptyDir), 0.3, Some(4)).count() === 0)
+  }
+
   test("second-session round-6 additions: empty-safe, and the model fit fails loudly") {
     // BPE: empty corpus -> no merges, empty outputs (covered in BpeSpec
     // too; here against the shared empty fixture)
