@@ -156,6 +156,20 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** The corpus's word-frequency table ENCODED under a FIXED merge table
+    * — (s, freq) with s fully merged. One wordcount-shaped corpus pass +
+    * a vocab-sized codegen replace chain; the frame the compression-drift
+    * metric ([[graft.sources.IndexStore.bpeCompressionDrift]]) derives
+    * its current-corpus stats from. */
+  private[graft] def encodedVocabOf(docs: DataFrame,
+      m: Seq[(String, String, Long)]): DataFrame = {
+    val chain = m.foldLeft("s0") { case (acc, (a, b, _)) =>
+      s"replace($acc, '<$a><$b>', '<$a$b>')"
+    }
+    wordFreqOf(docs).withColumn("s0", wrap(col("word")))
+      .select(expr(chain).as("s"), col("freq"))
+  }
+
   /** Per-word symbol counts under a FIXED merge table — the stateless
     * projection the batch aggregate above and the streaming intake share
     * (the tokenizer is fitted offline; applying it is pure, so stream

@@ -718,8 +718,25 @@ object IndexStore {
     m.zipWithIndex.map { case ((a, b, c), i) => (i + 1, a, b, c) }
       .toDF("merge_rank", "lhs", "rhs", "pair_count")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/merges")
+    finalVocab.cache()
     finalVocab.coalesce(1).write.mode("overwrite").parquet(s"$root/vocab")
+    // fit-time compression stats (Σ word occurrences, Σ weighted symbol
+    // counts) — the baseline the drift metric compares against. Derived
+    // from the final vocab frame, so it costs a vocabulary-sized scan.
+    bpeStatsOf(finalVocab)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
+    finalVocab.unpersist()
+    ()
   }
+
+  /** (n_words, n_symbols) of an encoded vocab frame (s, freq) — symbol
+    * count per distinct word is count('><') + 1, weighted by freq. */
+  private def bpeStatsOf(vocab: DataFrame): DataFrame =
+    vocab.agg(
+      sum(col("freq")).as("n_words"),
+      sum(col("freq") *
+        expr("(length(s) - length(replace(s, '><', ''))) div 2 + 1"))
+        .as("n_symbols"))
 
   /** The frozen rank-ordered merge table — rounds rows, driver-bounded. */
   def readBpeMerges(s: SparkSession, root: String): Seq[(String, String, Long)] =
@@ -738,6 +755,36 @@ object IndexStore {
     * under ANY fixed merge table is a pure function of the word. */
   def rebuildBpe(docs: DataFrame, root: String,
       k: Int = graft.ops.Bpe.NumMerges): Unit = buildBpe(docs, root, k)
+
+  /** BPE compression drift: relative degradation of the tokens-per-word
+    * ratio when the FROZEN merges encode the CURRENT corpus, vs the ratio
+    * they achieved on the corpus they were fitted on — 0.0 when the
+    * vocabulary still matches; positive as new vocabulary (which the
+    * frozen merges can't compress past character level) gains mass. The
+    * tokenizer member of the drift-metric family ([[annCellOccupancy]],
+    * [[prefixFreqDrift]]): stale merges cost fertility, never
+    * correctness, so the threshold is a compression knob. Cost: one
+    * wordcount-shaped corpus pass + a vocab-sized replace chain. */
+  def bpeCompressionDrift(s: SparkSession, root: String,
+      docs: DataFrame): Double = {
+    def ratio(r: org.apache.spark.sql.Row): Option[Double] =
+      if (r.isNullAt(0) || r.isNullAt(1) || r.getLong(0) == 0L) None
+      else Some(r.getLong(1).toDouble / r.getLong(0))
+    val fit = ratio(s.read.parquet(s"$root/stats").collect()(0))
+    val cur = ratio(bpeStatsOf(graft.ops.Bpe.encodedVocabOf(
+      docs, readBpeMerges(s, root))).collect()(0))
+    (fit, cur) match {
+      case (Some(f), Some(c)) if f > 0 => c / f - 1.0
+      case _ => 0.0 // empty fit corpus or empty current corpus: no signal
+    }
+  }
+
+  /** Re-fit the tokenizer iff compression drift exceeds `maxDrift`.
+    * Returns true iff a rebuild ran. */
+  def maintainBpe(s: SparkSession, root: String, docs: DataFrame,
+      maxDrift: Double, k: Int = graft.ops.Bpe.NumMerges): Boolean =
+    if (bpeCompressionDrift(s, root, docs) <= maxDrift) false
+    else { rebuildBpe(docs, root, k); true }
 
   // --- harness fixtures ------------------------------------------------------
 

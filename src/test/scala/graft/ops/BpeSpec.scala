@@ -106,6 +106,38 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encode(spark, dir).count() === 3L)
   }
 
+  test("bpe: compression drift is 0 on the fit corpus, rises on vocabulary " +
+      "turnover, and maintainBpe's triggered refit restores it") {
+    import graft.sources.IndexStore
+    // fit corpus: repeated two-char words the merge budget fully compresses
+    val fitDocs = (0 until 8).map(i =>
+      (i.toLong, "ab ab cd cd ef ef gh gh ij kl mn op"))
+    val dirA = tmpDocs(fitDocs)
+    val root = java.nio.file.Files.createTempDirectory("bpe_drift").toString
+    IndexStore.buildBpe(Tables.documents(spark, dirA), root)
+    assert(IndexStore.bpeCompressionDrift(spark, root,
+      Tables.documents(spark, dirA)) === 0.0,
+      "frozen merges on their own fit corpus: exact zero drift")
+
+    // drifted corpus: letters the fit never saw — frozen merges leave
+    // every word at character level, tokens-per-word degrades
+    val dirB = tmpDocs(fitDocs ++ (100 until 140).map(i =>
+      (i.toLong, "qrs tuv wxy qrs tuv wxy qrs tuv")))
+    val drift = IndexStore.bpeCompressionDrift(spark, root,
+      Tables.documents(spark, dirB))
+    assert(drift > 0.2, s"vocabulary turnover must register: $drift")
+
+    assert(!IndexStore.maintainBpe(spark, root,
+      Tables.documents(spark, dirB), maxDrift = drift + 0.1),
+      "under the threshold: no refit")
+    assert(IndexStore.maintainBpe(spark, root,
+      Tables.documents(spark, dirB), maxDrift = drift / 2),
+      "crossed: refit runs")
+    assert(IndexStore.bpeCompressionDrift(spark, root,
+      Tables.documents(spark, dirB)) === 0.0,
+      "after the refit the merges match the corpus again")
+  }
+
   test("bpe: empty corpus and empty text are safe") {
     val dir = tmpDocs(Seq((1L, "")))
     assert(Bpe.fit(spark, dir).isEmpty)
