@@ -347,6 +347,58 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("capped prefix join is a deterministic bounded subset of the exact " +
+      "join on random corpora (3 seeds)") {
+    import org.apache.spark.sql.functions._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed + 900)
+      val docs = (0 until 30).map { i =>
+        val n = 6 + rnd.nextInt(9)
+        (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(25)}").mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val exact = Dedup.prefixJoinPairsOf(df, 0.3)
+        .select(col("doc_a"), col("doc_b"))
+        .as[(Long, Long)].collect().toSet
+      for (cap <- Seq(1, 2, 5)) {
+        val capped = Dedup.prefixJoinPairsOf(df, 0.3, Some(cap))
+          .select(col("doc_a"), col("doc_b"))
+          .as[(Long, Long)].collect()
+        assert(capped.toSet.subsetOf(exact), s"seed=$seed cap=$cap")
+        assert(capped.groupBy(_._1).values.forall(_.length <= cap),
+          s"seed=$seed cap=$cap per-doc bound")
+        val again = Dedup.prefixJoinPairsOf(df.repartition(5), 0.3, Some(cap))
+          .select(col("doc_a"), col("doc_b"))
+          .as[(Long, Long)].collect()
+        assert(again.sorted.toSeq === capped.sorted.toSeq,
+          s"seed=$seed cap=$cap determinism")
+      }
+      // the candidate bound dominates the exact pair count
+      assert(Dedup.candidatePairBound(df, 0.3) >= exact.size, s"seed=$seed")
+    }
+  }
+
+  test("dup-group histogram reconciles with direct digest grouping on " +
+      "random duplicate-dense corpora (3 seeds)") {
+    import org.apache.spark.sql.functions._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed + 950)
+      // draw texts from a SMALL pool so exact-dup groups of varied size form
+      val pool = (0 until 8).map(p => s"text body $p ${"filler " * (p % 3)}")
+      val docs = (0 until 40).map(i => (i.toLong, pool(rnd.nextInt(pool.size))))
+      val naive = docs.groupBy(_._2).values.map(_.size).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .map { case (k, v) => k.toLong -> v }
+      val tmp = java.nio.file.Files.createTempDirectory("rhist").toString
+      docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+      val got = Dedup.dupGroupHistogram(spark, tmp)
+        .as[(Long, Long)].collect().toMap
+      assert(got === naive, s"seed=$seed")
+      // histogram mass reconciles with the corpus size
+      assert(got.map { case (g, n) => g * n }.sum === docs.size.toLong)
+    }
+  }
+
   test("bfs hop distance equals naive BFS on random graphs (3 seeds)") {
     import org.apache.spark.sql.functions.col
     for (seed <- 1 to 3) {
