@@ -8,7 +8,12 @@ import org.apache.spark.sql.SparkSession
 object ExplainAll {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSet else Set(
+    // "all" dumps every registered query — the full-surface plan audit
+    // (grep the output for CartesianProduct / BroadcastNestedLoopJoin /
+    // missing PushedFilters)
+    val names =
+      if (args.length > 1 && args(1) == "all") graft.SparkEntry.queries.keySet
+      else if (args.length > 1) args.drop(1).toSet else Set(
       "q_agg_lineitem", "q_filter_prefix", "q_join_revenue", "q_sort_limit",
       "q_join_filtered", "q_sessionize", "dedup_exact", "ann_topk",
       "dedup_exact_keep", "dedup_simhash_lsh", "emb_dup_lsh", "corpus_pack",
