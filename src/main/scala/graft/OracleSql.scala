@@ -1989,6 +1989,13 @@ object OracleSql {
     // chained CTE per round (recursive CTEs can't aggregate in the
     // recursive term). CAST(s AS BIGINT) because sum(BIGINT) is HUGEINT
     // in DuckDB and would otherwise poison the damping arithmetic's type.
+    // edges/deg/nodes/nn are MATERIALIZED: every round references them,
+    // and DuckDB's default inlining re-expands each reference all the way
+    // down to the MinHash pair self-join — ~30 live copies of that join
+    // in one plan (observed pinning the entire 60 GiB memory budget at
+    // the ×10 replica). The r_k chain itself stays unmaterialized: each
+    // round is referenced exactly once, so it pipelines without
+    // retaining all rounds.
     "graph_pagerank" -> {
       import graft.ops.PageRank._
       val rounds = (1 to Iters).map { k =>
@@ -2003,11 +2010,11 @@ object OracleSql {
       s"""WITH $minhashPairsCte,
          |good AS (SELECT doc_a, doc_b FROM pairs
          |  WHERE jaccard >= ${graft.ops.Dedup.JaccardThreshold}),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM good
          |  UNION ALL SELECT doc_b, doc_a FROM good),
-         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
-         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-         |nn AS (SELECT count(*) AS n FROM nodes),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM edges),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
          |r0 AS (SELECT doc_id, ($TotalMass // nn.n) AS rank
          |  FROM nodes CROSS JOIN nn),
          |$rounds

@@ -28,6 +28,14 @@ def norm(df):
 
 def connect(sf_dir):
     con = duckdb.connect()
+    # bound the allocator explicitly: DuckDB's default (80% of RAM) lets a
+    # borderline oracle plan balloon nondeterministically under thread
+    # parallelism — observed as a bad-allocation OOM on a replica-scale
+    # ANN oracle that passes cleanly under a fixed budget. 64G clears the
+    # hungriest oracle (graph_pagerank's 10 chained CTE rounds pin ~38G at
+    # the x10 replica) with bounded headroom.
+    con.execute("SET memory_limit='64GB'")
+    con.execute("SET threads=16")
     for t in TABLES:
         # driver testdata is one file per table; ScaleUp replicas are
         # spark-written directories — glob those
@@ -88,12 +96,18 @@ def check(sf_dir, out_dir, names=None, quiet=False):
         # connection accumulates enough temp/catalog state over dozens of
         # replica-scale oracles to hit DuckDB's allocator (observed at the
         # x10 sweep), and leaving cleanup to refcounting re-creates the
-        # same pressure under exceptions / other interpreters
-        con = connect(sf_dir)
+        # same pressure under exceptions / other interpreters. connect()
+        # itself stays inside the guard — a connect-time failure must fail
+        # THIS query, not kill the remaining sweep.
+        con = None
         try:
+            con = connect(sf_dir)
             results[name] = check_one(con, oracle, out_dir, name)
+        except Exception as e:
+            results[name] = ("fail", f"checker error: {str(e).splitlines()[0]}")
         finally:
-            con.close()
+            if con is not None:
+                con.close()
         if not quiet:
             st, detail = results[name]
             print(f"{label[st]:9s} {name}: {detail}", flush=True)

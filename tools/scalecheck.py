@@ -76,6 +76,10 @@ def main():
     ap.add_argument("--cpus", default="16")
     ap.add_argument("--no-default-skip", action="store_true",
                     help="run the quadratic pair family even at copies>=5")
+    ap.add_argument("--skip-verify", action="store_true",
+                    help="reuse existing base/replica Verify outputs and "
+                         "their saved logs (re-run only the oracle phase — "
+                         "for iterating on oracle-side issues)")
     args = ap.parse_args()
 
     dst = args.dst or f"{REPO}/target/scale_x{args.copies}"
@@ -109,14 +113,21 @@ def main():
     base_out = f"{REPO}/target/scalecheck_base_x{args.copies}"
     repl_out = f"{REPO}/target/scalecheck_replica_x{args.copies}"
     env = {"SPARK_GRAFT_CPUS": args.cpus}
-    t_base = parse_times(run_sbt(
-        f"graft.Verify {args.src} {base_out}{base_subset}", env,
-        log_name=f"{REPO}/target/scalecheck_verify_base.log"))
-    names = sorted(set(t_base) - skip)
-    repl_subset = " " + ",".join(names)
-    t_repl = parse_times(run_sbt(
-        f"graft.Verify {dst} {repl_out}{repl_subset}", env,
-        log_name=f"{REPO}/target/scalecheck_verify_replica.log"))
+    if args.skip_verify:
+        t_base = parse_times(
+            open(f"{REPO}/target/scalecheck_verify_base.log").read())
+        t_repl = parse_times(
+            open(f"{REPO}/target/scalecheck_verify_replica.log").read())
+        names = sorted(set(t_base) - skip)
+    else:
+        t_base = parse_times(run_sbt(
+            f"graft.Verify {args.src} {base_out}{base_subset}", env,
+            log_name=f"{REPO}/target/scalecheck_verify_base.log"))
+        names = sorted(set(t_base) - skip)
+        repl_subset = " " + ",".join(names)
+        t_repl = parse_times(run_sbt(
+            f"graft.Verify {dst} {repl_out}{repl_subset}", env,
+            log_name=f"{REPO}/target/scalecheck_verify_replica.log"))
 
     # 4. oracle gate on the REPLICA (base-scale correctness is the
     # driver's own sf0.01 gate; this one exists to catch scale-only bugs)
