@@ -102,6 +102,9 @@ class FunnelProcessor
 
 /** One (src → dst) event-type transition observed for a user — the
   * streaming bigram row [[StreamingOps.transitionEdges]] emits. */
+/** One admitted doc from the streaming source-quota gate. */
+final case class QuotaAdmit(doc_id: Long, source: String, seq: Long)
+
 final case class TransitionEdge(user_id: Long, src: String, dst: String)
 
 /** Last-event linker for the streaming Markov matrix: state is the
@@ -240,6 +243,33 @@ object StreamingOps {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Streaming intake source-quota gate: admit at most `cap` documents
+    * per source ACROSS THE WHOLE STREAM, by arrival order — the online
+    * complement of [[graft.ops.Corpus.sourceCap]]'s hash-ordered batch
+    * cap (a stream cannot know the corpus-global hash order, so a live
+    * quota admits first-come; within a micro-batch ties break by doc_id
+    * so crash-replay re-emits identical rows). State per source is ONE
+    * counter — KiB total at any source cardinality — and overflow docs
+    * drop at intake, which is the point: the quota bounds what
+    * downstream ever stores or shuffles. `seq` is the per-source
+    * admission index (1..cap), contiguous across micro-batches. */
+  def sourceQuota(docs: Dataset[(Long, String)],
+      cap: Int): Dataset[QuotaAdmit] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, QuotaAdmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (src: String, it: Iterator[(Long, String)], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[QuotaAdmit]
+          it.map(_._1).toSeq.sorted.foreach { id =>
+            if (n < cap) { n += 1; out += QuotaAdmit(id, src, n) }
+          }
+          state.update(n)
+          out.result().iterator
       }
   }
 

@@ -155,6 +155,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("source quota gate: per-source admission cap holds ACROSS " +
+      "micro-batches, seq stays contiguous, overflow drops at intake") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.sourceQuota(
+        input.toDS(), cap = 4)
+      .writeStream.format("memory").queryName("quota_stream")
+      .outputMode(OutputMode.Append()).start()
+    def admitted() = spark.sql("SELECT doc_id, source, seq FROM quota_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    try {
+      // batch 1: srcA over quota in one batch, srcB under
+      input.addData((1 to 6).map(i => (i.toLong, "srcA")) ++
+        Seq((101L, "srcB"), (102L, "srcB")): _*)
+      q.processAllAvailable()
+      val b1 = admitted()
+      assert(b1.count(_._2 == "srcA") === 4, "srcA capped in-batch")
+      assert(b1.filter(_._2 == "srcA").map(_._1).sorted.toSeq ===
+        Seq(1L, 2L, 3L, 4L), "doc_id order breaks in-batch ties")
+      assert(b1.count(_._2 == "srcB") === 2)
+
+      // batch 2: srcA already full (all dropped); srcB admits up to quota
+      input.addData(Seq((7L, "srcA"), (103L, "srcB"), (104L, "srcB"),
+        (105L, "srcB")): _*)
+      q.processAllAvailable()
+      val b2 = admitted()
+      assert(b2.count(_._2 == "srcA") === 4,
+        "quota state persists across batches — srcA admits nothing more")
+      assert(b2.count(_._2 == "srcB") === 4, "srcB fills to the cap")
+      assert(b2.filter(_._2 == "srcB").map(_._3).sorted.toSeq ===
+        Seq(1L, 2L, 3L, 4L), "seq contiguous across batches")
+    } finally q.stop()
+  }
+
   test("mixture sampling: the same stateless transform on a stream " +
       "equals the batch output") {
     implicit val sql = spark.sqlContext
