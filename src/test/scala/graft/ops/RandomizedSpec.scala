@@ -399,6 +399,56 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("lexical-cosine prefix filter loses no pairs vs the brute-force " +
+      "term self-join on random corpora (3 seeds × 2 thresholds)") {
+    import org.apache.spark.sql.functions._
+    for (seed <- 1 to 3; t <- Seq(0.5, 0.35)) {
+      val rnd = new Random(seed + 1200)
+      // near-dup families (shared base + small noise) + random docs:
+      // plenty of pairs straddling the threshold from both sides
+      val docs = (0 until 36).map { i =>
+        val fam = i / 6
+        val base = (0 until 10).map(j => s"t${fam}_$j")
+        val noise = (0 until 1 + i % 4).map(_ => s"n${rnd.nextInt(40)}")
+        (i.toLong, rnd.shuffle(base ++ noise).mkString(" "))
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("lexcos").toString
+      docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+
+      // brute-force reference: same tf-idf weights, full pair space
+      val d = Tables.documents(spark, tmp)
+      val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nd = d.count()
+      val wuRows = tf.join(dfr, "term")
+        .filter(col("df") * 10 <= nd)
+        .select(col("doc_id"), col("term"),
+          floor(col("tf") * log((lit(nd) + 1) / (col("df") + 1)) * 1000)
+            .cast("bigint").as("w"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val byDoc = wuRows.groupBy(_._1).view
+        .mapValues(_.map(x => x._2 -> x._3).toMap).toMap
+      val ids = byDoc.keys.toSeq.sorted
+      val naive = (for {
+        a <- ids; b <- ids if a < b
+        wa = byDoc(a); wb = byDoc(b)
+        dot = wa.keySet.intersect(wb.keySet).toSeq.map(k => wa(k) * wb(k)).sum
+        if dot > 0
+        na = wa.values.map(x => x * x).sum
+        nb = wb.values.map(x => x * x).sum
+        c = BigDecimal(dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if c >= t
+      } yield (a, b, c)).toSet
+
+      val got = TermScoring.lexicalCosinePairs(spark, tmp, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === naive, s"seed=$seed t=$t")
+      assert(naive.nonEmpty, s"seed=$seed t=$t fixture found nothing")
+    }
+  }
+
   test("bfs hop distance equals naive BFS on random graphs (3 seeds)") {
     import org.apache.spark.sql.functions.col
     for (seed <- 1 to 3) {
