@@ -347,6 +347,74 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("gap-fill equals a naive per-user carry-forward fold on random " +
+      "sparse event streams (3 seeds)") {
+    import org.apache.spark.sql.functions._
+    val nsDay = graft.ops.Analytics.NsPerDay
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed + 1500)
+      // sparse per-user activity with multi-day gaps
+      val events = (1 to 300).map { i =>
+        val u = 1L + rnd.nextInt(6)
+        val day = rnd.nextInt(25).toLong
+        (i.toLong, u, day * nsDay + rnd.nextInt(1000).toLong)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("gapfill").toString
+      events.toDF("event_id", "user_id", "ts")
+        .write.parquet(s"$tmp/events.parquet")
+
+      val naive = events.groupBy(_._2).toSeq.flatMap { case (u, evs) =>
+        val perDay = evs.groupBy(_._3 / nsDay).view.mapValues(_.size.toLong).toMap
+        val (d0, d1) = (perDay.keys.min, perDay.keys.max)
+        var carry = 0L
+        (d0 to d1).map { d =>
+          val filled = !perDay.contains(d)
+          carry = perDay.getOrElse(d, carry)
+          (u, d, carry, filled)
+        }
+      }.toSet
+
+      val got = Analytics.gapFillDaily(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+      assert(got === naive, s"seed=$seed")
+    }
+  }
+
+  test("pack offsets equal a naive per-source running fold on random doc " +
+      "sizes (3 seeds)") {
+    import org.apache.spark.sql.functions._
+    val budget = graft.ops.Corpus.TokenBudget
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed + 1600)
+      val docs = (0 until 120).map { i =>
+        val src = s"s${rnd.nextInt(3)}"
+        val nTok = 1 + rnd.nextInt(200)
+        (i.toLong, src, (0 until nTok).map(_ => "w").mkString(" "))
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("packoff").toString
+      docs.toDF("doc_id", "source", "text")
+        .write.parquet(s"$tmp/documents.parquet")
+
+      val naive = docs.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (id, src, text) =>
+          val n = text.split(" ").length
+          val bin = (cum / budget).toInt
+          val off = (cum % budget).toInt
+          cum += n
+          (id, src, bin, off, n)
+        }
+      }.toSet
+
+      val got = Corpus.packOffsets(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+          r.getInt(4)))
+        .toSet
+      assert(got === naive, s"seed=$seed")
+    }
+  }
+
   test("capped prefix join is a deterministic bounded subset of the exact " +
       "join on random corpora (3 seeds)") {
     import org.apache.spark.sql.functions._
