@@ -347,6 +347,55 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("sessionize equals a naive gap-split fold on random streams with " +
+      "exact-boundary gaps (3 seeds)") {
+    import org.apache.spark.sql.functions._
+    val gapNs = 1800L * 1000000000L
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed + 1700)
+      // inter-event gaps drawn AROUND the 30-min boundary, including
+      // exactly-equal (gap rule is strict >: equal stays in-session),
+      // plus duplicate timestamps (event_id breaks the sort tie)
+      val events = (1 to 5).flatMap { u =>
+        var t = 1000000000000L * u
+        (1 to 40).map { i =>
+          val choice = rnd.nextInt(5)
+          val delta = choice match {
+            case 0 => gapNs            // exactly the gap: same session
+            case 1 => gapNs + 1L       // one ns over: new session
+            case 2 => 0L               // duplicate ts
+            case _ => rnd.nextLong(gapNs * 2)
+          }
+          t += delta
+          (u * 1000L + i, u.toLong, t)
+        }
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("sess").toString
+      events.toDF("event_id", "user_id", "ts")
+        .write.parquet(s"$tmp/events.parquet")
+
+      val naive = events.groupBy(_._2).toSeq.map { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e._3, e._1)).map(_._3)
+        val sizes = scala.collection.mutable.ArrayBuffer(0L)
+        var prev = Long.MinValue
+        var first = true
+        sorted.foreach { t =>
+          if (!first && t - prev > gapNs) sizes += 0L
+          sizes(sizes.length - 1) += 1
+          prev = t; first = false
+        }
+        val avg = BigDecimal(sizes.sum.toDouble / sizes.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (u, sizes.length.toLong, avg, sizes.max)
+      }.toSet
+
+      val got = Relational.sessionize(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(got === naive, s"seed=$seed")
+    }
+  }
+
   test("gap-fill equals a naive per-user carry-forward fold on random " +
       "sparse event streams (3 seeds)") {
     import org.apache.spark.sql.functions._
