@@ -2162,6 +2162,34 @@ object OracleSql {
     "q_hll_distinct" -> graft.ops.Sketches.hllOracle,
     "q_hll_rollup" -> graft.ops.Sketches.hllRollupOracle,
     "q_quantile_sketch" -> graft.ops.Sketches.quantileSketchOracle(),
+    // rollup path must EQUAL the direct global sample — the oracle is the
+    // direct computation, so the hash match PROVES sketch mergeability
+    "q_quantile_rollup" -> graft.ops.Sketches.quantileSketchOracle(),
+
+    // source-level tf-idf cosine redundancy matrix: same integral
+    // milli-unit weighting/dot/norm chain as dedup_lexical_cosine, at
+    // source granularity with source-frequency idf
+    "dedup_source_cosine" ->
+      """WITH tf AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |    FROM documents),
+        |tfc AS (SELECT source, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+        |sf AS (SELECT term, count(*) AS sf FROM tfc GROUP BY 1),
+        |ns AS (SELECT count(DISTINCT source) AS n_src FROM documents),
+        |wu AS (SELECT source, term,
+        |  CAST(floor(tf * ln((n_src + 1) / (sf + 1)) * 1000) AS BIGINT) AS w
+        |  FROM tfc JOIN sf USING (term) CROSS JOIN ns),
+        |nrm AS (SELECT source, CAST(sum(w * w) AS BIGINT) AS nrm
+        |  FROM wu GROUP BY 1),
+        |d AS (SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(sum(a.w * b.w) AS BIGINT) AS dot
+        |  FROM wu a JOIN wu b ON a.term = b.term AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b,
+        |  round(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS cosine
+        |FROM d JOIN nrm na ON na.source = d.src_a
+        |JOIN nrm nb ON nb.source = d.src_b
+        |WHERE na.nrm > 0 AND nb.nrm > 0
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // stupid-backoff trigram LM: counts replayed from the same hash-split
     // train slice; the CASE's alpha literals are the Scala-computed

@@ -137,6 +137,8 @@ object SparkEntry {
     "q_hll_distinct" -> (Sketches.hllDistinct _),
     "q_hll_rollup" -> (Sketches.hllRollup _),
     "q_quantile_sketch" -> ((s: SparkSession, d: String) => Sketches.quantileSketch(s, d)),
+    "q_quantile_rollup" -> ((s: SparkSession, d: String) => Sketches.quantileRollup(s, d)),
+    "dedup_source_cosine" -> (TermScoring.sourceCosineMatrix _),
     "text_tfidf" -> ((s: SparkSession, d: String) => TermScoring.tfidfTopTerms(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => TermScoring.bm25(s, d)),
     "text_search" -> ((s: SparkSession, d: String) => TermScoring.searchConjunctive(s, d)),

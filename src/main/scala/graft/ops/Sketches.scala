@@ -228,12 +228,50 @@ object Sketches {
       .select(expr(s"topk_by(CAST(-($h) AS DOUBLE), event_id, $k)").as("kept"))
       .select(explode(col("kept")).as("e"))
       .select(col("e.tag").as("event_id"))
+    estimateQuantiles(picked, ev)
+  }
+
+  /** The warehouse ROLLUP property for the quantile sketch ([[hllRollup]]'s
+    * twin): per-group bottom-k partial sketches merge into EXACTLY the
+    * direct global sketch, because the global bottom-k of a union is
+    * contained in the union of per-group bottom-ks (the postings
+    * first-cap argument). The engine computes the MERGED path — one
+    * bounded-state aggregate per event_type group, then one k-sized
+    * merge — while the oracle recomputes the DIRECT global sample, so the
+    * hash match PROVES mergeability rather than assuming it. At 100 TB
+    * this is the property that lets per-partition/per-day sketches roll
+    * up without rescanning the stream. */
+  def quantileRollup(s: SparkSession, dir: String, k: Int = QsK): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.TopKBy.register(s)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val h = SharedHash.spark48("cast(event_id AS string)")
+    // stage 1: one bounded-state partial sketch per group
+    val perGroup = ev
+      .groupBy(col("event_type"))
+      .agg(expr(s"topk_by(CAST(-($h) AS DOUBLE), event_id, $k)").as("kept"))
+    // stage 2: merge = bottom-k over the union of the partials (≤ groups·k
+    // rows — the merge input never touches the corpus again)
+    val picked = perGroup
+      .select(explode(col("kept")).as("e"))
+      .select(col("e.value").as("negh"), col("e.tag").as("event_id"))
+      .select(expr(s"topk_by(negh, event_id, $k)").as("kept"))
+      .select(explode(col("kept")).as("e"))
+      .select(col("e.tag").as("event_id"))
+    estimateQuantiles(picked, ev.select(col("event_id"), col("value")))
+  }
+
+  /** Shared estimator tail: join sampled ids back to values, rank, and
+    * read the ceil(q·n) order statistics. */
+  private def estimateQuantiles(picked: DataFrame, ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
     val sample = broadcast(picked).join(ev, "event_id")
     val w = Window.orderBy(col("value").asc, col("event_id").asc)
     val ranked = sample
       .withColumn("r", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        Window.partitionBy(lit(1))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
     QsQuantiles.map { case (label, q) =>
       ranked.filter(col("r") === ceil(lit(q) * col("n")))
         .select(lit(label).as("q"), round(col("value"), 6).as("est"))

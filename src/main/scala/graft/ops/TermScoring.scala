@@ -334,4 +334,48 @@ object TermScoring {
       .orderBy(col("lift_q4").desc, col("w1").asc, col("w2").asc)
       .limit(topK)
   }
+
+  /** Source-level redundancy matrix: pairwise tf-idf cosine between
+    * SOURCES (each source's docs folded into one term vector) — the
+    * curation signal "which sources substantially duplicate each other",
+    * the soft-similarity twin of [[Dedup.sourceDupMatrix]]'s exact-digest
+    * overlap (digests see only verbatim copies; this sees rewordings and
+    * templated near-dups). Weighting is tf × ln((S+1)/(sf+1)) in integral
+    * milli-units, where sf = number of sources containing the term — the
+    * inter-source analog of document idf, so corpus-wide boilerplate
+    * contributes ~nothing to any pair.
+    *
+    * Scale shape: the corpus-sized work is ONE wordcount aggregate to
+    * (source, term, tf); everything after runs on vocabulary-sized frames
+    * and the |S|²/2 pair space (|S| = #sources — tens, not millions).
+    * Exact BIGINT dots and norms per the float-sum rule; one rounded
+    * double division per pair. */
+  def sourceCosineMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val sf = tf.groupBy(col("term")).agg(count(lit(1)).as("sf"))
+    val nSrc = docs.agg(countDistinct(col("source")).as("n_src"))
+    val wu = tf.join(sf, "term")
+      .crossJoin(broadcast(nSrc))
+      .select(col("source"), col("term"),
+        floor(col("tf") * log((col("n_src") + 1) / (col("sf") + 1)) * 1000)
+          .cast("bigint").as("w"))
+    val nrm = wu.groupBy(col("source"))
+      .agg(sum(col("w") * col("w")).as("nrm"))
+    wu.toDF("src_a", "term", "wa").join(wu.toDF("src_b", "term", "wb"), "term")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(nrm.toDF("src_a", "na"), "src_a")
+      .join(nrm.toDF("src_b", "nb"), "src_b")
+      // a source whose every term is corpus-universal has zero norm:
+      // no direction, no cosine (identical guard in the oracle)
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("cosine",
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6))
+      .select(col("src_a"), col("src_b"), col("cosine"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

@@ -127,4 +127,14 @@ class SketchesSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(estsOf(1) === estsOf(13))
   }
+
+  test("quantile rollup: per-group partial sketches merge into EXACTLY the " +
+      "direct global sketch (the mergeable-summary property)") {
+    val direct = Sketches.quantileSketch(spark, dir)
+      .collect().map(_.toString).toSeq
+    val rolled = Sketches.quantileRollup(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(rolled === direct,
+      "bottom-k(∪ per-group bottom-ks) must equal bottom-k(corpus)")
+  }
 }

@@ -116,6 +116,7 @@ class EmptyInputSpec extends SparkSpec {
       Tables.documents(spark, emptyDir)) === 0L)
     assert(Dedup.prefixJoinPairsOf(
       Tables.documents(spark, emptyDir), 0.3, Some(4)).count() === 0)
+    assert(TermScoring.sourceCosineMatrix(spark, emptyDir).count() === 0)
   }
 
   test("second-session round-6 additions: empty-safe, and the model fit fails loudly") {

@@ -286,6 +286,25 @@ class Round3Spec extends SparkSpec {
     assert(ids1.subsetOf(ids5))
   }
 
+  test("source cosine matrix: identical sources read 1.0, disjoint sources " +
+      "emit no pair, values bounded") {
+    import spark.implicits._
+    val docs =
+      ((1 to 5).map(i => (i.toLong, s"alpha beta gamma d$i", "en", "srcX", 20L)) ++
+       (6 to 10).map(i => (i.toLong, s"alpha beta gamma d${i - 5}", "en", "srcY", 20L)) ++
+       (11 to 15).map(i => (i.toLong, s"omega psi chi z$i", "en", "srcZ", 20L)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("srccos").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val rows = TermScoring.sourceCosineMatrix(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rows(("srcX", "srcY")) === 1.0,
+      "identical term multisets → exactly cosine 1.0")
+    assert(!rows.contains(("srcX", "srcZ")) && !rows.contains(("srcY", "srcZ")),
+      "no shared terms → no pair row")
+    assert(rows.values.forall(c => c >= -1.0 && c <= 1.0))
+  }
+
   // --- column profiler -----------------------------------------------------
 
   test("profiler: one row per column, stats agree with direct computation") {
