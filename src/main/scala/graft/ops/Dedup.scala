@@ -641,15 +641,17 @@ object Dedup {
     * number the join's shuffle + verify cost actually scales with, and —
     * unlike [[dupGroupHistogramOf]]'s exact-digest floor — it sees
     * NEAR-dup families (which keep distinct digests but share prefix
-    * hashes). Cost: the same cached prefix derivation the join itself
-    * needs, then one vocabulary-sized aggregate — so a planner can price
-    * the join before paying for it and decide between exact, capped, or
-    * cluster-first execution. */
+    * hashes). Cost: one cached shingle-set pass (freq + prefix
+    * derivations both read it), then one vocabulary-sized aggregate — so
+    * a planner can price the join before paying for it and decide
+    * between exact, capped, or cluster-first execution. */
   def candidatePairBound(docs: DataFrame, threshold: Double = 0.3): Long = {
-    val sets = prefixSetsOf(docs)
+    val sets = prefixSetsOf(docs).cache()
+    sets.count() // force: freq and prefix derivations share the one pass
     val r = prefixesUnder(sets, prefixFreqOf(sets), threshold)
       .groupBy(col("h")).agg(count(lit(1)).as("c"))
       .agg(sum(expr("c * (c - 1) div 2"))).collect()(0)
+    sets.unpersist()
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 

@@ -28,7 +28,14 @@ object Tables {
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
-      case _ =>
+      case org.apache.spark.sql.types.TimestampType =>
+        // Zone-adjusted micros (parquet isAdjustedToUTC=true): the value
+        // IS an instant, so unix_micros is exact and zone-independent —
+        // field extraction here would read session-zone wall clocks and
+        // shift epochs silently.
+        import org.apache.spark.sql.functions._
+        df.withColumn("ts", unix_micros(df.col("ts")) * 1000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
         // NTZ carries no zone; interpret the wall clock as UTC to match
         // DuckDB's epoch_ns — via PURE field extraction (days/hours/
         // minutes/fractional seconds are zone-free on TIMESTAMP_NTZ), so
@@ -46,6 +53,9 @@ object Tables {
             expr("extract(MINUTE FROM ts)").cast("long") * 60000000L +
             expr("cast(round(date_part('SECOND', ts) * 1000000, 0) as long)"))
             * 1000L)
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported physical type $other — expected " +
+          "LONG (nanos), TIMESTAMP, or TIMESTAMP_NTZ")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -430,9 +430,15 @@ object IndexStore {
     * (stale f means a no-longer-rare hash may sit in a prefix), never
     * recall, so rebuild cadence is a cost knob, not a correctness one.
     * After a rebuild the index is row-identical to [[buildPrefix]] run
-    * from scratch on the same corpus. */
+    * from scratch on the same corpus. Folds any streaming delta segments
+    * (sets AND prefixes) into the standing tables first — same discipline
+    * as [[rebuildAnn]] — so the new dictionary covers intaken docs and no
+    * stale `b=N` prefix segment (derived under the OLD dictionary)
+    * survives next to the re-derived table. */
   def rebuildPrefix(s: SparkSession, root: String,
       threshold: Double = Dedup.JaccardThreshold): Unit = {
+    foldDeltas(s, s"$root/sets", Long.MaxValue)
+    foldDeltas(s, s"$root/prefixes", Long.MaxValue)
     val sets = s.read.parquet(s"$root/sets").cache()
     sets.count() // freq + prefix derivations share the one set scan
     Dedup.prefixFreqOf(sets)
@@ -664,11 +670,17 @@ object IndexStore {
     * prefixes inflates candidate counts), never recall — so the threshold
     * is a probe-cost knob. Cost: one vocabulary-sized full-outer join +
     * two aggregates; the double sum is a monitoring metric, not an
-    * oracled quantity, so float accumulation order is immaterial. */
+    * oracled quantity, so float accumulation order is immaterial.
+    * Reads the sets table WITH unfolded streaming deltas (same policy as
+    * [[annCellOccupancy]]) — drift exists precisely because intake
+    * batches landed after the freeze, so a drift metric blind to
+    * `_delta/b=N` segments would report 0.0 after arbitrary streaming
+    * intake and the rebuild trigger would never fire. */
   def prefixFreqDrift(s: SparkSession, root: String): Double = {
     val frozen = s.read.parquet(s"$root/freq")
       .select(col("h"), col("f").as("f_old"))
-    val current = Dedup.prefixFreqOf(s.read.parquet(s"$root/sets"))
+    val current = Dedup.prefixFreqOf(
+        readWithDeltasBefore(s, s"$root/sets", Long.MaxValue))
       .select(col("h"), col("f").as("f_new"))
     val joined = frozen.join(current, Seq("h"), "full_outer")
       .select(coalesce(col("f_old"), lit(0L)).as("a"),

@@ -100,11 +100,11 @@ class FunnelProcessor
   }
 }
 
-/** One (src → dst) event-type transition observed for a user — the
-  * streaming bigram row [[StreamingOps.transitionEdges]] emits. */
 /** One admitted doc from the streaming source-quota gate. */
 final case class QuotaAdmit(doc_id: Long, source: String, seq: Long)
 
+/** One (src → dst) event-type transition observed for a user — the
+  * streaming bigram row [[StreamingOps.transitionEdges]] emits. */
 final case class TransitionEdge(user_id: Long, src: String, dst: String)
 
 /** Last-event linker for the streaming Markov matrix: state is the

@@ -177,6 +177,46 @@ class IndexMaintenanceSpec extends SparkSpec {
       "after re-freeze the dictionary matches the corpus again")
   }
 
+  test("prefixFreqDrift sees STREAMING delta segments; the triggered " +
+      "rebuild folds them and covers intaken docs (r9 advice)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val root = tmp("pfx-sdrift")
+    IndexStore.buildPrefix(docs.filter(col("doc_id") < 300), root)
+    assert(IndexStore.prefixFreqDrift(spark, root) === 0.0)
+
+    // disjoint-vocabulary intake lands ONLY as _delta/b=1 (the streaming
+    // path) — a drift metric reading the standing table alone reports 0.0
+    // here and the rebuild trigger never fires after streaming intake
+    val intake = (0 until 300).map { i =>
+      (200000L + i, (0 until 40).map(j => s"wv${(i * 11 + j) % 90}").mkString(" "))
+    }.toDF("doc_id", "text")
+    IndexStore.appendPrefixVersioned(intake, root, batchId = 1L)
+    assert(IndexStore.deltaSegmentIds(spark, s"$root/sets") === Seq(1L))
+    val drift = IndexStore.prefixFreqDrift(spark, root)
+    assert(drift > 0.25,
+      s"streaming-intaken vocabulary must register as drift: $drift")
+
+    assert(IndexStore.maintainPrefix(spark, root, maxDrift = drift / 2),
+      "crossed: re-freeze runs")
+    // rebuild folded the segments and re-froze over the FULL corpus:
+    // drift back to zero, no surviving delta dirs, index row-identical
+    // to a from-scratch build over standing + intaken docs
+    assert(IndexStore.prefixFreqDrift(spark, root) === 0.0)
+    assert(IndexStore.deltaSegmentIds(spark, s"$root/sets").isEmpty)
+    assert(IndexStore.deltaSegmentIds(spark, s"$root/prefixes").isEmpty)
+    val full = tmp("pfx-sdrift-full")
+    IndexStore.buildPrefix(
+      docs.filter(col("doc_id") < 300).select("doc_id", "text")
+        .unionByName(intake), full)
+    val a = IndexStore.readPrefix(spark, root)
+    val b = IndexStore.readPrefix(spark, full)
+    assert(sortedRows(a.freq) === sortedRows(b.freq))
+    assert(sortedRows(a.prefixes) === sortedRows(b.prefixes))
+    assert(sortedRows(a.sets.select(col("doc_id"), col("sz"))) ===
+      sortedRows(b.sets.select(col("doc_id"), col("sz"))))
+  }
+
   test("foldAnnDeltas: read views identical, segments retired, folded rows " +
       "land in cell partition dirs (pruning restored)") {
     val emb = Tables.embeddings(spark, dir)

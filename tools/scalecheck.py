@@ -119,6 +119,8 @@ def main():
         t_repl = parse_times(
             open(f"{REPO}/target/scalecheck_verify_replica.log").read())
         names = sorted(set(t_base) - skip)
+        if queries is not None:  # honor an explicit subset here too
+            names = sorted(set(names) & set(queries))
     else:
         t_base = parse_times(run_sbt(
             f"graft.Verify {args.src} {base_out}{base_subset}", env,
@@ -158,8 +160,13 @@ def main():
                          if q["status"] == "missing"),
         "skipped": sorted(skip),
         "median_time_ratio": ratios[len(ratios) // 2] if ratios else None,
-        "total_base_sec": round(sum(v for v in t_base.values()), 1),
-        "total_replica_sec": round(sum(v for v in t_repl.values()), 1),
+        # sum over `names` only, so base/replica totals cover the SAME
+        # query set (the unfiltered base pass may run queries the replica
+        # skips, e.g. the quadratic pair family at copies >= 5)
+        "total_base_sec": round(
+            sum(v for n, v in t_base.items() if n in names), 1),
+        "total_replica_sec": round(
+            sum(v for n, v in t_repl.items() if n in names), 1),
     }
     with open(out_file, "w") as f:
         json.dump({"summary": summary, "queries": per_query}, f, indent=1)
