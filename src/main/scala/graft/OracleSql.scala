@@ -2604,6 +2604,38 @@ object OracleSql {
        |SELECT vec_id, $cols FROM e ORDER BY vec_id""".stripMargin
   }
 
+  /** cf_als_score_saved replay: the ALS FIT is not SQL-expressible, but
+    * scoring from the SAVED artifact is — a rank-6 dot product over two
+    * parquet factor tables DuckDB reads directly (the path is stashed by
+    * the query; Verify dumps oracle_sql.json afterwards). The dense
+    * user/product fit ids are deterministic ranks (distinct user_id
+    * ascending; distinct event_type alphabetical), so the oracle rebuilds
+    * the same mapping with window row_numbers; the engine's prediction is
+    * the strict double left-fold vec_dot, which the left-associated term
+    * chain here replays bit for bit (float→double factor cast is exact on
+    * both sides). Inner factor joins ≙ coldStartStrategy=drop. */
+  private def alsScoreSavedOracle(path: String): String = {
+    val dot = (1 to graft.collab.Training.DefaultRank)
+      .map(i => s"uf.f[$i]*pf.f[$i]").mkString("(", " + ", ")")
+    s"""WITH ui AS (SELECT user_id,
+       |  CAST(row_number() OVER (ORDER BY user_id) - 1 AS INT) AS u
+       |  FROM (SELECT DISTINCT user_id FROM events)),
+       |ti AS (SELECT event_type,
+       |  CAST(row_number() OVER (ORDER BY event_type) - 1 AS INT) AS p
+       |  FROM (SELECT DISTINCT event_type FROM events)),
+       |valid AS (SELECT DISTINCT ui.u, ti.p, ui.user_id
+       |  FROM events ev JOIN ui ON ui.user_id = ev.user_id
+       |  JOIN ti ON ti.event_type = ev.event_type
+       |  WHERE ev.event_id % 10 >= 8),
+       |uf AS (SELECT id, CAST(features AS DOUBLE[]) AS f
+       |  FROM read_parquet('$path/userFactors/*.parquet')),
+       |pf AS (SELECT id, CAST(features AS DOUBLE[]) AS f
+       |  FROM read_parquet('$path/itemFactors/*.parquet'))
+       |SELECT v.user_id AS "user", v.p AS product, $dot AS prediction
+       |FROM valid v JOIN uf ON uf.id = v.u JOIN pf ON pf.id = v.p
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** The `_indexed` intake variants answer the SAME question from the
     * persisted standing index ([[graft.sources.IndexStore]]); their output
     * contract is byte-identical to the recompute-in-query forms, so they
@@ -2646,6 +2678,8 @@ object OracleSql {
       graft.ops.EmbeddingStats.fittedWhiten.map { case (c, o, sc) =>
         "emb_whiten" -> whitenOracle(c, o, sc) } ++
       graft.ops.Bpe.fittedMerges.map(m => "text_bpe_encode" -> bpeEncodeOracle(m)) ++
-      graft.ops.QualityModel.fittedWeights.map(w => "quality_distill" -> qualityDistillOracle(w))
+      graft.ops.QualityModel.fittedWeights.map(w => "quality_distill" -> qualityDistillOracle(w)) ++
+      graft.ops.CollabEvents.savedModelPath.map(p =>
+        "cf_als_score_saved" -> alsScoreSavedOracle(p))
   }
 }

@@ -130,19 +130,43 @@ object CollabEvents {
       p
     })
 
+  /** Saved-model root of the LAST [[alsScoreFromSaved]] run — the oracle
+    * reads the factor parquet directly (stash-then-generate: Verify dumps
+    * oracle_sql.json after every query has run). */
+  @volatile private[graft] var savedModelPath: Option[String] = None
+
   /** Harness query: score the validation pairs from the SAVED model —
     * no fit in the query path; the factor matrices come frozen from
-    * parquet, so this is the score-many-times half of train-once. Saved
-    * factors round-trip exactly, so output ≡ scoring from the in-memory
-    * model bit for bit (spec-asserted). Rows-only in the harness (ALS is
-    * not SQL-expressible). */
+    * parquet, so this is the score-many-times half of train-once.
+    *
+    * Scoring is a direct factor-table join + native vec_dot, NOT
+    * `ALSModel.transform`: the artifact path should be a declarative
+    * codegen plan (two equi-joins — item factors broadcast-small — and a
+    * fused dot loop), not a Scala-UDF epilogue; and the strict double
+    * left-fold makes the prediction exactly replayable by the DuckDB
+    * oracle's left-associated term chain, which ALS's float sdot (BLAS-
+    * backend-dependent accumulation) is not. The float→double factor cast
+    * is exact, so this IS the saved model's score up to summation
+    * precision; round-trip bit-exactness of the factors themselves is
+    * spec-asserted in OpsSpec. Fully oracled (cf_als_score_saved). */
   def alsScoreFromSaved(s: SparkSession, dir: String): DataFrame = {
-    val model = Training.load(standingModelPath(s, dir))
+    graft.functions.VecDot.register(s)
+    val path = standingModelPath(s, dir)
+    savedModelPath = Some(path)
+    val uf = s.read.parquet(s"$path/userFactors")
+      .select(col("id").as("user"),
+        col("features").cast("array<double>").as("__uf"))
+    val pf = s.read.parquet(s"$path/itemFactors")
+      .select(col("id").as("product"),
+        col("features").cast("array<double>").as("__pf"))
     val ratings = ratingsFromEvents(s, dir).cache()
     val valid = ratings.filter(pmod(col("event_id"), lit(10)) >= 8)
       .select("user", "product").distinct()
     val ids = ratings.select(col("user"), col("user_id")).distinct()
-    val out = Scoring.predict(model, valid)
+    val out = valid
+      .join(uf, "user") // inner: unseen keys drop (coldStartStrategy=drop)
+      .join(broadcast(pf), "product")
+      .withColumn("prediction", expr("vec_dot(__uf, __pf)"))
       .join(ids, "user")
       .select(col("user_id").as("user"), col("product"), col("prediction"))
       .orderBy(col("user"), col("product"))

@@ -764,6 +764,30 @@ class CollabEventsSpec extends SparkSpec {
     val q = CollabEvents.alsScoreFromSaved(spark, dir)
     assert(q.columns.toSeq === Seq("user", "product", "prediction"))
     assert(q.count() > 0)
+    assert(CollabEvents.savedModelPath.isDefined,
+      "query must stash its artifact root for the oracle")
+
+    // query predictions ARE the saved factors' double left-fold dot:
+    // recompute each from the artifact's parquet directly and compare
+    // bit for bit (the vec_dot fold ≙ this ascending while-loop)
+    val mp = CollabEvents.savedModelPath.get
+    def factors(sub: String): Map[Int, Array[Double]] =
+      spark.read.parquet(s"$mp/$sub").collect().map { r =>
+        r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+      }.toMap
+    val (ufs, pfs) = (factors("userFactors"), factors("itemFactors"))
+    val denseByUserId = CollabEvents.ratingsFromEvents(spark, dir)
+      .select(col("user_id"), col("user")).distinct().collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    q.collect().foreach { r =>
+      val (u, p) = (ufs(denseByUserId(r.getLong(0))), pfs(r.getInt(1)))
+      var acc = 0.0
+      var i = 0
+      while (i < u.length) { acc += u(i) * p(i); i += 1 }
+      assert(java.lang.Double.doubleToLongBits(acc) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"prediction for row $r must equal the artifact dot $acc")
+    }
   }
 
   test("ALS user-id compaction: 64-bit user ids beyond Int range train " +
