@@ -1718,6 +1718,17 @@ object OracleSql {
          |WHERE round(d / (sqrt(na.nr) * sqrt(nb.nr)), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // pre-join cost scout for the quadratic tf-idf self-join above:
+    // Σ_t df·(df−1)/2 over the df-capped vocabulary — distinct (doc,
+    // term) pairs first, same as the engine's tf-then-df derivation
+    "dedup_lexical_bound" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |df AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT CAST(coalesce(sum(df * (df - 1) // 2), 0) AS BIGINT) AS bound
+        |FROM df CROSS JOIN n WHERE df * 10 <= n_docs""".stripMargin,
+
     // BM25: identical constant expressions (emitted unevaluated so both
     // engines fold 1.2 + 1 in IEEE double the same way), per-term
     // contributions floored into integral micro-units before the exact

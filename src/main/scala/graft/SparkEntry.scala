@@ -124,6 +124,8 @@ object SparkEntry {
     "text_chunks" -> (TextAnalysis.chunk _),
     "text_entropy" -> (TextAnalysis.charEntropy _),
     "dedup_lexical_cosine" -> ((s: SparkSession, d: String) => TermScoring.lexicalCosinePairs(s, d)),
+    "dedup_lexical_bound" -> ((s: SparkSession, d: String) =>
+      TermScoring.lexicalPairBoundOf(Tables.documents(s, d))),
     "text_collapse_repeats" -> (TextAnalysis.collapseRepeats _),
     "text_segment_dedup" -> (TextAnalysis.segmentDedup _),
     "text_boilerplate" -> ((s: SparkSession, d: String) => TextAnalysis.boilerplateFilter(s, d)),

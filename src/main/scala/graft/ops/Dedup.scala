@@ -715,19 +715,39 @@ object Dedup {
     * the standing corpus's text is never read — only its vocabulary-sized
     * df dictionary (the frozen order both sides must share), its prefix
     * table (the join's build side), and, for verified candidates only,
-    * its set table. */
+    * its set table.
+    *
+    * The probe's OUTPUT still scales with true cross-pair count — a
+    * delta doc that duplicates a large standing family reports every
+    * member (30.5× at the ×30 replica). An intake deployment wants the
+    * triage verdict, not the full match list, so `maxCandidatesPerDoc`
+    * bounds verify work and output to the first `c` standing candidates
+    * per DELTA doc (ranked by ascending doc_a — deterministic, so the
+    * capped probe is a replayable subset of the exact one). `None`
+    * keeps the exact, fully-oracled semantics unchanged. */
   def prefixProbe(deltaDocs: DataFrame,
       idx: graft.sources.IndexStore.PrefixIndex,
-      threshold: Double = JaccardThreshold): DataFrame = {
+      threshold: Double = JaccardThreshold,
+      maxCandidatesPerDoc: Option[Int] = None): DataFrame = {
     val dSets = prefixSetsOf(deltaDocs).cache()
     dSets.count() // force: prefix derivation + verify leg both read it
     val dPref = prefixesUnder(dSets, idx.freq, threshold)
-    val cand = idx.prefixes.toDF("h", "doc_a", "sz_a")
+    val cand0 = idx.prefixes.toDF("h", "doc_a", "sz_a")
       .join(dPref.toDF("h2", "doc_b", "sz_b"),
         col("h") === col("h2") &&
           col("sz_a") >= col("sz_b") * threshold &&
           col("sz_b") >= col("sz_a") * threshold)
       .select(col("doc_a"), col("doc_b")).distinct()
+    val cand = maxCandidatesPerDoc match {
+      case None => cand0
+      case Some(c) =>
+        // the intake budget partitions by the DELTA doc: each arriving
+        // doc reports its first c standing matches, not all of them
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_b")).orderBy(col("doc_a"))
+        cand0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= c).drop("__rn")
+    }
     val pairs = verifyExactPairs(cand, idx.sets, dSets, threshold)
     Caching.materializeAndRelease(pairs, dSets)
   }

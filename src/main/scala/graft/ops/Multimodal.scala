@@ -16,10 +16,11 @@ final case class AssetFeatures(asset_id: Long, n_bytes: Long,
   *
   * The decode step dispatches on mime: `image/…` mimes go through a
   * REAL codec — JDK ImageIO, which ships PNG/JPEG/BMP/GIF readers with
-  * the JRE, no external jars — and everything else falls back to the
-  * clearly-labeled STUB (the harness's synthetic payloads are
-  * `application/octet-stream` text bytes, not decodable images; audio and
-  * video codecs are genuinely absent from this container). The Spark-side
+  * the JRE, no external jars — `audio/…` mimes through the REAL
+  * javax.sound.sampled WAV/PCM reader (also JRE-shipped), and everything
+  * else falls back to the clearly-labeled STUB (the harness's synthetic
+  * payloads are `application/octet-stream` text bytes; VIDEO codecs are
+  * genuinely absent from the JDK, so that branch stays stubbed). The Spark-side
   * contract is identical on both branches — schema (binary + metadata),
   * partition-batched iteration via mapPartitions (the Scala analog of
   * mapInPandas batches: one decoder init per partition, not per row), and
@@ -109,10 +110,94 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode via JDK javax.sound.sampled (WAV/PCM ships with
+    * the JRE — no external codec jars): 16-float feature vector
+    * [sampleRate, channels, bitsPerSample, nFrames, durationSec,
+    *  rms, peak, meanAbs, zeroCrossFraction,
+    *  7-bin |amplitude| histogram (fractions)]. Amplitudes are
+    * normalized to [-1, 1]; multi-channel frames average to mono before
+    * feature math (the standard mixdown). Returns None for bytes the
+    * JDK can't parse as RIFF/WAVE, non-PCM encodings, or truncated
+    * payloads — degrading to the stub instead of failing a 100 TB job
+    * on one bad file (same contract as [[decodeImage]]). */
+  def decodeAudio(content: Array[Byte]): Option[Array[Float]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (ais == null) return None
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      if ((!signed && !unsigned) || (bits != 8 && bits != 16) || ch < 1)
+        return None
+      val raw = ais.readAllBytes()
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * ch
+      val nFrames = raw.length / frameBytes
+      if (nFrames == 0) return None
+
+      val big = fmt.isBigEndian
+      val full = (1 << (bits - 1)).toDouble // 128 or 32768
+      def sample(off: Int): Double = {
+        val v =
+          if (bits == 8)
+            if (signed) raw(off).toInt else (raw(off) & 0xff) - 128
+          else {
+            val (lo, hi) = if (big) (off + 1, off) else (off, off + 1)
+            val s = ((raw(hi).toInt << 8) | (raw(lo) & 0xff)).toShort.toInt
+            if (signed) s else ((raw(hi) & 0xff) << 8 | (raw(lo) & 0xff)) - 32768
+          }
+        v / full
+      }
+
+      var (sumSq, sumAbs, peak) = (0.0, 0.0, 0.0)
+      var crossings = 0L
+      var prevNonNeg = true
+      val hist = new Array[Long](7)
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        var acc = 0.0
+        while (c < ch) { acc += sample(f * frameBytes + c * bytesPerSample); c += 1 }
+        val a = acc / ch
+        val abs = math.abs(a)
+        sumSq += a * a; sumAbs += abs
+        if (abs > peak) peak = abs
+        val nonNeg = a >= 0.0
+        if (f > 0 && nonNeg != prevNonNeg) crossings += 1
+        prevNonNeg = nonNeg
+        hist(math.min(6, (abs * 7).toInt)) += 1
+        f += 1
+      }
+      val out = new Array[Float](16)
+      out(0) = fmt.getSampleRate
+      out(1) = ch.toFloat
+      out(2) = bits.toFloat
+      out(3) = nFrames.toFloat
+      out(4) = (nFrames / fmt.getSampleRate.toDouble).toFloat
+      out(5) = math.sqrt(sumSq / nFrames).toFloat
+      out(6) = peak.toFloat
+      out(7) = (sumAbs / nFrames).toFloat
+      out(8) = (crossings.toDouble / nFrames).toFloat
+      var j = 0
+      while (j < 7) { out(9 + j) = (hist(j).toDouble / nFrames).toFloat; j += 1 }
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally ais.close()
+  }
+
   /** Feature extraction: one decoder "session" per partition, batch loop
     * inside — the mapPartitions shape a native decoder needs. Dispatch:
-    * image mimes take the real ImageIO path; everything else (and
-    * undecodable image bytes) the deterministic stub. */
+    * image mimes take the real ImageIO path, audio mimes the real
+    * javax.sound WAV/PCM path; everything else — video (codecs
+    * genuinely absent from the JDK) and undecodable bytes — the
+    * deterministic stub. */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
@@ -121,6 +206,8 @@ object Multimodal {
         val feats =
           if (a.mime.startsWith("image/"))
             decodeImage(a.content).getOrElse(decodeStub(a.content))
+          else if (a.mime.startsWith("audio/"))
+            decodeAudio(a.content).getOrElse(decodeStub(a.content))
           else decodeStub(a.content)
         AssetFeatures(a.asset_id, a.n_bytes, feats)
       }

@@ -156,34 +156,102 @@ object TermScoring {
     * order-independent sums per the float-sum rule — and the final cosine
     * is one deterministic double expression per pair, so the DuckDB
     * oracle hash-matches. Bodies never shuffle: only (doc, term-weight)
-    * pairs move. */
+    * pairs move.
+    *
+    * Still honestly OUTPUT-quadratic on a duplicate-dense corpus (182×
+    * at the ×10 replica; the r9 Bayardo prefix-filter attempt measured
+    * WORSE on this output-bound corpus — BENCH.md). So it carries the
+    * same two-part guardrail the exact shingle-pair family got in r9:
+    * [[lexicalPairBound]] prices the join's collision count before
+    * anyone pays it, and `maxCandidatesPerDoc` bounds dot/verify work to
+    * O(c·n): candidates (distinct colliding id pairs — no weights in
+    * that shuffle) rank per doc_a by ascending doc_b; only the first `c`
+    * reach the weight-join that accumulates dots. The capped output is a
+    * DETERMINISTIC SUBSET of the exact output with ≤ c rows per doc_a —
+    * a work-bound policy knob; `None` (the default) preserves the exact,
+    * fully-oracled semantics unchanged. */
   def lexicalCosinePairs(s: SparkSession, dir: String, dfFrac: Int = 10,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxCandidatesPerDoc: Option[Int] = None): DataFrame = {
     val docs = Tables.documents(s, dir)
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val wu = tf.join(df, "term")
+    val wu0 = tf.join(df, "term")
       .crossJoin(broadcast(n))
       .filter(col("df") * dfFrac <= col("n_docs"))
       .select(col("doc_id"), col("term"),
         floor(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)) * 1000)
           .cast("bigint").as("w"))
-    val nrm = wu.groupBy(col("doc_id"))
-      .agg(sum(col("w") * col("w")).as("nrm"))
-    wu.toDF("doc_a", "term", "wa").join(wu.toDF("doc_b", "term", "wb"), "term")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("wa") * col("wb")).as("dot"))
-      .join(nrm.toDF("doc_a", "na"), "doc_a")
-      .join(nrm.toDF("doc_b", "nb"), "doc_b")
-      .withColumn("cosine",
-        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6))
-      .filter(col("cosine") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("cosine"))
-      .orderBy(col("doc_a"), col("doc_b"))
+
+    def epilogue(dots: DataFrame, wu: DataFrame): DataFrame = {
+      val nrm = wu.groupBy(col("doc_id"))
+        .agg(sum(col("w") * col("w")).as("nrm"))
+      dots
+        .join(nrm.toDF("doc_a", "na"), "doc_a")
+        .join(nrm.toDF("doc_b", "nb"), "doc_b")
+        .withColumn("cosine",
+          round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6))
+        .filter(col("cosine") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("cosine"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+
+    maxCandidatesPerDoc match {
+      case None =>
+        val wu = wu0
+        epilogue(
+          wu.toDF("doc_a", "term", "wa")
+            .join(wu.toDF("doc_b", "term", "wb"), "term")
+            .filter(col("doc_a") < col("doc_b"))
+            .groupBy(col("doc_a"), col("doc_b"))
+            .agg(sum(col("wa") * col("wb")).as("dot")), wu)
+      case Some(c) =>
+        // candidate generation moves (id, id) rows only — weights and
+        // multiplicities stay out of the quadratic shuffle; the budget
+        // then bounds the weight-join to c pairs per doc_a
+        val wu = wu0.cache()
+        wu.count() // force: ids leg + two dot legs + norm share one pass
+        val ids = wu.select(col("doc_id"), col("term"))
+        val cand0 = ids.toDF("doc_a", "term")
+          .join(ids.toDF("doc_b", "term"), "term")
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_a")).orderBy(col("doc_b"))
+        val cand = cand0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= c).drop("__rn")
+        val dots = cand
+          .join(wu.toDF("doc_a", "term", "wa"), "doc_a")
+          .join(wu.toDF("doc_b", "term", "wb"), Seq("doc_b", "term"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(sum(col("wa") * col("wb")).as("dot"))
+        graft.ops.Caching.materializeAndRelease(epilogue(dots, wu), wu)
+    }
+  }
+
+  /** Pre-join cost scout for [[lexicalCosinePairs]]: Σ_t df_t·(df_t−1)/2
+    * over the df-capped vocabulary — the exact number of colliding
+    * (doc_a, doc_b, term) rows the inverted-index self-join shuffles, so
+    * a planner can price the quadratic join before paying for it (the
+    * [[Dedup.candidatePairBound]] discipline applied to the tf-idf
+    * modality). Cost: one wordcount aggregate; bodies never shuffle. */
+  def lexicalPairBound(docs: DataFrame, dfFrac: Int = 10): Long =
+    lexicalPairBoundOf(docs, dfFrac).collect()(0).getLong(0)
+
+  /** One-row frame (bound BIGINT) form of [[lexicalPairBound]] — the
+    * harness query surface (dedup_lexical_bound). */
+  def lexicalPairBoundOf(docs: DataFrame, dfFrac: Int = 10): DataFrame = {
+    val ids = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val df = ids.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    df.crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .filter(col("df") * dfFrac <= col("n_docs"))
+      .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L))
+        .cast("bigint").as("bound"))
   }
 
   val LmUnit = 1000000L

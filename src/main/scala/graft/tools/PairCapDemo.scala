@@ -42,6 +42,26 @@ object PairCapDemo {
       Dedup.prefixJoinPairsOf(docs, 0.3, Some(cap)).count())
     if (alsoUncapped)
       time("uncapped exact", Dedup.prefixJoinPairsOf(docs, 0.3).count())
+
+    // the tf-idf modality carries the same guardrail: scout then budget
+    println(s"lexical collision-pair bound: " +
+      graft.ops.TermScoring.lexicalPairBound(docs))
+    time(s"lexical capped (budget $cap/doc)",
+      graft.ops.TermScoring.lexicalCosinePairs(spark, dir,
+        maxCandidatesPerDoc = Some(cap)).count())
+    if (alsoUncapped)
+      time("lexical uncapped exact",
+        graft.ops.TermScoring.lexicalCosinePairs(spark, dir).count())
+
+    // the exact-recall intake probe: same budget, partitioned by the
+    // DELTA doc (an arriving doc reports its first c standing matches)
+    val (inc, _) = Dedup.deltaSplit(docs)
+    val idx = graft.sources.IndexStore.standingPrefixIndex(spark, dir)
+    time(s"probe capped (budget $cap/delta-doc)",
+      Dedup.prefixProbe(inc, idx,
+        maxCandidatesPerDoc = Some(cap)).count())
+    if (alsoUncapped)
+      time("probe uncapped exact", Dedup.prefixProbe(inc, idx).count())
     spark.stop()
   }
 }

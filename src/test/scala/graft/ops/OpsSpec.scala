@@ -683,15 +683,63 @@ class TextMultimodalSpec extends SparkSpec {
     assert(gray.drop(6).max === 1f && math.abs(gray.drop(6).sum - 1f) < 1e-6)
   }
 
+  /** Real WAV bytes: 16-bit signed PCM samples framed by the JDK's own
+    * RIFF/WAVE writer — the audio twin of [[pngBytes]]. */
+  private def wavBytes(samples: Array[Short], sampleRate: Float = 8000f,
+      channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate,
+      16, channels, 2 * channels, sampleRate, false)
+    val raw = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(raw),
+      fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("multimodal: REAL javax.sound WAV decode — format fields and " +
+      "amplitude features of a synthesized square wave are exact") {
+    // ±half-scale square wave, period 4: rms = meanAbs = peak = 0.5,
+    // one sign flip every 2 frames → zero-cross fraction ~0.5
+    val n = 800
+    val sq = Array.tabulate[Short](n)(i =>
+      if ((i / 2) % 2 == 0) 16384 else -16384)
+    val f = Multimodal.decodeAudio(wavBytes(sq)).get
+    assert(f(0) === 8000f && f(1) === 1f && f(2) === 16f && f(3) === n.toFloat)
+    assert(math.abs(f(4) - n / 8000.0) < 1e-6, "duration seconds")
+    assert(math.abs(f(5) - 0.5f) < 1e-4 && math.abs(f(7) - 0.5f) < 1e-4,
+      "rms and meanAbs of a half-scale square wave")
+    assert(math.abs(f(6) - 0.5f) < 1e-4, "peak")
+    assert(math.abs(f(8) - 0.5f) < 2.0 / n, "zero-crossing fraction")
+    // |a| = 0.5 lands every frame in bin floor(0.5*7) = 3
+    assert(f(9 + 3) === 1f && math.abs(f.drop(9).sum - 1f) < 1e-6)
+
+    // stereo: L = +A, R = -A mixes down to silence
+    val st = Array.tabulate[Short](200)(i => if (i % 2 == 0) 12000 else -12000)
+    val g = Multimodal.decodeAudio(wavBytes(st, channels = 2)).get
+    assert(g(1) === 2f && g(3) === 100f)
+    assert(g(5) === 0f && g(6) === 0f, "mixdown of inverted channels")
+  }
+
   test("multimodal: extractFeatures dispatches image/* through the codec, " +
       "others (and corrupt images) through the stub") {
     import spark.implicits._
     val png = pngBytes(4, 2, 0x0000ff)
     val textBytes = "not an image".getBytes("UTF-8")
+    val wav = wavBytes(Array.tabulate[Short](80)(i =>
+      if ((i / 2) % 2 == 0) 16384 else -16384))
     val assets = Seq(
       Asset(1L, "image/png", png.length.toLong, png),
       Asset(2L, "application/octet-stream", textBytes.length.toLong, textBytes),
-      Asset(3L, "image/png", textBytes.length.toLong, textBytes) // corrupt
+      Asset(3L, "image/png", textBytes.length.toLong, textBytes), // corrupt
+      Asset(4L, "audio/wav", wav.length.toLong, wav),
+      Asset(5L, "audio/wav", textBytes.length.toLong, textBytes), // corrupt
+      Asset(6L, "video/mp4", textBytes.length.toLong, textBytes) // stubbed
     ).toDS()
     val out = Multimodal.extractFeatures(assets).collect()
       .map(f => f.asset_id -> f.features).toMap
@@ -701,6 +749,10 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(out(2L).sum - 1f) < 1e-3)
     // corrupt image/* degrades to the stub instead of failing the job
     assert(out(3L) === out(2L))
+    // real audio path: sample rate + frame count from the codec
+    assert(out(4L)(0) === 8000f && out(4L)(3) === 80f)
+    // corrupt audio/* and video/* (no JDK codec) both take the stub
+    assert(out(5L) === out(2L) && out(6L) === out(2L))
   }
 }
 

@@ -246,6 +246,44 @@ class Round4Spec extends SparkSpec {
     got.foreach { case (k, c) => assert(math.abs(c - expected(k)) < 2e-6, s"$k") }
   }
 
+  test("lexical cosine: candidate budget yields a deterministic per-doc-" +
+      "bounded subset of the exact output; the pair-bound scout dominates") {
+    import spark.implicits._
+    // duplicate-dense family fixture: the shape where the uncapped join
+    // goes output-quadratic (twelve 4-doc families sharing rare
+    // vocabulary — df 4 stays under the df·10 ≤ n_docs=48 cap)
+    val docs = (0 until 48).map { i =>
+      val fam = i / 4
+      val toks = (0 until 12).map(j => s"f${fam}_t$j") :+ s"u$i"
+      (i.toLong, toks.mkString(" "))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("lexcap").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+
+    val exact = TermScoring.lexicalCosinePairs(spark, tmp)
+      .as[(Long, Long, Double)].collect().toSet
+    val cap = 2
+    val capped = TermScoring.lexicalCosinePairs(spark, tmp,
+        maxCandidatesPerDoc = Some(cap))
+      .as[(Long, Long, Double)].collect()
+    assert(capped.toSet.subsetOf(exact),
+      "every capped pair is a true pair of the exact output")
+    assert(capped.groupBy(_._1).values.forall(_.length <= cap),
+      "per-doc output cannot exceed the candidate budget")
+    assert(capped.nonEmpty && capped.length < exact.size,
+      "fixture dense enough that the budget actually bites")
+    // deterministic: unique (doc_a, doc_b) rank order → replayable subset
+    val again = TermScoring.lexicalCosinePairs(spark, tmp,
+        maxCandidatesPerDoc = Some(cap))
+      .as[(Long, Long, Double)].collect()
+    assert(again.sorted.toSeq === capped.sorted.toSeq)
+    // the collision scout upper-bounds the true pair count
+    val d = Tables.documents(spark, tmp)
+    assert(TermScoring.lexicalPairBound(d) >= exact.size,
+      "pair bound must dominate the verified pair count")
+    assert(TermScoring.lexicalPairBoundOf(d).columns.toSeq === Seq("bound"))
+  }
+
   // --- merge-on-read upsert ------------------------------------------------
 
   private def baseDf(rows: (Long, String)*) = rows.toDF("k", "v")

@@ -244,6 +244,34 @@ class Round6ExtrasSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("prefix probe: intake budget bounds standing matches per DELTA doc " +
+      "to a deterministic subset of the exact probe") {
+    val tmp = java.nio.file.Files.createTempDirectory("prefixcap").toString
+    val docs = craftedDocs.cache()
+    val standing = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    graft.sources.IndexStore.buildPrefix(standing, tmp)
+    val idx = graft.sources.IndexStore.readPrefix(spark, tmp)
+    val exact = Dedup.prefixProbe(delta, idx)
+      .as[(Long, Long, Double)].collect().toSet
+    val cap = 2
+    val capped = Dedup.prefixProbe(delta, idx,
+        maxCandidatesPerDoc = Some(cap))
+      .as[(Long, Long, Double)].collect()
+    assert(capped.toSet.subsetOf(exact),
+      "every capped cross pair is a true pair of the exact probe")
+    assert(capped.groupBy(_._2).values.forall(_.length <= cap),
+      "per-DELTA-doc output cannot exceed the intake budget")
+    assert(capped.nonEmpty && capped.length < exact.size,
+      "fixture dense enough that the budget actually bites")
+    val again = Dedup.prefixProbe(delta.repartition(7), idx,
+        maxCandidatesPerDoc = Some(cap))
+      .as[(Long, Long, Double)].collect()
+    assert(again.sorted.toSeq === capped.sorted.toSeq,
+      "unique (doc_b, doc_a) rank order → repartition-invariant subset")
+    docs.unpersist()
+  }
+
   test("prefix index appends are delta-only and the appended index probes like a rebuild") {
     val tmp = java.nio.file.Files.createTempDirectory("prefixapp").toString
     val s1p = s"$tmp/standing1"; val s2p = s"$tmp/standing2"
