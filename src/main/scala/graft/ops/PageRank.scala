@@ -33,12 +33,35 @@ object PageRank {
   val BaseNum = 15
 
   /** pairs(doc_a, doc_b) undirected → (doc_id, rank, deg), every node of
-    * the graph, ranks in micro-units after [[Iters]] rounds. */
-  def pageRank(pairs: DataFrame, iters: Int = Iters): DataFrame = {
+    * the graph, ranks in micro-units after [[Iters]] rounds.
+    *
+    * `maxDegree` is the edge-count budget for duplicate-dense corpora:
+    * the near-dup graph's edge count grows with true pair count (8.7× at
+    * the ×30 replica — input growth, not a plan flaw), and a hub that
+    * near-duplicates a 10k-doc template family contributes 10k edges of
+    * redundant signal. The cap keeps each node's first `c` out-edges by
+    * ascending dst — deterministic, so the truncated trajectory is
+    * replayable — the same explicit-choice policy knob as the pair
+    * family's candidate budget. `None` (default) is the exact, oracled
+    * graph. Rank semantics under the cap are those of the SAMPLED graph
+    * (mass renormalizes over kept edges), the standard treatment for
+    * centrality-on-subsampled-graphs. */
+  def pageRank(pairs: DataFrame, iters: Int = Iters,
+      maxDegree: Option[Int] = None): DataFrame = {
     val spark = pairs.sparkSession
     val dir1 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val dir2 = pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))
-    val edges = dir1.union(dir2)
+    val edges0 = dir1.union(dir2)
+    val edges = maxDegree match {
+      case None => edges0
+      case Some(c) =>
+        // (src, dst) rows only — ranking the id pairs is cheap relative
+        // to one PageRank round over the uncapped edge frame
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("src")).orderBy(col("dst"))
+        edges0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= c).drop("__rn")
+    }
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // degree rides along with each edge so the per-round join is single;
     // hash-partition by src ONCE before pinning — every round's

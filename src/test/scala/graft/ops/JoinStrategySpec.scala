@@ -103,4 +103,68 @@ class JoinStrategySpec extends SparkSpec {
       assert(planOf(hinted).contains("BroadcastHashJoin"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("AQE skew join splits a 95%-hot-key sort-merge join at runtime; " +
+      "results identical to the un-split join (the automatic alternative " +
+      "to Skew.saltedJoin)") {
+    import spark.implicits._
+    // the Skew fixture shape: one key owns 95% of the fact rows, with
+    // enough payload bytes that its single hash group dwarfs the others.
+    // Payloads must be HIGH-ENTROPY: the skew detector reads compressed
+    // shuffle-block sizes, and a constant pad deflates below any
+    // threshold
+    def noise(i: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 6).map(r => md.digest(s"$i/$r".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).mkString
+    }
+    val fact = (0 until 20000).map { i =>
+      (i.toLong, if (i % 20 != 0) 0L else (i % 97).toLong + 1L, noise(i))
+    }.toDF("row_id", "k", "payload")
+    val dim = (0L to 97L).map(k => (k, s"dim_$k")).toDF("k2", "attr")
+
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // shrink the skew detector to fixture scale: a partition is skewed
+      // if > factor × median AND > threshold bytes; split to ~64 KiB
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      // keep AQE from first collapsing the small shuffle to 1 partition
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.keys.map(k =>
+      k -> util.Try(spark.conf.get(k)).toOption).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // the output must (a) use payload AFTER the join — a fact-only
+      // projection would be pushed below the SMJ and pruned to longs,
+      // deflating the skewed partition — and (b) avoid a downstream
+      // keyed aggregate, whose partitioning requirement vetoes the
+      // split (splitting duplicates partitions; AQE won't add the
+      // re-shuffle unless forceOptimizeSkewedJoin)
+      val joined = fact.join(dim, col("k") === col("k2"))
+        .select(col("k"), col("attr"),
+          length(concat(col("payload"), col("attr"))).as("plen"))
+      val rows = joined.collect() // materialize → AQE finalizes the plan
+      val finalPlan = planOf(joined)
+      assert(finalPlan.contains("SortMergeJoin") &&
+        finalPlan.contains("skew=true"),
+        s"expected a skew-split SMJ in the adaptive final plan:\n$finalPlan")
+
+      // correctness is unchanged by the runtime split: the hot key keeps
+      // every row, each matched to exactly its one dim row
+      assert(rows.length === 20000)
+      val byKey = rows.groupBy(_.getLong(0))
+      assert(byKey(0L).length === 19000, "hot key keeps 95% of the rows")
+      assert(byKey.size === 98)
+      rows.foreach { r =>
+        assert(r.getString(1) === s"dim_${r.getLong(0)}")
+        assert(r.getInt(2) === 192 + r.getString(1).length)
+      }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -46,6 +46,38 @@ class PageRankSpec extends SparkSpec {
     assert(total >= PageRank.TotalMass - 8 * 2 * PageRank.Iters - 8)
   }
 
+  test("edge budget: capped trajectory equals the exact trajectory of the " +
+      "deterministically truncated graph; default is the exact graph") {
+    val pairs = star.toDF("doc_a", "doc_b")
+    val cap = 2
+    val got = PageRank.pageRank(pairs, maxDegree = Some(cap)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // no node keeps more than `cap` out-edges
+    assert(got.forall(_._3 <= cap), s"degree over budget: ${got.toSeq}")
+    // the capped run IS exact PageRank on the truncated graph: replay the
+    // same first-c-by-ascending-dst rule driver-side and compare ranks
+    val tEdges = star.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        es.sortBy(_._2).take(cap) }
+    val tDeg = tEdges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = PageRank.TotalMass / tDeg.size
+    var ranks = tDeg.keySet.map(_ -> base).toMap
+    for (_ <- 1 to PageRank.Iters) {
+      val s = tEdges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => ranks(src) / tDeg(src) }.sum).toMap
+      ranks = tDeg.keySet.map(v =>
+        v -> (PageRank.BaseNum * base + PageRank.DampNum * s.getOrElse(v, 0L)) / 100).toMap
+    }
+    assert(got.map(r => r._1 -> r._2).toMap === ranks)
+    // deterministic: a different physical layout replays the same subset
+    val again = PageRank.pageRank(pairs.repartition(7), maxDegree = Some(cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq === got.sorted.toSeq)
+    // the default (None) path is untouched by the knob
+    assert(PageRank.pageRank(pairs).collect().map(_.getLong(1)).sorted ===
+      reference(star, PageRank.Iters).values.toArray.sorted)
+  }
+
   test("trajectory is partitioning-invariant (1 vs 32 shuffle partitions)") {
     val pairs = star.toDF("doc_a", "doc_b")
     def run(parts: Int) = {
