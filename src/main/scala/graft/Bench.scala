@@ -23,15 +23,10 @@ object Bench {
     // with session warmup, not inside whichever `_indexed` probe runs
     // first (observed: ann_ivfpq_indexed pass 1 at 9.5 s vs 1.8 s steady,
     // all index construction).
-    // ann_ivfpq_indexed is warmed SEPARATELY from ann_ivf_indexed even
-    // though they share the index root: the ivfpq probe's first
-    // codebook/codes parquet reads otherwise land in timed pass 1
-    // (observed as a 3x driver/builder gap). text_bpe_merges warms the
-    // standing BPE artifact build the three BPE queries share.
-    for (w <- Seq("q_agg_lineitem", "q_window_running", "q_sort_limit",
-        "dedup_bloom_gate_indexed", "dedup_prefix_probe_indexed",
-        "dedup_winnow_probe_indexed", "text_postings_indexed",
-        "ann_ivf_indexed", "ann_ivfpq_indexed", "text_bpe_merges"))
+    // The list lives in SparkEntry.warmupQueries (shared with Verify's
+    // opt-in steady-state mode); see its scaladoc for the per-entry
+    // rationale.
+    for (w <- SparkEntry.warmupQueries)
       SparkEntry.queries.get(w).foreach { fn =>
         try fn(spark, sfDir).count() catch {
           case NonFatal(e) =>

@@ -226,4 +226,22 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = OracleSql.sql
+
+  /** Session warmup: the standing-artifact builds (text/ANN/BPE indexes,
+    * curation verdicts, saved ALS model) plus one aggregate + one window
+    * query for JIT/codegen. A deployment builds these once and probes
+    * forever, so timed runs (Bench; Verify under SPARK_GRAFT_WARMUP=1,
+    * which scalecheck sets for steady-state scale ratios) charge them to
+    * warmup, not to whichever query happens to run first.
+    * ann_ivfpq_indexed and text_bpe_merges are listed even though
+    * siblings share their roots — their first codebook/merges parquet
+    * reads otherwise land in timed pass 1 (observed 3× skew);
+    * quality_distill and cf_als_score_saved pre-build the verdicts and
+    * model artifacts the same way. */
+  val warmupQueries: Seq[String] = Seq(
+    "q_agg_lineitem", "q_window_running", "q_sort_limit",
+    "dedup_bloom_gate_indexed", "dedup_prefix_probe_indexed",
+    "dedup_winnow_probe_indexed", "text_postings_indexed",
+    "ann_ivf_indexed", "ann_ivfpq_indexed", "text_bpe_merges",
+    "quality_distill", "cf_als_score_saved")
 }

@@ -20,6 +20,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Opt-in warmup (SPARK_GRAFT_WARMUP=1): build the standing artifacts
+    // (indexes, BPE merges, curation verdicts) BEFORE the timed loop, so
+    // the [verify-time] lines tools/scalecheck.py turns into scale ratios
+    // measure the steady-state probe cost — a deployment indexes once and
+    // probes forever — instead of charging whichever query runs first
+    // with the one-off build (same rationale as Bench's warmup list).
+    // Correctness output is identical either way; the driver's own gate
+    // runs without the env and is unaffected.
+    if (sys.env.get("SPARK_GRAFT_WARMUP").contains("1"))
+      for (w <- SparkEntry.warmupQueries)
+        SparkEntry.queries.get(w).foreach { fn =>
+          try fn(spark, sfDir).count() catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[verify] warmup $w failed: ${e.getMessage}")
+          }
+        }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -13,13 +13,18 @@ Usage:
       [--dst target/scale_x{copies}] [--out SCALECHECK.json]
       [--queries a,b,c] [--skip a,b] [--cpus 16] [--no-default-skip]
 
-Recommended round-close recipe (mirrors the r8 sweep discipline):
+Recommended round-close recipe (r10: the ×30 sweep is FULL-surface):
   python3 tools/scalecheck.py --copies 10 --out SCALECHECK_x10.json
+  python3 tools/scalecheck.py --copies 30 --out SCALECHECK_x30.json
   python3 tools/scalecheck.py --copies 3 --out SCALECHECK_x3.json \
       --queries dedup_prefix_join,dedup_clusters_exact
 The exact all-pairs family is output-quadratic in duplicate-group size
 (×10 replica: ~440-460 s/query, honest cost of exact semantics), so it is
-skipped at copies >= 5 by default and swept at ×3 — same split as r8.
+skipped at copies >= 5 by default and swept at ×3; dedup_lexical_cosine
+(one order cheaper — runs at ×10 in 272 s) is additionally skipped at
+copies >= 20. Verify runs get SPARK_GRAFT_WARMUP=1 so ratios compare
+steady-state probe cost, and summary.over_budget flags (without failing)
+queries whose replica time exceeds --budget-sec.
 """
 import argparse
 import json
@@ -32,6 +37,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # output-quadratic at replica scale (duplicate-dense corpus): swept at x3
 QUADRATIC = ["dedup_prefix_join", "dedup_clusters_exact"]
+# output-quadratic but an order cheaper (single self-join, no array
+# verify): runs at x10 (272 s, hash-exact), skipped at copies >= 20 where
+# engine + DuckDB both go multi-thousand-second. Cost bound on the capped
+# alternative: tools.PairCapDemo measured 66.7 s at x30 with budget 8/doc.
+QUADRATIC_X20 = ["dedup_lexical_cosine"]
 
 TIME_RE = re.compile(r"^\[verify-time\] (\S+) ([0-9.]+)")
 
@@ -76,6 +86,9 @@ def main():
     ap.add_argument("--cpus", default="16")
     ap.add_argument("--no-default-skip", action="store_true",
                     help="run the quadratic pair family even at copies>=5")
+    ap.add_argument("--budget-sec", type=float, default=120.0,
+                    help="per-query replica wall-time budget; queries over "
+                         "it are FLAGGED in summary.over_budget (not failed)")
     ap.add_argument("--skip-verify", action="store_true",
                     help="reuse existing base/replica Verify outputs and "
                          "their saved logs (re-run only the oracle phase — "
@@ -89,6 +102,8 @@ def main():
     skip = set(args.skip.split(",")) if args.skip else set()
     if queries is None and args.copies >= 5 and not args.no_default_skip:
         skip |= set(QUADRATIC)
+    if queries is None and args.copies >= 20 and not args.no_default_skip:
+        skip |= set(QUADRATIC_X20)
 
     # 1. build (or reuse) the replica — ScaleUp is deterministic in
     # (src, copies), so an existing dst with all tables is the same data
@@ -112,7 +127,12 @@ def main():
 
     base_out = f"{REPO}/target/scalecheck_base_x{args.copies}"
     repl_out = f"{REPO}/target/scalecheck_replica_x{args.copies}"
-    env = {"SPARK_GRAFT_CPUS": args.cpus}
+    # WARMUP=1: standing-artifact builds (indexes, BPE, verdicts, ALS
+    # model) run before the timed loop, so base->replica ratios compare
+    # STEADY-STATE probe cost instead of charging the one-off build to
+    # whichever query runs first (r9's quality_distill 5.4x at x30 was
+    # mostly its per-session curate-artifact build)
+    env = {"SPARK_GRAFT_CPUS": args.cpus, "SPARK_GRAFT_WARMUP": "1"}
     if args.skip_verify:
         t_base = parse_times(
             open(f"{REPO}/target/scalecheck_verify_base.log").read())
@@ -159,6 +179,11 @@ def main():
         "n_missing": sum(1 for q in per_query.values()
                          if q["status"] == "missing"),
         "skipped": sorted(skip),
+        "over_budget": sorted(
+            n for n, q in per_query.items()
+            if q["replica_sec"] is not None
+            and q["replica_sec"] > args.budget_sec),
+        "budget_sec": args.budget_sec,
         "median_time_ratio": ratios[len(ratios) // 2] if ratios else None,
         # sum over `names` only, so base/replica totals cover the SAME
         # query set (the unfiltered base pass may run queries the replica
