@@ -2657,9 +2657,61 @@ object OracleSql {
     * their query has run and stashed the fitted constants (Verify's dump
     * happens after all queries) — before that they're absent, which the
     * driver records as the old rows-only check. */
+  /** Recall/precision report oracle composed from already-verified member
+    * oracles: each member statement nests as a derived table (DuckDB scopes
+    * its WITH chain inside the parentheses), so the report's ground truth
+    * IS the hash-checked member query, not a re-derivation. Ratios are
+    * BIGINT parts-per-million via integer division (`//`), mirroring
+    * Spark's `div` — no IEEE accumulation crosses the engine boundary. */
+  private def qualityReportOracle(exactSql: String,
+      variants: Seq[(String, String)], ka: String, kb: String): String = {
+    val u = variants.map { case (n, q) =>
+      s"SELECT '$n' AS variant, $ka, $kb FROM (\n$q\n) __v"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH __exact AS (SELECT $ka, $kb FROM (
+       |$exactSql
+       |) __x),
+       |__tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM __exact),
+       |__u AS (
+       |$u),
+       |__g AS (SELECT __u.variant,
+       |  CAST(count(*) AS BIGINT) AS returned,
+       |  CAST(sum(CASE WHEN __e.$ka IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hits
+       |  FROM __u LEFT JOIN __exact __e
+       |    ON __u.$ka = __e.$ka AND __u.$kb = __e.$kb
+       |  GROUP BY __u.variant)
+       |SELECT variant, returned, hits, n_exact,
+       |  CAST(hits * 1000000 // n_exact AS BIGINT) AS recall_ppm,
+       |  CAST(hits * 1000000 // returned AS BIGINT) AS precision_ppm
+       |FROM __g CROSS JOIN __tot ORDER BY variant""".stripMargin
+  }
+
+  /** ann_recall / dedup_pair_recall entries, present once every member
+    * oracle is (the ANN members need their fitted-constant stashes). */
+  private def qualityReports(m: Map[String, String]): Map[String, String] = {
+    val ann = Seq("ivf" -> "ann_ivf", "ivfpq" -> "ann_ivfpq",
+      "lsh" -> "ann_lsh", "lsh_multiprobe" -> "ann_lsh_multiprobe",
+      "pq" -> "ann_pq", "truncate" -> "ann_truncate")
+    val dedup = Seq("minhash_band" -> "dedup_minhash_pairs",
+      "simhash_band64" -> "dedup_simhash_lsh64",
+      "winnow" -> "dedup_winnow_pairs")
+    val annEntry =
+      if ((ann.map(_._2) :+ "ann_topk").forall(m.contains))
+        Map("ann_recall" -> qualityReportOracle(m("ann_topk"),
+          ann.map { case (n, k) => n -> m(k) }, "q_id", "c_id"))
+      else Map.empty[String, String]
+    val dedupEntry =
+      if ((dedup.map(_._2) :+ "dedup_prefix_join").forall(m.contains))
+        Map("dedup_pair_recall" -> qualityReportOracle(m("dedup_prefix_join"),
+          dedup.map { case (n, k) => n -> m(k) }, "doc_a", "doc_b"))
+      else Map.empty[String, String]
+    annEntry ++ dedupEntry
+  }
+
   def sql: Map[String, String] = {
     import graft.ops.Similarity
-    base ++
+    val m = base ++
       Map(
         "dedup_winnow_probe_indexed" -> base("dedup_winnow_probe"),
         // native interval merge join answers the same query as the binned
@@ -2692,5 +2744,6 @@ object OracleSql {
       graft.ops.QualityModel.fittedWeights.map(w => "quality_distill" -> qualityDistillOracle(w)) ++
       graft.ops.CollabEvents.savedModelPath.map(p =>
         "cf_als_score_saved" -> alsScoreSavedOracle(p))
+    m ++ qualityReports(m)
   }
 }

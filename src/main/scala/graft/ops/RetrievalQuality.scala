@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Self-measuring retrieval quality: recall/precision reports of every
+  * approximate candidate generator against its exact twin, as first-class
+  * queries.
+  *
+  * A production pipeline doesn't just RUN approximate retrieval — it has to
+  * justify the approximation. Band counts, probe widths, and codebook sizes
+  * are tuned against exactly these two dashboards: "what fraction of the
+  * true top-k / true near-dup pairs does the cheap path surface" (recall)
+  * and "how much of what it surfaces is real" (precision). Both reports are
+  * deterministic compositions of already-oracled queries, so unlike the
+  * usual sampled recall estimate they carry a full DuckDB hash oracle.
+  *
+  * Scale shape: each member pipeline keeps its own 100 TB story (bounded
+  * fits, banded candidates, broadcast quantizers); the report itself joins
+  * id-pair sets whose size is ∝ k·queries or ∝ duplicate density — never
+  * corpus size — and the final aggregate is |variants| rows.
+  * [[dedupPairRecall]] embeds the exact prefix-join ground truth, so at
+  * replica scale it inherits that member's output-quadratic cost and rides
+  * the same scalecheck ×3 sweep as the rest of the exact pair family.
+  *
+  * Ratios are reported in exact integer parts-per-million (BIGINT div —
+  * the float-sum rule: no IEEE accumulation crosses the engine boundary).
+  */
+object RetrievalQuality {
+
+  /** (variant, returned, hits, n_exact, recall_ppm, precision_ppm) for a
+    * set of candidate-pair generators vs one exact ground-truth pair set.
+    * `exact` and each variant expose id columns `ka`, `kb`. The one-row
+    * exact count joins by crossJoin (broadcast of a single aggregate row),
+    * and ppm ratios use integer `div` so both engines compute the same
+    * BIGINT — no driver-side collect anywhere. */
+  private def qualityReport(exact: DataFrame,
+      variants: Seq[(String, DataFrame)], ka: String, kb: String): DataFrame = {
+    val e = exact.select(col(ka), col(kb)).withColumn("__hit", lit(1))
+    val u = variants
+      .map { case (n, df) => df.select(lit(n).as("variant"), col(ka), col(kb)) }
+      .reduce(_ union _)
+    val g = u.join(e, Seq(ka, kb), "left")
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("returned"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("hits"))
+    val tot = e.agg(count(lit(1)).as("n_exact"))
+    g.crossJoin(tot)
+      .select(col("variant"), col("returned"), col("hits"), col("n_exact"),
+        expr("hits * CAST(1000000 AS BIGINT) div n_exact").as("recall_ppm"),
+        expr("hits * CAST(1000000 AS BIGINT) div returned").as("precision_ppm"))
+      .orderBy(col("variant"))
+  }
+
+  /** Recall@k of every ANN variant against the exact brute-force top-k
+    * ([[Similarity.bruteForceTopK]]), over the same (q_id, c_id) result
+    * contract all variants share. Top-k variants return ≤ k rows per query
+    * (LSH can return fewer when buckets are sparse), so `returned` ≤
+    * `n_exact` and precision ≥ recall by construction. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = Similarity.bruteForceTopK(s, dir)
+    val variants = Seq(
+      "ivf" -> Similarity.ivfTopK(s, dir),
+      "ivfpq" -> Similarity.ivfPqTopK(s, dir),
+      "lsh" -> Similarity.lshTopK(s, dir),
+      "lsh_multiprobe" -> Similarity.lshTopKMultiProbe(s, dir),
+      "pq" -> Similarity.pqTopK(s, dir),
+      "truncate" -> Similarity.truncatedTopK(s, dir))
+    qualityReport(exact, variants, "q_id", "c_id")
+  }
+
+  /** Recall/precision of the banded near-dup candidate generators against
+    * the exact prefix-join pair set at its own threshold
+    * ([[Dedup.prefixJoinPairs]], Jaccard ≥ 0.3 over 48-bit shingle hashes —
+    * the lossless AllPairs ground truth).
+    *
+    * Each generator targets its OWN similarity notion — MinHash bands
+    * verify word-shingle Jaccard ≥ 0.5, SimHash bands verify Hamming ≤ 2,
+    * winnowing counts shared fingerprints — so precision against the ≥ 0.3
+    * ground truth reads as a cross-metric diagnostic ("how well does this
+    * cheap signal predict true set overlap"), which is precisely the
+    * comparison a curation team runs before picking the production
+    * generator. */
+  def dedupPairRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = Dedup.prefixJoinPairs(s, dir)
+    val variants = Seq(
+      "minhash_band" -> Dedup.minhashPairsRaw(Tables.documents(s, dir)),
+      "simhash_band64" -> Dedup.simhashLshPairs64(s, dir),
+      "winnow" -> TextAnalysis.winnowPairs(s, dir))
+    qualityReport(exact, variants, "doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** RetrievalQuality's reports re-derived driver-side: collect the member
+  * pair sets and redo hits/recall/precision with plain Scala set + integer
+  * arithmetic — an implementation-independent check of the distributed
+  * join/agg (the DuckDB oracle then re-proves the same rows end to end). */
+class RetrievalQualitySpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairSet(df: DataFrame, a: String, b: String): Set[(Long, Long)] =
+    df.select(a, b).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .toSet
+
+  private def reportMap(df: DataFrame)
+      : Map[String, (Long, Long, Long, Long, Long)] =
+    df.collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }.toMap
+
+  private def check(report: Map[String, (Long, Long, Long, Long, Long)],
+      exact: Set[(Long, Long)], variants: Map[String, Set[(Long, Long)]])
+      : Unit = {
+    assert(report.keySet == variants.keySet)
+    for ((name, got) <- variants) {
+      val hits = got.count(exact.contains).toLong
+      val (returned, h, nExact, recall, precision) = report(name)
+      assert(returned == got.size.toLong, s"$name returned")
+      assert(h == hits, s"$name hits")
+      assert(nExact == exact.size.toLong, s"$name n_exact")
+      assert(recall == hits * 1000000L / exact.size, s"$name recall_ppm")
+      assert(precision == hits * 1000000L / got.size, s"$name precision_ppm")
+    }
+  }
+
+  test("annRecall equals an independent driver-side set recompute") {
+    val report = reportMap(RetrievalQuality.annRecall(spark, dir))
+    val exact = pairSet(Similarity.bruteForceTopK(spark, dir), "q_id", "c_id")
+    val variants = Map(
+      "ivf" -> Similarity.ivfTopK(spark, dir),
+      "ivfpq" -> Similarity.ivfPqTopK(spark, dir),
+      "lsh" -> Similarity.lshTopK(spark, dir),
+      "lsh_multiprobe" -> Similarity.lshTopKMultiProbe(spark, dir),
+      "pq" -> Similarity.pqTopK(spark, dir),
+      "truncate" -> Similarity.truncatedTopK(spark, dir)
+    ).map { case (n, df) => n -> pairSet(df, "q_id", "c_id") }
+    check(report, exact, variants)
+    // multi-probe explores a candidate superset of single-probe LSH, so
+    // its recall can only be at least as high
+    assert(report("lsh_multiprobe")._4 >= report("lsh")._4)
+    // top-k variants return at most k rows per query
+    variants.foreach { case (n, got) =>
+      assert(got.size <= exact.size, s"$n returned more than exact top-k") }
+  }
+
+  test("dedupPairRecall equals an independent driver-side set recompute") {
+    val report = reportMap(RetrievalQuality.dedupPairRecall(spark, dir))
+    val exact = pairSet(Dedup.prefixJoinPairs(spark, dir), "doc_a", "doc_b")
+    val variants = Map(
+      "minhash_band" ->
+        Dedup.minhashPairsRaw(Tables.documents(spark, dir)),
+      "simhash_band64" -> Dedup.simhashLshPairs64(spark, dir),
+      "winnow" -> TextAnalysis.winnowPairs(spark, dir)
+    ).map { case (n, df) => n -> pairSet(df, "doc_a", "doc_b") }
+    check(report, exact, variants)
+  }
+}

@@ -17,7 +17,7 @@ Recommended round-close recipe (r10: the ×30 sweep is FULL-surface):
   python3 tools/scalecheck.py --copies 10 --out SCALECHECK_x10.json
   python3 tools/scalecheck.py --copies 30 --out SCALECHECK_x30.json
   python3 tools/scalecheck.py --copies 3 --out SCALECHECK_x3.json \
-      --queries dedup_prefix_join,dedup_clusters_exact
+      --queries dedup_prefix_join,dedup_clusters_exact,dedup_pair_recall
 The exact all-pairs family is output-quadratic in duplicate-group size
 (×10 replica: ~440-460 s/query, honest cost of exact semantics), so it is
 skipped at copies >= 5 by default and swept at ×3; dedup_lexical_cosine
@@ -35,8 +35,10 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# output-quadratic at replica scale (duplicate-dense corpus): swept at x3
-QUADRATIC = ["dedup_prefix_join", "dedup_clusters_exact"]
+# output-quadratic at replica scale (duplicate-dense corpus): swept at x3.
+# dedup_pair_recall embeds dedup_prefix_join as its ground truth, so it
+# inherits the family's cost and sweep schedule.
+QUADRATIC = ["dedup_prefix_join", "dedup_clusters_exact", "dedup_pair_recall"]
 # output-quadratic but an order cheaper (single self-join, no array
 # verify): runs at x10 (272 s, hash-exact), skipped at copies >= 20 where
 # engine + DuckDB both go multi-thousand-second. Cost bound on the capped
