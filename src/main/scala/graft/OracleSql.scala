@@ -2706,7 +2706,18 @@ object OracleSql {
         Map("dedup_pair_recall" -> qualityReportOracle(m("dedup_prefix_join"),
           dedup.map { case (n, k) => n -> m(k) }, "doc_a", "doc_b"))
       else Map.empty[String, String]
-    annEntry ++ dedupEntry
+    // the banded member restricts to the exact scan's vec_id < 300
+    // quadratic-bounding domain so the comparison is pair-for-pair
+    val embEntry =
+      if (Seq("emb_dup_pairs", "emb_dup_lsh").forall(m.contains))
+        Map("emb_dup_recall" -> qualityReportOracle(m("emb_dup_pairs"),
+          Seq("hyperplane_band" ->
+            s"""SELECT id_a, id_b FROM (
+               |${m("emb_dup_lsh")}
+               |) __r WHERE id_a < 300 AND id_b < 300""".stripMargin),
+          "id_a", "id_b"))
+      else Map.empty[String, String]
+    annEntry ++ dedupEntry ++ embEntry
   }
 
   def sql: Map[String, String] = {

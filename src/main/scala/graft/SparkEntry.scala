@@ -209,6 +209,7 @@ object SparkEntry {
     "ann_ivfpq_indexed" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopKIndexed(s, d)),
     "ann_recall" -> ((s: SparkSession, d: String) => RetrievalQuality.annRecall(s, d)),
     "dedup_pair_recall" -> ((s: SparkSession, d: String) => RetrievalQuality.dedupPairRecall(s, d)),
+    "emb_dup_recall" -> ((s: SparkSession, d: String) => RetrievalQuality.embDupRecall(s, d)),
     "emb_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineDupPairs(s, d)),
     "emb_dup_lsh" -> ((s: SparkSession, d: String) => Similarity.cosineDupLsh(s, d)),
     "emb_semdedup" -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),

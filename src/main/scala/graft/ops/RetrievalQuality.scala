@@ -89,4 +89,21 @@ object RetrievalQuality {
       "winnow" -> TextAnalysis.winnowPairs(s, dir))
     qualityReport(exact, variants, "doc_a", "doc_b")
   }
+
+  /** Recall/precision of the hyperplane-band candidate generator
+    * ([[Similarity.cosineDupLsh]]) against the exact cosine near-dup scan
+    * ([[Similarity.cosineDupPairs]]) — the embedding-space member of the
+    * dashboard family (annRecall: top-k retrieval; dedupPairRecall: text
+    * near-dup; this: embedding near-dup). Both sides restrict to the
+    * exact scan's vec_id < 300 domain (its quadratic-bounding knob), so
+    * the comparison is pair-for-pair on identical inputs. Precision < 1
+    * here would mean a verification bug — band candidates are verified by
+    * the same exact cosine threshold — so the report doubles as a
+    * cross-check of the banded pipeline's verify stage. */
+  def embDupRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = Similarity.cosineDupPairs(s, dir)
+    val lsh = Similarity.cosineDupLsh(s, dir)
+      .filter(col("id_a") < 300 && col("id_b") < 300)
+    qualityReport(exact, Seq("hyperplane_band" -> lsh), "id_a", "id_b")
+  }
 }

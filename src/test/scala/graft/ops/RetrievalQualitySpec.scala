@@ -68,4 +68,17 @@ class RetrievalQualitySpec extends SparkSpec {
     ).map { case (n, df) => n -> pairSet(df, "doc_a", "doc_b") }
     check(report, exact, variants)
   }
+
+  test("embDupRecall equals an independent driver-side set recompute; " +
+      "band precision is exact by construction") {
+    import org.apache.spark.sql.functions.col
+    val report = reportMap(RetrievalQuality.embDupRecall(spark, dir))
+    val exact = pairSet(Similarity.cosineDupPairs(spark, dir), "id_a", "id_b")
+    val lsh = pairSet(Similarity.cosineDupLsh(spark, dir)
+      .filter(col("id_a") < 300 && col("id_b") < 300), "id_a", "id_b")
+    check(report, exact, Map("hyperplane_band" -> lsh))
+    // band candidates are verified by the SAME exact cosine threshold the
+    // ground truth uses, so every returned pair must be a true pair
+    assert(report("hyperplane_band")._5 == 1000000L)
+  }
 }
