@@ -102,8 +102,12 @@ object RetrievalQuality {
     * cross-check of the banded pipeline's verify stage. */
   def embDupRecall(s: SparkSession, dir: String): DataFrame = {
     val exact = Similarity.cosineDupPairs(s, dir)
-    val lsh = Similarity.cosineDupLsh(s, dir)
-      .filter(col("id_a") < 300 && col("id_b") < 300)
+    // domain restriction goes INSIDE the band pipeline (collision is a
+    // two-vector property, so the restricted run emits exactly the
+    // unrestricted pairs with both ids in domain) — filtering the full
+    // operator's output would recompute the whole corpus's
+    // output-quadratic pair set for a constant-size slice
+    val lsh = Similarity.cosineDupLsh(s, dir, maxId = Some(300L))
     qualityReport(exact, Seq("hyperplane_band" -> lsh), "id_a", "id_b")
   }
 }

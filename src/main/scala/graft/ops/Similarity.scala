@@ -441,10 +441,23 @@ object Similarity {
     * literal plane coefficients and applies the same ≥1-shared-band gate —
     * the emitted pair set is hash-checked end to end. (Recall vs the
     * ungated exact scan is a measured property in SimilaritySpec, not part
-    * of the correctness contract.) */
+    * of the correctness contract.)
+    *
+    * `maxId` restricts the pair domain BEFORE band generation. A pair's
+    * collision is a property of its two vectors alone (seeded-constant
+    * planes), so restricting first emits exactly the pairs of the
+    * unrestricted run with both ids under the bound — but skips the
+    * out-of-domain collision pairs entirely, which matters on
+    * duplicate-dense corpora where the full pair set grows
+    * output-quadratically ([[graft.ops.RetrievalQuality.embDupRecall]]
+    * needs only the exact scan's bounded domain: filtering AFTER this
+    * operator's checkpoint would pay the full 15× replica cost for a
+    * constant-size slice). */
   def cosineDupLsh(s: SparkSession, dir: String,
-      threshold: Double = 0.35): DataFrame = {
-    val e = withBuckets(embedded(s, dir))
+      threshold: Double = 0.35, maxId: Option[Long] = None): DataFrame = {
+    val restricted = maxId.foldLeft(embedded(s, dir))(
+      (df, m) => df.filter(col("vec_id") < m))
+    val e = withBuckets(restricted)
       .select(col("vec_id"), col("e"), col("nrm"), col("bucket")).cache()
     e.count() // force: the bands scan + two verify joins are concurrent
               // consumers — unmaterialized, each would recompute the
