@@ -459,7 +459,8 @@ object Similarity {
       (df, m) => df.filter(col("vec_id") < m))
     val e = withBuckets(restricted)
       .select(col("vec_id"), col("e"), col("nrm"), col("bucket")).cache()
-    e.count() // force: the bands scan + two verify joins are concurrent
+    val nVecs = e.count()
+              // force: the bands scan + two verify joins are concurrent
               // consumers — unmaterialized, each would recompute the
               // embed+16-plane-dot pipeline itself
     val bandStructs = (0 until NumBands).map { j =>
@@ -473,11 +474,24 @@ object Similarity {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
+    // Verify-join strategy: candidate count scales with bucket COLLISIONS
+    // (quadratic in duplicate density), and a sort-merge plan would drag
+    // each candidate row — with a ~0.5 KiB vector attached after leg one —
+    // through two full shuffles: at a ×30 duplicate-dense replica that
+    // intermediate spilled >70 GB and filled the disk. Up to ~250k vectors
+    // (~130 MiB of payload) the embedded side is dimension-table-sized, so
+    // broadcast it: candidates then stream through two map-side hash joins
+    // and vectors never enter a shuffle. Past that bound fall back to
+    // Catalyst's choice — on a real cluster the id-only pair shuffle is
+    // the correct co-partitioned plan, it just needs cluster-sized spill.
+    def vecSide(idCol: String, eCol: String, nCol: String) = {
+      val side = e.select(col("vec_id").as(idCol), col("e").as(eCol),
+        col("nrm").as(nCol))
+      if (nVecs <= 250000L) broadcast(side) else side
+    }
     val pairs = cands
-      .join(e.select(col("vec_id").as("id_a"), col("e").as("e_a"),
-        col("nrm").as("n_a")), "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("e").as("e_b"),
-        col("nrm").as("n_b")), "id_b")
+      .join(vecSide("id_a", "e_a", "n_a"), "id_a")
+      .join(vecSide("id_b", "e_b", "n_b"), "id_b")
       .withColumn("sim", round(
         expr("vec_dot(e_a, e_b)") / (sqrt(col("n_a")) * sqrt(col("n_b"))), 6))
       .filter(col("sim") >= threshold)
