@@ -135,23 +135,27 @@ def main():
     # whichever query runs first (r9's quality_distill 5.4x at x30 was
     # mostly its per-session curate-artifact build)
     env = {"SPARK_GRAFT_CPUS": args.cpus, "SPARK_GRAFT_WARMUP": "1"}
+    # per-copies log names: the x3 sweep of a round-close chain used to
+    # clobber the x30 run's logs, so a later --skip-verify against the
+    # bigger replica read the SMALLER run's query names (observed as an
+    # empty intersection when re-checking one x30 query)
+    base_log = f"{REPO}/target/scalecheck_verify_base_x{args.copies}.log"
+    repl_log = f"{REPO}/target/scalecheck_verify_replica_x{args.copies}.log"
     if args.skip_verify:
-        t_base = parse_times(
-            open(f"{REPO}/target/scalecheck_verify_base.log").read())
-        t_repl = parse_times(
-            open(f"{REPO}/target/scalecheck_verify_replica.log").read())
+        t_base = parse_times(open(base_log).read())
+        t_repl = parse_times(open(repl_log).read())
         names = sorted(set(t_base) - skip)
         if queries is not None:  # honor an explicit subset here too
             names = sorted(set(names) & set(queries))
     else:
         t_base = parse_times(run_sbt(
             f"graft.Verify {args.src} {base_out}{base_subset}", env,
-            log_name=f"{REPO}/target/scalecheck_verify_base.log"))
+            log_name=base_log))
         names = sorted(set(t_base) - skip)
         repl_subset = " " + ",".join(names)
         t_repl = parse_times(run_sbt(
             f"graft.Verify {dst} {repl_out}{repl_subset}", env,
-            log_name=f"{REPO}/target/scalecheck_verify_replica.log"))
+            log_name=repl_log))
 
     # 4. oracle gate on the REPLICA (base-scale correctness is the
     # driver's own sf0.01 gate; this one exists to catch scale-only bugs)
