@@ -390,15 +390,45 @@ object TextAnalysis {
     * per window) still catches any shared run of ≥ w+2 consecutive
     * tokens. Pairs sharing ≥ `minShared` fingerprints survive. */
   def winnowPairs(s: SparkSession, dir: String,
-      minShared: Int = 3): DataFrame = {
+      minShared: Int = 3, maxCandidatesPerDoc: Option[Int] = None)
+      : DataFrame = {
     val fps = winnowSketch(s, dir, w = 4).cache()
     fps.count() // both self-join sides consume the sketch
-    val pairs = fps.toDF("doc_a", "fp").join(fps.toDF("doc_b", "fp2"),
-        col("fp") === col("fp2") && col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-      .orderBy(col("doc_a"), col("doc_b"))
+    val pairs = maxCandidatesPerDoc match {
+      case None =>
+        fps.toDF("doc_a", "fp").join(fps.toDF("doc_b", "fp2"),
+            col("fp") === col("fp2") && col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= minShared)
+          .orderBy(col("doc_a"), col("doc_b"))
+      case Some(c) =>
+        // The budgeted path of the r9/r10 guardrail family (the ×30
+        // sweep's one remaining over-budget member: output pairs grow
+        // quadratically in duplicate-group size — 137 s at ×30, output
+        // being most of the cost). Candidate generation stays an
+        // ids-only shuffle (distinct (doc_a, doc_b) from the collision
+        // join); the window keeps each doc_a's first c partners by
+        // ascending doc_b, and n_shared is recounted for survivors only
+        // (cand ⋈ fps ⋈ fps ∝ c·sketch-density) — so a surviving pair
+        // carries exactly the exact path's n_shared. Deterministic
+        // subset; None preserves the oracled semantics unchanged.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_a")).orderBy(col("doc_b"))
+        val cand = fps.toDF("doc_a", "fp").join(fps.toDF("doc_b", "fp2"),
+            col("fp") === col("fp2") && col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= c).drop("__rn")
+        cand
+          .join(fps.toDF("doc_a", "fp"), "doc_a")
+          .join(fps.toDF("b2", "fpb"),
+            col("doc_b") === col("b2") && col("fp") === col("fpb"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= minShared)
+          .orderBy(col("doc_a"), col("doc_b"))
+    }
     graft.ops.Caching.materializeAndRelease(pairs, fps)
   }
 

@@ -62,6 +62,16 @@ object PairCapDemo {
         maxCandidatesPerDoc = Some(cap)).count())
     if (alsoUncapped)
       time("probe uncapped exact", Dedup.prefixProbe(inc, idx).count())
+
+    // the winnowing-sketch pair join — the ×30 sweep's one over-budget
+    // member before it grew the same knob (output pairs are most of its
+    // replica cost)
+    time(s"winnow capped (budget $cap/doc)",
+      graft.ops.TextAnalysis.winnowPairs(spark, dir,
+        maxCandidatesPerDoc = Some(cap)).count())
+    if (alsoUncapped)
+      time("winnow uncapped exact",
+        graft.ops.TextAnalysis.winnowPairs(spark, dir).count())
     spark.stop()
   }
 }

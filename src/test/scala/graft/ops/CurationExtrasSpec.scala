@@ -163,6 +163,34 @@ class CurationExtrasSpec extends SparkSpec {
       "identical docs share their whole sketch; disjoint docs share nothing")
   }
 
+  test("winnowPairs candidate budget: capped ⊆ exact with identical " +
+      "n_shared, per-doc ≤ budget, deterministic") {
+    // a 4-member duplicate family (6 true pairs, 3 from doc_a=10 alone)
+    // plus a disjoint doc — budget 2 must keep doc 10's FIRST two
+    // partners by ascending doc_b and drop the third
+    val fam = (0 until 30).map(i => s"x$i").mkString(" ")
+    val other = (0 until 30).map(i => s"y$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("wpb").toString
+    Seq((10L, fam), (11L, fam), (12L, fam), (13L, fam), (99L, other))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    def pairs(cap: Option[Int]) =
+      TextAnalysis.winnowPairs(spark, tmp, maxCandidatesPerDoc = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    val exact = pairs(None).toMap
+    assert(exact.keySet === Set((10L, 11L), (10L, 12L), (10L, 13L),
+      (11L, 12L), (11L, 13L), (12L, 13L)))
+    val capped = pairs(Some(2))
+    // subset with the exact path's n_shared carried unchanged
+    capped.foreach { case (p, n) => assert(exact(p) === n, s"$p n_shared") }
+    // per-doc_a candidate budget respected, kept partners are the FIRST
+    // by ascending doc_b (the deterministic rank)
+    val byA = capped.map(_._1).groupBy(_._1)
+    byA.foreach { case (a, ps) => assert(ps.length <= 2, s"doc $a budget") }
+    assert(byA(10L).map(_._2).toSet === Set(11L, 12L))
+    // deterministic: a second run returns the same rows
+    assert(pairs(Some(2)).toSeq === capped.toSeq)
+  }
+
   test("winnowProbe: a delta copy of a standing doc finds it as best match with its full sketch shared") {
     import graft.functions.SharedHash
     // find ids on each side of the delta bucket with the real convention
