@@ -454,7 +454,8 @@ object Similarity {
     * operator's checkpoint would pay the full 15× replica cost for a
     * constant-size slice). */
   def cosineDupLsh(s: SparkSession, dir: String,
-      threshold: Double = 0.35, maxId: Option[Long] = None): DataFrame = {
+      threshold: Double = 0.35, maxId: Option[Long] = None,
+      maxCandidatesPerDoc: Option[Int] = None): DataFrame = {
     val restricted = maxId.foldLeft(embedded(s, dir))(
       (df, m) => df.filter(col("vec_id") < m))
     val e = withBuckets(restricted)
@@ -469,11 +470,22 @@ object Similarity {
     }
     val bands = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("vec_id"), col("b.band").as("band"), col("b.key").as("key"))
-    val cands = bands.as("x").join(bands.as("y"),
+    val cands0 = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
+    // the family's standard candidate budget (see prefixJoinPairsOf /
+    // winnowPairs): the window ranks ids-only rows, the first c partners
+    // per id_a survive, verify cosine work and output bound to O(c·n);
+    // None (default) keeps the oracled exact-band semantics unchanged
+    val cands = maxCandidatesPerDoc match {
+      case None => cands0
+      case Some(c) =>
+        val w = Window.partitionBy(col("id_a")).orderBy(col("id_b"))
+        cands0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= c).drop("__rn")
+    }
     // Verify-join strategy: candidate count scales with bucket COLLISIONS
     // (quadratic in duplicate density), and a sort-merge plan would drag
     // each candidate row — with a ~0.5 KiB vector attached after leg one —

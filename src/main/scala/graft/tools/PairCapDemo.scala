@@ -72,6 +72,16 @@ object PairCapDemo {
     if (alsoUncapped)
       time("winnow uncapped exact",
         graft.ops.TextAnalysis.winnowPairs(spark, dir).count())
+
+    // the embedding-space member: hyperplane-band collisions grow
+    // quadratically with duplicate density (the x30 disk-full lesson —
+    // now broadcast-verified); the budget bounds verify cosines + output
+    time(s"emb band capped (budget $cap/vec)",
+      graft.ops.Similarity.cosineDupLsh(spark, dir,
+        maxCandidatesPerDoc = Some(cap)).count())
+    if (alsoUncapped)
+      time("emb band uncapped exact",
+        graft.ops.Similarity.cosineDupLsh(spark, dir).count())
     spark.stop()
   }
 }

@@ -462,6 +462,26 @@ class SimilaritySpec extends SparkSpec {
       assert(recall > 0.2, s"band-gate recall unexpectedly low: $recall")
     }
   }
+
+  test("cosineDupLsh candidate budget: capped ⊆ exact band output with " +
+      "equal sims, per-doc ≤ budget, deterministic") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = keyed(Similarity.cosineDupLsh(spark, dir).collect())
+    val cap = 2
+    val capped = keyed(Similarity.cosineDupLsh(spark, dir,
+      maxCandidatesPerDoc = Some(cap)).collect())
+    assert(capped.keySet.subsetOf(exact.keySet),
+      "the budget may drop pairs but must never invent them")
+    capped.foreach { case (k, sim) => assert(sim === exact(k), s"sim at $k") }
+    // the budget caps CANDIDATES per id_a, so surviving pairs per id_a
+    // can only be fewer
+    capped.keySet.groupBy(_._1).foreach { case (a, ps) =>
+      assert(ps.size <= cap, s"id_a=$a exceeds budget") }
+    val again = keyed(Similarity.cosineDupLsh(spark, dir,
+      maxCandidatesPerDoc = Some(cap)).collect())
+    assert(again === capped, "capped run must be deterministic")
+  }
 }
 
 class TextMultimodalSpec extends SparkSpec {
