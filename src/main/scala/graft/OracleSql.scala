@@ -2668,22 +2668,33 @@ object OracleSql {
     val u = variants.map { case (n, q) =>
       s"SELECT '$n' AS variant, $ka, $kb FROM (\n$q\n) __v"
     }.mkString("\nUNION ALL\n")
+    // __names anchors every expected variant (r10 ADVICE): a 0-row
+    // generator still reports returned=0 / recall_ppm=0 instead of
+    // vanishing from the group-by; precision_ppm is CASE-guarded to NULL
+    // at returned=0 on both sides (ANSI Spark errors on div-by-zero)
+    val names = variants.map { case (n, _) => s"('$n')" }.mkString(", ")
     s"""WITH __exact AS (SELECT $ka, $kb FROM (
        |$exactSql
        |) __x),
        |__tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM __exact),
+       |__names AS (SELECT * FROM (VALUES $names) __n(variant)),
        |__u AS (
        |$u),
-       |__g AS (SELECT __u.variant,
+       |__g0 AS (SELECT __u.variant,
        |  CAST(count(*) AS BIGINT) AS returned,
        |  CAST(sum(CASE WHEN __e.$ka IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
        |    AS hits
        |  FROM __u LEFT JOIN __exact __e
        |    ON __u.$ka = __e.$ka AND __u.$kb = __e.$kb
-       |  GROUP BY __u.variant)
+       |  GROUP BY __u.variant),
+       |__g AS (SELECT __names.variant,
+       |  COALESCE(returned, CAST(0 AS BIGINT)) AS returned,
+       |  COALESCE(hits, CAST(0 AS BIGINT)) AS hits
+       |  FROM __names LEFT JOIN __g0 ON __names.variant = __g0.variant)
        |SELECT variant, returned, hits, n_exact,
        |  CAST(hits * 1000000 // n_exact AS BIGINT) AS recall_ppm,
-       |  CAST(hits * 1000000 // returned AS BIGINT) AS precision_ppm
+       |  CAST(CASE WHEN returned = 0 THEN NULL
+       |       ELSE hits * 1000000 // returned END AS BIGINT) AS precision_ppm
        |FROM __g CROSS JOIN __tot ORDER BY variant""".stripMargin
   }
 

@@ -33,22 +33,38 @@ object RetrievalQuality {
     * `exact` and each variant expose id columns `ka`, `kb`. The one-row
     * exact count joins by crossJoin (broadcast of a single aggregate row),
     * and ppm ratios use integer `div` so both engines compute the same
-    * BIGINT — no driver-side collect anywhere. */
-  private def qualityReport(exact: DataFrame,
+    * BIGINT — no driver-side collect anywhere.
+    *
+    * Every variant NAME is anchored by a left join onto a literal frame of
+    * the expected names (r10 ADVICE): a generator that returns zero rows
+    * would otherwise vanish from the report (its union leg contributes no
+    * group), and a dashboard consumer would misread "fully broken" as "not
+    * measured". A 0-row variant now reports returned=0, hits=0,
+    * recall_ppm=0 and NULL precision_ppm — guarded by an explicit CASE on
+    * both sides (ANSI Spark raises DIVIDE_BY_ZERO where DuckDB's `//`
+    * returns NULL, so the guard is what keeps the engines aligned). */
+  private[graft] def qualityReport(exact: DataFrame,
       variants: Seq[(String, DataFrame)], ka: String, kb: String): DataFrame = {
     val e = exact.select(col(ka), col(kb)).withColumn("__hit", lit(1))
     val u = variants
       .map { case (n, df) => df.select(lit(n).as("variant"), col(ka), col(kb)) }
+      .reduce(_ union _)
+    val names = variants
+      .map { case (n, _) => exact.sparkSession.range(1).select(lit(n).as("variant")) }
       .reduce(_ union _)
     val g = u.join(e, Seq(ka, kb), "left")
       .groupBy(col("variant"))
       .agg(count(lit(1)).as("returned"),
         sum(coalesce(col("__hit"), lit(0))).cast("long").as("hits"))
     val tot = e.agg(count(lit(1)).as("n_exact"))
-    g.crossJoin(tot)
+    names.join(g, Seq("variant"), "left").crossJoin(tot)
+      .withColumn("returned", coalesce(col("returned"), lit(0L)))
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
       .select(col("variant"), col("returned"), col("hits"), col("n_exact"),
         expr("hits * CAST(1000000 AS BIGINT) div n_exact").as("recall_ppm"),
-        expr("hits * CAST(1000000 AS BIGINT) div returned").as("precision_ppm"))
+        expr("CASE WHEN returned = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE hits * CAST(1000000 AS BIGINT) div returned END")
+          .as("precision_ppm"))
       .orderBy(col("variant"))
   }
 

@@ -388,7 +388,18 @@ object TextAnalysis {
     * fingerprint index (and its shuffle) is ~3× smaller than the full
     * gram index for w=4 while the winnowing guarantee (one fingerprint
     * per window) still catches any shared run of ≥ w+2 consecutive
-    * tokens. Pairs sharing ≥ `minShared` fingerprints survive. */
+    * tokens. Pairs sharing ≥ `minShared` fingerprints survive.
+    *
+    * `maxCandidatesPerDoc` bounds CANDIDATES, not surviving pairs (r10
+    * ADVICE, stated explicitly): the per-doc_a window ranks raw collision
+    * candidates BEFORE the n_shared ≥ minShared filter, so budget slots
+    * can be consumed by sub-threshold partners and a qualifying pair with
+    * a larger doc_b may be dropped even when fewer than c qualifying pairs
+    * exist. That is the family contract (identical in cosineDupLsh and
+    * prefixJoinPairsOf): the knob's purpose is to bound the VERIFY work
+    * and output per doc — ranking after the filter would require counting
+    * n_shared for every candidate first, which is exactly the quadratic
+    * cost the budget exists to avoid. */
   def winnowPairs(s: SparkSession, dir: String,
       minShared: Int = 3, maxCandidatesPerDoc: Option[Int] = None)
       : DataFrame = {

@@ -81,4 +81,24 @@ class RetrievalQualitySpec extends SparkSpec {
     // ground truth uses, so every returned pair must be a true pair
     assert(report("hyperplane_band")._5 == 1000000L)
   }
+
+  test("a zero-row variant is reported explicitly (returned=0, recall 0, " +
+      "NULL precision), not dropped from the report (r10 ADVICE)") {
+    import spark.implicits._
+    val exact = Seq((1L, 2L), (3L, 4L)).toDF("ka", "kb")
+    val ok = Seq((1L, 2L), (5L, 6L)).toDF("ka", "kb")
+    val broken = Seq.empty[(Long, Long)].toDF("ka", "kb")
+    val rows = RetrievalQuality
+      .qualityReport(exact, Seq("ok" -> ok, "broken" -> broken), "ka", "kb")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("broken", "ok"))
+    val b = rows.find(_.getString(0) == "broken").get
+    assert(b.getLong(1) == 0L && b.getLong(2) == 0L) // returned, hits
+    assert(b.getLong(3) == 2L)                       // n_exact
+    assert(b.getLong(4) == 0L)                       // recall_ppm
+    assert(b.isNullAt(5))                            // precision: 0-div NULL
+    val o = rows.find(_.getString(0) == "ok").get
+    assert((o.getLong(1), o.getLong(2), o.getLong(4), o.getLong(5)) ==
+      ((2L, 1L, 500000L, 500000L)))
+  }
 }

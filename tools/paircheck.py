@@ -146,15 +146,28 @@ def main():
         run_sbt(f"graft.tools.ScaleUp {args.src} {dst} {args.copies}",
                 log_name=f"{REPO}/target/paircheck_scaleup.log")
 
-    if args.skip_verify and os.path.exists(f"{base_out}/oracle_sql.json"):
-        t_base = parse_times(open(f"{REPO}/target/paircheck_base.log").read())
-        t_repl = parse_times(open(f"{REPO}/target/paircheck_replica.log").read())
+    # logs are stamped by --copies (like scalecheck's base_log/repl_log):
+    # a --copies 10 run followed by --copies 30 --skip-verify must not read
+    # the smaller run's timings, and the skip path only engages when BOTH
+    # logs and the replica Verify output actually exist for THIS copies
+    base_log = f"{REPO}/target/paircheck_base_x{args.copies}.log"
+    repl_log = f"{REPO}/target/paircheck_replica_x{args.copies}.log"
+    reusable = (args.skip_verify
+                and os.path.exists(f"{base_out}/oracle_sql.json")
+                and os.path.exists(base_log) and os.path.exists(repl_log)
+                and all(os.path.exists(f"{repl_out}/{q}") for q in QUERIES))
+    if args.skip_verify and not reusable:
+        print("--skip-verify: prior outputs/logs incomplete for "
+              f"x{args.copies}; running Verify", flush=True)
+    if reusable:
+        t_base = parse_times(open(base_log).read())
+        t_repl = parse_times(open(repl_log).read())
     else:
         so = run_sbt(f"graft.Verify {args.src} {base_out} {qlist}", env,
-                     log_name=f"{REPO}/target/paircheck_base.log")
+                     log_name=base_log)
         t_base = parse_times(so)
         so = run_sbt(f"graft.Verify {dst} {repl_out} {qlist}", env,
-                     log_name=f"{REPO}/target/paircheck_replica.log")
+                     log_name=repl_log)
         t_repl = parse_times(so)
 
     oracle = json.load(open(f"{base_out}/oracle_sql.json"))
