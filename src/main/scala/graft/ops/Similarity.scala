@@ -54,6 +54,31 @@ object Similarity {
     IndexedSeq.fill(NumPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
   }
 
+  /** WIDE band geometry for the near-dup pair join: 8 bands × 8-bit keys
+    * (64 planes) instead of the default 4 × 4-bit. The r10 ×30 measurement
+    * showed WHY this exists: with 4-bit keys a band has only 16 distinct
+    * values, so at 150k duplicate-dense vectors every bucket holds ~9k
+    * vectors and the pre-distinct collision scan is ~10⁹ rows — the scan
+    * floor that made even the candidate cap a net runtime LOSS. 8-bit keys
+    * give 256 values per band: an unrelated pair (p ≈ 0.5 per plane)
+    * collides per band at 2⁻⁸ instead of 2⁻⁴, cutting the random-collision
+    * floor ~16× per band (~8× net with twice the bands), while a true
+    * near-dup pair (sign agreement p = 1 − θ/π per plane) still collides
+    * in ≥1 of 8 bands with high probability at dup-grade similarity.
+    * The price is recall near the 0.35 threshold — measured honestly as
+    * its own variant row in [[graft.ops.RetrievalQuality.embDupRecall]] —
+    * which is the classic LSH band/width tradeoff, tuned HERE for the
+    * dedup use (high-sim pairs) where the default tunes for breadth.
+    * Same seed and draw order as [[planes]], so the first 16 wide planes
+    * ARE the default planes (one fewer constant family to audit). */
+  val WideNumBands = 8
+  val WideBitsPerBand = 8
+  val WideNumPlanes: Int = WideNumBands * WideBitsPerBand
+  val widePlanes: IndexedSeq[Array[Double]] = {
+    val rnd = new java.util.Random(7L)
+    IndexedSeq.fill(WideNumPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
   /** Fitted quantizer constants, stashed when the ANN/SemDeDup queries run
     * so the oracle generator ([[graft.OracleSql]]) can export them as SQL
     * literals — the same replay trick as the seeded hyperplane constants,
