@@ -92,6 +92,20 @@ object OracleSql {
       s"(CASE WHEN $dot > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Band `j`'s 0..255 key for the WIDE geometry — sign bits of that
+    * band's 8 planes, weighted 1..128, exactly the engine's `wb$j` column
+    * (keys are unpacked per band, so no 64-bit shift semantics to align —
+    * see [[graft.ops.Similarity.cosineDupLshWide]]). */
+  private def wideBandKeyTerm(j: Int): String = {
+    import graft.ops.Similarity.{widePlanes, WideBitsPerBand}
+    (0 until WideBitsPerBand).map { b =>
+      val p = widePlanes(j * WideBitsPerBand + b)
+      val dot = (1 to VectorOps.Dim)
+        .map(d => s"e[$d]*(${p(d - 1)})").mkString("(", " + ", ")")
+      s"(CASE WHEN $dot > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   private val embCte =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |n AS (SELECT vec_id, e, ${dotChain("e", "e")} AS nrm FROM e)"""
@@ -1362,6 +1376,25 @@ object OracleSql {
       s"""WITH $embCte,
          |b AS (SELECT vec_id, e, nrm,
          |  CAST($lshBucketTerms AS INT) AS bucket FROM n),
+         |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  round(${dotChain("a.e", "c.e")} / (sqrt(a.nrm) * sqrt(c.nrm)), 6) AS sim
+         |  FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($collide))
+         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // WIDE geometry twin: the ≥1-shared-band gate over 8 per-band 8-bit
+    // keys, each recomputed from its own 8 literal plane coefficient rows
+    "emb_dup_lsh_wide" -> {
+      import graft.ops.Similarity.WideNumBands
+      val keyCols = (0 until WideNumBands)
+        .map(j => s"CAST(${wideBandKeyTerm(j)} AS INT) AS wb$j")
+        .mkString(",\n|  ")
+      val collide = (0 until WideNumBands)
+        .map(j => s"a.wb$j = c.wb$j").mkString(" OR ")
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, e, nrm,
+         |  $keyCols FROM n),
          |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
          |  round(${dotChain("a.e", "c.e")} / (sqrt(a.nrm) * sqrt(c.nrm)), 6) AS sim
          |  FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($collide))
@@ -2692,7 +2725,8 @@ object OracleSql {
        |  COALESCE(hits, CAST(0 AS BIGINT)) AS hits
        |  FROM __names LEFT JOIN __g0 ON __names.variant = __g0.variant)
        |SELECT variant, returned, hits, n_exact,
-       |  CAST(hits * 1000000 // n_exact AS BIGINT) AS recall_ppm,
+       |  CAST(CASE WHEN n_exact = 0 THEN NULL
+       |       ELSE hits * 1000000 // n_exact END AS BIGINT) AS recall_ppm,
        |  CAST(CASE WHEN returned = 0 THEN NULL
        |       ELSE hits * 1000000 // returned END AS BIGINT) AS precision_ppm
        |FROM __g CROSS JOIN __tot ORDER BY variant""".stripMargin
@@ -2717,17 +2751,20 @@ object OracleSql {
         Map("dedup_pair_recall" -> qualityReportOracle(m("dedup_prefix_join"),
           dedup.map { case (n, k) => n -> m(k) }, "doc_a", "doc_b"))
       else Map.empty[String, String]
-    // the banded member restricts to the exact scan's vec_id < 300
+    // the banded members restrict to the exact scan's vec_id < 300
     // quadratic-bounding domain so the comparison is pair-for-pair
     val embEntry =
-      if (Seq("emb_dup_pairs", "emb_dup_lsh").forall(m.contains))
+      if (Seq("emb_dup_pairs", "emb_dup_lsh", "emb_dup_lsh_wide")
+          .forall(m.contains)) {
+        def restricted(k: String) =
+          s"""SELECT id_a, id_b FROM (
+             |${m(k)}
+             |) __r WHERE id_a < 300 AND id_b < 300""".stripMargin
         Map("emb_dup_recall" -> qualityReportOracle(m("emb_dup_pairs"),
-          Seq("hyperplane_band" ->
-            s"""SELECT id_a, id_b FROM (
-               |${m("emb_dup_lsh")}
-               |) __r WHERE id_a < 300 AND id_b < 300""".stripMargin),
+          Seq("hyperplane_band" -> restricted("emb_dup_lsh"),
+            "hyperplane_band_wide" -> restricted("emb_dup_lsh_wide")),
           "id_a", "id_b"))
-      else Map.empty[String, String]
+      } else Map.empty[String, String]
     annEntry ++ dedupEntry ++ embEntry
   }
 

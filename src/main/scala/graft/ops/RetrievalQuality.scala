@@ -42,7 +42,10 @@ object RetrievalQuality {
     * measured". A 0-row variant now reports returned=0, hits=0,
     * recall_ppm=0 and NULL precision_ppm — guarded by an explicit CASE on
     * both sides (ANSI Spark raises DIVIDE_BY_ZERO where DuckDB's `//`
-    * returns NULL, so the guard is what keeps the engines aligned). */
+    * returns NULL, so the guard is what keeps the engines aligned). The
+    * same CASE guards recall_ppm against an EMPTY ground-truth set
+    * (n_exact = 0 → NULL recall on both engines) — the other denominator
+    * of the same divergence (r11 ADVICE). */
   private[graft] def qualityReport(exact: DataFrame,
       variants: Seq[(String, DataFrame)], ka: String, kb: String): DataFrame = {
     val e = exact.select(col(ka), col(kb)).withColumn("__hit", lit(1))
@@ -61,7 +64,9 @@ object RetrievalQuality {
       .withColumn("returned", coalesce(col("returned"), lit(0L)))
       .withColumn("hits", coalesce(col("hits"), lit(0L)))
       .select(col("variant"), col("returned"), col("hits"), col("n_exact"),
-        expr("hits * CAST(1000000 AS BIGINT) div n_exact").as("recall_ppm"),
+        expr("CASE WHEN n_exact = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE hits * CAST(1000000 AS BIGINT) div n_exact END")
+          .as("recall_ppm"),
         expr("CASE WHEN returned = 0 THEN CAST(NULL AS BIGINT) " +
           "ELSE hits * CAST(1000000 AS BIGINT) div returned END")
           .as("precision_ppm"))
@@ -124,6 +129,12 @@ object RetrievalQuality {
     // operator's output would recompute the whole corpus's
     // output-quadratic pair set for a constant-size slice
     val lsh = Similarity.cosineDupLsh(s, dir, maxId = Some(300L))
-    qualityReport(exact, Seq("hyperplane_band" -> lsh), "id_a", "id_b")
+    // the WIDE geometry (8×8-bit bands — the duplicate-dense scale path,
+    // [[Similarity.cosineDupLshWide]]) reports alongside the default so
+    // the band/width recall tradeoff is a dashboard row, not a doc claim
+    val wide = Similarity.cosineDupLshWide(s, dir, maxId = Some(300L))
+    qualityReport(exact,
+      Seq("hyperplane_band" -> lsh, "hyperplane_band_wide" -> wide),
+      "id_a", "id_b")
   }
 }

@@ -66,9 +66,11 @@ object Similarity {
     * near-dup pair (sign agreement p = 1 − θ/π per plane) still collides
     * in ≥1 of 8 bands with high probability at dup-grade similarity.
     * The price is recall near the 0.35 threshold — measured honestly as
-    * its own variant row in [[graft.ops.RetrievalQuality.embDupRecall]] —
-    * which is the classic LSH band/width tradeoff, tuned HERE for the
-    * dedup use (high-sim pairs) where the default tunes for breadth.
+    * the `hyperplane_band_wide` variant row in
+    * [[graft.ops.RetrievalQuality.embDupRecall]] — which is the classic
+    * LSH band/width tradeoff, tuned HERE for the dedup use (high-sim
+    * pairs) where the default tunes for breadth. The operator over this
+    * geometry is [[cosineDupLshWide]] (query `emb_dup_lsh_wide`).
     * Same seed and draw order as [[planes]], so the first 16 wide planes
     * ARE the default planes (one fewer constant family to audit). */
   val WideNumBands = 8
@@ -234,6 +236,25 @@ object Similarity {
     withPlanes
       .withColumn("bucket", bitCols.reduce(_ + _))
       .drop(planes.indices.map(i => s"pl_$i"): _*)
+  }
+
+  /** WIDE band keys for [[cosineDupLshWide]]: one 0..255 int column per
+    * band (`wb0..wb7`), each from the sign bits of that band's 8 planes.
+    * Keys stay unpacked — see [[cosineDupLshWide]] for why no 64-bit
+    * bucket. Same codegen shape as [[withBuckets]]: literal plane arrays,
+    * native vec_dot, a CASE-sum per key, zero UDFs. */
+  private def withWideBandKeys(e: DataFrame): DataFrame = {
+    val withPlanes = widePlanes.zipWithIndex.foldLeft(e) { case (df, (p, i)) =>
+      df.withColumn(s"wpl_$i", array(p.map(v => lit(v)): _*))
+    }
+    val keyed = (0 until WideNumBands).foldLeft(withPlanes) { (df, j) =>
+      val bits = (0 until WideBitsPerBand).map { b =>
+        val i = j * WideBitsPerBand + b
+        when(expr(s"vec_dot(e, wpl_$i)") > 0, 1 << b).otherwise(0)
+      }
+      df.withColumn(s"wb$j", bits.reduce(_ + _))
+    }
+    keyed.drop(widePlanes.indices.map(i => s"wpl_$i"): _*)
   }
 
   /** The deterministic LSH bucket assignment (vec_id → 16-bit hyperplane
@@ -466,7 +487,9 @@ object Similarity {
     * literal plane coefficients and applies the same ≥1-shared-band gate —
     * the emitted pair set is hash-checked end to end. (Recall vs the
     * ungated exact scan is a measured property in SimilaritySpec, not part
-    * of the correctness contract.)
+    * of the correctness contract.) On duplicate-dense corpora this default
+    * 4×4-bit geometry hits a measured collision floor — use
+    * [[cosineDupLshWide]] (8×8-bit bands) there; see [[widePlanes]].
     *
     * `maxId` restricts the pair domain BEFORE band generation. A pair's
     * collision is a property of its two vectors alone (seeded-constant
@@ -495,6 +518,49 @@ object Similarity {
     }
     val bands = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("vec_id"), col("b.band").as("band"), col("b.key").as("key"))
+    bandVerifiedPairs(e, nVecs, bands, threshold, maxCandidatesPerDoc)
+  }
+
+  /** [[cosineDupLsh]] over the WIDE band geometry ([[widePlanes]]: 8 bands
+    * × 8-bit keys). Identical contract — seeded-constant planes, ≥1-shared-
+    * band candidate gate, exact cosine verify, full DuckDB hash oracle —
+    * but 256 distinct values per band instead of 16, so the random-collision
+    * floor that made the default geometry a measured scale-killer on
+    * duplicate-dense corpora (r10 ×30: ~9k vectors per bucket → ~10⁹
+    * pre-distinct candidate rows, 567 s; the candidate cap RAISED runtime
+    * 36% because the floor is the scan itself) drops ~16× per band. The
+    * price is recall near the 0.35 threshold — reported as the
+    * `hyperplane_band_wide` row of
+    * [[graft.ops.RetrievalQuality.embDupRecall]].
+    *
+    * Band keys are computed DIRECTLY as 8 independent 0..255 ints (one
+    * column per band) rather than packed into a 64-bit bucket and shifted
+    * back out: same plan shape, no signed-shift semantics to keep aligned
+    * across engines (bit 63 of a packed BIGINT would be the sign bit in
+    * both Spark and DuckDB). */
+  def cosineDupLshWide(s: SparkSession, dir: String,
+      threshold: Double = 0.35, maxId: Option[Long] = None,
+      maxCandidatesPerDoc: Option[Int] = None): DataFrame = {
+    val restricted = maxId.foldLeft(embedded(s, dir))(
+      (df, m) => df.filter(col("vec_id") < m))
+    val e = withWideBandKeys(restricted)
+      .select(col("vec_id") +: col("e") +: col("nrm") +:
+        (0 until WideNumBands).map(j => col(s"wb$j")): _*).cache()
+    val nVecs = e.count() // force — same concurrent-consumer rationale
+    val bandStructs = (0 until WideNumBands).map { j =>
+      struct(lit(j).as("band"), col(s"wb$j").as("key"))
+    }
+    val bands = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"), col("b.key").as("key"))
+    bandVerifiedPairs(e, nVecs, bands, threshold, maxCandidatesPerDoc)
+  }
+
+  /** Shared candidate-gate → budget → exact-cosine-verify tail of the two
+    * banded near-dup operators; `e` must be the CACHED embedded frame
+    * (vec_id, e, nrm, …) and `bands` its exploded (vec_id, band, key)
+    * view. */
+  private def bandVerifiedPairs(e: DataFrame, nVecs: Long, bands: DataFrame,
+      threshold: Double, maxCandidatesPerDoc: Option[Int]): DataFrame = {
     val cands0 = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id"))

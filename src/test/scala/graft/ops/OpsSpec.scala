@@ -482,6 +482,38 @@ class SimilaritySpec extends SparkSpec {
       maxCandidatesPerDoc = Some(cap)).collect())
     assert(again === capped, "capped run must be deterministic")
   }
+
+  test("wide planes extend the default planes (shared seed prefix)") {
+    assert(Similarity.widePlanes.length === Similarity.WideNumPlanes)
+    Similarity.planes.zip(Similarity.widePlanes.take(Similarity.NumPlanes))
+      .foreach { case (p, w) => assert(p.toSeq === w.toSeq,
+        "first 16 wide planes must BE the default planes") }
+  }
+
+  test("wide-band dup pairs are a subset of the exact scan with equal " +
+      "sims; domain restriction commutes; budget contract holds") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val maxId = 300L
+    val exact = keyed(Similarity.cosineDupPairs(spark, dir, maxId).collect())
+    val gated = keyed(Similarity.cosineDupLshWide(spark, dir)
+      .filter(col("id_a") < maxId && col("id_b") < maxId).collect())
+    assert(gated.keySet.subsetOf(exact.keySet),
+      "wide bands may drop pairs but must never invent them")
+    gated.foreach { case (k, sim) => assert(sim === exact(k), s"sim at $k") }
+    // collision is a two-vector property: restricting BEFORE banding must
+    // emit exactly the post-filtered pairs of the unrestricted run
+    val restricted = keyed(
+      Similarity.cosineDupLshWide(spark, dir, maxId = Some(maxId)).collect())
+    assert(restricted === gated, "maxId must commute with the band gate")
+    // the family's standard budget contract: capped ⊆ exact band output
+    val capped = keyed(Similarity.cosineDupLshWide(spark, dir,
+      maxCandidatesPerDoc = Some(1)).collect())
+    val full = keyed(Similarity.cosineDupLshWide(spark, dir).collect())
+    assert(capped.keySet.subsetOf(full.keySet))
+    capped.keySet.groupBy(_._1).foreach { case (a, ps) =>
+      assert(ps.size <= 1, s"id_a=$a exceeds budget") }
+  }
 }
 
 class TextMultimodalSpec extends SparkSpec {

@@ -76,10 +76,18 @@ class RetrievalQualitySpec extends SparkSpec {
     val exact = pairSet(Similarity.cosineDupPairs(spark, dir), "id_a", "id_b")
     val lsh = pairSet(Similarity.cosineDupLsh(spark, dir)
       .filter(col("id_a") < 300 && col("id_b") < 300), "id_a", "id_b")
-    check(report, exact, Map("hyperplane_band" -> lsh))
+    val wide = pairSet(Similarity.cosineDupLshWide(spark, dir)
+      .filter(col("id_a") < 300 && col("id_b") < 300), "id_a", "id_b")
+    check(report, exact,
+      Map("hyperplane_band" -> lsh, "hyperplane_band_wide" -> wide))
     // band candidates are verified by the SAME exact cosine threshold the
-    // ground truth uses, so every returned pair must be a true pair
+    // ground truth uses, so every returned pair must be a true pair —
+    // under EITHER geometry (no subset relation between the two variants'
+    // pair sets though: wide bands 2..7 use planes the default never sees)
     assert(report("hyperplane_band")._5 == 1000000L)
+    assert(report("hyperplane_band_wide")._5 == 1000000L)
+    assert(report("hyperplane_band_wide")._1 > 0L,
+      "wide geometry should still surface pairs at sf0.001")
   }
 
   test("a zero-row variant is reported explicitly (returned=0, recall 0, " +
