@@ -1402,6 +1402,28 @@ object OracleSql {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    // multiprobe twin: some band's keys differ by ≤1 bit — stated in the
+    // symmetric bit_count(xor) form, cross-checking the engine's
+    // asymmetric probe-explosion formulation (same trick as
+    // ann_lsh_multiprobe)
+    "emb_dup_lsh_wide_mp" -> {
+      import graft.ops.Similarity.WideNumBands
+      val keyCols = (0 until WideNumBands)
+        .map(j => s"CAST(${wideBandKeyTerm(j)} AS INT) AS wb$j")
+        .mkString(",\n|  ")
+      val collide = (0 until WideNumBands)
+        .map(j => s"bit_count(CAST(xor(a.wb$j, c.wb$j) AS BIGINT)) <= 1")
+        .mkString(" OR ")
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, e, nrm,
+         |  $keyCols FROM n),
+         |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  round(${dotChain("a.e", "c.e")} / (sqrt(a.nrm) * sqrt(c.nrm)), 6) AS sim
+         |  FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($collide))
+         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     "emb_dup_pairs" ->
       s"""WITH $embCte,
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2754,15 +2776,16 @@ object OracleSql {
     // the banded members restrict to the exact scan's vec_id < 300
     // quadratic-bounding domain so the comparison is pair-for-pair
     val embEntry =
-      if (Seq("emb_dup_pairs", "emb_dup_lsh", "emb_dup_lsh_wide")
-          .forall(m.contains)) {
+      if (Seq("emb_dup_pairs", "emb_dup_lsh", "emb_dup_lsh_wide",
+          "emb_dup_lsh_wide_mp").forall(m.contains)) {
         def restricted(k: String) =
           s"""SELECT id_a, id_b FROM (
              |${m(k)}
              |) __r WHERE id_a < 300 AND id_b < 300""".stripMargin
         Map("emb_dup_recall" -> qualityReportOracle(m("emb_dup_pairs"),
           Seq("hyperplane_band" -> restricted("emb_dup_lsh"),
-            "hyperplane_band_wide" -> restricted("emb_dup_lsh_wide")),
+            "hyperplane_band_wide" -> restricted("emb_dup_lsh_wide"),
+            "hyperplane_band_wide_mp" -> restricted("emb_dup_lsh_wide_mp")),
           "id_a", "id_b"))
       } else Map.empty[String, String]
     annEntry ++ dedupEntry ++ embEntry

@@ -133,8 +133,11 @@ object RetrievalQuality {
     // [[Similarity.cosineDupLshWide]]) reports alongside the default so
     // the band/width recall tradeoff is a dashboard row, not a doc claim
     val wide = Similarity.cosineDupLshWide(s, dir, maxId = Some(300L))
+    val wideMp =
+      Similarity.cosineDupLshWideMultiProbe(s, dir, maxId = Some(300L))
     qualityReport(exact,
-      Seq("hyperplane_band" -> lsh, "hyperplane_band_wide" -> wide),
+      Seq("hyperplane_band" -> lsh, "hyperplane_band_wide" -> wide,
+        "hyperplane_band_wide_mp" -> wideMp),
       "id_a", "id_b")
   }
 }

@@ -555,13 +555,61 @@ object Similarity {
     bandVerifiedPairs(e, nVecs, bands, threshold, maxCandidatesPerDoc)
   }
 
-  /** Shared candidate-gate → budget → exact-cosine-verify tail of the two
+  /** [[cosineDupLshWide]] with per-band MULTIPROBE: a pair is a candidate
+    * when some band's two 8-bit keys differ by ≤ 1 bit (vs exact key
+    * equality). Implemented asymmetrically — the left band stream emits
+    * each key plus its 8 one-bit-flip probes, the right stream stays
+    * exact — which is the same ≤1-bit semantics because
+    * `hamming(ka, kb) ≤ 1 ⟺ kb ∈ {ka} ∪ {ka ^ 2^i}`; the oracle states
+    * the symmetric form directly via `bit_count(xor(..)) ≤ 1` (the same
+    * cross-formulation check [[lshTopKMultiProbe]] uses). The point on
+    * the (recall, cost) curve: per-band collision probability rises from
+    * p⁸ to p⁸ + 8·p⁷(1−p) — a large recall gain at dup-grade agreement
+    * rates — while a random pair's per-band rate is 9/256, still well
+    * under the default geometry's 1/16, so collision lists stay bounded
+    * where the 4×4-bit geometry floored. Measured against both siblings
+    * as the `hyperplane_band_wide_mp` row of
+    * [[graft.ops.RetrievalQuality.embDupRecall]] and the ×30 A/B in
+    * BENCH.md. */
+  def cosineDupLshWideMultiProbe(s: SparkSession, dir: String,
+      threshold: Double = 0.35, maxId: Option[Long] = None,
+      maxCandidatesPerDoc: Option[Int] = None): DataFrame = {
+    val restricted = maxId.foldLeft(embedded(s, dir))(
+      (df, m) => df.filter(col("vec_id") < m))
+    val e = withWideBandKeys(restricted)
+      .select(col("vec_id") +: col("e") +: col("nrm") +:
+        (0 until WideNumBands).map(j => col(s"wb$j")): _*).cache()
+    val nVecs = e.count()
+    val exactStructs = (0 until WideNumBands).map { j =>
+      struct(lit(j).as("band"), col(s"wb$j").as("key"))
+    }
+    // probe stream: the key itself plus its 8 one-bit neighbors
+    val probeStructs = (0 until WideNumBands).flatMap { j =>
+      exactStructs(j) +: (0 until WideBitsPerBand).map { b =>
+        struct(lit(j).as("band"),
+          (col(s"wb$j").bitwiseXOR(lit(1 << b))).as("key"))
+      }
+    }
+    def exploded(structs: Seq[org.apache.spark.sql.Column]) =
+      e.select(col("vec_id"), explode(array(structs: _*)).as("b"))
+        .select(col("vec_id"), col("b.band").as("band"), col("b.key").as("key"))
+    bandVerifiedPairs(e, nVecs, exploded(probeStructs), threshold,
+      maxCandidatesPerDoc, rightBands = Some(exploded(exactStructs)))
+  }
+
+  /** Shared candidate-gate → budget → exact-cosine-verify tail of the
     * banded near-dup operators; `e` must be the CACHED embedded frame
     * (vec_id, e, nrm, …) and `bands` its exploded (vec_id, band, key)
-    * view. */
+    * view. `rightBands` (multiprobe) joins an asymmetric right stream:
+    * probes only on the left side still cover the symmetric ≤1-bit gate
+    * under the `id_a < id_b` ordering, because Hamming distance is
+    * symmetric — `ka ^ 2^i = kb ⟺ kb ^ 2^i = ka`, so whichever side
+    * carries the flip finds the same pair. */
   private def bandVerifiedPairs(e: DataFrame, nVecs: Long, bands: DataFrame,
-      threshold: Double, maxCandidatesPerDoc: Option[Int]): DataFrame = {
-    val cands0 = bands.as("x").join(bands.as("y"),
+      threshold: Double, maxCandidatesPerDoc: Option[Int],
+      rightBands: Option[DataFrame] = None): DataFrame = {
+    val right = rightBands.getOrElse(bands)
+    val cands0 = bands.as("x").join(right.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))

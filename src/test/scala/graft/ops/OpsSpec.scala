@@ -514,6 +514,25 @@ class SimilaritySpec extends SparkSpec {
     capped.keySet.groupBy(_._1).foreach { case (a, ps) =>
       assert(ps.size <= 1, s"id_a=$a exceeds budget") }
   }
+
+  test("wide multiprobe pairs contain the wide pairs (probe superset) " +
+      "and stay a subset of the exact scan with equal sims") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val maxId = 300L
+    val exact = keyed(Similarity.cosineDupPairs(spark, dir, maxId).collect())
+    val wide = keyed(
+      Similarity.cosineDupLshWide(spark, dir, maxId = Some(maxId)).collect())
+    val mp = keyed(Similarity.cosineDupLshWideMultiProbe(spark, dir,
+      maxId = Some(maxId)).collect())
+    // hamming ≤ 1 gates a superset of hamming = 0, and both verify by the
+    // same exact threshold — so mp's verified pairs must contain wide's
+    assert(wide.keySet.subsetOf(mp.keySet),
+      "multiprobe must dominate exact-key collision")
+    assert(mp.keySet.subsetOf(exact.keySet),
+      "probing may add candidates but never unverified pairs")
+    mp.foreach { case (k, sim) => assert(sim === exact(k), s"sim at $k") }
+  }
 }
 
 class TextMultimodalSpec extends SparkSpec {
