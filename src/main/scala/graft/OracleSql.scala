@@ -1424,6 +1424,34 @@ object OracleSql {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    // bipartite intake triage: same residue-class split as
+    // dedup_incremental, wide band keys from literal planes, delta ×
+    // standing collision gate, exact cosine verify, per-delta verdict
+    "emb_dup_intake" -> {
+      import graft.ops.Similarity.WideNumBands
+      val keyCols = (0 until WideNumBands)
+        .map(j => s"CAST(${wideBandKeyTerm(j)} AS INT) AS wb$j")
+        .mkString(",\n|  ")
+      val collide = (0 until WideNumBands)
+        .map(j => s"a.wb$j = c.wb$j").mkString(" OR ")
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, e, nrm,
+         |  (${SharedHash.duck48("CAST(vec_id AS VARCHAR)")} % 10) = 9 AS is_inc,
+         |  $keyCols FROM n),
+         |cand AS (SELECT DISTINCT a.vec_id AS inc_id, c.vec_id AS ex_id
+         |  FROM b a JOIN b c ON a.is_inc AND NOT c.is_inc AND ($collide)),
+         |near AS (SELECT inc_id, CAST(count(*) AS BIGINT) AS n_near FROM cand
+         |  JOIN b x ON x.vec_id = cand.inc_id
+         |  JOIN b y ON y.vec_id = cand.ex_id
+         |  WHERE round(${dotChain("x.e", "y.e")} / (sqrt(x.nrm) * sqrt(y.nrm)), 6) >= 0.35
+         |  GROUP BY inc_id)
+         |SELECT t.vec_id, CAST(COALESCE(near.n_near, 0) AS BIGINT) AS n_near,
+         |  CASE WHEN COALESCE(near.n_near, 0) > 0 THEN 'near'
+         |       ELSE 'novel' END AS verdict
+         |FROM b t LEFT JOIN near ON near.inc_id = t.vec_id
+         |WHERE t.is_inc ORDER BY t.vec_id""".stripMargin
+    },
+
     "emb_dup_pairs" ->
       s"""WITH $embCte,
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

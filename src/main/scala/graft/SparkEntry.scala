@@ -214,6 +214,7 @@ object SparkEntry {
     "emb_dup_lsh" -> ((s: SparkSession, d: String) => Similarity.cosineDupLsh(s, d)),
     "emb_dup_lsh_wide" -> ((s: SparkSession, d: String) => Similarity.cosineDupLshWide(s, d)),
     "emb_dup_lsh_wide_mp" -> ((s: SparkSession, d: String) => Similarity.cosineDupLshWideMultiProbe(s, d)),
+    "emb_dup_intake" -> ((s: SparkSession, d: String) => Similarity.cosineDupIntake(s, d)),
     "emb_semdedup" -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
     "emb_dim_stats" -> (EmbeddingStats.dimStats _),
     "emb_gram" -> (EmbeddingStats.gramMatrix _),

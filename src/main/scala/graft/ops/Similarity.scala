@@ -597,6 +597,71 @@ object Similarity {
       maxCandidatesPerDoc, rightBands = Some(exploded(exactStructs)))
   }
 
+  /** Incremental embedding near-dup intake — the vector twin of
+    * [[graft.ops.Dedup.incrementalDedup]]'s text triage: arriving (delta)
+    * vectors are checked against the standing corpus through the WIDE
+    * band gate, and each delta vector reports how many standing near-dups
+    * it has (`n_near`) plus a `near`/`novel` verdict. The delta split is
+    * the same engine-portable 48-bit hash residue the text family uses
+    * (`pmod(hash48(vec_id), 10) = 9` ≙ DuckDB `% 10 = 9`), so the whole
+    * operator — split, band keys from literal planes, bipartite collision
+    * gate, exact cosine verify, verdict — is deterministic and carries a
+    * full hash oracle.
+    *
+    * Scale shape: the join is BIPARTITE (delta × standing, no standing ×
+    * standing leg), so cost is O(|delta| · collisions-per-band-key) — the
+    * wide geometry's 256-value band keys keep collision lists short where
+    * the 4×4-bit geometry floored — and the verify joins ride the same
+    * ≤250k-vector broadcast rule as the pair operators: vectors never
+    * enter a shuffle at dimension-table sizes. At 100 TB the standing
+    * side's band keys would live in a persisted signature index (the
+    * exact pattern [[graft.sources.IndexStore]] establishes for
+    * prefix/digest/ANN), making intake O(delta) against frozen keys;
+    * assignment under seeded-constant planes is the same sign pattern
+    * wherever it is computed, so the recompute-in-query form here and an
+    * indexed probe share one output contract. */
+  def cosineDupIntake(s: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    val h = graft.functions.SharedHash.spark48("cast(vec_id AS string)")
+    val e = withWideBandKeys(embedded(s, dir))
+      .withColumn("is_inc", expr(s"pmod($h, 10) = 9"))
+      .select(col("vec_id") +: col("e") +: col("nrm") +: col("is_inc") +:
+        (0 until WideNumBands).map(j => col(s"wb$j")): _*).cache()
+    val nVecs = e.count() // force — bands + two verify joins consume e
+    val bandStructs = (0 until WideNumBands).map { j =>
+      struct(lit(j).as("band"), col(s"wb$j").as("key"))
+    }
+    val bands = e.select(col("vec_id"), col("is_inc"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("vec_id"), col("is_inc"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    val cands = bands.filter(col("is_inc")).as("x")
+      .join(bands.filter(!col("is_inc")).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.vec_id").as("inc_id"), col("y.vec_id").as("ex_id"))
+      .distinct()
+    def vecSide(idCol: String, eCol: String, nCol: String) = {
+      val side = e.select(col("vec_id").as(idCol), col("e").as(eCol),
+        col("nrm").as(nCol))
+      if (nVecs <= 250000L) broadcast(side) else side
+    }
+    val near = cands
+      .join(vecSide("inc_id", "e_a", "n_a"), "inc_id")
+      .join(vecSide("ex_id", "e_b", "n_b"), "ex_id")
+      .withColumn("sim", round(
+        expr("vec_dot(e_a, e_b)") / (sqrt(col("n_a")) * sqrt(col("n_b"))), 6))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("inc_id")).agg(count(lit(1)).as("n_near"))
+      .withColumnRenamed("inc_id", "vec_id")
+    val out = e.filter(col("is_inc")).select(col("vec_id"))
+      .join(near, Seq("vec_id"), "left")
+      .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+      .withColumn("verdict",
+        when(col("n_near") > 0, lit("near")).otherwise(lit("novel")))
+      .orderBy(col("vec_id"))
+    graft.ops.Caching.materializeAndRelease(out, e)
+  }
+
   /** Shared candidate-gate → budget → exact-cosine-verify tail of the
     * banded near-dup operators; `e` must be the CACHED embedded frame
     * (vec_id, e, nrm, …) and `bands` its exploded (vec_id, band, key)

@@ -533,6 +533,43 @@ class SimilaritySpec extends SparkSpec {
       "probing may add candidates but never unverified pairs")
     mp.foreach { case (k, sim) => assert(sim === exact(k), s"sim at $k") }
   }
+
+  test("embedding intake triage: verdicts vs a gate-free bipartite scan " +
+      "(near ⊆ brute-near, counts bounded, novel sound, deterministic)") {
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    val got = Similarity.cosineDupIntake(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // gate-free ground truth: the same residue split and threshold, but
+    // EVERY delta×standing pair verified (no band gate) — at sf0.001 the
+    // cross join is 500² rows, driver-trivial
+    val h = graft.functions.SharedHash.spark48("cast(vec_id AS string)")
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("e", fexpr("cast(embedding AS ARRAY<DOUBLE>)"))
+      .withColumn("is_inc", fexpr(s"pmod($h, 10) = 9"))
+    graft.functions.VecDot.register(spark)
+    val brute = e.filter(col("is_inc")).select(col("vec_id"), col("e").as("ea"))
+      .crossJoin(e.filter(!col("is_inc")).select(col("e").as("eb")))
+      .withColumn("sim", fexpr(
+        "round(vec_dot(ea, eb) / (sqrt(vec_dot(ea, ea)) * sqrt(vec_dot(eb, eb))), 6)"))
+      .filter(col("sim") >= 0.35)
+      .groupBy("vec_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incIds = e.filter(col("is_inc")).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got.keySet == incIds, "every delta vector must be triaged")
+    got.foreach { case (id, (n, verdict)) =>
+      assert(n <= brute.getOrElse(id, 0L),
+        s"gated n_near can never exceed the gate-free count at $id")
+      assert(verdict == (if (n > 0) "near" else "novel"))
+      if (!brute.contains(id))
+        assert(verdict == "novel", s"no true near-dup but 'near' at $id")
+    }
+    assert(got.exists(_._2._2 == "near"),
+      "the duplicate-dense corpus should yield some near verdicts")
+    val again = Similarity.cosineDupIntake(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(again === got, "intake must be deterministic")
+  }
 }
 
 class TextMultimodalSpec extends SparkSpec {
