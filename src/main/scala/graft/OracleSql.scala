@@ -2829,6 +2829,9 @@ object OracleSql {
         "q_range_join_native" -> base("q_range_join"),
         "dedup_incremental_indexed" -> base("dedup_incremental"),
         "dedup_bloom_gate_indexed" -> base("dedup_bloom_gate"),
+        // probing the persisted signature index answers the same question:
+        // band keys under seeded-constant planes are position-independent
+        "emb_dup_intake_indexed" -> base("emb_dup_intake"),
         // segment-merged postings must be byte-identical to the recompute
         "text_postings_indexed" -> base("text_postings")) ++
       Similarity.fittedIvfCentroids.map(cs => "ann_ivf" -> ivfOracle(cs)) ++

@@ -215,6 +215,7 @@ object SparkEntry {
     "emb_dup_lsh_wide" -> ((s: SparkSession, d: String) => Similarity.cosineDupLshWide(s, d)),
     "emb_dup_lsh_wide_mp" -> ((s: SparkSession, d: String) => Similarity.cosineDupLshWideMultiProbe(s, d)),
     "emb_dup_intake" -> ((s: SparkSession, d: String) => Similarity.cosineDupIntake(s, d)),
+    "emb_dup_intake_indexed" -> ((s: SparkSession, d: String) => Similarity.cosineDupIntakeIndexed(s, d)),
     "emb_semdedup" -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
     "emb_dim_stats" -> (EmbeddingStats.dimStats _),
     "emb_gram" -> (EmbeddingStats.gramMatrix _),
@@ -248,6 +249,6 @@ object SparkEntry {
     "q_agg_lineitem", "q_window_running", "q_sort_limit",
     "dedup_bloom_gate_indexed", "dedup_prefix_probe_indexed",
     "dedup_winnow_probe_indexed", "text_postings_indexed",
-    "ann_ivf_indexed", "ann_ivfpq_indexed", "text_bpe_merges",
-    "quality_distill", "cf_als_score_saved")
+    "ann_ivf_indexed", "ann_ivfpq_indexed", "emb_dup_intake_indexed",
+    "text_bpe_merges", "quality_distill", "cf_als_score_saved")
 }

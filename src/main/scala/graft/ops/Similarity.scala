@@ -622,44 +622,86 @@ object Similarity {
     * indexed probe share one output contract. */
   def cosineDupIntake(s: SparkSession, dir: String,
       threshold: Double = 0.35): DataFrame = {
+    val (incRaw, exRaw) = embDeltaSplit(Tables.embeddings(s, dir))
+    graft.functions.VecDot.register(s)
+    intakeVerdicts(wideSigOf(incRaw), wideSigOf(exRaw), threshold)
+  }
+
+  /** [[cosineDupIntake]] probing the PERSISTED wide-band signature index
+    * ([[graft.sources.IndexStore.standingSigIndex]]) instead of
+    * recomputing the standing side's keys: per-batch work is
+    * O(delta × collisions) INCLUDING the standing side — the standing
+    * embeddings table is never rescanned (spec-asserted via `inputFiles`).
+    * Band keys under seeded-constant planes are the same sign pattern
+    * wherever they are computed (build, append, or in-query), so the
+    * output is byte-identical to the recompute form and SHARES its
+    * oracle. */
+  def cosineDupIntakeIndexed(s: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    val (incRaw, _) = embDeltaSplit(Tables.embeddings(s, dir))
+    graft.functions.VecDot.register(s)
+    intakeVerdicts(wideSigOf(incRaw),
+      graft.sources.IndexStore.standingSigIndex(s, dir), threshold)
+  }
+
+  /** (vec_id, e, nrm, wb0..wb7) wide-band signature frame over a raw
+    * embeddings frame — the unit the in-query intake computes and the
+    * persisted signature index stores. */
+  private[graft] def wideSigOf(raw: DataFrame): DataFrame =
+    withWideBandKeys(embeddedOf(raw))
+      .select(col("vec_id") +: col("e") +: col("nrm") +:
+        (0 until WideNumBands).map(j => col(s"wb$j")): _*)
+
+  /** Residue-class delta split over an embeddings frame — the vector twin
+    * of [[graft.ops.Dedup.deltaSplit]]: engine-portable 48-bit hash of the
+    * id, residue 9 of 10 arrives, the rest stands. */
+  private[graft] def embDeltaSplit(emb: DataFrame): (DataFrame, DataFrame) = {
     val h = graft.functions.SharedHash.spark48("cast(vec_id AS string)")
-    val e = withWideBandKeys(embedded(s, dir))
-      .withColumn("is_inc", expr(s"pmod($h, 10) = 9"))
-      .select(col("vec_id") +: col("e") +: col("nrm") +: col("is_inc") +:
-        (0 until WideNumBands).map(j => col(s"wb$j")): _*).cache()
-    val nVecs = e.count() // force — bands + two verify joins consume e
+    val tagged = emb.withColumn("is_inc", expr(s"pmod($h, 10) = 9"))
+    (tagged.filter(col("is_inc")).drop("is_inc"),
+      tagged.filter(!col("is_inc")).drop("is_inc"))
+  }
+
+  /** Shared triage dataflow over a delta and a standing signature frame —
+    * however the standing side was obtained (computed in-query or read
+    * from the persisted index). Both frames carry (vec_id, e, nrm,
+    * wb0..wb7). */
+  private def intakeVerdicts(incSig: DataFrame, exSig: DataFrame,
+      threshold: Double): DataFrame = {
+    val inc = incSig.cache(); val nInc = inc.count()
+    val ex = exSig.cache(); val nEx = ex.count()
     val bandStructs = (0 until WideNumBands).map { j =>
       struct(lit(j).as("band"), col(s"wb$j").as("key"))
     }
-    val bands = e.select(col("vec_id"), col("is_inc"),
-        explode(array(bandStructs: _*)).as("b"))
-      .select(col("vec_id"), col("is_inc"),
-        col("b.band").as("band"), col("b.key").as("key"))
-    val cands = bands.filter(col("is_inc")).as("x")
-      .join(bands.filter(!col("is_inc")).as("y"),
+    def bandsOf(df: DataFrame) =
+      df.select(col("vec_id"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("vec_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val cands = bandsOf(inc).as("x")
+      .join(bandsOf(ex).as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.vec_id").as("inc_id"), col("y.vec_id").as("ex_id"))
       .distinct()
-    def vecSide(idCol: String, eCol: String, nCol: String) = {
-      val side = e.select(col("vec_id").as(idCol), col("e").as(eCol),
+    def vecSide(df: DataFrame, n: Long, idCol: String, eCol: String,
+        nCol: String) = {
+      val side = df.select(col("vec_id").as(idCol), col("e").as(eCol),
         col("nrm").as(nCol))
-      if (nVecs <= 250000L) broadcast(side) else side
+      if (n <= 250000L) broadcast(side) else side
     }
     val near = cands
-      .join(vecSide("inc_id", "e_a", "n_a"), "inc_id")
-      .join(vecSide("ex_id", "e_b", "n_b"), "ex_id")
+      .join(vecSide(inc, nInc, "inc_id", "e_a", "n_a"), "inc_id")
+      .join(vecSide(ex, nEx, "ex_id", "e_b", "n_b"), "ex_id")
       .withColumn("sim", round(
         expr("vec_dot(e_a, e_b)") / (sqrt(col("n_a")) * sqrt(col("n_b"))), 6))
       .filter(col("sim") >= threshold)
       .groupBy(col("inc_id")).agg(count(lit(1)).as("n_near"))
       .withColumnRenamed("inc_id", "vec_id")
-    val out = e.filter(col("is_inc")).select(col("vec_id"))
+    val out = inc.select(col("vec_id"))
       .join(near, Seq("vec_id"), "left")
       .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
       .withColumn("verdict",
         when(col("n_near") > 0, lit("near")).otherwise(lit("novel")))
       .orderBy(col("vec_id"))
-    graft.ops.Caching.materializeAndRelease(out, e)
+    graft.ops.Caching.materializeAndRelease(out, inc, ex)
   }
 
   /** Shared candidate-gate → budget → exact-cosine-verify tail of the

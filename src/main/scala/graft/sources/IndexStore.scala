@@ -473,6 +473,30 @@ object IndexStore {
     * Appends assign + encode ONLY the delta under the frozen quantizers —
     * O(delta), the standing corpus is never an input (spec-asserted via
     * `inputFiles`, like the text indexes). */
+  // --- wide-band signature index (embedding near-dup intake) ----------------
+
+  /** Persist the standing vectors' wide-band signature table
+    * (vec_id, e, nrm, wb0..wb7) — the probe side of
+    * [[graft.ops.Similarity.cosineDupIntakeIndexed]]. Unlike the ANN
+    * index there is nothing to fit: band keys come from seeded-constant
+    * planes, so build, append, and in-query recompute all produce the
+    * same signature for a vector — which is exactly why the indexed
+    * intake shares the recompute form's oracle. */
+  def buildSig(embRaw: DataFrame, path: String): Unit =
+    graft.ops.Similarity.wideSigOf(embRaw)
+      .write.mode("overwrite").parquet(path)
+
+  /** Sign ONLY the delta vectors and append their rows — O(delta); the
+    * standing corpus is not an input. Returns the appended frame. */
+  def appendSig(deltaRaw: DataFrame, path: String): DataFrame = {
+    val sig = graft.ops.Similarity.wideSigOf(deltaRaw)
+    sig.write.mode("append").parquet(path)
+    sig
+  }
+
+  def readSig(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
   def buildAnn(embRaw: DataFrame, root: String,
       nCells: Int = graft.ops.Similarity.IvfCells,
       m: Int = graft.ops.Similarity.PqM,
@@ -925,6 +949,19 @@ object IndexStore {
   }
 
   /** The persisted standing dedup index for `dir` (memoized build). */
+  /** The persisted standing wide-band signature index for `dir`'s
+    * embeddings (memoized build over the STANDING split). */
+  def standingSigIndex(s: SparkSession, dir: String): DataFrame = {
+    val root = builtRoots.computeIfAbsent(s"sig:$dir", _ => {
+      val (_, ex) = graft.ops.Similarity
+        .embDeltaSplit(graft.ops.Tables.embeddings(s, dir))
+      val p = rootFor(s, "sig", dir)
+      buildSig(ex, p)
+      p
+    })
+    readSig(s, root)
+  }
+
   def standingDedupIndex(s: SparkSession, dir: String): DedupIndex = {
     val root = builtRoots.computeIfAbsent(s"dedup:$dir", _ => {
       val (_, ex) = Dedup.deltaSplit(Tables.documents(s, dir))

@@ -50,6 +50,43 @@ class AnnIndexSpec extends SparkSpec {
       s"argmin mismatch at vec_id ${r.getLong(0)}"))
   }
 
+  test("indexed embedding intake ≡ the recompute form; the standing side " +
+      "reads only the persisted signature index; appends are delta-only") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toSeq
+    val rec = keyed(Similarity.cosineDupIntake(spark, dir).collect())
+    val idx = keyed(Similarity.cosineDupIntakeIndexed(spark, dir).collect())
+    assert(idx === rec, "probing the index must lose nothing")
+    val standing = IndexStore.standingSigIndex(spark, dir)
+    assert(standing.inputFiles.nonEmpty)
+    assert(!standing.inputFiles.exists(_.contains("embeddings.parquet")),
+      "the standing embeddings table must never be rescanned")
+    // append is O(delta): signs only the rows it is given, and the
+    // incrementally-grown index equals a full rebuild as a set
+    val emb = Tables.embeddings(spark, dir)
+    val standingDir = tmp("sig-standing")
+    val deltaDir = tmp("sig-delta")
+    val st = asTable(emb.filter(col("vec_id") % 5 =!= 0), standingDir)
+    val dl = asTable(emb.filter(col("vec_id") % 5 === 0), deltaDir)
+    val root = tmp("sig-idx") + "/sig"
+    IndexStore.buildSig(st, root)
+    val appended = IndexStore.appendSig(dl, root)
+    assert(appended.inputFiles.nonEmpty &&
+      appended.inputFiles.forall(_.contains(deltaDir)),
+      "append must read the delta only")
+    def sigSet(df: DataFrame) = df
+      .select(col("vec_id"), col("wb0"), col("wb7")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val grown = sigSet(IndexStore.readSig(spark, root))
+    val rebuilt = {
+      val r2 = tmp("sig-idx2") + "/sig"
+      IndexStore.buildSig(emb, r2)
+      sigSet(IndexStore.readSig(spark, r2))
+    }
+    assert(grown === rebuilt,
+      "incrementally-grown index must equal a full rebuild")
+  }
+
   test("appendAnn reads ONLY the delta vectors — never the standing corpus") {
     val emb = Tables.embeddings(spark, dir)
     val standingDir = tmp("ann-standing")
