@@ -662,6 +662,18 @@ object Similarity {
       tagged.filter(!col("is_inc")).drop("is_inc"))
   }
 
+  /** Triage an arbitrary raw embeddings batch against a standing
+    * signature frame — the per-batch body of the streaming intake sink
+    * ([[graft.streaming.StreamingOps.sigIntakeBatch]]) and of
+    * [[cosineDupIntakeIndexed]]. The result is MATERIALIZED
+    * (localCheckpoint) before return, so a subsequent index append cannot
+    * change what a caller's write sees. */
+  def triageVectorsAgainstSig(batchRaw: DataFrame, standingSig: DataFrame,
+      threshold: Double = 0.35): DataFrame = {
+    graft.functions.VecDot.register(batchRaw.sparkSession)
+    intakeVerdicts(wideSigOf(batchRaw), standingSig, threshold)
+  }
+
   /** Shared triage dataflow over a delta and a standing signature frame —
     * however the standing side was obtained (computed in-query or read
     * from the persisted index). Both frames carry (vec_id, e, nrm,

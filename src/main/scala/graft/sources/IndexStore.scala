@@ -497,6 +497,21 @@ object IndexStore {
   def readSig(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  /** Batch-keyed variant of [[appendSig]] for the streaming intake sink:
+    * one overwritten `b=<batchId>` segment — crash-replay rewrites the
+    * same bytes. */
+  def appendSigVersioned(deltaRaw: DataFrame, path: String,
+      batchId: Long): DataFrame = {
+    val sig = graft.ops.Similarity.wideSigOf(deltaRaw)
+    writeDeltaSegment(sig, path, batchId)
+    sig
+  }
+
+  /** Replay-safe signature-index read for micro-batch `beforeId`. */
+  def readSigBefore(s: SparkSession, path: String,
+      beforeId: Long): DataFrame =
+    readWithDeltasBefore(s, path, beforeId)
+
   def buildAnn(embRaw: DataFrame, root: String,
       nCells: Int = graft.ops.Similarity.IvfCells,
       m: Int = graft.ops.Similarity.PqM,

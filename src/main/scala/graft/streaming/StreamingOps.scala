@@ -545,6 +545,45 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming embedding NEAR-DUP intake over the persisted wide-band
+    * signature index — the near-dup twin of [[annIntakeSink]] (which
+    * answers top-k similarity; this answers "is the arriving vector a
+    * near-duplicate of anything standing"): each micro-batch of raw
+    * embeddings is triaged against the signature segments with id <
+    * batchId (bipartite band gate + exact cosine verify, the same
+    * dataflow as the `emb_dup_intake` queries), its per-vector
+    * near/novel verdicts land as a `b=<batchId>` overwrite, and the
+    * batch's own signatures append inside the same foreachBatch — so
+    * batch N+1 catches near-dups of batch N. Exactly-once by the family
+    * recipe: reads bounded to segments < batchId, both writes
+    * batch-keyed overwrites, signatures under seeded-constant planes
+    * deterministic — a crash-replay rewrites identical bytes. */
+  def sigIntakeSink(incoming: DataFrame, indexPath: String,
+      verdictsPath: String)(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sigIntakeBatch(batch, batchId, indexPath, verdictsPath)
+      }
+      .start()
+
+  /** One [[sigIntakeSink]] micro-batch — exposed for the replay spec. */
+  def sigIntakeBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      verdictsPath: String): Unit = {
+    import graft.sources.IndexStore
+    val s = batch.sparkSession
+    val standing = IndexStore.readSigBefore(s, indexPath, batchId)
+    // triage materializes (localCheckpoint) before return, so the index
+    // append below can't change what the verdict write sees
+    val verdicts = graft.ops.Similarity.triageVectorsAgainstSig(
+      batch, standing)
+    verdicts.write.mode("overwrite").parquet(s"$verdictsPath/b=$batchId")
+    IndexStore.appendSigVersioned(batch, indexPath, batchId)
+    ()
+  }
+
   /** One [[annIntakeSink]] micro-batch — exposed for the replay spec. */
   def annIntakeBatch(batch: DataFrame, batchId: Long, indexRoot: String,
       neighborsPath: String): Unit = {

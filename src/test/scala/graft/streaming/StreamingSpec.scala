@@ -581,6 +581,46 @@ class StreamingSpec extends SparkSpec {
       .count() === 340)
   }
 
+  test("streaming embedding near-dup intake: batch vectors triage against " +
+      "the signature index, cross-batch near-dups caught, replay " +
+      "idempotent, stream ≡ batch operator on the same split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.IndexStore
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("sig-stream").toString
+    val idx = s"$base/idx"
+    val verdicts = s"$base/verdicts"
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    // standing = the batch operators' residue split, so the stream's
+    // batch-1 verdicts must equal emb_dup_intake row-for-row
+    val (inc, ex) = graft.ops.Similarity.embDeltaSplit(emb)
+    IndexStore.buildSig(ex, idx)
+
+    StreamingOps.sigIntakeBatch(inc.toDF(), 1L, idx, verdicts)
+    def vRows(b: Long) = spark.read.parquet(s"$verdicts/b=$b")
+      .select($"vec_id", $"n_near", $"verdict").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val v1 = vRows(1L)
+    val batchOp = graft.ops.Similarity.cosineDupIntake(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(v1 === batchOp, "stream batch 1 must equal the batch operator")
+    // crash replay: probe reads segments < 1 only, writes overwrite
+    StreamingOps.sigIntakeBatch(inc.toDF(), 1L, idx, verdicts)
+    assert(vRows(1L) === v1)
+    // batch 2 = exact copies of batch 1's vectors under new ids: identical
+    // sign patterns collide in every band and verify at cosine 1.0 — every
+    // verdict must be 'near', possible only because batch 1's signatures
+    // appended inside the loop
+    val b2 = inc.select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    StreamingOps.sigIntakeBatch(b2.toDF(), 2L, idx, verdicts)
+    val v2 = vRows(2L)
+    assert(v2.nonEmpty && v2.forall(_._3 == "near"),
+      "an exact copy of an indexed vector must triage as near")
+    assert(IndexStore.readSigBefore(spark, idx, 3L).count() ===
+      ex.count() + 2 * inc.count())
+  }
+
   test("streaming triage sink: exact AND near duplicates of earlier batches " +
       "are caught via the index appends inside the loop") {
     implicit val sql = spark.sqlContext
