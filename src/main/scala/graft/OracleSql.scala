@@ -111,6 +111,63 @@ object OracleSql {
        |n AS (SELECT vec_id, e, ${dotChain("e", "e")} AS nrm FROM e)"""
       .stripMargin.replaceAll("\n", " ")
 
+  /** The three banded near-dup pair oracles over the full corpus. The
+    * collide predicates and verify chain are built from the same
+    * fragments the composed recall oracle restates over its shared
+    * signature CTE — one source for each formula, two packagings. */
+  private def embBandPairsSql: String = {
+    import graft.ops.Similarity.{NumBands, BitsPerBand}
+    val mask = (1 << BitsPerBand) - 1
+    val collide = (0 until NumBands).map { j =>
+      s"((a.bucket >> ${j * BitsPerBand}) & $mask) = " +
+        s"((c.bucket >> ${j * BitsPerBand}) & $mask)"
+    }.mkString(" OR ")
+    s"""WITH $embCte,
+       |b AS (SELECT vec_id, e, nrm,
+       |  CAST($lshBucketTerms AS INT) AS bucket FROM n),
+       |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |  round(${dotChain("a.e", "c.e")} / (sqrt(a.nrm) * sqrt(c.nrm)), 6) AS sim
+       |  FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($collide))
+       |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private def wideKeyCols: String = {
+    import graft.ops.Similarity.WideNumBands
+    (0 until WideNumBands)
+      .map(j => s"CAST(${wideBandKeyTerm(j)} AS INT) AS wb$j")
+      .mkString(",\n|  ")
+  }
+
+  private def embWidePairsSql: String = {
+    import graft.ops.Similarity.WideNumBands
+    val collide = (0 until WideNumBands)
+      .map(j => s"a.wb$j = c.wb$j").mkString(" OR ")
+    s"""WITH $embCte,
+       |b AS (SELECT vec_id, e, nrm,
+       |  $wideKeyCols FROM n),
+       |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |  round(${dotChain("a.e", "c.e")} / (sqrt(a.nrm) * sqrt(c.nrm)), 6) AS sim
+       |  FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($collide))
+       |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private def embWideMpPairsSql: String = {
+    import graft.ops.Similarity.WideNumBands
+    val collide = (0 until WideNumBands)
+      .map(j => s"bit_count(CAST(xor(a.wb$j, c.wb$j) AS BIGINT)) <= 1")
+      .mkString(" OR ")
+    s"""WITH $embCte,
+       |b AS (SELECT vec_id, e, nrm,
+       |  $wideKeyCols FROM n),
+       |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |  round(${dotChain("a.e", "c.e")} / (sqrt(a.nrm) * sqrt(c.nrm)), 6) AS sim
+       |  FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($collide))
+       |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Shared by q_upsert and q_upsert_mor: the MOR read view must be
     * indistinguishable from the copy-on-write rewrite. */
   private val upsertSql: String =
@@ -1366,78 +1423,29 @@ object OracleSql {
     // Same ≥1-shared-band gate as the Spark plan, recomputed from the
     // literal plane constants — the LSH pair set is hash-checked, not
     // just its exact-scan superset.
-    "emb_dup_lsh" -> {
-      import graft.ops.Similarity.{NumBands, BitsPerBand}
-      val mask = (1 << BitsPerBand) - 1
-      val collide = (0 until NumBands).map { j =>
-        s"((a.bucket >> ${j * BitsPerBand}) & $mask) = " +
-          s"((c.bucket >> ${j * BitsPerBand}) & $mask)"
-      }.mkString(" OR ")
-      s"""WITH $embCte,
-         |b AS (SELECT vec_id, e, nrm,
-         |  CAST($lshBucketTerms AS INT) AS bucket FROM n),
-         |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-         |  round(${dotChain("a.e", "c.e")} / (sqrt(a.nrm) * sqrt(c.nrm)), 6) AS sim
-         |  FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($collide))
-         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "emb_dup_lsh" -> embBandPairsSql,
 
     // WIDE geometry twin: the ≥1-shared-band gate over 8 per-band 8-bit
     // keys, each recomputed from its own 8 literal plane coefficient rows
-    "emb_dup_lsh_wide" -> {
-      import graft.ops.Similarity.WideNumBands
-      val keyCols = (0 until WideNumBands)
-        .map(j => s"CAST(${wideBandKeyTerm(j)} AS INT) AS wb$j")
-        .mkString(",\n|  ")
-      val collide = (0 until WideNumBands)
-        .map(j => s"a.wb$j = c.wb$j").mkString(" OR ")
-      s"""WITH $embCte,
-         |b AS (SELECT vec_id, e, nrm,
-         |  $keyCols FROM n),
-         |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-         |  round(${dotChain("a.e", "c.e")} / (sqrt(a.nrm) * sqrt(c.nrm)), 6) AS sim
-         |  FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($collide))
-         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "emb_dup_lsh_wide" -> embWidePairsSql,
 
     // multiprobe twin: some band's keys differ by ≤1 bit — stated in the
     // symmetric bit_count(xor) form, cross-checking the engine's
     // asymmetric probe-explosion formulation (same trick as
     // ann_lsh_multiprobe)
-    "emb_dup_lsh_wide_mp" -> {
-      import graft.ops.Similarity.WideNumBands
-      val keyCols = (0 until WideNumBands)
-        .map(j => s"CAST(${wideBandKeyTerm(j)} AS INT) AS wb$j")
-        .mkString(",\n|  ")
-      val collide = (0 until WideNumBands)
-        .map(j => s"bit_count(CAST(xor(a.wb$j, c.wb$j) AS BIGINT)) <= 1")
-        .mkString(" OR ")
-      s"""WITH $embCte,
-         |b AS (SELECT vec_id, e, nrm,
-         |  $keyCols FROM n),
-         |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-         |  round(${dotChain("a.e", "c.e")} / (sqrt(a.nrm) * sqrt(c.nrm)), 6) AS sim
-         |  FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($collide))
-         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "emb_dup_lsh_wide_mp" -> embWideMpPairsSql,
 
     // bipartite intake triage: same residue-class split as
     // dedup_incremental, wide band keys from literal planes, delta ×
     // standing collision gate, exact cosine verify, per-delta verdict
     "emb_dup_intake" -> {
       import graft.ops.Similarity.WideNumBands
-      val keyCols = (0 until WideNumBands)
-        .map(j => s"CAST(${wideBandKeyTerm(j)} AS INT) AS wb$j")
-        .mkString(",\n|  ")
       val collide = (0 until WideNumBands)
         .map(j => s"a.wb$j = c.wb$j").mkString(" OR ")
       s"""WITH $embCte,
          |b AS (SELECT vec_id, e, nrm,
          |  (${SharedHash.duck48("CAST(vec_id AS VARCHAR)")} % 10) = 9 AS is_inc,
-         |  $keyCols FROM n),
+         |  $wideKeyCols FROM n),
          |cand AS (SELECT DISTINCT a.vec_id AS inc_id, c.vec_id AS ex_id
          |  FROM b a JOIN b c ON a.is_inc AND NOT c.is_inc AND ($collide)),
          |near AS (SELECT inc_id, CAST(count(*) AS BIGINT) AS n_near FROM cand
@@ -2747,6 +2755,13 @@ object OracleSql {
     * BIGINT parts-per-million via integer division (`//`), mirroring
     * Spark's `div` — no IEEE accumulation crosses the engine boundary. */
   private def qualityReportOracle(exactSql: String,
+      variants: Seq[(String, String)], ka: String, kb: String,
+      extraCtes: String = ""): String = {
+    val lead = if (extraCtes.isEmpty) "" else s"$extraCtes,\n"
+    qualityReportOracleBody(lead, exactSql, variants, ka, kb)
+  }
+
+  private def qualityReportOracleBody(lead: String, exactSql: String,
       variants: Seq[(String, String)], ka: String, kb: String): String = {
     val u = variants.map { case (n, q) =>
       s"SELECT '$n' AS variant, $ka, $kb FROM (\n$q\n) __v"
@@ -2756,7 +2771,7 @@ object OracleSql {
     // vanishing from the group-by; precision_ppm is CASE-guarded to NULL
     // at returned=0 on both sides (ANSI Spark errors on div-by-zero)
     val names = variants.map { case (n, _) => s"('$n')" }.mkString(", ")
-    s"""WITH __exact AS (SELECT $ka, $kb FROM (
+    s"""WITH ${lead}__exact AS (SELECT $ka, $kb FROM (
        |$exactSql
        |) __x),
        |__tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM __exact),
@@ -2802,19 +2817,56 @@ object OracleSql {
           dedup.map { case (n, k) => n -> m(k) }, "doc_a", "doc_b"))
       else Map.empty[String, String]
     // the banded members restrict to the exact scan's vec_id < 300
-    // quadratic-bounding domain so the comparison is pair-for-pair
+    // quadratic-bounding domain so the comparison is pair-for-pair. The
+    // plane-literal SIGNATURE stage (the ~70 KB dot-chain expressions the
+    // standalone member oracles inline) is stated ONCE as a shared
+    // domain-bounded CTE and the three variants restate only their gate
+    // predicate + verify chain over it — textually the same generated
+    // fragments as the standalone oracles (shared builders), but the
+    // giant expressions bind once: the r12 ×10 sweep proved DuckDB's
+    // optimizer OOMs when three full member statements (and their three
+    // copies of the literal chains) sit in one composed query, even with
+    // every member domain-bounded and individually cheap.
     val embEntry =
       if (Seq("emb_dup_pairs", "emb_dup_lsh", "emb_dup_lsh_wide",
           "emb_dup_lsh_wide_mp").forall(m.contains)) {
-        def restricted(k: String) =
+        import graft.ops.Similarity.{NumBands, BitsPerBand, WideNumBands}
+        // AS MATERIALIZED is load-bearing: DuckDB otherwise INLINES the
+        // CTE at each of its six join references, and six copies of the
+        // plane-literal expression tree × executor threads exhausted
+        // memory at replica scale (measured r12: OOM at ×10 inlined,
+        // 7–8 s at ×10 AND ×30 materialized — corpus-independent, as a
+        // 300-vector-bounded report should be)
+        val sigCte =
+          s"""__sig AS MATERIALIZED (SELECT vec_id, e, nrm,
+             |  CAST($lshBucketTerms AS INT) AS bucket,
+             |  $wideKeyCols
+             |  FROM (SELECT vec_id, e, ${dotChain("e", "e")} AS nrm
+             |        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |              FROM embeddings WHERE vec_id < 300) __e) __n)"""
+            .stripMargin
+        val mask = (1 << BitsPerBand) - 1
+        val narrowCollide = (0 until NumBands).map { j =>
+          s"((a.bucket >> ${j * BitsPerBand}) & $mask) = " +
+            s"((c.bucket >> ${j * BitsPerBand}) & $mask)"
+        }.mkString(" OR ")
+        val wideCollide = (0 until WideNumBands)
+          .map(j => s"a.wb$j = c.wb$j").mkString(" OR ")
+        val mpCollide = (0 until WideNumBands)
+          .map(j => s"bit_count(CAST(xor(a.wb$j, c.wb$j) AS BIGINT)) <= 1")
+          .mkString(" OR ")
+        def gated(collide: String) =
           s"""SELECT id_a, id_b FROM (
-             |${m(k)}
-             |) __r WHERE id_a < 300 AND id_b < 300""".stripMargin
+             |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             |    round(${dotChain("a.e", "c.e")} / (sqrt(a.nrm) * sqrt(c.nrm)), 6) AS sim
+             |  FROM __sig a JOIN __sig c
+             |  ON a.vec_id < c.vec_id AND ($collide)) __p
+             |WHERE sim >= 0.35""".stripMargin
         Map("emb_dup_recall" -> qualityReportOracle(m("emb_dup_pairs"),
-          Seq("hyperplane_band" -> restricted("emb_dup_lsh"),
-            "hyperplane_band_wide" -> restricted("emb_dup_lsh_wide"),
-            "hyperplane_band_wide_mp" -> restricted("emb_dup_lsh_wide_mp")),
-          "id_a", "id_b"))
+          Seq("hyperplane_band" -> gated(narrowCollide),
+            "hyperplane_band_wide" -> gated(wideCollide),
+            "hyperplane_band_wide_mp" -> gated(mpCollide)),
+          "id_a", "id_b", extraCtes = sigCte))
       } else Map.empty[String, String]
     annEntry ++ dedupEntry ++ embEntry
   }
