@@ -123,7 +123,7 @@ object OracleSql {
         s"((c.bucket >> ${j * BitsPerBand}) & $mask)"
     }.mkString(" OR ")
     s"""WITH $embCte,
-       |b AS (SELECT vec_id, e, nrm,
+       |b AS MATERIALIZED (SELECT vec_id, e, nrm,
        |  CAST($lshBucketTerms AS INT) AS bucket FROM n),
        |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        |  round(${dotChain("a.e", "c.e")} / (sqrt(a.nrm) * sqrt(c.nrm)), 6) AS sim
@@ -144,7 +144,7 @@ object OracleSql {
     val collide = (0 until WideNumBands)
       .map(j => s"a.wb$j = c.wb$j").mkString(" OR ")
     s"""WITH $embCte,
-       |b AS (SELECT vec_id, e, nrm,
+       |b AS MATERIALIZED (SELECT vec_id, e, nrm,
        |  $wideKeyCols FROM n),
        |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        |  round(${dotChain("a.e", "c.e")} / (sqrt(a.nrm) * sqrt(c.nrm)), 6) AS sim
@@ -159,7 +159,7 @@ object OracleSql {
       .map(j => s"bit_count(CAST(xor(a.wb$j, c.wb$j) AS BIGINT)) <= 1")
       .mkString(" OR ")
     s"""WITH $embCte,
-       |b AS (SELECT vec_id, e, nrm,
+       |b AS MATERIALIZED (SELECT vec_id, e, nrm,
        |  $wideKeyCols FROM n),
        |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        |  round(${dotChain("a.e", "c.e")} / (sqrt(a.nrm) * sqrt(c.nrm)), 6) AS sim
@@ -1442,8 +1442,12 @@ object OracleSql {
       import graft.ops.Similarity.WideNumBands
       val collide = (0 until WideNumBands)
         .map(j => s"a.wb$j = c.wb$j").mkString(" OR ")
+      // b is referenced five times (cand ×2, verify ×2, report) and holds
+      // the full-corpus plane-literal key expressions — AS MATERIALIZED
+      // keeps DuckDB from inlining five copies of that expression tree
+      // (the same measured OOM class as the recall report's sig CTE)
       s"""WITH $embCte,
-         |b AS (SELECT vec_id, e, nrm,
+         |b AS MATERIALIZED (SELECT vec_id, e, nrm,
          |  (${SharedHash.duck48("CAST(vec_id AS VARCHAR)")} % 10) = 9 AS is_inc,
          |  $wideKeyCols FROM n),
          |cand AS (SELECT DISTINCT a.vec_id AS inc_id, c.vec_id AS ex_id
