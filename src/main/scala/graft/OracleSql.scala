@@ -2431,6 +2431,37 @@ object OracleSql {
        |FROM zx ORDER BY doc_id""".stripMargin
   }
 
+  /** corpus_dsir replay: the stashed per-bucket micro-nat weights make the
+    * score a pure BIGINT sum over the hashed unigram+bigram stream (the
+    * fit — the only place transcendentals run — is replayed from
+    * literals, spec-verified independently); selection is the portable
+    * rank-cutoff form. DuckDB sums BIGINT into HUGEINT, hence the cast. */
+  private def dsirOracle(lam: Array[Long]): String = {
+    val (a, b) = graft.ops.Corpus.DsirSeed
+    val bucket = s"((${SharedHash.duckK("gram", a, b)}) % ${graft.ops.Corpus.DsirBuckets})"
+    val lamVals = lam.zipWithIndex.map { case (v, i) => s"($i, $v)" }.mkString(", ")
+    s"""WITH lam(bucket, w) AS (VALUES $lamVals),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(toks) AS gram FROM t
+       |  UNION ALL
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+       |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+       |    ELSE [] END) AS gram FROM t),
+       |sc AS (SELECT doc_id, CAST(sum(l.w) AS BIGINT) AS logw_micro
+       |  FROM (SELECT doc_id, $bucket AS bucket FROM g) gb
+       |  JOIN lam l ON l.bucket = gb.bucket
+       |  GROUP BY doc_id),
+       |r AS (SELECT d.doc_id, d.source, sc.logw_micro,
+       |  CAST(row_number() OVER (PARTITION BY d.source
+       |    ORDER BY sc.logw_micro DESC, d.doc_id ASC) AS INT) AS rnk,
+       |  count(*) OVER (PARTITION BY d.source) AS n_src
+       |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id)
+       |SELECT doc_id, source, logw_micro,
+       |  CAST(rnk * 100 <= n_src * ${graft.ops.Corpus.DsirKeepPct} AS INT) AS sel
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   // --- BPE oracles ---------------------------------------------------------
 
   /** Adjacent-symbol pair counts (weighted by word freq) of a wrapped-vocab
@@ -2911,6 +2942,7 @@ object OracleSql {
         "emb_whiten" -> whitenOracle(c, o, sc) } ++
       graft.ops.Bpe.fittedMerges.map(m => "text_bpe_encode" -> bpeEncodeOracle(m)) ++
       graft.ops.QualityModel.fittedWeights.map(w => "quality_distill" -> qualityDistillOracle(w)) ++
+      graft.ops.Corpus.fittedDsirLam.map(l => "corpus_dsir" -> dsirOracle(l)) ++
       graft.ops.CollabEvents.savedModelPath.map(p =>
         "cf_als_score_saved" -> alsScoreSavedOracle(p))
     m ++ qualityReports(m)

@@ -179,6 +179,7 @@ object SparkEntry {
     "q_kanon" -> ((s: SparkSession, d: String) => DataQuality.kAnonymityReport(s, d)),
     "corpus_curriculum" -> (Corpus.curriculumShards _),
     "corpus_contamination" -> (Corpus.contamination _),
+    "corpus_dsir" -> (Corpus.dsirSelect _),
     "quality_distill" -> (QualityModel.distill _),
     "dedup_group_histogram" -> (Dedup.dupGroupHistogram _),
     "dedup_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),

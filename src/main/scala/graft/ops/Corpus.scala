@@ -290,4 +290,106 @@ object Corpus {
       .select(col("doc_id"), col("ttr_u"), col("phase"), col("pos"))
       .orderBy(col("doc_id"))
   }
+
+  // --- DSIR importance resampling (Xie et al., NeurIPS 2023) ---------------
+
+  val DsirBuckets = 64
+  val DsirKeepPct = 20
+
+  /** Fitted per-bucket log-importance-ratio weights in micro-nats, stashed
+    * when the query runs so the oracle replays the integer score from
+    * literals (stash-then-generate — the fit itself is spec-verified by
+    * independent driver arithmetic, like [[QualityModel]]'s weights). */
+  @volatile private[graft] var fittedDsirLam: Option[Array[Long]] = None
+
+  /** One SharedHash family member reserved for the DSIR feature hash. */
+  private[graft] val DsirSeed: (Long, Long) =
+    graft.functions.SharedHash.seeds(24)(23)
+
+  /** Hashed n-gram feature stream of a `tokens` column: unigrams ++
+    * bigrams, each mapped into [0, [[DsirBuckets]]) by the engine-stable
+    * SharedHash family — the paper's hashed-feature recipe, which is what
+    * makes the model size O(buckets) instead of O(vocabulary). A pure
+    * per-row array expression: no shuffle, no UDF. */
+  private[ops] def dsirBucketsExpr: String = {
+    val (a, b) = DsirSeed
+    val bucket = s"pmod(${graft.functions.SharedHash.sparkK("g", a, b)}, $DsirBuckets)"
+    s"""transform(concat(tokens,
+       |  CASE WHEN size(tokens) >= 2
+       |    THEN transform(sequence(1, size(tokens) - 1),
+       |      i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))
+       |    ELSE CAST(array() AS ARRAY<STRING>) END),
+       |  g -> $bucket)""".stripMargin.replaceAll("\n", " ")
+  }
+
+  /** Fit the two hashed bigram models (target vs raw) and return the
+    * per-bucket log-ratio in micro-nats, add-1 smoothed:
+    * lam[b] = round((ln(t_b+1) − ln(T+B) − ln(r_b+1) + ln(R+B))·1e6).
+    * ONE corpus aggregate with map-side combine → B rows on the driver;
+    * the transcendentals touch only those B driver-side values, so the
+    * stashed literals are exactly reproducible. */
+  private[ops] def dsirFit(docs: DataFrame, target: DataFrame): Array[Long] = {
+    val rows = docs
+      .join(target.select(col("doc_id"), lit(1L).as("t0")), Seq("doc_id"), "left")
+      .withColumn("is_tgt", coalesce(col("t0"), lit(0L)))
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("is_tgt"), explode(expr(dsirBucketsExpr)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("is_tgt")).as("t_cnt"), count(lit(1)).as("r_cnt"))
+      .collect()
+    val t = new Array[Long](DsirBuckets)
+    val r = new Array[Long](DsirBuckets)
+    rows.foreach { row =>
+      val b = row.getLong(0).toInt
+      t(b) = row.getLong(1); r(b) = row.getLong(2)
+    }
+    val tTot = (t.sum + DsirBuckets).toDouble
+    val rTot = (r.sum + DsirBuckets).toDouble
+    Array.tabulate(DsirBuckets) { b =>
+      math.round((math.log((t(b) + 1.0) / tTot) -
+        math.log((r(b) + 1.0) / rTot)) * 1e6)
+    }
+  }
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every raw document by how
+    * much more likely its hashed-n-gram profile is under a TARGET corpus's
+    * bigram model than under the raw corpus's own, then keep the
+    * highest-weight slice. The target here is the engine's persisted
+    * curation verdicts ([[graft.sources.IndexStore.standingCurationVerdicts]]
+    * — the same artifact the distilled quality classifier trains on), so
+    * the selection chain is: expensive curate pipeline once, offline →
+    * cheap hashed-feature importance model → corpus-wide selection.
+    *
+    * Scale shape: the fit is one aggregate pass ending in B=64 driver
+    * rows; scoring is a SHUFFLE-FREE narrow pass (per-row bucket array →
+    * integer dot with the broadcast-literal lam vector — at larger B the
+    * literal array becomes a broadcast join on an exploded (doc, bucket)
+    * frame, same contract); only the per-source selection windows shuffle,
+    * carrying (doc_id, source, 8-byte score) — bodies never move. Scores
+    * are exact BIGINT micro-nat sums, so the oracle replays them
+    * bit-for-bit from the stashed literals; selection is the rank-cutoff
+    * form (top [[DsirKeepPct]]% per source), exactly portable unlike
+    * interpolated percentiles. */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val target = graft.sources.IndexStore.standingCurationVerdicts(s, dir)
+    val lam = dsirFit(docs, target)
+    fittedDsirLam = Some(lam)
+    val lamArr = s"array(${lam.mkString("L, ")}L)"
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("logw_micro").desc, col("doc_id").asc)
+    val wc = Window.partitionBy(col("source"))
+    docs
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("logw_micro", expr(
+        s"aggregate($dsirBucketsExpr, 0L, (acc, b) -> acc + element_at($lamArr, CAST(b AS INT) + 1))"))
+      .select(col("doc_id"), col("source"), col("logw_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(wc))
+      .select(col("doc_id"), col("source"), col("logw_micro"),
+        (col("rnk") * 100 <= col("n_src") * DsirKeepPct).cast("int").as("sel"))
+      .orderBy(col("doc_id"))
+  }
 }
