@@ -2204,6 +2204,19 @@ object OracleSql {
     // DuckDB at the ×10 sweep (byte≡char holds: the corpus is ASCII, the
     // same assumption the engine's text→binary cast and the previous
     // ascii()-per-char form already made).
+    // the engine path derives EVERY field by parsing the MP4 bytes it
+    // synthesized (ISO BMFF box walk, both mvhd versions); the oracle
+    // recomputes the synthesizer's arithmetic directly from the columns,
+    // so a hash match proves parse ∘ synthesize = id on real wire bytes
+    "mm_video_meta" ->
+      """SELECT doc_id AS asset_id, CAST(600 AS BIGINT) AS timescale,
+        |  n_chars * 10 AS duration,
+        |  (n_chars * 10 * 1000) // 600 AS duration_ms,
+        |  320 + (doc_id % 8) * 16 AS width,
+        |  240 + (doc_id % 5) * 12 AS height,
+        |  CAST(3 AS BIGINT) AS n_top_boxes, n_chars AS mdat_bytes
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
     "mm_features" -> {
       val fracs = (0 until 16).map(j =>
         s"CAST(CAST(${mmBinCount(j)} AS REAL)" +

@@ -180,6 +180,7 @@ object SparkEntry {
     "corpus_curriculum" -> (Corpus.curriculumShards _),
     "corpus_contamination" -> (Corpus.contamination _),
     "corpus_dsir" -> (Corpus.dsirSelect _),
+    "mm_video_meta" -> (Mp4.videoMeta _),
     "quality_distill" -> (QualityModel.distill _),
     "dedup_group_histogram" -> (Dedup.dupGroupHistogram _),
     "dedup_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),

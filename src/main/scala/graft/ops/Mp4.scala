@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parsed MP4 container metadata (no codec involved — header-level). */
+final case class Mp4Meta(asset_id: Long, timescale: Long, duration: Long,
+    duration_ms: Long, width: Long, height: Long, n_top_boxes: Long,
+    mdat_bytes: Long)
+
+/** Real MP4 (ISO BMFF, ISO/IEC 14496-12) container parsing — the
+  * header-level half of the video modality the JDK can actually do
+  * (frame DECODE needs a codec the JDK doesn't ship and stays the
+  * labeled stub in [[Multimodal]]; duration/resolution/structure need
+  * only big-endian box walking).
+  *
+  * Box model: [size:u32][type:4cc], size == 1 → u64 largesize follows,
+  * size == 0 → box runs to end of file; `moov` nests `mvhd` (version 0:
+  * u32 timescale/duration; version 1: u64) and `trak`/`tkhd` (16.16
+  * fixed-point width/height after a version-dependent prefix). The
+  * parser walks top-level boxes in one pass, descends only into moov,
+  * and never materializes anything but the ~100-byte header boxes —
+  * mdat payloads are skipped by size, which is what makes this safe on
+  * multi-GB assets: metadata extraction reads O(header), not O(file).
+  *
+  * Scale contract is [[Multimodal]]'s: binary payloads never shuffle;
+  * the mapPartitions pass emits only the fixed-width [[Mp4Meta]] row.
+  *
+  * The harness query synthesizes a structurally-valid MP4 per document
+  * with metadata that is a pure arithmetic function of the document's
+  * columns, then parses it back; the DuckDB oracle recomputes the same
+  * arithmetic DIRECTLY from the columns — so a hash match proves the
+  * byte parser exactly inverts the byte writer (same pinning pattern as
+  * mm_features' stub histogram, but over a REAL container format, both
+  * mvhd versions included).
+  */
+object Mp4 {
+  val Timescale = 600L // the QuickTime-conventional default
+
+  // --- synthesis -----------------------------------------------------------
+
+  private def u32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def u64(v: Long): Array[Byte] = u32(v >>> 32) ++ u32(v & 0xffffffffL)
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    u32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+
+  /** mvhd payload: version 0 packs timescale/duration as u32, version 1
+    * as u64 with u64 create/modify times — both wire formats are real
+    * and both are exercised by the synthesizer (split by asset id). */
+  private def mvhd(version: Int, timescale: Long, duration: Long): Array[Byte] = {
+    val head = Array(version.toByte, 0.toByte, 0.toByte, 0.toByte)
+    val times =
+      if (version == 1) u64(0L) ++ u64(0L) ++ u32(timescale) ++ u64(duration)
+      else u32(0L) ++ u32(0L) ++ u32(timescale) ++ u32(duration)
+    // rate 1.0 (16.16), volume 1.0 (8.8) + reserved, unity matrix,
+    // 6 predefined words, next_track_id
+    head ++ times ++ u32(0x00010000L) ++ u32(0x01000000L) ++ u32(0) ++
+      u32(0) ++ unityMatrix ++ Array.fill(24)(0.toByte) ++ u32(2L)
+  }
+
+  private def unityMatrix: Array[Byte] =
+    u32(0x00010000L) ++ u32(0) ++ u32(0) ++
+      u32(0) ++ u32(0x00010000L) ++ u32(0) ++
+      u32(0) ++ u32(0) ++ u32(0x40000000L)
+
+  /** tkhd payload: width/height as 16.16 fixed point after the
+    * version-dependent time prefix. */
+  private def tkhd(version: Int, duration: Long, width: Long,
+      height: Long): Array[Byte] = {
+    val head = Array(version.toByte, 0.toByte, 0.toByte, 7.toByte) // enabled
+    val times =
+      if (version == 1)
+        u64(0L) ++ u64(0L) ++ u32(1L) ++ u32(0) ++ u64(duration)
+      else u32(0L) ++ u32(0L) ++ u32(1L) ++ u32(0) ++ u32(duration)
+    head ++ times ++ u32(0) ++ u32(0) ++ // reserved[2]
+      u32(0) ++ // layer + alternate_group
+      u32(0) ++ // volume + reserved
+      unityMatrix ++ u32(width << 16) ++ u32(height << 16)
+  }
+
+  /** A structurally valid minimal MP4: ftyp + moov(mvhd, trak(tkhd)) +
+    * mdat(payload). Every field is a deterministic function of the
+    * arguments; `version` alternates the mvhd/tkhd wire format. */
+  def synthesize(duration: Long, width: Long, height: Long,
+      payload: Array[Byte], version: Int = 0): Array[Byte] = {
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ u32(0x200L) ++
+        "isom".getBytes("US-ASCII") ++ "mp41".getBytes("US-ASCII"))
+    val moov = box("moov",
+      box("mvhd", mvhd(version, Timescale, duration)) ++
+        box("trak", box("tkhd", tkhd(version, duration, width, height))))
+    ftyp ++ moov ++ box("mdat", payload)
+  }
+
+  // --- parsing -------------------------------------------------------------
+
+  private def readU32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def readU64(b: Array[Byte], off: Int): Long =
+    (readU32(b, off) << 32) | readU32(b, off + 4)
+
+  private def typeAt(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Iterate boxes in b[from, until): (type, payloadStart, payloadEnd).
+    * Returns None on any structural violation (truncated header, box
+    * overrunning its parent) — the degrade-don't-crash contract. */
+  private def walk(b: Array[Byte], from: Int,
+      until: Int): Option[List[(String, Int, Int)]] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(String, Int, Int)]
+    var off = from
+    while (off < until) {
+      if (off + 8 > until) return None
+      val size32 = readU32(b, off)
+      val typ = typeAt(b, off + 4)
+      val (size, headerLen) =
+        if (size32 == 1L) {
+          if (off + 16 > until) return None
+          (readU64(b, off + 8), 16)
+        } else if (size32 == 0L) ((until - off).toLong, 8)
+        else (size32, 8)
+      if (size < headerLen || off + size > until) return None
+      out += ((typ, off + headerLen, off + size.toInt))
+      off += size.toInt
+    }
+    Some(out.toList)
+  }
+
+  /** Header-level metadata of one MP4 byte array. None = not parseable
+    * as ISO BMFF (missing moov/mvhd, truncated, overrunning boxes). */
+  def parse(assetId: Long, bytes: Array[Byte]): Option[Mp4Meta] =
+    for {
+      top <- walk(bytes, 0, bytes.length)
+      moov <- top.find(_._1 == "moov")
+      inMoov <- walk(bytes, moov._2, moov._3)
+      mv <- inMoov.find(_._1 == "mvhd")
+      (timescale, duration) <- parseMvhd(bytes, mv._2, mv._3)
+      trak <- inMoov.find(_._1 == "trak")
+      inTrak <- walk(bytes, trak._2, trak._3)
+      tk <- inTrak.find(_._1 == "tkhd")
+      (w, h) <- parseTkhd(bytes, tk._2, tk._3)
+      if timescale > 0
+    } yield Mp4Meta(assetId, timescale, duration,
+      duration * 1000L / timescale, w, h,
+      top.length.toLong,
+      top.filter(_._1 == "mdat").map(t => (t._3 - t._2).toLong).sum)
+
+  private def parseMvhd(b: Array[Byte], from: Int,
+      until: Int): Option[(Long, Long)] = {
+    if (from >= until) return None
+    b(from) & 0xff match {
+      case 0 if until - from >= 20 =>
+        Some((readU32(b, from + 12), readU32(b, from + 16)))
+      case 1 if until - from >= 32 =>
+        Some((readU32(b, from + 20), readU64(b, from + 24)))
+      case _ => None
+    }
+  }
+
+  private def parseTkhd(b: Array[Byte], from: Int,
+      until: Int): Option[(Long, Long)] = {
+    val fixedOff = b(from) & 0xff match {
+      case 0 => 76 // 4 flags + 4+4 times + 4 id + 4 res + 4 dur + 8 res + 8 attrs + 36 matrix
+      case 1 => 88 // u64 times and duration
+      case _ => return None
+    }
+    if (until - from < fixedOff + 8) None
+    else Some((readU32(b, from + fixedOff) >> 16,
+      readU32(b, from + fixedOff + 4) >> 16))
+  }
+
+  // --- harness query -------------------------------------------------------
+
+  /** Deterministic per-document video metadata: duration ticks =
+    * n_chars·10 (at the 600 Hz timescale), width/height from small
+    * doc_id-keyed lookup grids, payload = the text bytes, and the mvhd
+    * version alternating by doc_id % 3 — all recomputable by the oracle
+    * as column arithmetic. */
+  def videoMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), col("text"))
+      .as[(Long, Long, String)]
+    assets.mapPartitions { it =>
+      it.map { case (id, nChars, text) =>
+        val bytes = synthesize(
+          duration = nChars * 10L,
+          width = 320L + (id % 8) * 16L,
+          height = 240L + (id % 5) * 12L,
+          payload = text.getBytes("UTF-8"),
+          version = if (id % 3 == 0) 1 else 0)
+        // parse-back: every output field below comes from the BYTES
+        parse(id, bytes).getOrElse(
+          throw new IllegalStateException(s"unparseable synthesized mp4 for doc $id"))
+      }
+    }.toDF()
+      .orderBy(col("asset_id"))
+  }
+}

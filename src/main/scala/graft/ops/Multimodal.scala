@@ -17,10 +17,13 @@ final case class AssetFeatures(asset_id: Long, n_bytes: Long,
   * The decode step dispatches on mime: `image/…` mimes go through a
   * REAL codec — JDK ImageIO, which ships PNG/JPEG/BMP/GIF readers with
   * the JRE, no external jars — `audio/…` mimes through the REAL
-  * javax.sound.sampled WAV/PCM reader (also JRE-shipped), and everything
-  * else falls back to the clearly-labeled STUB (the harness's synthetic
-  * payloads are `application/octet-stream` text bytes; VIDEO codecs are
-  * genuinely absent from the JDK, so that branch stays stubbed). The Spark-side
+  * javax.sound.sampled WAV/PCM reader (also JRE-shipped), `video/…`
+  * mimes through the REAL [[Mp4]] ISO-BMFF container parser (header
+  * metadata: resolution/duration/structure; frame DECODE still needs a
+  * codec the JDK genuinely doesn't ship, so pixel features stay out of
+  * scope), and everything else falls back to the clearly-labeled STUB
+  * (the harness's synthetic payloads are `application/octet-stream`
+  * text bytes). The Spark-side
   * contract is identical on both branches — schema (binary + metadata),
   * partition-batched iteration via mapPartitions (the Scala analog of
   * mapInPandas batches: one decoder init per partition, not per row), and
@@ -192,12 +195,29 @@ object Multimodal {
     finally ais.close()
   }
 
+  /** REAL video container metadata via [[Mp4]]'s ISO BMFF box parser
+    * (header-level: resolution, duration, structure — pure-JDK byte
+    * walking; frame DECODE still needs a codec the JDK doesn't ship, so
+    * pixel-level features remain out of scope). Same 16-float shape as
+    * the other branches. */
+  def decodeVideoMeta(assetId: Long, content: Array[Byte]): Option[Array[Float]] =
+    Mp4.parse(assetId, content).map { m =>
+      val out = new Array[Float](16)
+      out(0) = m.width.toFloat
+      out(1) = m.height.toFloat
+      out(2) = m.duration_ms.toFloat / 1000f
+      out(3) = m.timescale.toFloat
+      out(4) = m.n_top_boxes.toFloat
+      out(5) = m.mdat_bytes.toFloat
+      out
+    }
+
   /** Feature extraction: one decoder "session" per partition, batch loop
     * inside — the mapPartitions shape a native decoder needs. Dispatch:
     * image mimes take the real ImageIO path, audio mimes the real
-    * javax.sound WAV/PCM path; everything else — video (codecs
-    * genuinely absent from the JDK) and undecodable bytes — the
-    * deterministic stub. */
+    * javax.sound WAV/PCM path, video mimes the real [[Mp4]] container
+    * parser (header metadata; pixel decode has no JDK codec); anything
+    * undecodable degrades to the deterministic stub. */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
@@ -208,6 +228,8 @@ object Multimodal {
             decodeImage(a.content).getOrElse(decodeStub(a.content))
           else if (a.mime.startsWith("audio/"))
             decodeAudio(a.content).getOrElse(decodeStub(a.content))
+          else if (a.mime.startsWith("video/"))
+            decodeVideoMeta(a.asset_id, a.content).getOrElse(decodeStub(a.content))
           else decodeStub(a.content)
         AssetFeatures(a.asset_id, a.n_bytes, feats)
       }

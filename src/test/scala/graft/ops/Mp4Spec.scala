@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** MP4 (ISO BMFF) container parsing: round-trips through both mvhd wire
+  * versions, structural-corruption degradation, box-order independence,
+  * 64-bit largesize boxes, and the Multimodal dispatch hookup. */
+class Mp4Spec extends SparkSpec {
+
+  private def meta(bytes: Array[Byte]) = Mp4.parse(7L, bytes)
+
+  test("parse inverts synthesize for both mvhd versions") {
+    for (v <- Seq(0, 1)) {
+      val bytes = Mp4.synthesize(duration = 12345L, width = 640L,
+        height = 480L, payload = "hello mp4".getBytes, version = v)
+      val m = meta(bytes).get
+      assert(m.timescale == 600L)
+      assert(m.duration == 12345L)
+      assert(m.duration_ms == 12345L * 1000L / 600L)
+      assert(m.width == 640L && m.height == 480L)
+      assert(m.n_top_boxes == 3L)
+      assert(m.mdat_bytes == 9L)
+    }
+  }
+
+  test("corrupt and truncated bytes degrade to None, never throw") {
+    val good = Mp4.synthesize(600L, 320L, 240L, "x".getBytes)
+    assert(meta(Array.empty[Byte]).isEmpty)
+    assert(meta("not an mp4 at all".getBytes).isEmpty)
+    // truncation anywhere before the end of moov must be a clean None
+    // (a cut exactly at the ftyp/moov boundary walks but lacks moov); a
+    // cut at the moov/mdat boundary is legitimately parseable metadata
+    val headLen = good.length - (8 + 1) // minus the 1-byte-payload mdat
+    for (cut <- 1 until headLen)
+      assert(meta(good.take(cut)).isEmpty, s"cut=$cut")
+    assert(meta(good.take(headLen)).get.mdat_bytes == 0L)
+    for (cut <- headLen + 1 until good.length)
+      assert(meta(good.take(cut)).isEmpty, s"cut=$cut")
+    // a box whose declared size overruns the file
+    val bad = good.clone(); bad(0) = 0x7f.toByte
+    assert(meta(bad).isEmpty)
+    // flipping moov's type makes the container metadata-less
+    val noMoov = good.clone()
+    val moovAt = {
+      var i = -1
+      for (o <- 0 until good.length - 4)
+        if (i < 0 && new String(good, o, 4, "US-ASCII") == "moov") i = o
+      i
+    }
+    noMoov(moovAt) = 'x'.toByte
+    assert(meta(noMoov).isEmpty)
+  }
+
+  test("box order does not matter: mdat before moov parses identically") {
+    val std = Mp4.synthesize(900L, 352L, 288L, "abc".getBytes)
+    // re-order: locate top-level boxes and emit ftyp, mdat, moov
+    def boxAt(b: Array[Byte], off: Int): (String, Array[Byte]) = {
+      val size = ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+      (new String(b, off + 4, 4, "US-ASCII"), b.slice(off, off + size.toInt))
+    }
+    var off = 0
+    var boxes = Map.empty[String, Array[Byte]]
+    while (off < std.length) {
+      val (t, bytes) = boxAt(std, off)
+      boxes += t -> bytes; off += bytes.length
+    }
+    val reordered = boxes("ftyp") ++ boxes("mdat") ++ boxes("moov")
+    assert(meta(reordered).get == meta(std).get)
+  }
+
+  test("64-bit largesize mdat is walked correctly") {
+    val std = Mp4.synthesize(900L, 352L, 288L, "abcdef".getBytes)
+    // rebuild the mdat as a size==1 + u64 largesize box
+    val payload = "abcdef".getBytes
+    def u32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val large = u32(1L) ++ "mdat".getBytes("US-ASCII") ++
+      u32(0L) ++ u32(16L + payload.length) ++ payload
+    val head = std.dropRight(8 + payload.length) // strip the normal mdat
+    val m = meta(head ++ large).get
+    assert(m.mdat_bytes == payload.length.toLong)
+    assert(m.width == 352L)
+  }
+
+  test("Multimodal dispatch routes video/mp4 through the container parser") {
+    import spark.implicits._
+    val bytes = Mp4.synthesize(1200L, 640L, 360L, "payload".getBytes)
+    val assets = Seq(
+      Asset(1L, "video/mp4", bytes.length.toLong, bytes),
+      Asset(2L, "video/mp4", 3L, "bad".getBytes)).toDS()
+    val f = Multimodal.extractFeatures(assets).collect()
+      .map(x => x.asset_id -> x.features).toMap
+    assert(f(1L)(0) == 640f && f(1L)(1) == 360f) // parsed, not stub
+    assert(f(1L)(2) == 2f)                       // 1200 ticks / 600 Hz
+    // undecodable video bytes degrade to the stub histogram
+    assert(f(2L).toSeq == Multimodal.decodeStub("bad".getBytes).toSeq)
+  }
+
+  test("videoMeta query fields derive from parsed bytes at sf0.001") {
+    val rows = Mp4.videoMeta(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 500)
+    val docs = sf("documents").select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      val id = r.getLong(0)
+      assert(r.getLong(1) == 600L)
+      assert(r.getLong(2) == docs(id) * 10L)
+      assert(r.getLong(3) == docs(id) * 10L * 1000L / 600L)
+      assert(r.getLong(4) == 320L + (id % 8) * 16L)
+      assert(r.getLong(5) == 240L + (id % 5) * 12L)
+      assert(r.getLong(7) == docs(id))
+    }
+  }
+}
