@@ -2475,6 +2475,42 @@ object OracleSql {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** corpus_dsir_intake replay: the delta split's scores under the
+    * STASHED standing-fit lam, gated by the stashed frozen per-source
+    * cutoffs (score >= cutoff; absent source → reject). The indexed
+    * variant shares this oracle — the persisted model equals the
+    * deterministic in-query fit. */
+  private def dsirIntakeOracle(lam: Array[Long],
+      thr: Seq[(String, Long)]): String = {
+    val (a, b) = graft.ops.Corpus.DsirSeed
+    val bucket = s"((${SharedHash.duckK("gram", a, b)}) % ${graft.ops.Corpus.DsirBuckets})"
+    val lamVals = lam.zipWithIndex.map { case (v, i) => s"($i, $v)" }.mkString(", ")
+    val thrCte =
+      if (thr.isEmpty)
+        "thr AS (SELECT CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS cutoff WHERE FALSE)"
+      else "thr(source, cutoff) AS (VALUES " +
+        thr.map { case (src, c) => s"('$src', $c)" }.mkString(", ") + ")"
+    s"""WITH lam(bucket, w) AS (VALUES $lamVals),
+       |$thrCte,
+       |d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents
+       |  WHERE (${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 10) = 9),
+       |g AS (
+       |  SELECT doc_id, unnest(toks) AS gram FROM d
+       |  UNION ALL
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+       |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+       |    ELSE [] END) AS gram FROM d),
+       |sc AS (SELECT doc_id, CAST(sum(l.w) AS BIGINT) AS logw_micro
+       |  FROM (SELECT doc_id, $bucket AS bucket FROM g) gb
+       |  JOIN lam l ON l.bucket = gb.bucket
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, d.source, sc.logw_micro,
+       |  CAST(coalesce(sc.logw_micro >= t.cutoff, FALSE) AS INT) AS sel
+       |FROM d JOIN sc USING (doc_id) LEFT JOIN thr t USING (source)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --- BPE oracles ---------------------------------------------------------
 
   /** Adjacent-symbol pair counts (weighted by word freq) of a wrapped-vocab
@@ -2956,6 +2992,12 @@ object OracleSql {
       graft.ops.Bpe.fittedMerges.map(m => "text_bpe_encode" -> bpeEncodeOracle(m)) ++
       graft.ops.QualityModel.fittedWeights.map(w => "quality_distill" -> qualityDistillOracle(w)) ++
       graft.ops.Corpus.fittedDsirLam.map(l => "corpus_dsir" -> dsirOracle(l)) ++
+      graft.ops.Corpus.fittedDsirIntake.map { case (l, t) =>
+        "corpus_dsir_intake" -> dsirIntakeOracle(l, t) } ++
+      // the indexed probe runs under the PERSISTED model, which equals
+      // the deterministic standing fit — identical replay
+      graft.ops.Corpus.fittedDsirIntake.map { case (l, t) =>
+        "corpus_dsir_intake_indexed" -> dsirIntakeOracle(l, t) } ++
       graft.ops.CollabEvents.savedModelPath.map(p =>
         "cf_als_score_saved" -> alsScoreSavedOracle(p))
     m ++ qualityReports(m)

@@ -180,6 +180,8 @@ object SparkEntry {
     "corpus_curriculum" -> (Corpus.curriculumShards _),
     "corpus_contamination" -> (Corpus.contamination _),
     "corpus_dsir" -> (Corpus.dsirSelect _),
+    "corpus_dsir_intake" -> (Corpus.dsirIntake _),
+    "corpus_dsir_intake_indexed" -> (Corpus.dsirIntakeIndexed _),
     "mm_video_meta" -> (Mp4.videoMeta _),
     "quality_distill" -> (QualityModel.distill _),
     "dedup_group_histogram" -> (Dedup.dupGroupHistogram _),

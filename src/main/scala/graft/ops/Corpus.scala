@@ -371,25 +371,106 @@ object Corpus {
     * bit-for-bit from the stashed literals; selection is the rank-cutoff
     * form (top [[DsirKeepPct]]% per source), exactly portable unlike
     * interpolated percentiles. */
-  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir)
-    val target = graft.sources.IndexStore.standingCurationVerdicts(s, dir)
-    val lam = dsirFit(docs, target)
-    fittedDsirLam = Some(lam)
+  /** Per-doc importance scores under a fixed lam vector: the SHUFFLE-FREE
+    * narrow pass (per-row bucket array → integer dot with the literal lam
+    * vector). Works identically on a batch frame or a streaming
+    * micro-batch — the scoring path is stateless given the model. */
+  private[graft] def dsirScores(docs: DataFrame, lam: Array[Long]): DataFrame = {
     val lamArr = s"array(${lam.mkString("L, ")}L)"
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("logw_micro").desc, col("doc_id").asc)
-    val wc = Window.partitionBy(col("source"))
     docs
       .withColumn("tokens", split(col("text"), " "))
       .withColumn("logw_micro", expr(
         s"aggregate($dsirBucketsExpr, 0L, (acc, b) -> acc + element_at($lamArr, CAST(b AS INT) + 1))"))
       .select(col("doc_id"), col("source"), col("logw_micro"))
+  }
+
+  /** Scores + the per-source top-[[DsirKeepPct]]% selection flag. */
+  private def dsirSelected(docs: DataFrame, lam: Array[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("logw_micro").desc, col("doc_id").asc)
+    val wc = Window.partitionBy(col("source"))
+    dsirScores(docs, lam)
       .withColumn("rnk", row_number().over(w))
       .withColumn("n_src", count(lit(1)).over(wc))
       .select(col("doc_id"), col("source"), col("logw_micro"),
         (col("rnk") * 100 <= col("n_src") * DsirKeepPct).cast("int").as("sel"))
-      .orderBy(col("doc_id"))
+  }
+
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val target = graft.sources.IndexStore.standingCurationVerdicts(s, dir)
+    val lam = dsirFit(docs, target)
+    fittedDsirLam = Some(lam)
+    dsirSelected(docs, lam).orderBy(col("doc_id"))
+  }
+
+  // --- DSIR intake (frozen model gating a delta batch) ---------------------
+
+  /** Fitted (lam, per-source score cutoffs) of the STANDING corpus,
+    * stashed by the intake queries for their oracle. */
+  @volatile private[graft] var fittedDsirIntake:
+      Option[(Array[Long], Seq[(String, Long)])] = None
+
+  /** Fit the importance model on the STANDING corpus split and freeze the
+    * per-source admission thresholds: cutoff(source) = the lowest score
+    * the batch selection would keep (so `score >= cutoff` is the frozen-
+    * threshold form of the rank gate; later ties ADMIT — an intake gate
+    * must be a pure per-doc predicate, it cannot re-rank the corpus).
+    * This is what [[graft.sources.IndexStore.standingDsirModel]]
+    * persists — at production scale the fit runs once, offline, and
+    * every intake batch probes the frozen (B + n_sources)-row model. */
+  private[graft] def dsirStandingFit(s: SparkSession,
+      dir: String): (Array[Long], Seq[(String, Long)]) = {
+    val (_, standing) = Dedup.deltaSplit(Tables.documents(s, dir))
+    val target = graft.sources.IndexStore.standingCurationVerdicts(s, dir)
+      .join(standing.select(col("doc_id")), "doc_id")
+    val lam = dsirFit(standing, target)
+    val thr = dsirSelected(standing, lam)
+      .filter(col("sel") === 1)
+      .groupBy(col("source")).agg(min(col("logw_micro")).as("cutoff"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1).toSeq
+    (lam, thr)
+  }
+
+  /** Score a delta frame under a frozen (lam, thresholds) model:
+    * `sel = score >= cutoff(source)` (no cutoff for the source → reject —
+    * the standing fit admitted nothing from it). The scoring pass is
+    * shuffle-free; the threshold join broadcasts an n_sources-row frame. */
+  private[graft] def dsirGate(delta: DataFrame, lam: Array[Long],
+      thr: Seq[(String, Long)]): DataFrame = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val thrDf = thr.toDF("source", "cutoff")
+    dsirScores(delta, lam)
+      .join(broadcast(thrDf), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("logw_micro"),
+        coalesce(col("logw_micro") >= col("cutoff"), lit(false))
+          .cast("int").as("sel"))
+  }
+
+  /** DSIR intake, recompute form: fit on the standing split in-query,
+    * then gate the delta split (the harness's bucket-9 convention) under
+    * the frozen thresholds. [[dsirIntakeIndexed]] answers the identical
+    * question from the PERSISTED model artifact — the form a continuous
+    * intake pipeline runs, where the standing corpus is never refit. */
+  def dsirIntake(s: SparkSession, dir: String): DataFrame = {
+    val (delta, _) = Dedup.deltaSplit(Tables.documents(s, dir))
+    val (lam, thr) = dsirStandingFit(s, dir)
+    fittedDsirIntake = Some((lam, thr))
+    dsirGate(delta, lam, thr).orderBy(col("doc_id"))
+  }
+
+  /** DSIR intake over the persisted standing model
+    * ([[graft.sources.IndexStore.standingDsirModel]]): O(delta) scoring +
+    * an (B + n_sources)-row model read; no standing-corpus rescan, no
+    * refit. The fit is deterministic, so the persisted model equals the
+    * in-query fit and the query SHARES [[dsirIntake]]'s oracle. */
+  def dsirIntakeIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (delta, _) = Dedup.deltaSplit(Tables.documents(s, dir))
+    val (lam, thr) = graft.sources.IndexStore.standingDsirModel(s, dir)
+    fittedDsirIntake = Some((lam, thr))
+    dsirGate(delta, lam, thr).orderBy(col("doc_id"))
   }
 }

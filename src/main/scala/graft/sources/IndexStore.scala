@@ -926,6 +926,44 @@ object IndexStore {
       p
     })
 
+  /** Persist a fitted DSIR importance model: the B-row lam vector and the
+    * n_sources-row frozen admission thresholds. Tiny by construction —
+    * the model artifact of a fit that scanned the whole standing corpus
+    * once (same economics as the BPE merges: fit offline, probe forever). */
+  def buildDsirModel(s: SparkSession, lam: Array[Long],
+      thr: Seq[(String, Long)], root: String): Unit = {
+    import s.implicits._
+    lam.toSeq.zipWithIndex.map { case (w, b) => (b, w) }
+      .toDF("bucket", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/model")
+    thr.toDF("source", "cutoff")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/thr")
+  }
+
+  /** The frozen (lam, thresholds) pair — driver-bounded (B + n_sources). */
+  def readDsirModel(s: SparkSession,
+      root: String): (Array[Long], Seq[(String, Long)]) = {
+    val lam = new Array[Long](graft.ops.Corpus.DsirBuckets)
+    s.read.parquet(s"$root/model").collect()
+      .foreach(r => lam(r.getInt(0)) = r.getLong(1))
+    val thr = s.read.parquet(s"$root/thr").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    (lam, thr)
+  }
+
+  /** The persisted standing DSIR model for `dir` (memoized build over the
+    * STANDING split, thresholds frozen from the standing selection). */
+  def standingDsirModel(s: SparkSession,
+      dir: String): (Array[Long], Seq[(String, Long)]) = {
+    val root = builtRoots.computeIfAbsent(s"dsir:$dir", _ => {
+      val p = rootFor(s, "dsir", dir)
+      val (lam, thr) = graft.ops.Corpus.dsirStandingFit(s, dir)
+      buildDsirModel(s, lam, thr, p)
+      p
+    })
+    readDsirModel(s, root)
+  }
+
   private def bpeRoot(s: SparkSession, dir: String): String =
     builtRoots.computeIfAbsent(s"bpe:$dir", _ => {
       val p = rootFor(s, "bpe", dir)

@@ -569,6 +569,36 @@ object StreamingOps {
       }
       .start()
 
+  /** Frozen-model DSIR intake sink: each micro-batch of documents is
+    * scored against the PERSISTED standing importance model
+    * ([[graft.sources.IndexStore.standingDsirModel]]) and gated by its
+    * frozen per-source thresholds; verdicts land batch-keyed. Unlike the
+    * dedup/signature sinks the model never changes inside the stream
+    * (refit is offline maintenance, like BPE's), so the sink is
+    * STATELESS and trivially exactly-once: a crash-replay rescoring of
+    * batch N recomputes identical verdicts and rewrites the same b=N
+    * bytes. */
+  def dsirIntakeSink(incoming: DataFrame, modelRoot: String,
+      verdictsPath: String)(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dsirIntakeBatch(batch, batchId, modelRoot, verdictsPath)
+      }
+      .start()
+
+  /** One [[dsirIntakeSink]] micro-batch — exposed for the replay spec. */
+  def dsirIntakeBatch(batch: DataFrame, batchId: Long, modelRoot: String,
+      verdictsPath: String): Unit = {
+    val s = batch.sparkSession
+    val (lam, thr) = graft.sources.IndexStore.readDsirModel(s, modelRoot)
+    graft.ops.Corpus.dsirGate(batch, lam, thr)
+      .write.mode("overwrite").parquet(s"$verdictsPath/b=$batchId")
+    ()
+  }
+
   /** One [[sigIntakeSink]] micro-batch — exposed for the replay spec. */
   def sigIntakeBatch(batch: DataFrame, batchId: Long, indexPath: String,
       verdictsPath: String): Unit = {

@@ -85,4 +85,57 @@ class DsirSpec extends SparkSpec {
     assert(tgt.nonEmpty && rest.nonEmpty)
     assert(avg(tgt) > avg(rest))
   }
+
+  test("intake: frozen-threshold gate semantics; indexed probe ≡ recompute; " +
+      "standing fit excludes the delta") {
+    out // ensure the full-corpus fit ran first (stash independence below)
+    val fullLam = Corpus.fittedDsirLam.get.toSeq
+    val rec = Corpus.dsirIntake(spark, dir).collect()
+    val (standingLam, thr) = Corpus.fittedDsirIntake.get
+    val thrMap = thr.toMap
+    // the gate is a pure per-doc predicate over the stashed thresholds
+    assert(rec.nonEmpty)
+    for (r <- rec)
+      assert((r.getInt(3) == 1) ==
+        thrMap.get(r.getString(1)).exists(r.getLong(2) >= _))
+    // delta rows are exactly the bucket-9 split
+    val (delta, _) = Dedup.deltaSplit(sf("documents", dir))
+    assert(rec.map(_.getLong(0)).toSet ==
+      delta.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // something is admitted and something rejected at sf0.001
+    assert(rec.exists(_.getInt(3) == 1) && rec.exists(_.getInt(3) == 0))
+    // the standing fit saw a different corpus than the full-corpus fit
+    assert(standingLam.toSeq != fullLam)
+    // the persisted-model probe answers identically
+    val idx = Corpus.dsirIntakeIndexed(spark, dir).collect()
+    assert(idx.map(_.toSeq).toSeq == rec.map(_.toSeq).toSeq)
+  }
+
+  test("streaming dsir intake: stream of micro-batches ≡ the batch gate, " +
+      "crash-replay rewrites identical verdicts") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dsir-stream").toString
+    val modelRoot = s"$base/model"
+    val verdicts = s"$base/verdicts"
+    val (lam, thr) = Corpus.dsirStandingFit(spark, dir)
+    graft.sources.IndexStore.buildDsirModel(spark, lam, thr, modelRoot)
+    val (delta, _) = Dedup.deltaSplit(sf("documents", dir))
+    val b1 = delta.filter($"doc_id" % 2 === 0)
+    val b2 = delta.filter($"doc_id" % 2 === 1)
+    graft.streaming.StreamingOps.dsirIntakeBatch(b1, 1L, modelRoot, verdicts)
+    graft.streaming.StreamingOps.dsirIntakeBatch(b2, 2L, modelRoot, verdicts)
+    def rows(p: String) = spark.read.parquet(p)
+      .select($"doc_id", $"source", $"logw_micro", $"sel").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    val streamed = rows(s"$verdicts/b=1") ++ rows(s"$verdicts/b=2")
+    val batch = Corpus.dsirIntake(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(streamed.sortBy(_._1) == batch.sortBy(_._1))
+    // crash replay: the model is frozen, so batch 1 rewrites itself
+    val v1 = rows(s"$verdicts/b=1")
+    graft.streaming.StreamingOps.dsirIntakeBatch(b1, 1L, modelRoot, verdicts)
+    assert(rows(s"$verdicts/b=1") == v1)
+  }
 }
