@@ -328,7 +328,7 @@ object Corpus {
     * ONE corpus aggregate with map-side combine → B rows on the driver;
     * the transcendentals touch only those B driver-side values, so the
     * stashed literals are exactly reproducible. */
-  private[ops] def dsirFit(docs: DataFrame, target: DataFrame): Array[Long] = {
+  private[graft] def dsirFit(docs: DataFrame, target: DataFrame): Array[Long] = {
     val rows = docs
       .join(target.select(col("doc_id"), lit(1L).as("t0")), Seq("doc_id"), "left")
       .withColumn("is_tgt", coalesce(col("t0"), lit(0L)))
@@ -420,18 +420,38 @@ object Corpus {
     * This is what [[graft.sources.IndexStore.standingDsirModel]]
     * persists — at production scale the fit runs once, offline, and
     * every intake batch probes the frozen (B + n_sources)-row model. */
+  /** Frozen per-source admission thresholds of a fitted model over its
+    * fit corpus: cutoff(source) = the lowest score the batch selection
+    * keeps there. */
+  private[graft] def dsirThresholds(docs: DataFrame,
+      lam: Array[Long]): Seq[(String, Long)] =
+    dsirSelected(docs, lam)
+      .filter(col("sel") === 1)
+      .groupBy(col("source")).agg(min(col("logw_micro")).as("cutoff"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1).toSeq
+
+  /** Per-bucket hashed-gram counts of a corpus — the raw-model mass the
+    * fit priced lam against, and the drift baseline
+    * [[graft.sources.IndexStore.dsirBucketDrift]] compares current intake
+    * mass to. One aggregate pass → B driver longs. */
+  private[graft] def dsirBucketCounts(docs: DataFrame): Array[Long] = {
+    val out = new Array[Long](DsirBuckets)
+    docs
+      .withColumn("tokens", split(col("text"), " "))
+      .select(explode(expr(dsirBucketsExpr)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .collect().foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+    out
+  }
+
   private[graft] def dsirStandingFit(s: SparkSession,
       dir: String): (Array[Long], Seq[(String, Long)]) = {
     val (_, standing) = Dedup.deltaSplit(Tables.documents(s, dir))
     val target = graft.sources.IndexStore.standingCurationVerdicts(s, dir)
       .join(standing.select(col("doc_id")), "doc_id")
     val lam = dsirFit(standing, target)
-    val thr = dsirSelected(standing, lam)
-      .filter(col("sel") === 1)
-      .groupBy(col("source")).agg(min(col("logw_micro")).as("cutoff"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(_._1).toSeq
-    (lam, thr)
+    (lam, dsirThresholds(standing, lam))
   }
 
   /** Score a delta frame under a frozen (lam, thresholds) model:

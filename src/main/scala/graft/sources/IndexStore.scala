@@ -926,19 +926,59 @@ object IndexStore {
       p
     })
 
-  /** Persist a fitted DSIR importance model: the B-row lam vector and the
-    * n_sources-row frozen admission thresholds. Tiny by construction —
-    * the model artifact of a fit that scanned the whole standing corpus
-    * once (same economics as the BPE merges: fit offline, probe forever). */
+  /** Persist a fitted DSIR importance model: the B-row lam vector, the
+    * n_sources-row frozen admission thresholds, and the fit-time
+    * per-bucket gram counts (the raw mass lam was priced against — the
+    * drift baseline). Tiny by construction — the model artifact of a fit
+    * that scanned the whole standing corpus once (same economics as the
+    * BPE merges: fit offline, probe forever). */
   def buildDsirModel(s: SparkSession, lam: Array[Long],
-      thr: Seq[(String, Long)], root: String): Unit = {
+      thr: Seq[(String, Long)], root: String,
+      fitCounts: Array[Long] = Array.empty): Unit = {
     import s.implicits._
     lam.toSeq.zipWithIndex.map { case (w, b) => (b, w) }
       .toDF("bucket", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/model")
     thr.toDF("source", "cutoff")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/thr")
+    fitCounts.toSeq.zipWithIndex.map { case (n, b) => (b, n) }
+      .toDF("bucket", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
   }
+
+  /** Total-variation distance between the fit-time hashed-gram bucket
+    * distribution and `docs`' current one — the importance-model member
+    * of the drift family ([[annCellOccupancy]], [[prefixFreqDrift]],
+    * [[bpeCompressionDrift]]). lam is a function of the fit-time bucket
+    * masses, so when intake mass migrates (new vocabulary, source mix
+    * shift), the frozen log-ratios price the wrong denominator; TV over
+    * the same B buckets the model hashes into is the direct staleness
+    * measure, and — unlike a mean-score delta — it cannot cancel between
+    * buckets that drift in opposite directions. A stale model mis-ranks
+    * admission, never corrupts data, so the threshold is a
+    * selection-quality knob. Cost: one hashed-gram aggregate → B longs. */
+  def dsirBucketDrift(s: SparkSession, root: String,
+      docs: DataFrame): Double = {
+    val fit = new Array[Long](graft.ops.Corpus.DsirBuckets)
+    s.read.parquet(s"$root/stats").collect()
+      .foreach(r => fit(r.getInt(0)) = r.getLong(1))
+    val cur = graft.ops.Corpus.dsirBucketCounts(docs)
+    val (fTot, cTot) = (fit.sum.toDouble, cur.sum.toDouble)
+    if (fTot == 0 || cTot == 0) 0.0 // empty fit or current corpus: no signal
+    else fit.indices.map(b => math.abs(fit(b) / fTot - cur(b) / cTot)).sum / 2
+  }
+
+  /** Re-fit the importance model iff bucket drift exceeds `maxDrift`.
+    * Returns true iff a rebuild ran. */
+  def maintainDsir(s: SparkSession, root: String, docs: DataFrame,
+      target: DataFrame, maxDrift: Double): Boolean =
+    if (dsirBucketDrift(s, root, docs) <= maxDrift) false
+    else {
+      val lam = graft.ops.Corpus.dsirFit(docs, target)
+      buildDsirModel(s, lam, graft.ops.Corpus.dsirThresholds(docs, lam),
+        root, graft.ops.Corpus.dsirBucketCounts(docs))
+      true
+    }
 
   /** The frozen (lam, thresholds) pair — driver-bounded (B + n_sources). */
   def readDsirModel(s: SparkSession,
@@ -958,7 +998,10 @@ object IndexStore {
     val root = builtRoots.computeIfAbsent(s"dsir:$dir", _ => {
       val p = rootFor(s, "dsir", dir)
       val (lam, thr) = graft.ops.Corpus.dsirStandingFit(s, dir)
-      buildDsirModel(s, lam, thr, p)
+      val (_, standing) = graft.ops.Dedup
+        .deltaSplit(graft.ops.Tables.documents(s, dir))
+      buildDsirModel(s, lam, thr, p,
+        graft.ops.Corpus.dsirBucketCounts(standing))
       p
     })
     readDsirModel(s, root)

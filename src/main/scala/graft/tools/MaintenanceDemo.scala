@@ -8,11 +8,12 @@ import graft.sources.IndexStore
 
 /** Runnable evidence for the standing-index maintenance job — the
   * scheduled pipeline a 100 TB deployment runs between intake batches.
-  * Builds the three metric-carrying artifacts (prefix index, ANN index,
-  * BPE tokenizer) on a standing corpus, feeds each a DRIFTED delta,
-  * prints every drift metric before/after, and shows the threshold
-  * policies (`maintainPrefix`/`maintainAnn`/`maintainBpe`) declining on
-  * a fresh index and triggering on a drifted one.
+  * Builds the four metric-carrying artifacts (prefix index, ANN index,
+  * BPE tokenizer, DSIR importance model) on a standing corpus, feeds
+  * each a DRIFTED delta, prints every drift metric before/after, and
+  * shows the threshold policies (`maintainPrefix`/`maintainAnn`/
+  * `maintainBpe`/`maintainDsir`) declining on a fresh index and
+  * triggering on a drifted one.
   * `sbt "runMain graft.tools.MaintenanceDemo [sfDir]"` */
 object MaintenanceDemo {
   def main(args: Array[String]): Unit = {
@@ -70,6 +71,22 @@ object MaintenanceDemo {
     println(f"bpe     drift drifted: $bd%.4f" +
       s"  maintain(${bd / 2}) -> ${IndexStore.maintainBpe(spark, bpe, grown, bd / 2)}" +
       f"  drift after: ${IndexStore.bpeCompressionDrift(spark, bpe, grown)}%.4f")
+
+    // --- DSIR importance model: hashed-gram bucket drift ---------------
+    val dsir = s"$base/dsir"
+    val target = graft.sources.IndexStore.standingCurationVerdicts(spark, dir)
+    val lam0 = graft.ops.Corpus.dsirFit(docs, target)
+    IndexStore.buildDsirModel(spark, lam0,
+      graft.ops.Corpus.dsirThresholds(docs, lam0), dsir,
+      graft.ops.Corpus.dsirBucketCounts(docs))
+    println(f"dsir    drift fresh:   ${IndexStore.dsirBucketDrift(spark, dsir, docs)}%.4f" +
+      s"  maintain(0.05) -> ${IndexStore.maintainDsir(spark, dsir, docs, target, 0.05)}")
+    val shifted = docs.select(col("doc_id"), col("source"), col("text"))
+      .unionByName(newVocab.withColumn("source", lit("srcX")))
+    val dd = IndexStore.dsirBucketDrift(spark, dsir, shifted)
+    println(f"dsir    drift drifted: $dd%.4f" +
+      s"  maintain(${dd / 2}) -> ${IndexStore.maintainDsir(spark, dsir, shifted, target, dd / 2)}" +
+      f"  drift after: ${IndexStore.dsirBucketDrift(spark, dsir, shifted)}%.4f")
 
     spark.stop()
   }

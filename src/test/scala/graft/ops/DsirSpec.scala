@@ -138,4 +138,30 @@ class DsirSpec extends SparkSpec {
     graft.streaming.StreamingOps.dsirIntakeBatch(b1, 1L, modelRoot, verdicts)
     assert(rows(s"$verdicts/b=1") == v1)
   }
+
+  test("bucket drift: zero on the fit corpus, detects a vocabulary shift, " +
+      "refit restores it") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val root = java.nio.file.Files.createTempDirectory("dsir-drift").toString
+    val docs = sf("documents", dir)
+    val target = IndexStore.standingCurationVerdicts(spark, dir)
+    val lam = Corpus.dsirFit(docs, target)
+    IndexStore.buildDsirModel(spark, lam, Corpus.dsirThresholds(docs, lam),
+      root, Corpus.dsirBucketCounts(docs))
+    assert(IndexStore.dsirBucketDrift(spark, root, docs) == 0.0)
+    assert(!IndexStore.maintainDsir(spark, root, docs, target, 0.05))
+    // a corpus whose grams the fit never saw hashes ~uniformly over the
+    // buckets, pulling mass off the fit distribution's hot buckets
+    val alien = (0 until 200).map(i =>
+      (90000L + i, "srcX", (0 until 30).map(j => s"qq${(i * 7 + j) % 90}qz")
+        .mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val shifted = docs.select($"doc_id", $"source", $"text").unionByName(alien)
+    val d = IndexStore.dsirBucketDrift(spark, root, shifted)
+    assert(d > 0.01, s"drift $d")
+    // threshold below the observed drift → refit runs and re-centers
+    assert(IndexStore.maintainDsir(spark, root, shifted, target, d / 2))
+    assert(IndexStore.dsirBucketDrift(spark, root, shifted) < 1e-12)
+  }
 }
