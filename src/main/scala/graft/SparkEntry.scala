@@ -254,5 +254,6 @@ object SparkEntry {
     "dedup_bloom_gate_indexed", "dedup_prefix_probe_indexed",
     "dedup_winnow_probe_indexed", "text_postings_indexed",
     "ann_ivf_indexed", "ann_ivfpq_indexed", "emb_dup_intake_indexed",
+    "corpus_dsir_intake_indexed",
     "text_bpe_merges", "quality_distill", "cf_als_score_saved")
 }
