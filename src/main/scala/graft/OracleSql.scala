@@ -111,6 +111,57 @@ object OracleSql {
        |n AS (SELECT vec_id, e, ${dotChain("e", "e")} AS nrm FROM e)"""
       .stripMargin.replaceAll("\n", " ")
 
+  /** SQ8 ANN oracle (ann_sq8 / ann_filtered): the ONLY quantized-ANN
+    * oracle with no stashed-literal step — min/max are deterministic
+    * aggregates (they SELECT stored values), so the quantizer fit itself
+    * re-derives in SQL. Codes and reconstruction mirror
+    * [[graft.ops.Similarity.sq8Encoded]] term-for-term:
+    * `sc[d] = (mx[d]−mn[d])/255`, `code = round((v−mn)/sc)`,
+    * `r = code·sc + mn` (round args ≥ 0, so HALF_UP ≡ half-away).
+    * AS MATERIALIZED on the reconstruction CTE is load-bearing at replica
+    * scale for the same reason as the band-signature CTEs (r12 lesson):
+    * DuckDB inlines CTEs per reference, and `rz` is referenced by both
+    * sides of the ADC self-join. */
+  private def sq8MemberSql(labelFiltered: Boolean): String = {
+    import graft.ops.Similarity.{AnnK, AnnQueries, Sq8Rerank}
+    val recon = (1 to VectorOps.Dim).map { d =>
+      s"(CASE WHEN sc[$d] = 0 THEN 0 ELSE round((e[$d] - mn[$d]) / sc[$d]) END" +
+        s" * sc[$d] + mn[$d])"
+    }.mkString("list_value(", ", ", ")")
+    val labelCol = if (labelFiltered) ", label" else ""
+    val labelGate = if (labelFiltered) " AND q.label = c.label" else ""
+    s"""WITH el AS (SELECT vec_id$labelCol,
+       |  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS MATERIALIZED (SELECT vec_id$labelCol, e,
+       |  ${dotChain("e", "e")} AS nrm FROM el),
+       |dims AS MATERIALIZED (SELECT CAST(t.dim AS INT) AS dim,
+       |  min(e[t.dim + 1]) AS mnd, max(e[t.dim + 1]) AS mxd
+       |  FROM n, range(${VectorOps.Dim}) t(dim) GROUP BY 1),
+       |mm AS (SELECT list(mnd ORDER BY dim) AS mn,
+       |  list((mxd - mnd) / 255.0 ORDER BY dim) AS sc FROM dims),
+       |rz AS MATERIALIZED (SELECT vec_id$labelCol, e, nrm,
+       |  $recon AS r FROM n, mm),
+       |rr AS (SELECT vec_id$labelCol, e, nrm, r,
+       |  ${dotChain("r", "r")} AS rn FROM rz),
+       |adc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |  round(${dotChain("q.e", "c.r")} / (sqrt(q.nrm) * sqrt(c.rn)), 6)
+       |    AS adc_sim
+       |  FROM rr q JOIN rr c
+       |    ON q.vec_id < $AnnQueries AND q.vec_id <> c.vec_id$labelGate),
+       |sl AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |  ORDER BY adc_sim DESC, c_id ASC) AS crnk FROM adc),
+       |f AS (SELECT s.q_id, s.c_id,
+       |  round(${dotChain("q.e", "c.e")} / (sqrt(q.nrm) * sqrt(c.nrm)), 6)
+       |    AS sim
+       |  FROM sl s JOIN n q ON q.vec_id = s.q_id
+       |  JOIN n c ON c.vec_id = s.c_id WHERE s.crnk <= $Sq8Rerank),
+       |g AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (
+       |  PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INT) AS rnk
+       |  FROM f)
+       |SELECT q_id, rnk, c_id, sim FROM g WHERE rnk <= $AnnK
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** The three banded near-dup pair oracles over the full corpus. The
     * collide predicates and verify chain are built from the same
     * fragments the composed recall oracle restates over its shared
@@ -1334,6 +1385,9 @@ object OracleSql {
          |  FROM sl WHERE crnk <= 100)
          |SELECT q_id, rnk, c_id, sim FROM f WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
+
+    "ann_sq8" -> sq8MemberSql(labelFiltered = false),
+    "ann_filtered" -> sq8MemberSql(labelFiltered = true),
 
     // per-dimension stats in exact integer micro-units (the float-sum
     // rule): both engines sum round(v*1e6) as integers, so the mean is
@@ -2886,7 +2940,7 @@ object OracleSql {
   private def qualityReports(m: Map[String, String]): Map[String, String] = {
     val ann = Seq("ivf" -> "ann_ivf", "ivfpq" -> "ann_ivfpq",
       "lsh" -> "ann_lsh", "lsh_multiprobe" -> "ann_lsh_multiprobe",
-      "pq" -> "ann_pq", "truncate" -> "ann_truncate")
+      "pq" -> "ann_pq", "sq8" -> "ann_sq8", "truncate" -> "ann_truncate")
     val dedup = Seq("minhash_band" -> "dedup_minhash_pairs",
       "simhash_band64" -> "dedup_simhash_lsh64",
       "winnow" -> "dedup_winnow_pairs")

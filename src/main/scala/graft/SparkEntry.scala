@@ -211,6 +211,8 @@ object SparkEntry {
     "ann_pq" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     "ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "ann_ivfpq_indexed" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopKIndexed(s, d)),
+    "ann_sq8" -> ((s: SparkSession, d: String) => Similarity.sq8TopK(s, d)),
+    "ann_filtered" -> ((s: SparkSession, d: String) => Similarity.filteredTopK(s, d)),
     "ann_recall" -> ((s: SparkSession, d: String) => RetrievalQuality.annRecall(s, d)),
     "dedup_pair_recall" -> ((s: SparkSession, d: String) => RetrievalQuality.dedupPairRecall(s, d)),
     "emb_dup_recall" -> ((s: SparkSession, d: String) => RetrievalQuality.embDupRecall(s, d)),

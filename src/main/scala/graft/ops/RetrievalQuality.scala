@@ -86,6 +86,7 @@ object RetrievalQuality {
       "lsh" -> Similarity.lshTopK(s, dir),
       "lsh_multiprobe" -> Similarity.lshTopKMultiProbe(s, dir),
       "pq" -> Similarity.pqTopK(s, dir),
+      "sq8" -> Similarity.sq8TopK(s, dir),
       "truncate" -> Similarity.truncatedTopK(s, dir))
     qualityReport(exact, variants, "q_id", "c_id")
   }

@@ -47,6 +47,8 @@ object Similarity {
   val PqM = 8
   val PqCodes = 16
   val PqRerank = 50
+  val Sq8Levels = 255
+  val Sq8Rerank = 50
 
   /** Seeded random hyperplanes (deterministic: java.util.Random spec). */
   val planes: IndexedSeq[Array[Double]] = {
@@ -224,6 +226,112 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
     graft.ops.Caching.materializeAndRelease(out, e)
   }
+
+  /** Per-dimension (min, max) over the corpus — the SQ8 quantizer fit.
+    * Unlike the k-means fits this is a DETERMINISTIC aggregate (min/max
+    * SELECT stored values; no IEEE accumulation order to replay), so
+    * [[sq8TopK]] carries a FULL DuckDB oracle that re-derives the
+    * quantizer itself in SQL — the only quantized ANN member with no
+    * stashed-literal step. posexplode + groupBy(dim) combines map-side:
+    * the shuffle is 64 rows per upstream partition whatever the corpus
+    * size, and the collect is exactly 64 rows (a bounded driver readout,
+    * same budget class as the k-means centroids). */
+  private[graft] def sq8Fit(e: DataFrame): (Array[Double], Array[Double]) = {
+    val rows = e.select(posexplode(col("e")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("dim")).collect()
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** SQ8 encode + reconstruct: `code[d] = round((v[d]−mn[d])/sc[d])` with
+    * `sc[d] = (mx[d]−mn[d])/255` (one byte per dimension — the FAISS
+    * `SQ8` scalar quantizer), reconstruction `r[d] = code[d]·sc[d]+mn[d]`.
+    * `code` is the 100 TB artifact: 64 ints here (a production sink packs
+    * them to BINARY — 16× smaller than the float64 vector, 4× smaller
+    * than float32); `r`/`rn` are computed FROM the codes so the scoring
+    * plan reads only codes + two broadcast 64-double constant arrays.
+    * All arithmetic is plain IEEE doubles in the same association on both
+    * engines (round's args are ≥ 0, where HALF_UP ≡ half-away-from-zero),
+    * so the oracle replays codes and reconstruction bit-for-bit. A
+    * degenerate dimension (mx = mn → sc = 0) encodes as code 0 and
+    * reconstructs to mn on both sides. */
+  private[graft] def sq8Encoded(e: DataFrame, mns: Array[Double],
+      mxs: Array[Double]): DataFrame = {
+    val scales = mns.indices
+      .map(d => (mxs(d) - mns(d)) / Sq8Levels.toDouble).toArray
+    val mnLit = array(mns.map(lit(_)): _*)
+    val scLit = array(scales.map(lit(_)): _*)
+    e.withColumn("code",
+        zip_with(zip_with(col("e"), mnLit, (v, m) => v - m), scLit,
+          (d, sc) => when(sc === 0d, lit(0))
+            .otherwise(round(d / sc).cast("int"))))
+      .withColumn("r",
+        zip_with(zip_with(col("code"), scLit, (c, sc) => c * sc), mnLit,
+          (x, m) => x + m))
+      .withColumn("rn", expr("vec_dot(r, r)"))
+  }
+
+  /** Scalar-quantized (SQ8) ANN: asymmetric scoring of the float query
+    * against int8-reconstructed candidates, then exact rerank of the top
+    * `rerank` — the fifth ANN family member and the simplest
+    * memory-bound-scan trick (codes are 4× smaller than float32 payloads,
+    * so the full-corpus ADC pass reads ¼ the bytes of brute force at the
+    * same flop shape; PQ compresses 4× further but pays a codebook fit).
+    * Everything — fit, encode, ADC, rerank — is deterministic, so unlike
+    * IVF/PQ this quantized variant hash-checks against a fully
+    * self-contained oracle.
+    *
+    * With `labelFiltered` the candidate scan keeps only vectors sharing
+    * the query's `label` — filtered vector search, the vector-DB staple
+    * (predicate + ANN in one plan). The filter lands INSIDE the scan-side
+    * join condition, before any scoring work: at 100 TB with a selective
+    * predicate the ADC pass prunes to the matching fraction (and with a
+    * label-partitioned code table it would prune at the file level —
+    * PartitionFilters, same story as the IVF cell index). */
+  def sq8TopK(s: SparkSession, dir: String, k: Int = AnnK,
+      numQueries: Int = AnnQueries, rerank: Int = Sq8Rerank,
+      labelFiltered: Boolean = false): DataFrame = {
+    val e = embedded(s, dir).cache()
+    val (mns, mxs) = sq8Fit(e)
+    val enc = sq8Encoded(e, mns, mxs)
+      .select(col("vec_id").as("c_id"), col("label").as("c_label"),
+        col("r").as("cr"), col("rn").as("crn"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    val joinCond =
+      if (labelFiltered)
+        col("q_id") =!= col("c_id") && col("q_label") === col("c_label")
+      else col("q_id") =!= col("c_id")
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_sim").desc, col("c_id").asc)
+    val cands = broadcast(q).join(enc, joinCond)
+      .withColumn("adc_sim", round(
+        expr("vec_dot(qe, cr)") / (sqrt(col("qn")) * sqrt(col("crn"))), 6))
+      .withColumn("crnk", row_number().over(wAdc))
+      .filter(col("crnk") <= rerank)
+      .select(col("q_id"), col("qe"), col("qn"), col("c_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    val out = cands
+      .join(e.select(col("vec_id").as("c_id"), col("e").as("ce"),
+        col("nrm").as("cn")), "c_id")
+      .withColumn("sim", round(
+        expr("vec_dot(qe, ce)") / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+    Caching.materializeAndRelease(out, e)
+  }
+
+  /** Label-filtered ANN as its own harness query (`ann_filtered`): the
+    * [[sq8TopK]] quantized scan with the query's label pushed into the
+    * candidate join. See sq8TopK's scaladoc for the pruning story. */
+  def filteredTopK(s: SparkSession, dir: String, k: Int = AnnK,
+      numQueries: Int = AnnQueries, rerank: Int = Sq8Rerank): DataFrame =
+    sq8TopK(s, dir, k, numQueries, rerank, labelFiltered = true)
 
   /** doc-side LSH signature: bucket int from the sign bits of plane dots. */
   private def withBuckets(e: DataFrame): DataFrame = {

@@ -428,6 +428,51 @@ class SimilaritySpec extends SparkSpec {
     assert(keyed(Similarity.pqTopK(spark, dir).collect()) === pq)
   }
 
+  test("SQ8+rerank top-k: exact-rerank scores, high recall, deterministic; " +
+      "filtered variant respects the label gate") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val exact = keyed(Similarity.bruteForceTopK(spark, dir).collect())
+    val sq8 = keyed(Similarity.sq8TopK(spark, dir).collect())
+    // reranked scores are the exact cosine: every overlapping pair agrees
+    sq8.foreach { case (k, sim) =>
+      exact.get(k).foreach(es => assert(es === sim, s"score drift at $k")) }
+    // 8-bit/dim quantization barely moves cosine ranks: the 50-candidate
+    // ADC shortlist should contain nearly all true top-5 neighbors
+    val recall = sq8.keySet.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@5 (rerank=50): $recall")
+    assert(keyed(Similarity.sq8TopK(spark, dir).collect()) === sq8)
+
+    // filtered: every (q, c) shares the query's label, and within-label
+    // results equal the brute-force search restricted to that label
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val filt = Similarity.filteredTopK(spark, dir).collect()
+    filt.foreach { r =>
+      assert(emb(r.getLong(0)) === emb(r.getLong(2)),
+        s"cross-label result: $r") }
+    // the filtered shortlist can only shrink candidates, so any filtered
+    // hit that IS same-label in the exact top-k keeps its exact score
+    keyed(filt).foreach { case (k, sim) =>
+      exact.get(k).foreach(es => assert(es === sim)) }
+  }
+
+  test("SQ8 codes are total int8 range and reconstruction stays in range") {
+    val e = Similarity.embeddedOf(Tables.embeddings(spark, dir))
+    val (mns, mxs) = Similarity.sq8Fit(e)
+    assert(mns.length === 64 && mxs.length === 64)
+    mns.indices.foreach(d => assert(mns(d) <= mxs(d)))
+    val enc = Similarity.sq8Encoded(e, mns, mxs)
+      .select(col("vec_id"), col("code")).collect()
+    assert(enc.length === Tables.embeddings(spark, dir).count())
+    enc.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length === 64)
+      cs.foreach(c => assert(c >= 0 && c <= 255, s"code out of range: $c"))
+    }
+  }
+
   test("lsh bucket assignment is 16-bit, total, and deterministic") {
     val a = Similarity.lshBuckets(spark, dir).collect()
     assert(a.length === graft.ops.Tables.embeddings(spark, dir).count())

@@ -46,6 +46,7 @@ class RetrievalQualitySpec extends SparkSpec {
       "lsh" -> Similarity.lshTopK(spark, dir),
       "lsh_multiprobe" -> Similarity.lshTopKMultiProbe(spark, dir),
       "pq" -> Similarity.pqTopK(spark, dir),
+      "sq8" -> Similarity.sq8TopK(spark, dir),
       "truncate" -> Similarity.truncatedTopK(spark, dir)
     ).map { case (n, df) => n -> pairSet(df, "q_id", "c_id") }
     check(report, exact, variants)
