@@ -2317,6 +2317,44 @@ object OracleSql {
          |ORDER BY q_id, rnk""".stripMargin
     },
 
+    "mm_phash" ->
+      s"""WITH ${mmPhashCtes(None)}
+         |SELECT asset_id, k AS phash FROM sk ORDER BY asset_id""".stripMargin,
+    "mm_dup_pairs" -> mmDupPairsSql(None),
+    // composed from the two members above like the other recall
+    // dashboards; both sides share the bounded asset_id < 300 domain
+    "mm_dup_recall" -> qualityReportOracle(mmDupExactSql(300L),
+      Seq("phash_probe" -> mmDupPairsSql(Some(300L))), "id_a", "id_b"),
+
+    // bipartite multimodal intake triage: same residue-class split as
+    // dedup_incremental / emb_dup_intake, perceptual-hash probe gate
+    // (delta side materializes the exact-or-±1-one-bin neighborhood),
+    // exact L1 verify, per-delta verdict. `b` is referenced four times
+    // (probe, candidate right side, verify ×2, report) — MATERIALIZED
+    // for the same inline-explosion reason as the emb intake's CTE.
+    "mm_dup_intake" -> {
+      import graft.ops.Multimodal.MmDupL1Eps
+      s"""WITH ${mmPhashCtes(None)},
+         |b AS MATERIALIZED (SELECT asset_id, e, lv, k,
+         |  (${SharedHash.duck48("CAST(asset_id AS VARCHAR)")} % 10) = 9
+         |    AS is_inc FROM sk),
+         |pr AS (SELECT asset_id AS inc_id, unnest($mmProbeList) AS pk
+         |  FROM b WHERE is_inc),
+         |cd AS (SELECT pr.inc_id, c.asset_id AS ex_id
+         |  FROM pr JOIN b c ON pr.pk = c.k AND NOT c.is_inc
+         |  GROUP BY 1, 2),
+         |near AS (SELECT inc_id, CAST(count(*) AS BIGINT) AS n_near FROM cd
+         |  JOIN b x ON x.asset_id = cd.inc_id
+         |  JOIN b y ON y.asset_id = cd.ex_id
+         |  WHERE ${mmL1Chain("x.e", "y.e")} <= $MmDupL1Eps
+         |  GROUP BY inc_id)
+         |SELECT t.asset_id, CAST(COALESCE(near.n_near, 0) AS BIGINT) AS n_near,
+         |  CASE WHEN COALESCE(near.n_near, 0) > 0 THEN 'near'
+         |       ELSE 'novel' END AS verdict
+         |FROM b t LEFT JOIN near ON near.inc_id = t.asset_id
+         |WHERE t.is_inc ORDER BY t.asset_id""".stripMargin
+    },
+
     // Incremental view maintenance: the oracle recomputes the aggregate
     // from scratch; the engine merges stored view + delta partials. The
     // micro-unit integer sum is what makes the two orders identical.
@@ -2439,6 +2477,81 @@ object OracleSql {
     val hi = f"${16 * j + 15}%02x"
     s"(length(t) - length(regexp_replace(t, '[\\x$lo-\\x$hi]', '', 'g')))"
   }
+
+  /** CTE chain ending in `sk` (asset_id, e DOUBLE[16], lv quantized
+    * levels, k packed 48-char perceptual key) — the shared head of the
+    * mm_phash / mm_dup_pairs / mm_dup_recall oracles, mirroring
+    * [[graft.ops.Multimodal.phashFrame]] term-for-term (floor(x·256) is
+    * exact: ×256 only shifts the exponent). `sig` is MATERIALIZED: the
+    * pair oracles reference it from both join sides and the probe leg. */
+  private def mmPhashCtes(maxId: Option[Long]): String = {
+    import graft.ops.Multimodal.PhashQuant
+    val fracs = (0 until 16).map(j =>
+      s"CAST(CAST(${mmBinCount(j)} AS REAL)" +
+        s" / CAST(n AS REAL) AS REAL) AS f$j").mkString(", ")
+    val lst = (0 until 16).map(j => s"CAST(f$j AS DOUBLE)")
+      .mkString("[", ",", "]")
+    val dom = maxId.map(m => s" WHERE doc_id < $m").getOrElse("")
+    s"""c0 AS (SELECT doc_id AS asset_id, length(text) AS n,
+       |  text AS t FROM documents$dom),
+       |f AS (SELECT asset_id, $fracs FROM c0),
+       |e0 AS (SELECT asset_id, $lst AS e FROM f),
+       |sig AS MATERIALIZED (SELECT asset_id, e,
+       |  list_transform(e, x ->
+       |    least(${PhashQuant - 1}, CAST(floor(x * $PhashQuant) AS INT)))
+       |    AS lv FROM e0),
+       |sk AS (SELECT asset_id, e, lv,
+       |  array_to_string(list_transform(lv, l ->
+       |    lpad(CAST(l AS VARCHAR), 3, '0')), '') AS k FROM sig)"""
+      .stripMargin
+  }
+
+  /** abs-difference L1 chain over two DOUBLE[16] columns (left-assoc,
+    * matching the engine's zip_with/aggregate fold). */
+  private def mmL1Chain(a: String, b: String): String =
+    (1 to 16).map(i => s"abs($a[$i] - $b[$i])").mkString("(", " + ", ")")
+
+  /** Probe-key list over sk's (lv, k): the exact key plus every in-range
+    * one-bin ±1-level variant — [[graft.ops.Multimodal]]'s MmProbeExpr
+    * restated in DuckDB list functions; shared by the pair and intake
+    * oracles. */
+  private def mmProbeList: String =
+    """list_concat([k], flatten(list_transform(range(16), b ->
+      |    list_transform(
+      |      list_filter([lv[b + 1] - 1, lv[b + 1] + 1],
+      |        v -> v >= 0 AND v <= 255),
+      |      v -> concat(substring(k, 1, CAST(b * 3 AS INT)),
+      |        lpad(CAST(v AS VARCHAR), 3, '0'),
+      |        substr(k, CAST(b * 3 + 4 AS INT)))))))""".stripMargin
+
+  /** mm_dup_pairs oracle: exact-or-one-bin-off-by-one perceptual-key
+    * candidates (the probe neighborhood stated explicitly, joined on the
+    * key) verified by the exact L1 threshold — the engine's pipeline
+    * replayed clause for clause. */
+  private def mmDupPairsSql(maxId: Option[Long]): String = {
+    import graft.ops.Multimodal.MmDupL1Eps
+    s"""WITH ${mmPhashCtes(maxId)},
+       |pr AS (SELECT asset_id AS id_a,
+       |  unnest($mmProbeList) AS pk FROM sk),
+       |cd AS (SELECT pr.id_a, b.asset_id AS id_b
+       |  FROM pr JOIN sk b ON pr.pk = b.k AND pr.id_a < b.asset_id
+       |  GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b, round(${mmL1Chain("a.e", "b.e")}, 6) AS l1
+       |FROM cd c JOIN sk a ON a.asset_id = c.id_a
+       |JOIN sk b ON b.asset_id = c.id_b
+       |WHERE ${mmL1Chain("a.e", "b.e")} <= $MmDupL1Eps
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** mm_dup_pairs' exact ground truth over the bounded domain (the
+    * mm_dup_recall member that isn't itself a harness query). */
+  private def mmDupExactSql(maxId: Long): String =
+    s"""WITH ${mmPhashCtes(Some(maxId))}
+       |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+       |  round(${mmL1Chain("a.e", "b.e")}, 6) AS l1
+       |FROM sk a JOIN sk b ON a.asset_id < b.asset_id
+       |WHERE ${mmL1Chain("a.e", "b.e")} <= ${graft.ops.Multimodal.MmDupL1Eps}
+       |ORDER BY id_a, id_b""".stripMargin
 
   // --- curation-chain fragments (corpus_curate / quality_distill) ---------
 
@@ -3022,6 +3135,9 @@ object OracleSql {
         // probing the persisted signature index answers the same question:
         // band keys under seeded-constant planes are position-independent
         "emb_dup_intake_indexed" -> base("emb_dup_intake"),
+        // same contract for the phash index: the signature is a pure
+        // function of the asset bytes, nothing fitted
+        "mm_dup_intake_indexed" -> base("mm_dup_intake"),
         // segment-merged postings must be byte-identical to the recompute
         "text_postings_indexed" -> base("text_postings")) ++
       Similarity.fittedIvfCentroids.map(cs => "ann_ivf" -> ivfOracle(cs)) ++

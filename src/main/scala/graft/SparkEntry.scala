@@ -230,6 +230,11 @@ object SparkEntry {
     // multimodal plumbing (decode stubbed)
     "mm_features" -> (Multimodal.featuresQuery _),
     "mm_ann" -> ((s: SparkSession, d: String) => Multimodal.assetAnn(s, d)),
+    "mm_phash" -> (Multimodal.phashSignatures _),
+    "mm_dup_pairs" -> ((s: SparkSession, d: String) => Multimodal.mmDupPairs(s, d)),
+    "mm_dup_recall" -> ((s: SparkSession, d: String) => RetrievalQuality.mmDupRecall(s, d)),
+    "mm_dup_intake" -> (Multimodal.mmDupIntake _),
+    "mm_dup_intake_indexed" -> (Multimodal.mmDupIntakeIndexed _),
     // ML (ALS — not SQL-expressible, SURVEY §7.4.6)
     "cf_als_rmse" -> ((s: SparkSession, d: String) => CollabEvents.alsRmse(s, d)),
     "cf_als_recommend" -> ((s: SparkSession, d: String) => CollabEvents.alsRecommend(s, d)),
@@ -256,6 +261,6 @@ object SparkEntry {
     "dedup_bloom_gate_indexed", "dedup_prefix_probe_indexed",
     "dedup_winnow_probe_indexed", "text_postings_indexed",
     "ann_ivf_indexed", "ann_ivfpq_indexed", "emb_dup_intake_indexed",
-    "corpus_dsir_intake_indexed",
+    "mm_dup_intake_indexed", "corpus_dsir_intake_indexed",
     "text_bpe_merges", "quality_distill", "cf_als_score_saved")
 }

@@ -141,4 +141,17 @@ object RetrievalQuality {
         "hyperplane_band_wide_mp" -> wideMp),
       "id_a", "id_b")
   }
+
+  /** Recall/precision of the multimodal perceptual-hash candidate
+    * generator ([[Multimodal.mmDupPairs]]) against the exact L1 near-dup
+    * scan at the same threshold — the fourth dashboard member (annRecall:
+    * top-k retrieval; dedupPairRecall: text near-dup; embDupRecall:
+    * embedding near-dup; this: decoded-asset near-dup). Both sides share
+    * the exact scan's bounded asset_id < 300 domain; precision < 1 would
+    * mean a verify bug, same contract as [[embDupRecall]]. */
+  def mmDupRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = Multimodal.mmDupPairsExact(s, dir)
+    val probe = Multimodal.mmDupPairs(s, dir, maxId = Some(300L))
+    qualityReport(exact, Seq("phash_probe" -> probe), "id_a", "id_b")
+  }
 }

@@ -512,6 +512,52 @@ object IndexStore {
       beforeId: Long): DataFrame =
     readWithDeltasBefore(s, path, beforeId)
 
+  // --- phash signature index (multimodal near-dup intake) -------------------
+
+  /** Persist the standing assets' perceptual-hash signature table
+    * (asset_id, f, lv, k) — the probe side of
+    * [[graft.ops.Multimodal.mmDupIntakeIndexed]]. Like the wide-band
+    * vector index there is nothing to fit: the signature is a pure
+    * function of the decoded bytes, so build, append, and in-query
+    * recompute all produce the same row for an asset — which is exactly
+    * why the indexed intake shares the recompute form's oracle. At scale
+    * this is THE multimodal win: payload bytes are decoded once at index
+    * time, and intake probes read 16 doubles + a 48-char key per standing
+    * asset instead of re-decoding binary content. */
+  def buildPhash(assets: org.apache.spark.sql.Dataset[graft.ops.Asset],
+      path: String): Unit =
+    graft.ops.Multimodal.phashOf(assets)
+      .write.mode("overwrite").parquet(path)
+
+  /** Decode + sign ONLY the delta assets and append their rows —
+    * O(delta); the standing corpus is not an input. Returns the appended
+    * frame. */
+  def appendPhash(deltaAssets: org.apache.spark.sql.Dataset[graft.ops.Asset],
+      path: String): DataFrame = {
+    val sig = graft.ops.Multimodal.phashOf(deltaAssets)
+    sig.write.mode("append").parquet(path)
+    sig
+  }
+
+  def readPhash(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** Batch-keyed variant of [[appendPhash]] for the streaming intake
+    * sink: one overwritten `b=<batchId>` segment — crash-replay rewrites
+    * the same bytes. */
+  def appendPhashVersioned(
+      deltaAssets: org.apache.spark.sql.Dataset[graft.ops.Asset],
+      path: String, batchId: Long): DataFrame = {
+    val sig = graft.ops.Multimodal.phashOf(deltaAssets)
+    writeDeltaSegment(sig, path, batchId)
+    sig
+  }
+
+  /** Replay-safe phash-index read for micro-batch `beforeId`. */
+  def readPhashBefore(s: SparkSession, path: String,
+      beforeId: Long): DataFrame =
+    readWithDeltasBefore(s, path, beforeId)
+
   def buildAnn(embRaw: DataFrame, root: String,
       nCells: Int = graft.ops.Similarity.IvfCells,
       m: Int = graft.ops.Similarity.PqM,
@@ -1056,6 +1102,19 @@ object IndexStore {
       p
     })
     readSig(s, root)
+  }
+
+  /** The persisted standing phash index for `dir`'s assets (memoized
+    * build over the STANDING split). */
+  def standingPhashIndex(s: SparkSession, dir: String): DataFrame = {
+    val root = builtRoots.computeIfAbsent(s"phash:$dir", _ => {
+      val (_, ex) = graft.ops.Multimodal
+        .mmDeltaSplit(graft.ops.Multimodal.synthesizeAssets(s, dir))
+      val p = rootFor(s, "phash", dir)
+      buildPhash(ex, p)
+      p
+    })
+    readPhash(s, root)
   }
 
   def standingDedupIndex(s: SparkSession, dir: String): DedupIndex = {

@@ -599,6 +599,43 @@ object StreamingOps {
     ()
   }
 
+  /** Streaming multimodal intake sink: each micro-batch of assets is
+    * triaged against the PERSISTED phash index (near/novel verdicts —
+    * the multimodal twin of [[sigIntakeSink]]), then its signatures are
+    * appended as one batch-keyed segment — so batch N+1's assets dedup
+    * against batch N's. Decode runs ONCE per asset, at intake; the index
+    * never stores payload bytes. Exactly-once by the family recipe:
+    * probes read segments `< batchId`, writes overwrite `b=<batchId>`,
+    * and the signature is a pure function of the bytes — a crash-replay
+    * rewrites identical bytes. */
+  def phashIntakeSink(incoming: DataFrame, indexPath: String,
+      verdictsPath: String)(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        phashIntakeBatch(batch, batchId, indexPath, verdictsPath)
+      }
+      .start()
+
+  /** One [[phashIntakeSink]] micro-batch — exposed for the replay spec. */
+  def phashIntakeBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      verdictsPath: String): Unit = {
+    import graft.sources.IndexStore
+    val s = batch.sparkSession
+    import s.implicits._
+    val assets = batch.as[graft.ops.Asset]
+    val standing = IndexStore.readPhashBefore(s, indexPath, batchId)
+    // triage materializes (localCheckpoint) before return, so the index
+    // append below can't change what the verdict write sees
+    val verdicts = graft.ops.Multimodal
+      .triageAssetsAgainstPhash(assets, standing)
+    verdicts.write.mode("overwrite").parquet(s"$verdictsPath/b=$batchId")
+    IndexStore.appendPhashVersioned(assets, indexPath, batchId)
+    ()
+  }
+
   /** One [[sigIntakeSink]] micro-batch — exposed for the replay spec. */
   def sigIntakeBatch(batch: DataFrame, batchId: Long, indexPath: String,
       verdictsPath: String): Unit = {

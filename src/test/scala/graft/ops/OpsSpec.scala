@@ -800,6 +800,97 @@ class TextMultimodalSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
   }
 
+  test("multimodal perceptual hash: 48-char keys, deterministic; dup " +
+      "pairs equal a driver-side recompute of the probe rule + L1 verify") {
+    val sig = Multimodal.phashSignatures(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sig.nonEmpty)
+    sig.values.foreach { k =>
+      assert(k.length === 48)
+      assert(k.grouped(3).forall { s =>
+        val v = s.toInt; v >= 0 && v <= 255 })
+    }
+    // driver-side recompute from the decoded features: candidates =
+    // (levels equal) or (exactly one bin differs by exactly one level);
+    // emit if L1 <= eps — the mmDupPairs contract restated independently
+    val feats = Multimodal.extractFeatures(
+        Multimodal.synthesizeAssets(spark, dir)).collect()
+      .map(f => f.asset_id -> f.features.map(_.toDouble)).toMap
+    def levels(f: Array[Double]) =
+      f.map(x => math.min(255, math.floor(x * 256).toInt))
+    val ids = feats.keys.toArray.sorted
+    val expected = (for {
+      i <- ids.iterator; j <- ids.iterator if i < j
+      li = levels(feats(i)); lj = levels(feats(j))
+      diffs = li.indices.filter(d => li(d) != lj(d))
+      if diffs.isEmpty ||
+        (diffs.length == 1 && math.abs(li(diffs.head) - lj(diffs.head)) == 1)
+      l1 = li.indices.map(d => math.abs(feats(i)(d) - feats(j)(d))).sum
+      if l1 <= Multimodal.MmDupL1Eps
+    } yield (i, j)).toSet
+    val got = Multimodal.mmDupPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected, s"got ${got.size} vs expected ${expected.size}")
+    assert(got.nonEmpty, "near-dup corpus should surface phash pairs")
+  }
+
+  test("multimodal intake: verdicts equal a driver-side bipartite " +
+      "recompute; indexed probe is byte-identical and the standing index " +
+      "never rescans the corpus; appends decode the delta only") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (incA, exA) = Multimodal.mmDeltaSplit(
+      Multimodal.synthesizeAssets(spark, dir))
+    def featsOf(a: org.apache.spark.sql.Dataset[Asset]) =
+      Multimodal.extractFeatures(a).collect()
+        .map(f => f.asset_id -> f.features.map(_.toDouble)).toMap
+    val incF = featsOf(incA); val exF = featsOf(exA)
+    def levels(f: Array[Double]) =
+      f.map(x => math.min(255, math.floor(x * 256).toInt))
+    // the intake contract restated independently: candidate iff levels
+    // equal or exactly one bin differs by exactly one; near iff L1 <= eps
+    val expected = incF.keys.toSeq.sorted.map { i =>
+      val li = levels(incF(i))
+      val n = exF.count { case (_, fj) =>
+        val lj = levels(fj)
+        val diffs = li.indices.filter(d => li(d) != lj(d))
+        val cand = diffs.isEmpty || (diffs.length == 1 &&
+          math.abs(li(diffs.head) - lj(diffs.head)) == 1)
+        cand && li.indices.map(d => math.abs(incF(i)(d) - fj(d))).sum <=
+          Multimodal.MmDupL1Eps
+      }
+      (i, n.toLong, if (n > 0) "near" else "novel")
+    }
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val got = keyed(Multimodal.mmDupIntake(spark, dir).collect())
+    assert(got === expected)
+    assert(got.nonEmpty, "the residue split must produce delta assets")
+    val idx = keyed(Multimodal.mmDupIntakeIndexed(spark, dir).collect())
+    assert(idx === got, "probing the phash index must lose nothing")
+    val standing = graft.sources.IndexStore.standingPhashIndex(spark, dir)
+    assert(standing.inputFiles.nonEmpty)
+    assert(!standing.inputFiles.exists(_.contains("documents.parquet")),
+      "the standing corpus must never be rescanned through the index")
+    // append decodes only the delta payloads it is given
+    import spark.implicits._
+    val deltaDir = java.nio.file.Files
+      .createTempDirectory("phash-delta").toString
+    Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+      .write.mode("overwrite").parquet(deltaDir)
+    val deltaAssets = spark.read.parquet(deltaDir)
+      .select(col("doc_id").as("asset_id"),
+        lit("application/octet-stream").as("mime"),
+        col("n_chars").as("n_bytes"),
+        col("text").cast("binary").as("content")).as[Asset]
+    val root = java.nio.file.Files
+      .createTempDirectory("phash-idx").toString + "/phash"
+    graft.sources.IndexStore.buildPhash(exA, root)
+    val appended = graft.sources.IndexStore.appendPhash(deltaAssets, root)
+    assert(appended.inputFiles.nonEmpty &&
+      appended.inputFiles.forall(_.contains(deltaDir)),
+      "append must read the delta only")
+  }
+
   test("multimodal: frame sampling keeps every 4th chunk") {
     val assets = Multimodal.synthesizeAssets(spark, dir)
     val sampled = Multimodal.frameSample(assets, chunkBytes = 64, stride = 4)

@@ -98,6 +98,20 @@ class RetrievalQualitySpec extends SparkSpec {
       report("hyperplane_band_wide")._4)
   }
 
+  test("mmDupRecall equals an independent driver-side set recompute; " +
+      "phash precision is exact by construction") {
+    val report = reportMap(RetrievalQuality.mmDupRecall(spark, dir))
+    val exact = pairSet(Multimodal.mmDupPairsExact(spark, dir), "id_a", "id_b")
+    val probe = pairSet(Multimodal.mmDupPairs(spark, dir, maxId = Some(300L)),
+      "id_a", "id_b")
+    check(report, exact, Map("phash_probe" -> probe))
+    // probe candidates verify by the SAME L1 threshold the ground truth
+    // uses, so precision must be exactly 1
+    assert(report("phash_probe")._5 == 1000000L)
+    assert(report("phash_probe")._1 > 0L,
+      "phash probe should surface pairs at sf0.001")
+  }
+
   test("a zero-row variant is reported explicitly (returned=0, recall 0, " +
       "NULL precision), not dropped from the report (r10 ADVICE)") {
     import spark.implicits._
