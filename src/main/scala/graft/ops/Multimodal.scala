@@ -377,8 +377,14 @@ object Multimodal {
     * sweeps compare pair-for-pair. */
   def mmDupPairs(s: SparkSession, dir: String,
       maxId: Option[Long] = None): DataFrame = {
-    val base0 = phashFrame(s, dir)
-    val base = maxId.fold(base0)(m => base0.filter(col("asset_id") < m))
+    // domain restriction BEFORE decode: extractFeatures is mapPartitions,
+    // so a post-decode filter cannot reach the documents scan — the whole
+    // corpus would be decoded for a bounded-domain report (the same
+    // localCheckpoint-wall lesson as emb_dup_recall's r10 fix, one stage
+    // earlier)
+    val assets = maxId.foldLeft(synthesizeAssets(s, dir))(
+      (ds, m) => ds.filter(col("asset_id") < m))
+    val base = phashOf(assets)
     val probes = base.select(col("asset_id").as("id_a"),
       explode(expr(MmProbeExpr)).as("pk"))
     val cands = probes
@@ -402,7 +408,9 @@ object Multimodal {
     * all-pairs cost never scales with the corpus). */
   def mmDupPairsExact(s: SparkSession, dir: String,
       maxId: Long = 300L): DataFrame = {
-    val base = phashFrame(s, dir).filter(col("asset_id") < maxId)
+    // filter before decode — see mmDupPairs
+    val base = phashOf(
+      synthesizeAssets(s, dir).filter(col("asset_id") < maxId))
     val a = base.select(col("asset_id").as("id_a"), col("f").as("fa"))
     val b = base.select(col("asset_id").as("id_b"), col("f").as("fb"))
     val l1 = "aggregate(zip_with(fa, fb, (x, y) -> abs(x - y)), " +

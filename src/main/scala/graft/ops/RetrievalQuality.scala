@@ -150,8 +150,13 @@ object RetrievalQuality {
     * the exact scan's bounded asset_id < 300 domain; precision < 1 would
     * mean a verify bug, same contract as [[embDupRecall]]. */
   def mmDupRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = Multimodal.mmDupPairsExact(s, dir)
+    // materialize the members once: the report consumes `exact` twice
+    // (hit join + count) and the mm operators — unlike the emb family's,
+    // which localCheckpoint internally — return live plans whose decode
+    // stage would re-run per consumer
+    val exact = Multimodal.mmDupPairsExact(s, dir).localCheckpoint()
     val probe = Multimodal.mmDupPairs(s, dir, maxId = Some(300L))
+      .localCheckpoint()
     qualityReport(exact, Seq("phash_probe" -> probe), "id_a", "id_b")
   }
 }
