@@ -832,6 +832,14 @@ class TextMultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === expected, s"got ${got.size} vs expected ${expected.size}")
     assert(got.nonEmpty, "near-dup corpus should surface phash pairs")
+    // the bounded-domain knob must reach the documents scan as a pushed
+    // predicate: it sits BELOW the mapPartitions decode, so the recall
+    // report's 300-asset domain never decodes the whole corpus
+    val plan = Multimodal.mmDupPairs(spark, dir, maxId = Some(300L))
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(doc_id,300\\)".r
+      .findFirstIn(plan).isDefined,
+      "maxId must push into the documents scan")
   }
 
   test("multimodal intake: verdicts equal a driver-side bipartite " +
