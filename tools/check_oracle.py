@@ -114,6 +114,30 @@ def check(sf_dir, out_dir, names=None, quiet=False):
     return results
 
 
+def check_isolated(sf_dir, out_dir, name, timeout_sec=1800):
+    """Re-check ONE query in a fresh python subprocess.
+
+    A DuckDB query that dies at the allocator ("bad allocation") can leave
+    the PROCESS heap poisoned — observed at the x10 sweep: after one
+    borderline oracle OOM'd, even fresh connect() calls in the same
+    interpreter failed to allocate 2 KB, cascading 100+ spurious FAILs.
+    Per-query connections (already in place) don't help because the damage
+    is process-level, so the retry must be process-level too."""
+    import subprocess
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--one", name, sf_dir, out_dir]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout_sec)
+        for line in reversed(r.stdout.splitlines()):
+            if line.startswith("{"):
+                v = json.loads(line)
+                return v["status"], v["detail"]
+        return "fail", f"isolated checker produced no verdict (rc={r.returncode})"
+    except subprocess.TimeoutExpired:
+        return "fail", f"isolated checker timed out after {timeout_sec}s"
+
+
 def main(sf_dir, out_dir):
     results = check(sf_dir, out_dir)
     n_pass = sum(1 for s, _ in results.values() if s == "pass")
@@ -124,4 +148,12 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
+    if sys.argv[1] == "--one":
+        # single-query subprocess mode for check_isolated: last stdout line
+        # is a JSON verdict
+        name, sf, out = sys.argv[2], sys.argv[3], sys.argv[4]
+        res = check(sf, out, names=[name], quiet=True)
+        st, detail = res.get(name, ("fail", "query dir not found"))
+        print(json.dumps({"status": st, "detail": detail}))
+        sys.exit(0 if st == "pass" else 1)
     sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -162,6 +162,17 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import check_oracle
     verdicts = check_oracle.check(dst, repl_out, names=names)
+    # allocator-failure retry, each in a FRESH subprocess: one borderline
+    # oracle OOM can poison the shared interpreter's heap and cascade
+    # spurious "bad allocation" FAILs over every later query (observed at
+    # x10: 1 real OOM -> 121 fails). The retry isolates each verdict at
+    # process level; a query that STILL fails alone is a real gate failure.
+    poisoned = sorted(n for n, (st, d) in verdicts.items()
+                      if st == "fail" and "bad allocation" in d)
+    for n in poisoned:
+        st, d = check_oracle.check_isolated(dst, repl_out, n)
+        print(f"RETRY     {n}: {st} ({d})", flush=True)
+        verdicts[n] = (st, d)
 
     # 5. emit the gate file
     per_query = {}
