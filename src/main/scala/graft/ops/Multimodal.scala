@@ -376,7 +376,8 @@ object Multimodal {
     * restricts BOTH sides to a constant-size domain, so replica-scale
     * sweeps compare pair-for-pair. */
   def mmDupPairs(s: SparkSession, dir: String,
-      maxId: Option[Long] = None): DataFrame = {
+      maxId: Option[Long] = None,
+      maxCandidatesPerDoc: Option[Int] = None): DataFrame = {
     // domain restriction BEFORE decode: extractFeatures is mapPartitions,
     // so a post-decode filter cannot reach the documents scan — the whole
     // corpus would be decoded for a bounded-domain report (the same
@@ -387,10 +388,25 @@ object Multimodal {
     val base = phashOf(assets)
     val probes = base.select(col("asset_id").as("id_a"),
       explode(expr(MmProbeExpr)).as("pk"))
-    val cands = probes
+    val cands0 = probes
       .join(base.select(col("asset_id").as("id_b"), col("k").as("pk")), "pk")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+    // the pair family's standard candidate budget (see prefixJoinPairsOf /
+    // winnowPairs / bandVerifiedPairs): ids-only rows ranked per id_a, the
+    // first c partners survive — verify work and output bound to O(c·n);
+    // None (default) keeps the oracled exact-probe semantics unchanged.
+    // Identical-payload groups make candidates quadratic in group size, so
+    // a duplicate-dense corpus prices this knob exactly like the text
+    // family's digest-histogram scouts price theirs.
+    val cands = maxCandidatesPerDoc match {
+      case None => cands0
+      case Some(c) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id_a")).orderBy(col("id_b"))
+        cands0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= c).drop("__rn")
+    }
     val l1 = "aggregate(zip_with(fa, fb, (x, y) -> abs(x - y)), " +
       "cast(0 AS DOUBLE), (acc, x) -> acc + x)"
     cands

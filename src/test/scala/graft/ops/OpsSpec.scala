@@ -842,6 +842,21 @@ class TextMultimodalSpec extends SparkSpec {
       "maxId must push into the documents scan")
   }
 
+  test("mm pair candidate budget: capped ⊆ exact, per-doc bound holds, " +
+      "deterministic; None keeps the oracled semantics") {
+    def pairs(cap: Option[Int]) =
+      Multimodal.mmDupPairs(spark, dir, maxCandidatesPerDoc = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(None)
+    val capped = pairs(Some(2))
+    assert(capped.subsetOf(exact), "capped output must be a subset")
+    assert(capped.groupBy(_._1).values.forall(_.size <= 2),
+      "per-doc emitted pairs must respect the candidate budget")
+    assert(pairs(Some(2)) === capped, "budget selection must be deterministic")
+    assert(pairs(Some(Int.MaxValue)) === exact,
+      "a non-binding budget must change nothing")
+  }
+
   test("multimodal intake: verdicts equal a driver-side bipartite " +
       "recompute; indexed probe is byte-identical and the standing index " +
       "never rescans the corpus; appends decode the delta only") {
