@@ -161,18 +161,23 @@ def main():
     # driver's own sf0.01 gate; this one exists to catch scale-only bugs)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import check_oracle
-    verdicts = check_oracle.check(dst, repl_out, names=names)
-    # allocator-failure retry, each in a FRESH subprocess: one borderline
-    # oracle OOM can poison the shared interpreter's heap and cascade
-    # spurious "bad allocation" FAILs over every later query (observed at
-    # x10: 1 real OOM -> 121 fails). The retry isolates each verdict at
-    # process level; a query that STILL fails alone is a real gate failure.
-    poisoned = sorted(n for n, (st, d) in verdicts.items()
-                      if st == "fail" and "bad allocation" in d)
-    for n in poisoned:
-        st, d = check_oracle.check_isolated(dst, repl_out, n)
-        print(f"RETRY     {n}: {st} ({d})", flush=True)
-        verdicts[n] = (st, d)
+    # one fresh subprocess PER oracle check. Running all replica-scale
+    # oracles through one interpreter is not survivable: DuckDB's
+    # allocator state degrades across dozens of near-limit queries even
+    # with per-query connections — observed twice at x10 as a cascade
+    # (one borderline band oracle dies at the allocator, then EVERY later
+    # query fails to allocate single kilobytes; the second time the
+    # native bad_alloc aborted the whole process before a retry pass
+    # could run). Each query that was seen failing this way passes alone
+    # in a fresh process. Isolation costs ~1 s/query of interpreter +
+    # view setup — noise against replica-scale oracle runtimes — and
+    # makes every verdict independent: a FAIL here is the query's own.
+    verdicts = {}
+    label = {"pass": "PASS ", "fail": "FAIL ", "rows_only": "ROWS-ONLY"}
+    for n in names:
+        verdicts[n] = check_oracle.check_isolated(dst, repl_out, n)
+        st, detail = verdicts[n]
+        print(f"{label.get(st, st):9s} {n}: {detail}", flush=True)
 
     # 5. emit the gate file
     per_query = {}
