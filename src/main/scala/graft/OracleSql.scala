@@ -30,6 +30,47 @@ object OracleSql {
       s"list_min(list_transform(sh, x -> ${SharedHash.duckK("x", a, b)})) AS mh_$k"
   }.mkString(", ")
 
+  /** Stupid-backoff LM CTE chain ending in `w(doc_id, w_u, bo)` — per-
+    * trigram floored micro-nat weights plus the backoff marker, trained on
+    * the 90% hash split. Shared verbatim by text_lm_backoff (per-doc
+    * readout) and text_ppl_buckets (tercile split over the same scores). */
+  private def lmBackoffCtes: String = {
+    val a1 = graft.ops.TermScoring.BackoffAlpha
+    val a2 = a1 * a1
+    def triCols(src: String) =
+      s"""unnest(list_transform(range(1, CAST(len(toks) AS BIGINT) - 1), i -> toks[i])) AS a,
+         |  unnest(list_transform(range(1, CAST(len(toks) AS BIGINT) - 1), i -> toks[i + 1])) AS b,
+         |  unnest(list_transform(range(1, CAST(len(toks) AS BIGINT) - 1), i -> toks[i + 2])) AS c
+         |  FROM $src WHERE len(toks) >= 3""".stripMargin
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tr AS (SELECT doc_id, toks FROM tok
+       |  WHERE (${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 10) <> 9),
+       |tt AS (SELECT ${triCols("tr")}),
+       |tm AS (SELECT a, b, c, count(*) AS c3 FROM tt GROUP BY 1, 2, 3),
+       |cx AS (SELECT a, b, CAST(sum(c3) AS BIGINT) AS c12 FROM tm GROUP BY 1, 2),
+       |bt AS (SELECT
+       |  unnest(list_transform(range(1, CAST(len(toks) AS BIGINT)), i -> toks[i])) AS a2,
+       |  unnest(list_transform(range(1, CAST(len(toks) AS BIGINT)), i -> toks[i + 1])) AS b2
+       |  FROM tr WHERE len(toks) >= 2),
+       |bm AS (SELECT a2, b2, count(*) AS c23 FROM bt GROUP BY 1, 2),
+       |b1 AS (SELECT a2 AS a1, CAST(sum(c23) AS BIGINT) AS c2 FROM bm GROUP BY 1),
+       |um AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY 1),
+       |nt AS (SELECT count(*) AS n_tok FROM (SELECT unnest(toks) AS w FROM tr)),
+       |st AS (SELECT doc_id, ${triCols("tok")}),
+       |j AS (SELECT st.doc_id, tm.c3, cx.c12, bm.c23, b1.c2, um.c1, nt.n_tok
+       |  FROM st LEFT JOIN tm USING (a, b, c) LEFT JOIN cx USING (a, b)
+       |  LEFT JOIN bm ON bm.a2 = st.b AND bm.b2 = st.c
+       |  LEFT JOIN b1 ON b1.a1 = st.b
+       |  LEFT JOIN um ON um.w = st.c
+       |  CROSS JOIN nt),
+       |w AS (SELECT doc_id,
+       |  CAST(floor(ln(CASE WHEN c3 IS NOT NULL THEN c3 / c12
+       |    WHEN c23 IS NOT NULL THEN CAST($a1 AS DOUBLE) * (c23 / c2)
+       |    WHEN c1 IS NOT NULL THEN CAST($a2 AS DOUBLE) * (c1 / n_tok)
+       |    ELSE CAST($a2 AS DOUBLE) * (1.0 / n_tok) END) * 1000000) AS BIGINT) AS w_u,
+       |  CASE WHEN c3 IS NULL THEN 1 ELSE 0 END AS bo FROM j)""".stripMargin
+  }
+
   /** Shared CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
     * MinHash+LSH candidate/verify pipeline. */
   private def minhashPairsCte: String = minhashPairsCteFrom(tokensCte)
@@ -1085,6 +1126,39 @@ object OracleSql {
          |    AS contam_ratio
          |FROM ed LEFT JOIN h ON ed.doc_id = h.doc_id
          |ORDER BY ed.doc_id""".stripMargin
+    },
+
+    // fuzzy decontamination: the dedup_incremental band probe with the
+    // verdict side reversed — per contaminated TRAIN doc, its best eval
+    // near-dup (max jaccard, ties min eval id) at the family threshold
+    "corpus_contamination_fuzzy" -> {
+      val bandSelects = (0 until Dedup.NumBands).map { j =>
+        val key = (0 until Dedup.RowsPerBand)
+          .map(r => s"CAST(mh_${j * Dedup.RowsPerBand + r} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, is_inc, $j AS band, $key AS key FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT doc_id, text,
+         |  string_split(text, ' ') AS tokens,
+         |  (${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 10) = 9 AS is_inc
+         |  FROM documents),
+         |sh AS (SELECT doc_id, is_inc, $shinglesCase AS sh FROM tok),
+         |mh AS (SELECT doc_id, is_inc, $minhashCols FROM sh),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS eval_id
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.is_inc AND NOT b.is_inc),
+         |v AS (SELECT cand.doc_id, cand.eval_id,
+         |  round(len(list_distinct(list_intersect(sb.sh, sa.sh))) /
+         |        len(list_distinct(sb.sh || sa.sh)), 4) AS jaccard
+         |  FROM cand JOIN sh sa ON sa.doc_id = cand.eval_id
+         |            JOIN sh sb ON sb.doc_id = cand.doc_id),
+         |r AS (SELECT doc_id, eval_id, jaccard,
+         |  row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY jaccard DESC, eval_id ASC) AS rnk
+         |  FROM v WHERE jaccard >= ${Dedup.JaccardThreshold})
+         |SELECT doc_id, eval_id AS eval_match, jaccard
+         |FROM r WHERE rnk = 1 ORDER BY doc_id""".stripMargin
     },
 
     // mixture sampling: identical md5-derived bucket, identical CASE rates
@@ -2405,44 +2479,50 @@ object OracleSql {
     // stupid-backoff trigram LM: counts replayed from the same hash-split
     // train slice; the CASE's alpha literals are the Scala-computed
     // doubles (0.4*0.4 != 0.16 in IEEE — Double.toString round-trips)
-    "text_lm_backoff" -> {
-      val a1 = graft.ops.TermScoring.BackoffAlpha
-      val a2 = a1 * a1
-      def triCols(src: String) =
-        s"""unnest(list_transform(range(1, CAST(len(toks) AS BIGINT) - 1), i -> toks[i])) AS a,
-           |  unnest(list_transform(range(1, CAST(len(toks) AS BIGINT) - 1), i -> toks[i + 1])) AS b,
-           |  unnest(list_transform(range(1, CAST(len(toks) AS BIGINT) - 1), i -> toks[i + 2])) AS c
-           |  FROM $src WHERE len(toks) >= 3""".stripMargin
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |tr AS (SELECT doc_id, toks FROM tok
-         |  WHERE (${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 10) <> 9),
-         |tt AS (SELECT ${triCols("tr")}),
-         |tm AS (SELECT a, b, c, count(*) AS c3 FROM tt GROUP BY 1, 2, 3),
-         |cx AS (SELECT a, b, CAST(sum(c3) AS BIGINT) AS c12 FROM tm GROUP BY 1, 2),
-         |bt AS (SELECT
-         |  unnest(list_transform(range(1, CAST(len(toks) AS BIGINT)), i -> toks[i])) AS a2,
-         |  unnest(list_transform(range(1, CAST(len(toks) AS BIGINT)), i -> toks[i + 1])) AS b2
-         |  FROM tr WHERE len(toks) >= 2),
-         |bm AS (SELECT a2, b2, count(*) AS c23 FROM bt GROUP BY 1, 2),
-         |b1 AS (SELECT a2 AS a1, CAST(sum(c23) AS BIGINT) AS c2 FROM bm GROUP BY 1),
-         |um AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY 1),
-         |nt AS (SELECT count(*) AS n_tok FROM (SELECT unnest(toks) AS w FROM tr)),
-         |st AS (SELECT doc_id, ${triCols("tok")}),
-         |j AS (SELECT st.doc_id, tm.c3, cx.c12, bm.c23, b1.c2, um.c1, nt.n_tok
-         |  FROM st LEFT JOIN tm USING (a, b, c) LEFT JOIN cx USING (a, b)
-         |  LEFT JOIN bm ON bm.a2 = st.b AND bm.b2 = st.c
-         |  LEFT JOIN b1 ON b1.a1 = st.b
-         |  LEFT JOIN um ON um.w = st.c
-         |  CROSS JOIN nt),
-         |w AS (SELECT doc_id,
-         |  CAST(floor(ln(CASE WHEN c3 IS NOT NULL THEN c3 / c12
-         |    WHEN c23 IS NOT NULL THEN CAST($a1 AS DOUBLE) * (c23 / c2)
-         |    WHEN c1 IS NOT NULL THEN CAST($a2 AS DOUBLE) * (c1 / n_tok)
-         |    ELSE CAST($a2 AS DOUBLE) * (1.0 / n_tok) END) * 1000000) AS BIGINT) AS w_u,
-         |  CASE WHEN c3 IS NULL THEN 1 ELSE 0 END AS bo FROM j)
+    "text_lm_backoff" ->
+      s"""WITH $lmBackoffCtes
          |SELECT doc_id, count(*) AS n_trigrams, CAST(sum(bo) AS BIGINT) AS n_backoff,
          |  round(CAST(sum(w_u) AS BIGINT) / (count(*) * 1000000.0), 4) AS lm_score
-         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // CCNet terciles: the backoff-LM chain nests VERBATIM (same `w` CTE as
+    // text_lm_backoff), language vote from the langid profiles over the
+    // chain's own tok frame, thresholds replayed from the identical
+    // bottom-k-by-hash sample (ORDER BY hash, doc_id — TopKBy's tie rule)
+    // and ceil(q·n) order statistics, bucket edges compared on the same
+    // round(_, 4) doubles both engines already hash-match in text_lm_backoff
+    "text_ppl_buckets" -> {
+      def hits(lang: String) =
+        s"len(list_filter(toks, t -> t IN (${inList(TextAnalysis.LangProfiles(lang))})))"
+      val k = graft.ops.TermScoring.PplSampleK
+      s"""WITH $lmBackoffCtes,
+         |sc AS (SELECT doc_id,
+         |  round(CAST(sum(w_u) AS BIGINT) / (count(*) * 1000000.0), 4) AS lm_score
+         |  FROM w GROUP BY doc_id),
+         |lgx AS (SELECT doc_id,
+         |  CASE WHEN ${hits("es")} > ${hits("en")} AND ${hits("es")} > ${hits("fr")} THEN 'es'
+         |       WHEN ${hits("fr")} > ${hits("en")} THEN 'fr' ELSE 'en' END AS lang
+         |  FROM tok),
+         |d AS (SELECT sc.doc_id, sc.lm_score, lgx.lang
+         |  FROM sc JOIN lgx USING (doc_id)),
+         |pk AS (SELECT lang, doc_id FROM (SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY
+         |      ${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS r
+         |  FROM d) WHERE r <= $k),
+         |smp AS (SELECT d.lang, d.lm_score,
+         |  row_number() OVER (PARTITION BY d.lang
+         |    ORDER BY d.lm_score ASC, d.doc_id ASC) AS r,
+         |  count(*) OVER (PARTITION BY d.lang) AS n
+         |  FROM d JOIN pk USING (lang, doc_id)),
+         |th AS (SELECT lang,
+         |  max(CASE WHEN r = ceil(n / 3.0) THEN lm_score END) AS t_lo,
+         |  max(CASE WHEN r = ceil(n * 2 / 3.0) THEN lm_score END) AS t_hi
+         |  FROM smp GROUP BY lang)
+         |SELECT d.doc_id, d.lang, d.lm_score,
+         |  CASE WHEN d.lm_score <= th.t_lo THEN 'tail'
+         |       WHEN d.lm_score <= th.t_hi THEN 'middle'
+         |       ELSE 'head' END AS bucket
+         |FROM d JOIN th USING (lang) ORDER BY d.doc_id""".stripMargin
     },
 
     // BPE training replayed as one chained CTE per merge round (the

@@ -147,6 +147,7 @@ object SparkEntry {
     "text_hybrid" -> ((s: SparkSession, d: String) => TermScoring.hybridSearch(s, d)),
     "text_lm_score" -> (TermScoring.lmScore _),
     "text_lm_backoff" -> (TermScoring.lmBackoff _),
+    "text_ppl_buckets" -> ((s: SparkSession, d: String) => TermScoring.pplBuckets(s, d)),
     "q_pii_redact" -> (Redaction.redactDocuments _),
     "text_bpe_merges" -> (Bpe.merges _),
     "text_bpe_encode" -> (Bpe.encode _),
@@ -179,6 +180,7 @@ object SparkEntry {
     "q_kanon" -> ((s: SparkSession, d: String) => DataQuality.kAnonymityReport(s, d)),
     "corpus_curriculum" -> (Corpus.curriculumShards _),
     "corpus_contamination" -> (Corpus.contamination _),
+    "corpus_contamination_fuzzy" -> (Corpus.contaminationFuzzy _),
     "corpus_dsir" -> (Corpus.dsirSelect _),
     "corpus_dsir_intake" -> (Corpus.dsirIntake _),
     "corpus_dsir_intake_indexed" -> (Corpus.dsirIntakeIndexed _),

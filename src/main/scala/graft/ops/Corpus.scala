@@ -201,6 +201,56 @@ object Corpus {
     Caching.materializeAndRelease(out, toks)
   }
 
+  /** FUZZY decontamination — the near-dup complement of [[contamination]]:
+    * where the exact pass scores EVAL docs by verbatim 8-gram overlap,
+    * this one flags TRAIN docs that are MinHash-near-duplicates of any
+    * eval doc (paraphrases, reflowed copies, templated variants that share
+    * few exact 8-grams) — the removal list a decontamination pass actually
+    * deletes from the training corpus before a run.
+    *
+    * Dataflow is the bipartite band probe of [[Dedup.incrementalDedup]]
+    * with the verdict side REVERSED: eval bands (hash bucket 9, the same
+    * engine-stable split every intake operator uses) probe the train
+    * side's bands, candidates verify by exact shingle jaccard at the
+    * family's [[Dedup.JaccardThreshold]], and each contaminated TRAIN doc
+    * reports its best eval match (max jaccard, ties to min eval id — one
+    * row_number window keyed by the train doc).
+    *
+    * Scale shape: a real eval suite is benchmark-sized (10³–10⁵ docs)
+    * against a 100 TB train corpus, so the eval side's band table is
+    * explicitly broadcast — candidate generation is then a map-side gate
+    * over the train band stream, O(train bands + collisions) with NO
+    * train-side shuffle. The shingle-verify joins stay planner-chosen
+    * equi-joins: candidates ∝ collisions, and the eval shingle frame
+    * auto-broadcasts under AQE when it fits (the harness split is an
+    * unrealistically fat 10%, so the hint is left off the array side). */
+  def contaminationFuzzy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (ev, tr) = Dedup.deltaSplit(Tables.documents(s, dir))
+    val shEv = Dedup.shingled(ev).cache()
+    val shTr = Dedup.shingled(tr).cache()
+    shEv.count(); shTr.count() // force: band build + verify join per side
+    val cands = Dedup.bandsFrom(Dedup.signaturesFrom(shTr)).as("x")
+      .join(broadcast(Dedup.bandsFrom(Dedup.signaturesFrom(shEv))).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("eval_id"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("eval_id").asc)
+    val out = cands
+      .join(shTr.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .join(shEv.select(col("doc_id").as("eval_id"), col("sh").as("sh_b")), "eval_id")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= Dedup.JaccardThreshold)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("eval_id").as("eval_match"), col("jaccard"))
+      .orderBy(col("doc_id"))
+    Caching.materializeAndRelease(out, shEv, shTr)
+  }
+
   /** Epoch factors in integer percent: src0 sees ~2.5 epochs, src3 is
     * downsampled to 0.4 — the multi-epoch source weighting every modern
     * pretraining mix uses (some sources repeat, some subsample). */

@@ -313,7 +313,13 @@ object TermScoring {
     */
   val BackoffAlpha = 0.4
 
-  def lmBackoff(s: SparkSession, dir: String): DataFrame = {
+  def lmBackoff(s: SparkSession, dir: String): DataFrame =
+    lmBackoffScored(s, dir).orderBy(col("doc_id"))
+
+  /** [[lmBackoff]] without the presentation sort — the per-doc
+    * (doc_id, n_trigrams, n_backoff, lm_score) frame consumers feed into
+    * further dataflow ([[pplBuckets]]). */
+  private[graft] def lmBackoffScored(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val isEval = expr(s"pmod(${graft.functions.SharedHash.spark48("cast(doc_id AS STRING)")}, 10)") === 9
@@ -361,7 +367,66 @@ object TermScoring {
         sum(col("w_u")).as("s"))
       .select(col("doc_id"), col("n_trigrams"), col("n_backoff"),
         round(col("s") / (col("n_trigrams") * lit(1000000.0)), 4).as("lm_score"))
+  }
+
+  /** Docs sampled per language for the tercile thresholds — the same
+    * bounded-state bottom-k-by-hash discipline as
+    * [[graft.ops.Sketches.quantileSketch]]. */
+  val PplSampleK = 512
+
+  /** CCNet-style perplexity buckets (Wenzek et al. 2019 §4.3): every doc
+    * gets a per-LANGUAGE quality tercile — `head` (best third by LM
+    * score), `middle`, `tail` — the split CCNet materializes so
+    * downstream consumers can choose how deep into the crawl to reach.
+    * Score = the stupid-backoff LM of [[lmBackoff]] (higher mean log-prob
+    * = lower perplexity = better); language = the stopword-profile vote
+    * of [[TextAnalysis.langId]], so the whole pipeline is self-contained
+    * on the corpus plus the train split the LM fits on.
+    *
+    * The tercile THRESHOLDS come from a deterministic bottom-
+    * [[PplSampleK]]-by-[[graft.functions.SharedHash]] sample per language
+    * (the [[graft.ops.Sketches.quantileRollup]] recipe: one bounded-state
+    * [[graft.functions.TopKBy]] aggregate per language, O(k) partials,
+    * map-side reduction), NOT an exact corpus sort — at 100 TB an exact
+    * per-language percentile would corpus-sort every language shard,
+    * while the sample's ±O(1/√k) rank error moves a negligible sliver of
+    * docs across a bucket edge. Thresholds (one tiny row per language)
+    * broadcast back into a pure per-doc bucket projection, so the corpus
+    * itself never shuffles for the split. The DuckDB oracle replays
+    * sample, order statistics, and bucket edges exactly, so the bucket
+    * ASSIGNMENTS are hash-checked end to end. */
+  def pplBuckets(s: SparkSession, dir: String,
+      sampleK: Int = PplSampleK): DataFrame = {
+    graft.functions.TopKBy.register(s)
+    val lg = TextAnalysis.langId(s, dir)
+      .select(col("doc_id"), col("predicted_lang").as("lang"))
+    val d = lmBackoffScored(s, dir)
+      .select(col("doc_id"), col("lm_score"))
+      .join(lg, "doc_id")
+      .cache()
+    d.count() // force: the sample pick and the final projection both read it
+    val h = graft.functions.SharedHash.spark48("cast(doc_id AS string)")
+    val picked = d.groupBy(col("lang"))
+      .agg(expr(s"topk_by(CAST(-($h) AS DOUBLE), doc_id, $sampleK)").as("kept"))
+      .select(col("lang"), explode(col("kept")).as("e"))
+      .select(col("lang"), col("e.tag").as("doc_id"))
+    val ws = Window.partitionBy(col("lang"))
+      .orderBy(col("lm_score").asc, col("doc_id").asc)
+    val wn = Window.partitionBy(col("lang"))
+    val th = broadcast(picked).join(d, Seq("lang", "doc_id"))
+      .withColumn("r", row_number().over(ws))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("lang"))
+      .agg(max(when(col("r") === ceil(col("n") / lit(3.0)), col("lm_score"))).as("t_lo"),
+        max(when(col("r") === ceil(col("n") * lit(2) / lit(3.0)), col("lm_score"))).as("t_hi"))
+    val out = d.join(broadcast(th), "lang")
+      .withColumn("bucket",
+        when(col("lm_score") <= col("t_lo"), "tail")
+          .when(col("lm_score") <= col("t_hi"), "middle")
+          .otherwise("head"))
+      .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket"))
       .orderBy(col("doc_id"))
+    Caching.materializeAndRelease(out, d)
   }
 
   /** Collocation mining: the topK adjacent-bigram pairs ranked by
