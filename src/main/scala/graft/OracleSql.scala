@@ -3211,6 +3211,9 @@ object OracleSql {
         // composition — shared oracle = native/composed/DuckDB 3-way check
         "q_range_join_native" -> base("q_range_join"),
         "dedup_incremental_indexed" -> base("dedup_incremental"),
+        // the persisted-index probe answers the same question: bands and
+        // shingles are pure functions of the train text, nothing fitted
+        "corpus_contamination_fuzzy_indexed" -> base("corpus_contamination_fuzzy"),
         "dedup_bloom_gate_indexed" -> base("dedup_bloom_gate"),
         // probing the persisted signature index answers the same question:
         // band keys under seeded-constant planes are position-independent

@@ -181,6 +181,7 @@ object SparkEntry {
     "corpus_curriculum" -> (Corpus.curriculumShards _),
     "corpus_contamination" -> (Corpus.contamination _),
     "corpus_contamination_fuzzy" -> (Corpus.contaminationFuzzy _),
+    "corpus_contamination_fuzzy_indexed" -> (Corpus.contaminationFuzzyIndexed _),
     "corpus_dsir" -> (Corpus.dsirSelect _),
     "corpus_dsir_intake" -> (Corpus.dsirIntake _),
     "corpus_dsir_intake_indexed" -> (Corpus.dsirIntakeIndexed _),

@@ -225,12 +225,38 @@ object Corpus {
     * auto-broadcasts under AQE when it fits (the harness split is an
     * unrealistically fat 10%, so the hint is left off the array side). */
   def contaminationFuzzy(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (ev, tr) = Dedup.deltaSplit(Tables.documents(s, dir))
-    val shEv = Dedup.shingled(ev).cache()
     val shTr = Dedup.shingled(tr).cache()
-    shEv.count(); shTr.count() // force: band build + verify join per side
-    val cands = Dedup.bandsFrom(Dedup.signaturesFrom(shTr)).as("x")
+    shTr.count() // force: the band build and the verify join both read it
+    contaminationFuzzyAgainst(ev,
+      Dedup.bandsFrom(Dedup.signaturesFrom(shTr)),
+      shTr.select(col("doc_id"), col("sh")),
+      alsoRelease = Seq(shTr))
+  }
+
+  /** [[contaminationFuzzy]] probing the PERSISTED standing dedup index
+    * ([[graft.sources.IndexStore.standingDedupIndex]] — built over the
+    * train split, which IS the standing corpus under the harness's shared
+    * hash-bucket convention) instead of re-shingling the train side: the
+    * form a recurring decontamination job runs at 100 TB, where each new
+    * eval benchmark sweeps the corpus's band/shingle tables without ever
+    * reading training text. Output is byte-identical to the in-query
+    * variant (same oracle). */
+  def contaminationFuzzyIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (ev, _) = Dedup.deltaSplit(Tables.documents(s, dir))
+    val idx = graft.sources.IndexStore.standingDedupIndex(s, dir)
+    contaminationFuzzyAgainst(ev, idx.bands, idx.shingles, alsoRelease = Nil)
+  }
+
+  /** Shared flag dataflow over an eval batch and the train side's band /
+    * shingle tables — however those were obtained (computed in-query or
+    * read from the persisted index). */
+  private def contaminationFuzzyAgainst(ev: DataFrame, trBands: DataFrame,
+      trShingles: DataFrame, alsoRelease: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shEv = Dedup.shingled(ev).cache()
+    shEv.count() // force: band build + verify join
+    val cands = trBands.as("x")
       .join(broadcast(Dedup.bandsFrom(Dedup.signaturesFrom(shEv))).as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("eval_id"))
@@ -238,7 +264,7 @@ object Corpus {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("jaccard").desc, col("eval_id").asc)
     val out = cands
-      .join(shTr.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .join(trShingles.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
       .join(shEv.select(col("doc_id").as("eval_id"), col("sh").as("sh_b")), "eval_id")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))) /
@@ -248,7 +274,7 @@ object Corpus {
       .filter(col("rnk") === 1)
       .select(col("doc_id"), col("eval_id").as("eval_match"), col("jaccard"))
       .orderBy(col("doc_id"))
-    Caching.materializeAndRelease(out, shEv, shTr)
+    Caching.materializeAndRelease(out, (shEv +: alsoRelease): _*)
   }
 
   /** Epoch factors in integer percent: src0 sees ~2.5 epochs, src3 is

@@ -108,6 +108,13 @@ class PplContamSpec extends SparkSpec {
     }
   }
 
+  test("contaminationFuzzyIndexed: the persisted-index probe is row-" +
+      "identical to the in-query variant (train text never re-shingled)") {
+    val plain = Corpus.contaminationFuzzy(spark, dir).collect().toSeq
+    val indexed = Corpus.contaminationFuzzyIndexed(spark, dir).collect().toSeq
+    assert(indexed === plain)
+  }
+
   test("pplBuckets and contaminationFuzzy are empty-safe") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("empty12").toString
