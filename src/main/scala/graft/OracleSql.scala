@@ -2525,6 +2525,47 @@ object OracleSql {
          |FROM d JOIN th USING (lang) ORDER BY d.doc_id""".stripMargin
     },
 
+    // intake twin: thresholds sampled from STANDING docs only (the
+    // frozen-gate contract — a delta doc cannot move the bucket edges),
+    // verdicts emitted for the delta split only; shared verbatim by the
+    // persisted-artifact probe (integer count tables round-trip parquet
+    // exactly, so the frozen model scores identically to the re-derived one)
+    "text_ppl_intake" -> {
+      def hits(lang: String) =
+        s"len(list_filter(toks, t -> t IN (${inList(TextAnalysis.LangProfiles(lang))})))"
+      val k = graft.ops.TermScoring.PplSampleK
+      s"""WITH $lmBackoffCtes,
+         |sc AS (SELECT doc_id,
+         |  round(CAST(sum(w_u) AS BIGINT) / (count(*) * 1000000.0), 4) AS lm_score
+         |  FROM w GROUP BY doc_id),
+         |lgx AS (SELECT doc_id,
+         |  CASE WHEN ${hits("es")} > ${hits("en")} AND ${hits("es")} > ${hits("fr")} THEN 'es'
+         |       WHEN ${hits("fr")} > ${hits("en")} THEN 'fr' ELSE 'en' END AS lang
+         |  FROM tok),
+         |d AS (SELECT sc.doc_id, sc.lm_score, lgx.lang,
+         |  (${SharedHash.duck48("CAST(sc.doc_id AS VARCHAR)")} % 10) = 9 AS is_delta
+         |  FROM sc JOIN lgx USING (doc_id)),
+         |pk AS (SELECT lang, doc_id FROM (SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY
+         |      ${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS r
+         |  FROM d WHERE NOT is_delta) WHERE r <= $k),
+         |smp AS (SELECT d.lang, d.lm_score,
+         |  row_number() OVER (PARTITION BY d.lang
+         |    ORDER BY d.lm_score ASC, d.doc_id ASC) AS r,
+         |  count(*) OVER (PARTITION BY d.lang) AS n
+         |  FROM d JOIN pk USING (lang, doc_id)),
+         |th AS (SELECT lang,
+         |  max(CASE WHEN r = ceil(n / 3.0) THEN lm_score END) AS t_lo,
+         |  max(CASE WHEN r = ceil(n * 2 / 3.0) THEN lm_score END) AS t_hi
+         |  FROM smp GROUP BY lang)
+         |SELECT d.doc_id, d.lang, d.lm_score,
+         |  CASE WHEN d.lm_score <= th.t_lo THEN 'tail'
+         |       WHEN d.lm_score <= th.t_hi THEN 'middle'
+         |       ELSE 'head' END AS bucket
+         |FROM d JOIN th USING (lang) WHERE d.is_delta
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     // BPE training replayed as one chained CTE per merge round (the
     // PageRank-oracle pattern): pair-count → fully-tie-broken argmax →
     // one-pass replace, all in exact integers. `replace` has identical
@@ -3214,6 +3255,10 @@ object OracleSql {
         // the persisted-index probe answers the same question: bands and
         // shingles are pure functions of the train text, nothing fitted
         "corpus_contamination_fuzzy_indexed" -> base("corpus_contamination_fuzzy"),
+        // the persisted perplexity gate scores under the SAME frozen count
+        // tables the in-query variant derives (exact integers round-trip
+        // parquet), against thresholds from the same standing sample
+        "text_ppl_intake_indexed" -> base("text_ppl_intake"),
         "dedup_bloom_gate_indexed" -> base("dedup_bloom_gate"),
         // probing the persisted signature index answers the same question:
         // band keys under seeded-constant planes are position-independent

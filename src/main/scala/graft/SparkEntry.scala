@@ -148,6 +148,8 @@ object SparkEntry {
     "text_lm_score" -> (TermScoring.lmScore _),
     "text_lm_backoff" -> (TermScoring.lmBackoff _),
     "text_ppl_buckets" -> ((s: SparkSession, d: String) => TermScoring.pplBuckets(s, d)),
+    "text_ppl_intake" -> ((s: SparkSession, d: String) => TermScoring.pplIntake(s, d)),
+    "text_ppl_intake_indexed" -> (TermScoring.pplIntakeIndexed _),
     "q_pii_redact" -> (Redaction.redactDocuments _),
     "text_bpe_merges" -> (Bpe.merges _),
     "text_bpe_encode" -> (Bpe.encode _),
@@ -265,5 +267,6 @@ object SparkEntry {
     "dedup_winnow_probe_indexed", "text_postings_indexed",
     "ann_ivf_indexed", "ann_ivfpq_indexed", "emb_dup_intake_indexed",
     "mm_dup_intake_indexed", "corpus_dsir_intake_indexed",
+    "text_ppl_intake_indexed",
     "text_bpe_merges", "quality_distill", "cf_als_score_saved")
 }

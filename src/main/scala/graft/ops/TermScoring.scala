@@ -318,21 +318,36 @@ object TermScoring {
 
   /** [[lmBackoff]] without the presentation sort — the per-doc
     * (doc_id, n_trigrams, n_backoff, lm_score) frame consumers feed into
-    * further dataflow ([[pplBuckets]]). */
+    * further dataflow ([[pplBuckets]], [[pplIntake]]). */
   private[graft] def lmBackoffScored(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val toks = lmTokens(s, dir)
     val isEval = expr(s"pmod(${graft.functions.SharedHash.spark48("cast(doc_id AS STRING)")}, 10)") === 9
-    val train = toks.filter(!isEval)
+    lmScoreWith(toks, lmModelFrom(toks.filter(!isEval)))
+  }
 
-    def trigrams(df: DataFrame) = df.filter(size(col("toks")) >= 3)
+  /** The frozen stupid-backoff model: five exact count frames plus the
+    * 1-row token total — everything [[lmScoreWith]] needs, and exactly
+    * what [[graft.sources.IndexStore.buildPpl]] persists (integer counts
+    * round-trip parquet bit-exactly, so a reloaded model scores
+    * identically to the in-query fit). */
+  private[graft] final case class LmModel(tri: DataFrame, ctx2: DataFrame,
+      bi: DataFrame, ctx1: DataFrame, uni: DataFrame, nTok: DataFrame)
+
+  private[graft] def lmTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+
+  private def lmTrigrams(df: DataFrame): DataFrame =
+    df.filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 2), i -> named_struct(" +
           "'a', element_at(toks, i), 'b', element_at(toks, i + 1), " +
           "'c', element_at(toks, i + 2)))")).as("g"))
       .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"), col("g.c").as("c"))
 
-    val triM = trigrams(train).groupBy(col("a"), col("b"), col("c"))
+  /** Fit the backoff model's count tables on `train` (doc_id, toks). */
+  private[graft] def lmModelFrom(train: DataFrame): LmModel = {
+    val triM = lmTrigrams(train).groupBy(col("a"), col("b"), col("c"))
       .agg(count(lit(1)).as("c3"))
     val ctx2 = triM.groupBy(col("a"), col("b")).agg(sum(col("c3")).as("c12"))
     val biM = train.filter(size(col("toks")) >= 2)
@@ -346,14 +361,20 @@ object TermScoring {
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val nTok = train.select(explode(col("toks")).as("w"))
       .agg(count(lit(1)).as("n_tok"))
+    LmModel(triM, ctx2, biM, ctx1, uniM, nTok)
+  }
 
-    trigrams(toks)
-      .join(triM, Seq("a", "b", "c"), "left")
-      .join(ctx2, Seq("a", "b"), "left")
-      .join(biM, col("a2") === col("b") && col("b2") === col("c"), "left")
-      .join(ctx1.withColumnRenamed("a2", "a1"), col("a1") === col("b"), "left")
-      .join(uniM, col("w") === col("c"), "left")
-      .crossJoin(broadcast(nTok))
+  /** Score `docs` (doc_id, toks) under a fitted/frozen model — per-doc
+    * score depends only on the doc's own trigrams plus the model tables,
+    * so restricting `docs` to a delta restricts cost to the delta. */
+  private[graft] def lmScoreWith(docs: DataFrame, m: LmModel): DataFrame =
+    lmTrigrams(docs)
+      .join(m.tri, Seq("a", "b", "c"), "left")
+      .join(m.ctx2, Seq("a", "b"), "left")
+      .join(m.bi, col("a2") === col("b") && col("b2") === col("c"), "left")
+      .join(m.ctx1.withColumnRenamed("a2", "a1"), col("a1") === col("b"), "left")
+      .join(m.uni, col("w") === col("c"), "left")
+      .crossJoin(broadcast(m.nTok))
       .withColumn("lnp", log(
         when(col("c3").isNotNull, col("c3") / col("c12"))
           .when(col("c23").isNotNull, lit(BackoffAlpha) * (col("c23") / col("c2")))
@@ -367,7 +388,6 @@ object TermScoring {
         sum(col("w_u")).as("s"))
       .select(col("doc_id"), col("n_trigrams"), col("n_backoff"),
         round(col("s") / (col("n_trigrams") * lit(1000000.0)), 4).as("lm_score"))
-  }
 
   /** Docs sampled per language for the tercile thresholds — the same
     * bounded-state bottom-k-by-hash discipline as
@@ -405,6 +425,16 @@ object TermScoring {
       .join(lg, "doc_id")
       .cache()
     d.count() // force: the sample pick and the final projection both read it
+    val out = bucketBy(d, pplThresholds(d, sampleK))
+      .orderBy(col("doc_id"))
+    Caching.materializeAndRelease(out, d)
+  }
+
+  /** Per-language (lang, t_lo, t_hi) tercile thresholds over a
+    * (doc_id, lm_score, lang) frame, from the deterministic bottom-
+    * `sampleK`-by-hash sample — see [[pplBuckets]] for the scale
+    * rationale. Caller registers [[graft.functions.TopKBy]]. */
+  private[graft] def pplThresholds(d: DataFrame, sampleK: Int): DataFrame = {
     val h = graft.functions.SharedHash.spark48("cast(doc_id AS string)")
     val picked = d.groupBy(col("lang"))
       .agg(expr(s"topk_by(CAST(-($h) AS DOUBLE), doc_id, $sampleK)").as("kept"))
@@ -413,20 +443,75 @@ object TermScoring {
     val ws = Window.partitionBy(col("lang"))
       .orderBy(col("lm_score").asc, col("doc_id").asc)
     val wn = Window.partitionBy(col("lang"))
-    val th = broadcast(picked).join(d, Seq("lang", "doc_id"))
+    broadcast(picked).join(d, Seq("lang", "doc_id"))
       .withColumn("r", row_number().over(ws))
       .withColumn("n", count(lit(1)).over(wn))
       .groupBy(col("lang"))
       .agg(max(when(col("r") === ceil(col("n") / lit(3.0)), col("lm_score"))).as("t_lo"),
         max(when(col("r") === ceil(col("n") * lit(2) / lit(3.0)), col("lm_score"))).as("t_hi"))
-    val out = d.join(broadcast(th), "lang")
+  }
+
+  /** The pure bucket projection: (doc_id, lang, lm_score) × broadcast
+    * thresholds → (doc_id, lang, lm_score, bucket). Unordered. */
+  private[graft] def bucketBy(d: DataFrame, th: DataFrame): DataFrame =
+    d.join(broadcast(th), "lang")
       .withColumn("bucket",
         when(col("lm_score") <= col("t_lo"), "tail")
           .when(col("lm_score") <= col("t_hi"), "middle")
           .otherwise("head"))
       .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket"))
+
+  /** The CCNet DEPLOYMENT shape of [[pplBuckets]]: the LM and the tercile
+    * thresholds belong to the STANDING corpus (fit once), and each
+    * incoming crawl delta (the shared hash-bucket-9 split) is scored and
+    * bucketed against them — an intake quality gate, not a corpus-wide
+    * re-split. Thresholds here sample from STANDING docs only (unlike
+    * [[pplBuckets]], whose split covers the whole corpus), so a delta doc
+    * CANNOT move the bucket edges — the property that makes per-shard
+    * verdicts reproducible while a crawl streams in. This variant fits
+    * the model in-query; [[pplIntakeIndexed]] scores against the
+    * PERSISTED artifact ([[graft.sources.IndexStore.buildPpl]]) — the
+    * form a recurring intake job runs, where only the delta is read. */
+  def pplIntake(s: SparkSession, dir: String,
+      sampleK: Int = PplSampleK): DataFrame = {
+    graft.functions.TopKBy.register(s)
+    val lg = TextAnalysis.langId(s, dir)
+      .select(col("doc_id"), col("predicted_lang").as("lang"))
+    val isDelta =
+      expr(s"pmod(${graft.functions.SharedHash.spark48("cast(doc_id AS string)")}, 10)") === 9
+    val d = lmBackoffScored(s, dir)
+      .select(col("doc_id"), col("lm_score"))
+      .join(lg, "doc_id")
+      .withColumn("is_delta", isDelta)
+      .cache()
+    d.count() // force: threshold sample + delta projection both read it
+    val th = pplThresholds(
+      d.filter(!col("is_delta")).select(col("doc_id"), col("lm_score"), col("lang")),
+      sampleK)
+    val out = bucketBy(
+      d.filter(col("is_delta")).select(col("doc_id"), col("lm_score"), col("lang")), th)
       .orderBy(col("doc_id"))
     Caching.materializeAndRelease(out, d)
+  }
+
+  /** [[pplIntake]] against the PERSISTED standing LM + thresholds
+    * ([[graft.sources.IndexStore.standingPplModel]]): only the delta's
+    * documents are tokenized and scored — the standing corpus is never
+    * re-read (its contribution is the frozen count tables, vocabulary-
+    * sized, and the language-count-sized threshold frame). Output is
+    * row-identical to the in-query variant (same oracle): integer count
+    * tables round-trip parquet exactly, and scoring under fixed counts
+    * is the same left-join chain wherever the counts came from. */
+  def pplIntakeIndexed(s: SparkSession, dir: String): DataFrame = {
+    val art = graft.sources.IndexStore.standingPplModel(s, dir)
+    val isDelta =
+      expr(s"pmod(${graft.functions.SharedHash.spark48("cast(doc_id AS string)")}, 10)") === 9
+    val deltaDocs = Tables.documents(s, dir).filter(isDelta)
+    val scored = lmScoreWith(
+      deltaDocs.select(col("doc_id"), split(col("text"), " ").as("toks")), art.model)
+      .select(col("doc_id"), col("lm_score"))
+      .join(TextAnalysis.predictedLang(deltaDocs), "doc_id")
+    bucketBy(scored, art.thresholds).orderBy(col("doc_id"))
   }
 
   /** Collocation mining: the topK adjacent-bigram pairs ranked by

@@ -84,6 +84,21 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** [[langId]]'s vote alone, over ANY (doc_id, text, …) frame — so
+    * delta-only consumers ([[graft.ops.TermScoring.pplIntakeIndexed]])
+    * can keep the language pass O(delta) instead of scanning the corpus
+    * through the full report. Returns (doc_id, lang). */
+  private[graft] def predictedLang(docs: DataFrame): DataFrame = {
+    val d = docs.withColumn("tokens", split(col("text"), " "))
+      .withColumn("en_hits", expr(s"size(filter(tokens, t -> t IN (${inList(LangProfiles("en"))})))"))
+      .withColumn("es_hits", expr(s"size(filter(tokens, t -> t IN (${inList(LangProfiles("es"))})))"))
+      .withColumn("fr_hits", expr(s"size(filter(tokens, t -> t IN (${inList(LangProfiles("fr"))})))"))
+    d.select(col("doc_id"),
+      when(col("es_hits") > col("en_hits") && col("es_hits") > col("fr_hits"), "es")
+        .when(col("fr_hits") > col("en_hits"), "fr")
+        .otherwise("en").as("lang"))
+  }
+
   /** Document fingerprinting via the shared md5-derived 48-bit hash +
     * a shard bucket — the partitioning key a 100 TB dedup pass would
     * repartition on. */

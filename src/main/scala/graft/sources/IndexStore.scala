@@ -1126,4 +1126,68 @@ object IndexStore {
     })
     readDedup(s, root)
   }
+
+  // --- persisted perplexity-gate artifact (CCNet intake) -------------------
+
+  /** The frozen CCNet quality gate: the stupid-backoff LM's five exact
+    * count tables + 1-row token total, and the per-language tercile
+    * thresholds — everything [[graft.ops.TermScoring.pplIntakeIndexed]]
+    * needs to bucket an incoming delta without reading the standing
+    * corpus. Model tables are vocabulary-/trigram-vocabulary-sized; the
+    * threshold frame is language-count-sized. */
+  private[graft] final case class PplArtifact(
+    model: graft.ops.TermScoring.LmModel, thresholds: DataFrame)
+
+  /** Fit the LM on `docs` (the standing corpus), persist its count
+    * tables, then derive + persist the per-language tercile thresholds by
+    * scoring `docs` under the PERSISTED (round-tripped) tables — so the
+    * thresholds are guaranteed consistent with exactly the frozen counts
+    * every later probe joins, not with an in-memory twin. */
+  def buildPpl(docs: DataFrame, root: String): Unit = {
+    import graft.ops.{TermScoring, TextAnalysis}
+    val s = docs.sparkSession
+    graft.functions.TopKBy.register(s)
+    val d = docs.cache(); d.count() // model fit + score + lang vote share the scan
+    val toks = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val m = TermScoring.lmModelFrom(toks)
+    m.tri.write.mode("overwrite").parquet(s"$root/tri")
+    m.ctx2.write.mode("overwrite").parquet(s"$root/ctx2")
+    m.bi.write.mode("overwrite").parquet(s"$root/bi")
+    m.ctx1.write.mode("overwrite").parquet(s"$root/ctx1")
+    m.uni.write.mode("overwrite").parquet(s"$root/uni")
+    m.nTok.coalesce(1).write.mode("overwrite").parquet(s"$root/ntok")
+    val frozen = readPplModel(s, root)
+    val scored = TermScoring.lmScoreWith(toks, frozen)
+      .select(col("doc_id"), col("lm_score"))
+      .join(TextAnalysis.predictedLang(d), "doc_id")
+    TermScoring.pplThresholds(scored, TermScoring.PplSampleK)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/thresholds")
+    d.unpersist()
+  }
+
+  private def readPplModel(s: SparkSession,
+      root: String): graft.ops.TermScoring.LmModel =
+    graft.ops.TermScoring.LmModel(
+      tri = s.read.parquet(s"$root/tri"),
+      ctx2 = s.read.parquet(s"$root/ctx2"),
+      bi = s.read.parquet(s"$root/bi"),
+      ctx1 = s.read.parquet(s"$root/ctx1"),
+      uni = s.read.parquet(s"$root/uni"),
+      nTok = s.read.parquet(s"$root/ntok"))
+
+  def readPpl(s: SparkSession, root: String): PplArtifact =
+    PplArtifact(readPplModel(s, root), s.read.parquet(s"$root/thresholds"))
+
+  /** The persisted standing perplexity gate for `dir` (memoized build
+    * over the STANDING split — the harness's shared hash-bucket
+    * convention: bucket 9 is the delta). */
+  def standingPplModel(s: SparkSession, dir: String): PplArtifact = {
+    val root = builtRoots.computeIfAbsent(s"ppl:$dir", _ => {
+      val (_, ex) = Dedup.deltaSplit(Tables.documents(s, dir))
+      val p = rootFor(s, "ppl", dir)
+      buildPpl(ex, p)
+      p
+    })
+    readPpl(s, root)
+  }
 }

@@ -115,6 +115,30 @@ class PplContamSpec extends SparkSpec {
     assert(indexed === plain)
   }
 
+  test("pplIntake: verdicts only for delta docs, frozen standing " +
+      "thresholds — a delta doc cannot move the bucket edges") {
+    val out = TermScoring.pplIntake(spark, dir).collect()
+    assert(out.nonEmpty, "hash split must yield delta docs")
+    val h = graft.functions.SharedHash.spark48("cast(id AS string)")
+    import spark.implicits._
+    val buckets = out.map(_.getLong(0)).toSeq.toDF("id")
+      .withColumn("b", expr(s"pmod($h, 10)")).collect().map(_.getLong(1))
+    assert(buckets.forall(_ == 9L), "intake verdicts are delta-only")
+    // the frozen-gate contract: delta docs' scores equal the corpus-wide
+    // operator's (same model — it already trains on the standing split),
+    // only the thresholds differ (standing-only sample vs corpus-wide)
+    val corpusWide = TermScoring.pplBuckets(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.foreach(r => assert(corpusWide(r.getLong(0)) === r.getDouble(2)))
+  }
+
+  test("pplIntakeIndexed: the persisted frozen-model probe is row-" +
+      "identical to the in-query intake (standing corpus never re-read)") {
+    val plain = TermScoring.pplIntake(spark, dir).collect().toSeq
+    val indexed = TermScoring.pplIntakeIndexed(spark, dir).collect().toSeq
+    assert(indexed === plain)
+  }
+
   test("pplBuckets and contaminationFuzzy are empty-safe") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("empty12").toString
