@@ -1157,13 +1157,54 @@ object IndexStore {
     m.uni.write.mode("overwrite").parquet(s"$root/uni")
     m.nTok.coalesce(1).write.mode("overwrite").parquet(s"$root/ntok")
     val frozen = readPplModel(s, root)
-    val scored = TermScoring.lmScoreWith(toks, frozen)
+    val scoredFull = TermScoring.lmScoreWith(toks, frozen).cache()
+    scoredFull.count() // stats aggregate + threshold pipeline share it
+    // fit-time backoff mass — the staleness baseline [[pplBackoffDrift]]
+    // compares against (on the fit corpus the top level only misses at
+    // doc boundaries' rare trigrams, so the rate is the model's floor)
+    scoredFull.agg(sum(col("n_trigrams")).as("n_tri"),
+        sum(col("n_backoff")).as("n_bo"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
+    val scored = scoredFull
       .select(col("doc_id"), col("lm_score"))
       .join(TextAnalysis.predictedLang(d), "doc_id")
     TermScoring.pplThresholds(scored, TermScoring.PplSampleK)
       .coalesce(1).write.mode("overwrite").parquet(s"$root/thresholds")
-    d.unpersist()
+    scoredFull.unpersist(); d.unpersist()
   }
+
+  /** Rise in the trigram BACKOFF rate when the FROZEN model scores
+    * `docs`, relative to its fit-time rate — the perplexity-gate member
+    * of the drift family ([[dsirBucketDrift]], [[prefixFreqDrift]],
+    * [[bpeCompressionDrift]]). The top backoff level misses exactly when
+    * a trigram was never seen at fit time, so new vocabulary / topic
+    * shift shows up directly as backoff mass; a stale gate mis-prices
+    * perplexity (scores drift toward the OOV floor), mis-bucketing
+    * admission — a selection-quality knob, never a correctness one.
+    * Cost: one scoring pass over the probe frame (delta-sized when
+    * probing a delta). */
+  def pplBackoffDrift(s: SparkSession, root: String,
+      docs: DataFrame): Double = {
+    import graft.ops.TermScoring
+    val fit = s.read.parquet(s"$root/stats").collect()(0)
+    val (fTri, fBo) = (fit.getLong(0), fit.getLong(1))
+    val cur = TermScoring.lmScoreWith(
+        docs.select(col("doc_id"), split(col("text"), " ").as("toks")),
+        readPplModel(s, root))
+      .agg(coalesce(sum(col("n_trigrams")), lit(0L)),
+        coalesce(sum(col("n_backoff")), lit(0L)))
+      .collect()(0)
+    val (cTri, cBo) = (cur.getLong(0), cur.getLong(1))
+    if (fTri == 0 || cTri == 0) 0.0 // empty fit or probe corpus: no signal
+    else cBo.toDouble / cTri - fBo.toDouble / fTri
+  }
+
+  /** Re-freeze the perplexity gate iff backoff drift exceeds `maxRise`.
+    * Returns true iff a rebuild ran. */
+  def maintainPpl(s: SparkSession, root: String, docs: DataFrame,
+      maxRise: Double): Boolean =
+    if (pplBackoffDrift(s, root, docs) <= maxRise) false
+    else { buildPpl(docs, root); true }
 
   private def readPplModel(s: SparkSession,
       root: String): graft.ops.TermScoring.LmModel =

@@ -599,6 +599,44 @@ object StreamingOps {
     ()
   }
 
+  /** Frozen perplexity-gate intake sink: each micro-batch of documents is
+    * scored under the PERSISTED standing LM and bucketed by its frozen
+    * per-language tercile thresholds
+    * ([[graft.sources.IndexStore.buildPpl]]) — the streaming form of
+    * [[graft.ops.TermScoring.pplIntakeIndexed]]. Like the DSIR sink the
+    * model never changes inside the stream (re-freeze is offline
+    * maintenance, triggered by
+    * [[graft.sources.IndexStore.pplBackoffDrift]]), so the sink is
+    * STATELESS and trivially exactly-once: a crash-replay rescoring of
+    * batch N recomputes identical verdicts and rewrites the same b=N
+    * bytes. */
+  def pplIntakeSink(incoming: DataFrame, modelRoot: String,
+      verdictsPath: String)(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        pplIntakeBatch(batch, batchId, modelRoot, verdictsPath)
+      }
+      .start()
+
+  /** One [[pplIntakeSink]] micro-batch — exposed for the replay spec. */
+  def pplIntakeBatch(batch: DataFrame, batchId: Long, modelRoot: String,
+      verdictsPath: String): Unit = {
+    val s = batch.sparkSession
+    val art = graft.sources.IndexStore.readPpl(s, modelRoot)
+    val scored = graft.ops.TermScoring.lmScoreWith(
+        batch.select(col("doc_id"), split(col("text"), " ").as("toks")),
+        art.model)
+      .select(col("doc_id"), col("lm_score"))
+      .join(graft.ops.TextAnalysis.predictedLang(batch), "doc_id")
+    graft.ops.TermScoring.bucketBy(scored, art.thresholds)
+      .orderBy(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$verdictsPath/b=$batchId")
+    ()
+  }
+
   /** Streaming multimodal intake sink: each micro-batch of assets is
     * triaged against the PERSISTED phash index (near/novel verdicts —
     * the multimodal twin of [[sigIntakeSink]]), then its signatures are

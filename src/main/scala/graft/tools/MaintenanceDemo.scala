@@ -88,6 +88,16 @@ object MaintenanceDemo {
       s"  maintain(${dd / 2}) -> ${IndexStore.maintainDsir(spark, dsir, shifted, target, dd / 2)}" +
       f"  drift after: ${IndexStore.dsirBucketDrift(spark, dsir, shifted)}%.4f")
 
+    // --- perplexity gate: trigram backoff drift ------------------------
+    val ppl = s"$base/ppl"
+    IndexStore.buildPpl(docs, ppl)
+    println(f"ppl     drift fresh:   ${IndexStore.pplBackoffDrift(spark, ppl, docs)}%.4f" +
+      s"  maintain(0.05) -> ${IndexStore.maintainPpl(spark, ppl, docs, 0.05)}")
+    val pplDrift = IndexStore.pplBackoffDrift(spark, ppl, shifted)
+    println(f"ppl     drift drifted: $pplDrift%.4f" +
+      s"  maintain(${pplDrift / 2}) -> ${IndexStore.maintainPpl(spark, ppl, shifted, pplDrift / 2)}" +
+      f"  drift after: ${IndexStore.pplBackoffDrift(spark, ppl, shifted)}%.4f")
+
     spark.stop()
   }
 }

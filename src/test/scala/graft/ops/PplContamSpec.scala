@@ -139,6 +139,56 @@ class PplContamSpec extends SparkSpec {
     assert(indexed === plain)
   }
 
+  test("streaming ppl intake: stream of micro-batches ≡ the batch gate, " +
+      "crash-replay rewrites identical verdicts") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ppl-stream").toString
+    val modelRoot = s"$base/model"
+    val verdicts = s"$base/verdicts"
+    val (delta, standing) = Dedup.deltaSplit(sf("documents", dir))
+    graft.sources.IndexStore.buildPpl(standing, modelRoot)
+    val b1 = delta.filter($"doc_id" % 2 === 0)
+    val b2 = delta.filter($"doc_id" % 2 === 1)
+    graft.streaming.StreamingOps.pplIntakeBatch(b1, 1L, modelRoot, verdicts)
+    graft.streaming.StreamingOps.pplIntakeBatch(b2, 2L, modelRoot, verdicts)
+    def rows(p: String) = spark.read.parquet(p)
+      .select($"doc_id", $"lang", $"lm_score", $"bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    val streamed = (rows(s"$verdicts/b=1") ++ rows(s"$verdicts/b=2")).sortBy(_._1)
+    val batch = TermScoring.pplIntakeIndexed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      .toSeq.sortBy(_._1)
+    assert(streamed == batch)
+    // crash replay: the gate is frozen, so batch 1 rewrites itself
+    val v1 = rows(s"$verdicts/b=1")
+    graft.streaming.StreamingOps.pplIntakeBatch(b1, 1L, modelRoot, verdicts)
+    assert(rows(s"$verdicts/b=1") == v1)
+  }
+
+  test("backoff drift: zero on the fit corpus, detects new vocabulary, " +
+      "re-freeze restores it") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val root = java.nio.file.Files.createTempDirectory("ppl-drift").toString
+    val docs = sf("documents", dir)
+    IndexStore.buildPpl(docs, root)
+    assert(IndexStore.pplBackoffDrift(spark, root, docs) == 0.0)
+    assert(!IndexStore.maintainPpl(spark, root, docs, 0.05))
+    // trigrams the fit never saw force the scorer off the top level
+    val alien = (0 until 200).map(i =>
+      (90000L + i, "srcX", "en",
+        (0 until 30).map(j => s"qq${(i * 7 + j) % 90}qz").mkString(" ")))
+      .toDF("doc_id", "source", "lang", "text")
+    val shifted = docs.select($"doc_id", $"source", $"lang", $"text")
+      .unionByName(alien)
+    val d = IndexStore.pplBackoffDrift(spark, root, shifted)
+    assert(d > 0.01, s"drift $d")
+    // threshold below the observed drift → re-freeze runs and re-centers
+    assert(IndexStore.maintainPpl(spark, root, shifted, d / 2))
+    assert(IndexStore.pplBackoffDrift(spark, root, shifted) == 0.0)
+  }
+
   test("pplBuckets and contaminationFuzzy are empty-safe") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("empty12").toString
