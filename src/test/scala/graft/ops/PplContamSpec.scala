@@ -197,5 +197,8 @@ class PplContamSpec extends SparkSpec {
       .write.parquet(s"$tmp/documents.parquet")
     assert(TermScoring.pplBuckets(spark, tmp).count() === 0)
     assert(Corpus.contaminationFuzzy(spark, tmp).count() === 0)
+    assert(Corpus.contaminationFuzzyIndexed(spark, tmp).count() === 0)
+    assert(TermScoring.pplIntake(spark, tmp).count() === 0)
+    assert(TermScoring.pplIntakeIndexed(spark, tmp).count() === 0)
   }
 }
