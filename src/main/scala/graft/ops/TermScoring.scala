@@ -418,8 +418,7 @@ object TermScoring {
   def pplBuckets(s: SparkSession, dir: String,
       sampleK: Int = PplSampleK): DataFrame = {
     graft.functions.TopKBy.register(s)
-    val lg = TextAnalysis.langId(s, dir)
-      .select(col("doc_id"), col("predicted_lang").as("lang"))
+    val lg = TextAnalysis.predictedLang(Tables.documents(s, dir))
     val d = lmBackoffScored(s, dir)
       .select(col("doc_id"), col("lm_score"))
       .join(lg, "doc_id")
@@ -475,8 +474,7 @@ object TermScoring {
   def pplIntake(s: SparkSession, dir: String,
       sampleK: Int = PplSampleK): DataFrame = {
     graft.functions.TopKBy.register(s)
-    val lg = TextAnalysis.langId(s, dir)
-      .select(col("doc_id"), col("predicted_lang").as("lang"))
+    val lg = TextAnalysis.predictedLang(Tables.documents(s, dir))
     val isDelta =
       expr(s"pmod(${graft.functions.SharedHash.spark48("cast(doc_id AS string)")}, 10)") === 9
     val d = lmBackoffScored(s, dir)
