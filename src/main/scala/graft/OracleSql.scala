@@ -2335,14 +2335,20 @@ object OracleSql {
     // the engine path derives EVERY field by parsing the MP4 bytes it
     // synthesized (ISO BMFF box walk, both mvhd versions); the oracle
     // recomputes the synthesizer's arithmetic directly from the columns,
-    // so a hash match proves parse ∘ synthesize = id on real wire bytes
+    // so a hash match proves parse ∘ synthesize = id on real wire bytes.
+    // mdat_bytes mirrors what the synthesizer actually PACKS — the UTF-8
+    // bytes of text (octet_length ∘ encode), NOT the n_chars column: the
+    // two can drift (the pre-fix ScaleUp replica broke the invariant at
+    // copy 10+), and duration deliberately stays on n_chars because the
+    // engine builds the mvhd ticks from that column too
     "mm_video_meta" ->
       """SELECT doc_id AS asset_id, CAST(600 AS BIGINT) AS timescale,
         |  n_chars * 10 AS duration,
         |  (n_chars * 10 * 1000) // 600 AS duration_ms,
         |  320 + (doc_id % 8) * 16 AS width,
         |  240 + (doc_id % 5) * 12 AS height,
-        |  CAST(3 AS BIGINT) AS n_top_boxes, n_chars AS mdat_bytes
+        |  CAST(3 AS BIGINT) AS n_top_boxes,
+        |  octet_length(encode(text)) AS mdat_bytes
         |FROM documents ORDER BY asset_id""".stripMargin,
 
     "mm_features" -> {

@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   private val Off = 1000000000L // beyond any base key; keeps copies disjoint
 
+  /** Copy `i` of the documents table. The n_chars increment must track the
+    * ACTUAL suffix length — " c10" is 4 chars, not 3 — or the replica
+    * silently breaks the base data's n_chars == length(text) invariant for
+    * copies >= 10 (caught by the first ×30 sweep that crossed n_chars with
+    * parsed text bytes: mm_video_meta's mdat off-by-one at copy 10).
+    * Exposed for the ScaleUp regression spec. */
+  private[tools] def documentsCopy(d: DataFrame, i: Int): DataFrame = {
+    val s = d.withColumn("doc_id", col("doc_id") + lit(i * Off))
+    if (i == 0) s
+    else s.withColumn("text", concat(col("text"), lit(s" c$i")))
+      .withColumn("n_chars", col("n_chars") + lit((2 + s"$i".length).toLong))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "target/sf1"
@@ -56,12 +69,7 @@ object ScaleUp {
     replicate("events") { (d, i) =>
       shift("event_id", i)(shift("user_id", i)(d))
     }
-    replicate("documents") { (d, i) =>
-      val s = shift("doc_id", i)(d)
-      if (i == 0) s
-      else s.withColumn("text", concat(col("text"), lit(s" c$i")))
-        .withColumn("n_chars", col("n_chars") + lit(3L))
-    }
+    replicate("documents")(documentsCopy)
     replicate("embeddings") { (d, i) => shift("vec_id", i)(d) }
 
     Seq("region", "nation", "customer", "supplier", "part", "orders",
