@@ -97,6 +97,33 @@ class Mp4Spec extends SparkSpec {
     assert(f(2L).toSeq == Multimodal.decodeStub("bad".getBytes).toSeq)
   }
 
+  test("fuzz: random bytes and random single-byte corruptions of a valid " +
+    "mp4 never throw — the degrade-don't-crash contract under fire") {
+    val rnd = new java.util.Random(42L)
+    // arbitrary garbage of every small length
+    for (_ <- 1 to 2000) {
+      val b = Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte)
+      Mp4.parse(1L, b) // Some or None, never an exception
+    }
+    // single-byte flips anywhere in a structurally valid container —
+    // the sharper corpus: almost-right headers, corrupted sizes, types,
+    // version bytes, fixed-point fields
+    val good = Mp4.synthesize(12345L, 640L, 480L, "payload bytes".getBytes,
+      version = 1)
+    for (_ <- 1 to 4000) {
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Mp4.parse(2L, b)
+    }
+    // double flips + random truncation combined
+    for (_ <- 1 to 2000) {
+      val cut = 1 + rnd.nextInt(good.length)
+      val b = good.take(cut)
+      if (b.length > 1) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Mp4.parse(3L, b)
+    }
+  }
+
   test("videoMeta query fields derive from parsed bytes at sf0.001") {
     val rows = Mp4.videoMeta(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length == 500)
