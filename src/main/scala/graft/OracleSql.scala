@@ -2863,6 +2863,30 @@ object OracleSql {
 
   /** Encode replay from the stashed merge table: the identical replace
     * chain in merge-rank order, then symbol counting by '><' occurrences. */
+  /** Per-language fertility: the encode oracle's replace-chain replay
+    * aggregated per the corpus's labeled lang column instead of per doc.
+    * Sums are CAST to BIGINT before the division so DuckDB's HUGEINT sum
+    * type never leaks into the compared frame. */
+  private def bpeFertilityOracle(m: Seq[(String, String, Long)]): String = {
+    val chain = m.foldLeft("s0") { case (acc, (a, b, _)) =>
+      s"replace($acc, '<$a><$b>', '<$a$b>')"
+    }
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |e AS (SELECT doc_id, regexp_replace(word, '(.)', '<\\1>', 'g') AS s0
+       |  FROM w WHERE word <> ''),
+       |n AS (SELECT doc_id, $chain AS enc FROM e),
+       |d AS (SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum((len(enc) - len(replace(enc, '><', ''))) // 2 + 1) AS BIGINT) AS n_bpe
+       |  FROM n GROUP BY doc_id)
+       |SELECT docs.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(d.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(d.n_bpe) AS BIGINT) AS n_bpe,
+       |  round(CAST(sum(d.n_bpe) AS BIGINT) / CAST(sum(d.n_words) AS BIGINT), 4) AS fertility
+       |FROM d JOIN documents docs USING (doc_id)
+       |GROUP BY docs.lang ORDER BY lang""".stripMargin
+  }
+
   private def bpeEncodeOracle(m: Seq[(String, String, Long)]): String = {
     val chain = m.foldLeft("s0") { case (acc, (a, b, _)) =>
       s"replace($acc, '<$a><$b>', '<$a$b>')"
@@ -3294,6 +3318,7 @@ object OracleSql {
       graft.ops.EmbeddingStats.fittedWhiten.map { case (c, o, sc) =>
         "emb_whiten" -> whitenOracle(c, o, sc) } ++
       graft.ops.Bpe.fittedMerges.map(m => "text_bpe_encode" -> bpeEncodeOracle(m)) ++
+      graft.ops.Bpe.fittedMerges.map(m => "text_bpe_fertility" -> bpeFertilityOracle(m)) ++
       graft.ops.QualityModel.fittedWeights.map(w => "quality_distill" -> qualityDistillOracle(w)) ++
       graft.ops.Corpus.fittedDsirLam.map(l => "corpus_dsir" -> dsirOracle(l)) ++
       graft.ops.Corpus.fittedDsirIntake.map { case (l, t) =>

@@ -153,6 +153,7 @@ object SparkEntry {
     "q_pii_redact" -> (Redaction.redactDocuments _),
     "text_bpe_merges" -> (Bpe.merges _),
     "text_bpe_encode" -> (Bpe.encode _),
+    "text_bpe_fertility" -> (Bpe.fertilityByLang _),
     "text_bpe_vocab" -> (Bpe.vocab _),
     // dedup
     "dedup_exact" -> (Dedup.exactGroups _),

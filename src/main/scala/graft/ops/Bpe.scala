@@ -156,6 +156,37 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-LANGUAGE tokenizer fertility (BPE symbols per whitespace word)
+    * under the frozen standing merge table — the dashboard a tokenizer
+    * fit is audited with per language: a vocabulary trained mostly on one
+    * language under-merges the others, and their fertility rises.
+    * Grouped by the corpus's LABELED `lang` column (5 populations in the
+    * harness corpus) — the realistic key for a curated corpus; the
+    * stopword-profile vote stays its own oracled query (text_langid) and
+    * votes a single language on this corpus, which would make the
+    * dashboard a constant.
+    *
+    * Scale shape: wordcount — one exploded corpus pass for symbol counts
+    * (the merge chain is a broadcast-sized literal inside one projection),
+    * a doc_id-sized join onto the narrow (doc_id, lang) projection, and a
+    * languages-sized final aggregate. Nothing wider than
+    * (doc_id, two counts, lang) ever shuffles. */
+  def fertilityByLang(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.sources.IndexStore.standingBpeMerges(s, dir)
+    fittedMerges = Some(m)
+    val docs = Tables.documents(s, dir)
+    val perDoc = encodeSymbolsOf(docs, m)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"))
+    perDoc.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe")).as("n_bpe"))
+      .withColumn("fertility", round(col("n_bpe") / col("n_words"), 4))
+      .orderBy(col("lang"))
+  }
+
   /** The corpus's word-frequency table ENCODED under a FIXED merge table
     * — (s, freq) with s fully merged. One wordcount-shaped corpus pass +
     * a vocab-sized codegen replace chain; the frame the compression-drift

@@ -138,6 +138,32 @@ class BpeSpec extends SparkSpec {
       "after the refit the merges match the corpus again")
   }
 
+  test("bpe: per-language fertility is the encode frame aggregated by the " +
+    "labeled lang column — full driver-side replay at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val rep = Bpe.fertilityByLang(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // replay: per-doc encode counts joined with the label column, both
+    // from already-spec'd building blocks, aggregated in Scala
+    val perDoc = Bpe.encode(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val lang = sf("documents", dir).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = perDoc.toSeq.groupBy { case (id, _) => lang(id) }
+      .map { case (lg, docs) =>
+        val w = docs.map(_._2._1).sum
+        val b = docs.map(_._2._2).sum
+        lg -> (docs.size.toLong, w, b,
+          BigDecimal(b.toDouble / w).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    assert(rep.keySet === expected.keySet)
+    for ((lg, e) <- expected) assert(rep(lg) === e, s"lang $lg")
+    // fertility >= 1 by construction: every word is >= 1 symbol
+    for ((_, (_, _, _, f)) <- rep) assert(f >= 1.0)
+  }
+
   test("bpe: empty corpus and empty text are safe") {
     val dir = tmpDocs(Seq((1L, "")))
     assert(Bpe.fit(spark, dir).isEmpty)
