@@ -86,7 +86,22 @@ object Bench {
     println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     val slow = results.toSeq.sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + num(v, 2) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"failures":$failures,"slowest":$slow,"sf":"$sfDir"}""")
+    val totalLine = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"failures":$failures,"slowest":$slow,"sf":"$sfDir"}"""
+    println(totalLine)
+    // The driver's BENCH_r{N}.json keeps only a 2000-char stdout tail,
+    // which truncates the per-query map to ~54 of the ~200 entries — too
+    // few for the judge's cross-round regression diff (r12 verdict #5).
+    // Persist the COMPLETE per-query record (both passes visible through
+    // the spread line) as a committed file the round close checks in.
+    val persistTo = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_QUERIES.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(persistTo),
+      s"""{"metric":"pass_max_over_125pct","unit":"sec","queries":$spread,"sf":"$sfDir"}""" +
+        "\n" + s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""" +
+        "\n" + totalLine + "\n")
+    catch { case NonFatal(e) =>
+      System.err.println(s"bench: could not persist $persistTo: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

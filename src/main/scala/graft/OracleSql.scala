@@ -1548,10 +1548,16 @@ object OracleSql {
          |ORDER BY q_id, rnk""".stripMargin
     },
 
+    // The default near-dup binding re-pointed at the wide+multiprobe
+    // geometry (r13 measured decision — see SparkEntry): same oracle as
+    // emb_dup_lsh_wide_mp. The dominated 4×4-bit geometry keeps its own
+    // ≥1-shared-band oracle under the `_legacy` name.
+    "emb_dup_lsh" -> embWideMpPairsSql,
+
     // Same ≥1-shared-band gate as the Spark plan, recomputed from the
     // literal plane constants — the LSH pair set is hash-checked, not
     // just its exact-scan superset.
-    "emb_dup_lsh" -> embBandPairsSql,
+    "emb_dup_lsh_legacy" -> embBandPairsSql,
 
     // WIDE geometry twin: the ≥1-shared-band gate over 8 per-band 8-bit
     // keys, each recomputed from its own 8 literal plane coefficient rows
@@ -3265,7 +3271,7 @@ object OracleSql {
              |  ON a.vec_id < c.vec_id AND ($collide)) __p
              |WHERE sim >= 0.35""".stripMargin
         Map("emb_dup_recall" -> qualityReportOracle(m("emb_dup_pairs"),
-          Seq("hyperplane_band" -> gated(narrowCollide),
+          Seq("hyperplane_band_legacy" -> gated(narrowCollide),
             "hyperplane_band_wide" -> gated(wideCollide),
             "hyperplane_band_wide_mp" -> gated(mpCollide)),
           "id_a", "id_b", extraCtes = sigCte))

@@ -223,7 +223,14 @@ object SparkEntry {
     "dedup_pair_recall" -> ((s: SparkSession, d: String) => RetrievalQuality.dedupPairRecall(s, d)),
     "emb_dup_recall" -> ((s: SparkSession, d: String) => RetrievalQuality.embDupRecall(s, d)),
     "emb_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineDupPairs(s, d)),
-    "emb_dup_lsh" -> ((s: SparkSession, d: String) => Similarity.cosineDupLsh(s, d)),
+    // THE near-dup query points at the wide+multiprobe geometry: the r12
+    // ×30 A/B (BENCH.md) measured it strictly dominating the original
+    // 4×4-bit geometry — 3.7× faster AND 711k vs 433k ppm recall — so the
+    // default follows the data (r13 measured decision, same discipline as
+    // the r4 pointer-doubling and r9 Bayardo calls). The dominated
+    // geometry stays runnable as `_legacy` for the A/B record.
+    "emb_dup_lsh" -> ((s: SparkSession, d: String) => Similarity.cosineDupLshWideMultiProbe(s, d)),
+    "emb_dup_lsh_legacy" -> ((s: SparkSession, d: String) => Similarity.cosineDupLsh(s, d)),
     "emb_dup_lsh_wide" -> ((s: SparkSession, d: String) => Similarity.cosineDupLshWide(s, d)),
     "emb_dup_lsh_wide_mp" -> ((s: SparkSession, d: String) => Similarity.cosineDupLshWideMultiProbe(s, d)),
     "emb_dup_intake" -> ((s: SparkSession, d: String) => Similarity.cosineDupIntake(s, d)),
@@ -261,13 +268,18 @@ object SparkEntry {
     * siblings share their roots — their first codebook/merges parquet
     * reads otherwise land in timed pass 1 (observed 3× skew);
     * quality_distill and cf_als_score_saved pre-build the verdicts and
-    * model artifacts the same way. */
+    * model artifacts the same way. Every `_indexed` probe belongs here:
+    * omitting one inverts its measured story (r12 ×10 addendum —
+    * corpus_contamination_fuzzy_indexed read 18.05 s vs the direct twin's
+    * 5.04 s purely because the timed run paid the one-time standing-index
+    * build). */
   val warmupQueries: Seq[String] = Seq(
     "q_agg_lineitem", "q_window_running", "q_sort_limit",
     "dedup_bloom_gate_indexed", "dedup_prefix_probe_indexed",
     "dedup_winnow_probe_indexed", "text_postings_indexed",
     "ann_ivf_indexed", "ann_ivfpq_indexed", "emb_dup_intake_indexed",
     "mm_dup_intake_indexed", "corpus_dsir_intake_indexed",
-    "text_ppl_intake_indexed",
+    "text_ppl_intake_indexed", "corpus_contamination_fuzzy_indexed",
+    "dedup_incremental_indexed",
     "text_bpe_merges", "quality_distill", "cf_als_score_saved")
 }

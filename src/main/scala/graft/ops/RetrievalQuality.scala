@@ -112,16 +112,21 @@ object RetrievalQuality {
     qualityReport(exact, variants, "doc_a", "doc_b")
   }
 
-  /** Recall/precision of the hyperplane-band candidate generator
-    * ([[Similarity.cosineDupLsh]]) against the exact cosine near-dup scan
-    * ([[Similarity.cosineDupPairs]]) — the embedding-space member of the
-    * dashboard family (annRecall: top-k retrieval; dedupPairRecall: text
-    * near-dup; this: embedding near-dup). Both sides restrict to the
-    * exact scan's vec_id < 300 domain (its quadratic-bounding knob), so
-    * the comparison is pair-for-pair on identical inputs. Precision < 1
-    * here would mean a verification bug — band candidates are verified by
-    * the same exact cosine threshold — so the report doubles as a
-    * cross-check of the banded pipeline's verify stage. */
+  /** Recall/precision of the hyperplane-band candidate generators against
+    * the exact cosine near-dup scan ([[Similarity.cosineDupPairs]]) — the
+    * embedding-space member of the dashboard family (annRecall: top-k
+    * retrieval; dedupPairRecall: text near-dup; this: embedding near-dup).
+    * Both sides restrict to the exact scan's vec_id < 300 domain (its
+    * quadratic-bounding knob), so the comparison is pair-for-pair on
+    * identical inputs. Precision < 1 here would mean a verification bug —
+    * band candidates are verified by the same exact cosine threshold — so
+    * the report doubles as a cross-check of the banded pipeline's verify
+    * stage.
+    *
+    * Row names track the r13 default re-point: `hyperplane_band_wide_mp`
+    * is THE `emb_dup_lsh` query's geometry; the dominated original
+    * 4×4-bit geometry reports as `hyperplane_band_legacy` (the preserved
+    * A/B baseline — BENCH.md round-12 table). */
   def embDupRecall(s: SparkSession, dir: String): DataFrame = {
     val exact = Similarity.cosineDupPairs(s, dir)
     // domain restriction goes INSIDE the band pipeline (collision is a
@@ -129,15 +134,12 @@ object RetrievalQuality {
     // unrestricted pairs with both ids in domain) — filtering the full
     // operator's output would recompute the whole corpus's
     // output-quadratic pair set for a constant-size slice
-    val lsh = Similarity.cosineDupLsh(s, dir, maxId = Some(300L))
-    // the WIDE geometry (8×8-bit bands — the duplicate-dense scale path,
-    // [[Similarity.cosineDupLshWide]]) reports alongside the default so
-    // the band/width recall tradeoff is a dashboard row, not a doc claim
+    val legacy = Similarity.cosineDupLsh(s, dir, maxId = Some(300L))
     val wide = Similarity.cosineDupLshWide(s, dir, maxId = Some(300L))
     val wideMp =
       Similarity.cosineDupLshWideMultiProbe(s, dir, maxId = Some(300L))
     qualityReport(exact,
-      Seq("hyperplane_band" -> lsh, "hyperplane_band_wide" -> wide,
+      Seq("hyperplane_band_legacy" -> legacy, "hyperplane_band_wide" -> wide,
         "hyperplane_band_wide_mp" -> wideMp),
       "id_a", "id_b")
   }

@@ -595,9 +595,12 @@ object Similarity {
     * literal plane coefficients and applies the same ≥1-shared-band gate —
     * the emitted pair set is hash-checked end to end. (Recall vs the
     * ungated exact scan is a measured property in SimilaritySpec, not part
-    * of the correctness contract.) On duplicate-dense corpora this default
-    * 4×4-bit geometry hits a measured collision floor — use
-    * [[cosineDupLshWide]] (8×8-bit bands) there; see [[widePlanes]].
+    * of the correctness contract.) On duplicate-dense corpora this
+    * 4×4-bit geometry hits a measured collision floor (×30: 1004 s vs
+    * wide_mp's 336.7 s at LOWER recall — BENCH.md r12 A/B), so as of r13
+    * it is the `emb_dup_lsh_legacy` slot: the default `emb_dup_lsh`
+    * binding points at [[cosineDupLshWideMultiProbe]]; see
+    * [[widePlanes]].
     *
     * `maxId` restricts the pair domain BEFORE band generation. A pair's
     * collision is a property of its two vectors alone (seeded-constant

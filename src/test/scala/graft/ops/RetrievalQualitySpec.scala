@@ -82,13 +82,13 @@ class RetrievalQualitySpec extends SparkSpec {
     val wideMp = pairSet(Similarity.cosineDupLshWideMultiProbe(spark, dir)
       .filter(col("id_a") < 300 && col("id_b") < 300), "id_a", "id_b")
     check(report, exact,
-      Map("hyperplane_band" -> lsh, "hyperplane_band_wide" -> wide,
+      Map("hyperplane_band_legacy" -> lsh, "hyperplane_band_wide" -> wide,
         "hyperplane_band_wide_mp" -> wideMp))
     // band candidates are verified by the SAME exact cosine threshold the
     // ground truth uses, so every returned pair must be a true pair —
     // under EVERY geometry (no subset relation between default and wide
     // though: wide bands 2..7 use planes the default never sees)
-    assert(report("hyperplane_band")._5 == 1000000L)
+    assert(report("hyperplane_band_legacy")._5 == 1000000L)
     assert(report("hyperplane_band_wide")._5 == 1000000L)
     assert(report("hyperplane_band_wide_mp")._5 == 1000000L)
     assert(report("hyperplane_band_wide")._1 > 0L,

@@ -44,8 +44,37 @@ QUADRATIC = ["dedup_prefix_join", "dedup_clusters_exact", "dedup_pair_recall"]
 # engine + DuckDB both go multi-thousand-second. Cost bound on the capped
 # alternative: tools.PairCapDemo measured 66.7 s at x30 with budget 8/doc.
 QUADRATIC_X20 = ["dedup_lexical_cosine"]
+# the retired default near-dup geometry (r13: emb_dup_lsh re-pointed at
+# the strictly-dominating wide+multiprobe dataflow). The legacy 4x4-bit
+# bands hit a measured collision floor on duplicate-dense replicas
+# (x30: 1004 s — 37% of the whole r12 sweep, re-proving a geometry the
+# BENCH.md round-12 A/B already retired); kept runnable for the A/B
+# record, swept to x10 (36 s there), skipped at copies >= 20.
+LEGACY_X20 = ["emb_dup_lsh_legacy"]
+
+# Known-priced queries whose replica time exceeds the default budget by
+# design; carried into summary.over_budget_notes so an over-budget flag
+# never reads as an unexamined regression (r12 verdict #6).
+OVER_BUDGET_NOTES = {
+    "dedup_winnow_pairs":
+        "uncapped exact winnow pair set is the registered contract; its "
+        "budget knob is proven (x30: 89.3 s capped vs 144.8 s uncapped, "
+        "BENCH.md) but a cap changes the emitted pair set, so the "
+        "oracled default stays uncapped",
+    "emb_dup_lsh": (
+        "wide+multiprobe geometry (the r13 default): highest-recall "
+        "member, output-bound — pays for the true pairs it emits; "
+        "maxCandidatesPerDoc is the documented knob"),
+    "emb_dup_lsh_wide_mp":
+        "same dataflow as emb_dup_lsh post-r13 (kept as the named A/B "
+        "row); output-bound, priced by the candidate budget knob",
+    "dedup_lexical_cosine":
+        "single self-join quadratic member; x10 evidence 272 s, "
+        "capped alternative measured 66.7 s (PairCapDemo)",
+}
 
 TIME_RE = re.compile(r"^\[verify-time\] (\S+) ([0-9.]+)")
+NAME_RE = re.compile(r"^\[query-name\] (\S+)")
 
 
 def run_sbt(main_args, env_extra=None, log_name=None):
@@ -105,7 +134,7 @@ def main():
     if queries is None and args.copies >= 5 and not args.no_default_skip:
         skip |= set(QUADRATIC)
     if queries is None and args.copies >= 20 and not args.no_default_skip:
-        skip |= set(QUADRATIC_X20)
+        skip |= set(QUADRATIC_X20) | set(LEGACY_X20)
 
     # 1. build (or reuse) the replica — ScaleUp is deterministic in
     # (src, copies), so an existing dst with all tables is the same data
@@ -141,17 +170,49 @@ def main():
     # empty intersection when re-checking one x30 query)
     base_log = f"{REPO}/target/scalecheck_verify_base_x{args.copies}.log"
     repl_log = f"{REPO}/target/scalecheck_verify_replica_x{args.copies}.log"
+    # full-surface assertion (r12 verdict #2): when no explicit subset is
+    # requested, the swept name set must equal the LIVE registry minus the
+    # documented skips — derived from graft.tools.ListQueries at run time,
+    # so a stale --skip-verify log or a base pass that silently dropped a
+    # query (e.g. authored after the logs were written) is a hard error
+    # BEFORE the expensive replica pass, instead of an under-covered sweep
+    # that still prints "full".
+    def assert_full_surface(names):
+        reg_out = run_sbt("graft.tools.ListQueries",
+                          log_name=f"{REPO}/target/scalecheck_registry.log")
+        registry = {m.group(1) for line in reg_out.splitlines()
+                    for m in [NAME_RE.match(line)] if m}
+        if not registry:
+            raise RuntimeError("ListQueries printed no [query-name] lines")
+        stale = sorted(set(names) - registry)
+        kept = sorted(set(names) & registry)  # drop renamed/deleted
+        missing = sorted((registry - skip) - set(kept))
+        if missing:
+            raise RuntimeError(
+                f"full-surface sweep under-covers the registry: "
+                f"{len(missing)} of {len(registry)} queries missing "
+                f"({', '.join(missing[:10])}{'...' if len(missing) > 10 else ''}) "
+                f"— re-run without --skip-verify to refresh the logs")
+        if stale:
+            print(f"dropping {len(stale)} stale log names not in the "
+                  f"registry: {', '.join(stale)}", flush=True)
+        return kept
+
     if args.skip_verify:
         t_base = parse_times(open(base_log).read())
         t_repl = parse_times(open(repl_log).read())
         names = sorted(set(t_base) - skip)
         if queries is not None:  # honor an explicit subset here too
             names = sorted(set(names) & set(queries))
+        else:
+            names = assert_full_surface(names)
     else:
         t_base = parse_times(run_sbt(
             f"graft.Verify {args.src} {base_out}{base_subset}", env,
             log_name=base_log))
         names = sorted(set(t_base) - skip)
+        if queries is None:
+            names = assert_full_surface(names)
         repl_subset = " " + ",".join(names)
         t_repl = parse_times(run_sbt(
             f"graft.Verify {dst} {repl_out}{repl_subset}", env,
@@ -205,6 +266,14 @@ def main():
             n for n, q in per_query.items()
             if q["replica_sec"] is not None
             and q["replica_sec"] > args.budget_sec),
+        # every over-budget member either carries a documented pricing
+        # note (known output-bound / quadratic contracts) or surfaces as
+        # "UNEXAMINED" for the round to adjudicate
+        "over_budget_notes": {
+            n: OVER_BUDGET_NOTES.get(n, "UNEXAMINED — investigate")
+            for n, q in per_query.items()
+            if q["replica_sec"] is not None
+            and q["replica_sec"] > args.budget_sec},
         "budget_sec": args.budget_sec,
         "median_time_ratio": ratios[len(ratios) // 2] if ratios else None,
         # sum over `names` only, so base/replica totals cover the SAME
