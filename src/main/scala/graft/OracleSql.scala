@@ -2531,10 +2531,11 @@ object OracleSql {
          |  max(CASE WHEN r = ceil(n * 2 / 3.0) THEN lm_score END) AS t_hi
          |  FROM smp GROUP BY lang)
          |SELECT d.doc_id, d.lang, d.lm_score,
-         |  CASE WHEN d.lm_score <= th.t_lo THEN 'tail'
+         |  CASE WHEN th.t_lo IS NULL THEN 'unscored'
+         |       WHEN d.lm_score <= th.t_lo THEN 'tail'
          |       WHEN d.lm_score <= th.t_hi THEN 'middle'
          |       ELSE 'head' END AS bucket
-         |FROM d JOIN th USING (lang) ORDER BY d.doc_id""".stripMargin
+         |FROM d LEFT JOIN th USING (lang) ORDER BY d.doc_id""".stripMargin
     },
 
     // intake twin: thresholds sampled from STANDING docs only (the
@@ -2571,10 +2572,11 @@ object OracleSql {
          |  max(CASE WHEN r = ceil(n * 2 / 3.0) THEN lm_score END) AS t_hi
          |  FROM smp GROUP BY lang)
          |SELECT d.doc_id, d.lang, d.lm_score,
-         |  CASE WHEN d.lm_score <= th.t_lo THEN 'tail'
+         |  CASE WHEN th.t_lo IS NULL THEN 'unscored'
+         |       WHEN d.lm_score <= th.t_lo THEN 'tail'
          |       WHEN d.lm_score <= th.t_hi THEN 'middle'
          |       ELSE 'head' END AS bucket
-         |FROM d JOIN th USING (lang) WHERE d.is_delta
+         |FROM d LEFT JOIN th USING (lang) WHERE d.is_delta
          |ORDER BY d.doc_id""".stripMargin
     },
 

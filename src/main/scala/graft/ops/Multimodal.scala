@@ -386,27 +386,39 @@ object Multimodal {
     val assets = maxId.foldLeft(synthesizeAssets(s, dir))(
       (ds, m) => ds.filter(col("asset_id") < m))
     val base = phashOf(assets)
-    val probes = base.select(col("asset_id").as("id_a"),
+    val probes = base.select(col("asset_id").as("id_a"), col("k").as("ka"),
       explode(expr(MmProbeExpr)).as("pk"))
+    // __exact marks candidates found through the EXACT key (vs a ±1-bin
+    // probe); the pair-dedup groupBy keeps the strongest evidence. Costs
+    // one string compare per collision — the flag exists so a binding
+    // budget can prefer the closer candidates (below) instead of evicting
+    // true near-dups in favor of probe-only collisions that happen to
+    // sort earlier by id (r12 ADVICE).
     val cands0 = probes
       .join(base.select(col("asset_id").as("id_b"), col("k").as("pk")), "pk")
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"), (col("pk") === col("ka")).as("__exact"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("__exact")).as("__exact"))
     // the pair family's standard candidate budget (see prefixJoinPairsOf /
     // winnowPairs / bandVerifiedPairs): ids-only rows ranked per id_a, the
     // first c partners survive — verify work and output bound to O(c·n);
     // None (default) keeps the oracled exact-probe semantics unchanged.
-    // Identical-payload groups make candidates quadratic in group size, so
-    // a duplicate-dense corpus prices this knob exactly like the text
-    // family's digest-histogram scouts price theirs.
-    val cands = maxCandidatesPerDoc match {
+    // Survivor rank: exact-key matches (identical quantized signature — a
+    // strictly closer neighborhood than a ±1-bin probe hit) first, then
+    // id_b for determinism. Identical-payload groups make candidates
+    // quadratic in group size, so a duplicate-dense corpus prices this
+    // knob exactly like the text family's digest-histogram scouts price
+    // theirs.
+    val cands = (maxCandidatesPerDoc match {
       case None => cands0
       case Some(c) =>
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id_a")).orderBy(col("id_b"))
+          .partitionBy(col("id_a"))
+          .orderBy(col("__exact").desc, col("id_b"))
         cands0.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= c).drop("__rn")
-    }
+    }).drop("__exact")
     val l1 = "aggregate(zip_with(fa, fb, (x, y) -> abs(x - y)), " +
       "cast(0 AS DOUBLE), (acc, x) -> acc + x)"
     cands

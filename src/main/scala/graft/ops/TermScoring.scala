@@ -451,11 +451,18 @@ object TermScoring {
   }
 
   /** The pure bucket projection: (doc_id, lang, lm_score) × broadcast
-    * thresholds → (doc_id, lang, lm_score, bucket). Unordered. */
+    * thresholds → (doc_id, lang, lm_score, bucket). Unordered. The
+    * threshold join is LEFT so a doc whose voted language has no
+    * standing-side threshold row (possible under the intake contract,
+    * where edges come from STANDING docs only) surfaces as an explicit
+    * `unscored` verdict instead of silently vanishing from the gate's
+    * output (r12 ADVICE); a threshold row always carries both edges, so
+    * one NULL test is the full missing-language predicate. */
   private[graft] def bucketBy(d: DataFrame, th: DataFrame): DataFrame =
-    d.join(broadcast(th), "lang")
+    d.join(broadcast(th), Seq("lang"), "left")
       .withColumn("bucket",
-        when(col("lm_score") <= col("t_lo"), "tail")
+        when(col("t_lo").isNull, "unscored")
+          .when(col("lm_score") <= col("t_lo"), "tail")
           .when(col("lm_score") <= col("t_hi"), "middle")
           .otherwise("head"))
       .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket"))

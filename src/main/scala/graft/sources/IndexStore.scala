@@ -1162,8 +1162,12 @@ object IndexStore {
     // fit-time backoff mass — the staleness baseline [[pplBackoffDrift]]
     // compares against (on the fit corpus the top level only misses at
     // doc boundaries' rare trigrams, so the rate is the model's floor)
-    scoredFull.agg(sum(col("n_trigrams")).as("n_tri"),
-        sum(col("n_backoff")).as("n_bo"))
+    // coalesce to 0 on an EMPTY fit corpus (sums are NULL there) so the
+    // drift probe's fTri == 0 no-signal guard is reachable instead of a
+    // getLong NPE — the same guard the probe side of pplBackoffDrift
+    // already applies (r12 ADVICE)
+    scoredFull.agg(coalesce(sum(col("n_trigrams")), lit(0L)).as("n_tri"),
+        coalesce(sum(col("n_backoff")), lit(0L)).as("n_bo"))
       .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
     val scored = scoredFull
       .select(col("doc_id"), col("lm_score"))

@@ -857,6 +857,47 @@ class TextMultimodalSpec extends SparkSpec {
       "a non-binding budget must change nothing")
   }
 
+  test("mm pair candidate budget ranks exact-key matches ahead of " +
+      "probe-only collisions, so a binding cap keeps the closer " +
+      "candidates (r12 ADVICE)") {
+    val sig = Multimodal.phashSignatures(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def pairs(cap: Option[Int]) =
+      Multimodal.mmDupPairs(spark, dir, maxCandidatesPerDoc = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(None)
+    val capped1 = pairs(Some(1)).groupBy(_._1)
+    // independently recompute each id_a's exact-KEY candidates (identical
+    // quantized signature — rank 1 under the documented survivor order);
+    // under cap=1 the survivor must be the min such partner, emitted iff
+    // it passes the L1 verify (membership in the uncapped output)
+    val byA = exact.groupBy(_._1)
+    val checked = byA.keys.toSeq.sorted.flatMap { a =>
+      val exactKey = sig.collect {
+        case (b, k) if b > a && k == sig(a) => b
+      }
+      if (exactKey.isEmpty) None
+      else {
+        val want = Set(a -> exactKey.min).intersect(byA(a))
+        Some((a, want, capped1.getOrElse(a, Set.empty[(Long, Long)])))
+      }
+    }
+    assert(checked.nonEmpty, "synthetic corpus must contain identical-" +
+      "signature groups for this test to bite")
+    checked.foreach { case (a, want, got) =>
+      assert(got === want, s"asset $a: cap=1 must keep the exact-key " +
+        s"partner, got $got want $want")
+    }
+    // the ranking must actually matter somewhere: at least one asset has
+    // both an exact-key partner and a strictly smaller probe-only partner
+    // (which the old id_b-ordered truncation would have kept instead)
+    assert(checked.exists { case (a, _, _) =>
+      val minExactKey = sig.collect {
+        case (b, k) if b > a && k == sig(a) => b }.min
+      byA(a).exists { case (_, b) => b < minExactKey && sig(b) != sig(a) }
+    }, "no asset exercises the exact-vs-probe preference at this SF")
+  }
+
   test("multimodal intake: verdicts equal a driver-side bipartite " +
       "recompute; indexed probe is byte-identical and the standing index " +
       "never rescans the corpus; appends decode the delta only") {

@@ -189,6 +189,30 @@ class PplContamSpec extends SparkSpec {
     assert(IndexStore.pplBackoffDrift(spark, root, shifted) == 0.0)
   }
 
+  test("bucketBy: a doc whose language has no threshold row gets an " +
+      "explicit 'unscored' verdict, not silently dropped (r12 ADVICE)") {
+    import spark.implicits._
+    val d = Seq((1L, "en", 0.5), (2L, "xx", 0.5))
+      .toDF("doc_id", "lang", "lm_score")
+    val th = Seq(("en", 0.3, 0.7)).toDF("lang", "t_lo", "t_hi")
+    val out = TermScoring.bucketBy(d, th).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out === Map(1L -> "middle", 2L -> "unscored"),
+      "both docs present; the uncovered language is flagged, not dropped")
+  }
+
+  test("pplBackoffDrift on an EMPTY fit corpus returns the no-signal 0.0 " +
+      "instead of NPEing on NULL stats sums (r12 ADVICE)") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val root = java.nio.file.Files.createTempDirectory("ppl-empty").toString
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "source", "lang", "text")
+    IndexStore.buildPpl(empty, root)
+    val docs = sf("documents", dir)
+    assert(IndexStore.pplBackoffDrift(spark, root, docs) == 0.0)
+  }
+
   test("pplBuckets and contaminationFuzzy are empty-safe") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("empty12").toString
