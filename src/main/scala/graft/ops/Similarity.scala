@@ -463,22 +463,23 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** Bounded-sample seeded ml.KMeans coarse-quantizer fit. A coarse
-    * quantizer needs rough cells, not convergence — cap sweeps and train
-    * on a deterministic BOUNDED sample (~8k vectors): centroids are
-    * statistics of the distribution, so at corpus scale the fit cost must
-    * not grow with N (assignment still touches every vector, but that's
-    * one codegen projection). */
+  /** Bounded-sample seeded coarse-quantizer fit. A coarse quantizer needs
+    * rough cells, not convergence — cap sweeps and train on a
+    * deterministic BOUNDED sample (~8k vectors): centroids are statistics
+    * of the distribution, so at corpus scale the fit cost must not grow
+    * with N (assignment still touches every vector, but that's one codegen
+    * projection). The fit itself runs DRIVER-SIDE through the same seeded
+    * [[lloyd]] the PQ codebooks use — the r13 extension of pqTopK's
+    * measured lesson (8 ml.KMeans fits ≈ 5 s of pure job-scheduling
+    * overhead at sf0.1 vs ~0 in-process on the identical sample); on a
+    * ≤8k-point sample a distributed fit buys nothing, and one k-means
+    * implementation now serves every quantizer in the file. */
   private[graft] def fitIvfCentroids(e: DataFrame,
       nCells: Int = IvfCells): IndexedSeq[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val fv = e.withColumn("fv", array_to_vector(col("e")))
-    val step = math.max(1L, fv.count() / 8000L)
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(hashSample(fv, step, nCells))
-    model.clusterCenters.map(_.toArray).toIndexedSeq
+    val step = math.max(1L, e.count() / 8000L)
+    val pts = hashSample(e, step, nCells)
+      .select(col("e")).collect().map(_.getSeq[Double](0).toArray)
+    lloyd(pts, nCells, iters = 5, seed = 42L).toIndexedSeq
   }
 
   /** The IVF probe half over an already-assigned (vec_id, e, nrm, cell)
@@ -907,28 +908,22 @@ object Similarity {
     *
     * Scale shape: IVF economics — pair generation is per-cell
     * (O(Σ|cell|²), the SemDeDup paper's own trick for web scale), the
-    * centroid model is driver-small and broadcast by ml's transform, and
-    * the CC runs on the sparse above-eps graph only. Seeded KMeans makes
-    * the run deterministic, but the quantizer isn't SQL-expressible →
-    * rows-only harness check; the semantic invariants (keeper closure,
-    * within-cell recall vs the exact scan) are spec-asserted instead.
+    * centroid model is driver-small and broadcast into the assignment
+    * projection, and the CC runs on the sparse above-eps graph only. The
+    * seeded bounded-sample [[fitIvfCentroids]] fit makes the run
+    * deterministic; the quantizer isn't SQL-expressible, so the harness
+    * oracle replays the STASHED fitted centroids as literals (semOracle),
+    * and the semantic invariants (keeper closure, within-cell recall vs
+    * the exact scan) are additionally spec-asserted.
     */
   def semDedup(s: SparkSession, dir: String, nCells: Int = IvfCells,
       eps: Double = SemEps): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val e = embedded(s, dir)
-      .withColumn("fv", array_to_vector(col("e"))).cache()
+    val e = embedded(s, dir).cache()
     // bounded-sample quantizer fit, same rationale as ivfTopK: the cell
     // structure is a distribution statistic; only assignment is O(N)
-    val step = math.max(1L, e.count() / 8000L)
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(hashSample(e, step, nCells))
-    val centroidArrays = model.clusterCenters.map(_.toArray).toIndexedSeq
+    val centroidArrays = fitIvfCentroids(e, nCells)
     fittedSemCentroids = Some(centroidArrays)
-    val assigned = assignCells(e.drop("fv"), centroidArrays)
+    val assigned = assignCells(e, centroidArrays)
       .select(col("vec_id"), col("e"), col("nrm"), col("cell")).cache()
     assigned.count() // multi-consumer: both pair sides + the final join
 
