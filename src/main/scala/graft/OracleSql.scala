@@ -34,7 +34,12 @@ object OracleSql {
     * trigram floored micro-nat weights plus the backoff marker, trained on
     * the 90% hash split. Shared verbatim by text_lm_backoff (per-doc
     * readout) and text_ppl_buckets (tercile split over the same scores). */
-  private def lmBackoffCtes: String = {
+  private def lmBackoffCtes: String = lmBackoffCtesWith(
+    s"(${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 10) <> 9")
+
+  /** As [[lmBackoffCtes]] with an arbitrary train-split predicate over
+    * `tok` rows — the front-door oracle fits on residues 0–7 only. */
+  private def lmBackoffCtesWith(trainPred: String): String = {
     val a1 = graft.ops.TermScoring.BackoffAlpha
     val a2 = a1 * a1
     def triCols(src: String) =
@@ -44,7 +49,7 @@ object OracleSql {
          |  FROM $src WHERE len(toks) >= 3""".stripMargin
     s"""tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |tr AS (SELECT doc_id, toks FROM tok
-       |  WHERE (${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 10) <> 9),
+       |  WHERE $trainPred),
        |tt AS (SELECT ${triCols("tr")}),
        |tm AS (SELECT a, b, c, count(*) AS c3 FROM tt GROUP BY 1, 2, 3),
        |cx AS (SELECT a, b, CAST(sum(c3) AS BIGINT) AS c12 FROM tm GROUP BY 1, 2),
@@ -2782,6 +2787,134 @@ object OracleSql {
     * cutoffs (score >= cutoff; absent source → reject). The indexed
     * variant shares this oracle — the persisted model equals the
     * deterministic in-query fit. */
+  /** The composed intake front door (corpus_front_door): all four member
+    * pipelines nested into ONE statement — the dedup_incremental triage
+    * (renamed fdoc/dsh/dmh/dbands to keep the lm chain's `tok` free), the
+    * fuzzy-decontamination probe re-aimed at the benchmark residue, the
+    * text_ppl_intake threshold/bucket chain, and the dsirIntakeOracle gate
+    * under the run's stashed (lam, cutoffs) literals. Multiply-referenced
+    * CTEs are MATERIALIZED (the r12 lesson: DuckDB inlines otherwise and
+    * the expression trees multiply). */
+  private def frontDoorOracle(lam: Array[Long],
+      thr: Seq[(String, Long)]): String = {
+    import graft.ops.{Corpus, Dedup, TermScoring, TextAnalysis}
+    val h = SharedHash.duck48("CAST(doc_id AS VARCHAR)")
+    // --- dedup + decontamination legs (band machinery over one corpus scan)
+    val bandSelects = (0 until Dedup.NumBands).map { j =>
+      val key = (0 until Dedup.RowsPerBand)
+        .map(r => s"CAST(mh_${j * Dedup.RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, is_inc, is_bench, $j AS band, $key AS key FROM dmh"
+    }.mkString(" UNION ALL ")
+    // --- perplexity leg (the text_ppl_intake chain, d renamed pd)
+    def hits(lang: String) =
+      s"len(list_filter(toks, t -> t IN (${inList(TextAnalysis.LangProfiles(lang))})))"
+    val k = TermScoring.PplSampleK
+    // --- DSIR leg (dsirIntakeOracle's body under this run's literals)
+    val (da, db) = Corpus.DsirSeed
+    val dsirBucket = s"((${SharedHash.duckK("gram", da, db)}) % ${Corpus.DsirBuckets})"
+    val lamVals = lam.zipWithIndex.map { case (v, i) => s"($i, $v)" }.mkString(", ")
+    val thrCte =
+      if (thr.isEmpty)
+        "thr AS (SELECT CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS cutoff WHERE FALSE)"
+      else "thr(source, cutoff) AS (VALUES " +
+        thr.map { case (src, c) => s"('$src', $c)" }.mkString(", ") + ")"
+    s"""WITH fdoc AS MATERIALIZED (SELECT doc_id, text, source,
+       |  string_split(text, ' ') AS tokens,
+       |  ($h % 10) = 9 AS is_inc,
+       |  ($h % 10) = ${Corpus.FrontDoorBenchBucket} AS is_bench
+       |  FROM documents),
+       |dsh AS MATERIALIZED (SELECT doc_id, is_inc, is_bench,
+       |  $shinglesCase AS sh FROM fdoc),
+       |dmh AS (SELECT doc_id, is_inc, is_bench, $minhashCols FROM dsh),
+       |dbands AS MATERIALIZED ($bandSelects),
+       |dcand AS (SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS ex_id
+       |  FROM dbands a JOIN dbands b
+       |  ON a.band = b.band AND a.key = b.key AND a.is_inc AND NOT b.is_inc),
+       |dnear AS (SELECT inc_id, count(*) AS n_near FROM dcand
+       |  JOIN dsh sa ON sa.doc_id = dcand.inc_id
+       |  JOIN dsh sb ON sb.doc_id = dcand.ex_id
+       |  WHERE round(len(list_distinct(list_intersect(sa.sh, sb.sh))) /
+       |        len(list_distinct(sa.sh || sb.sh)), 4) >= ${Dedup.JaccardThreshold}
+       |  GROUP BY inc_id),
+       |dfp AS (SELECT DISTINCT md5(text) AS fp FROM fdoc WHERE NOT is_inc),
+       |dexact AS (SELECT DISTINCT doc_id FROM fdoc
+       |  WHERE is_inc AND md5(text) IN (SELECT fp FROM dfp)),
+       |ctcand AS (SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS bench_id
+       |  FROM dbands a JOIN dbands b
+       |  ON a.band = b.band AND a.key = b.key AND a.is_inc AND b.is_bench),
+       |contam AS (SELECT DISTINCT inc_id AS doc_id FROM ctcand
+       |  JOIN dsh sa ON sa.doc_id = ctcand.inc_id
+       |  JOIN dsh sb ON sb.doc_id = ctcand.bench_id
+       |  WHERE round(len(list_distinct(list_intersect(sa.sh, sb.sh))) /
+       |        len(list_distinct(sa.sh || sb.sh)), 4) >= ${Dedup.JaccardThreshold}),
+       |${lmBackoffCtesWith(
+             s"(${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 10) < 8")},
+       |sc AS (SELECT doc_id,
+       |  round(CAST(sum(w_u) AS BIGINT) / (count(*) * 1000000.0), 4) AS lm_score
+       |  FROM w GROUP BY doc_id),
+       |lgx AS (SELECT doc_id,
+       |  CASE WHEN ${hits("es")} > ${hits("en")} AND ${hits("es")} > ${hits("fr")} THEN 'es'
+       |       WHEN ${hits("fr")} > ${hits("en")} THEN 'fr' ELSE 'en' END AS lang
+       |  FROM tok),
+       |pd AS (SELECT sc.doc_id, sc.lm_score, lgx.lang,
+       |  (${SharedHash.duck48("CAST(sc.doc_id AS VARCHAR)")} % 10) AS res
+       |  FROM sc JOIN lgx USING (doc_id)),
+       |pk AS (SELECT lang, doc_id FROM (SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY
+       |      ${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS r
+       |  FROM pd WHERE res = ${Corpus.FrontDoorBenchBucket}) WHERE r <= $k),
+       |smp AS (SELECT pd.lang, pd.lm_score,
+       |  row_number() OVER (PARTITION BY pd.lang
+       |    ORDER BY pd.lm_score ASC, pd.doc_id ASC) AS r,
+       |  count(*) OVER (PARTITION BY pd.lang) AS n
+       |  FROM pd JOIN pk USING (lang, doc_id)),
+       |th AS (SELECT lang,
+       |  max(CASE WHEN r = ceil(n / 3.0) THEN lm_score END) AS t_lo,
+       |  max(CASE WHEN r = ceil(n * 2 / 3.0) THEN lm_score END) AS t_hi
+       |  FROM smp GROUP BY lang),
+       |pb AS (SELECT pd.doc_id,
+       |  CASE WHEN th.t_lo IS NULL THEN 'unscored'
+       |       WHEN pd.lm_score <= th.t_lo THEN 'tail'
+       |       WHEN pd.lm_score <= th.t_hi THEN 'middle'
+       |       ELSE 'head' END AS bucket
+       |  FROM pd LEFT JOIN th USING (lang) WHERE pd.res = 9),
+       |lam(bucket, w) AS (VALUES $lamVals),
+       |$thrCte,
+       |dg AS (
+       |  SELECT doc_id, unnest(tokens) AS gram FROM fdoc WHERE is_inc
+       |  UNION ALL
+       |  SELECT doc_id, unnest(CASE WHEN len(tokens) >= 2
+       |    THEN list_transform(range(1, len(tokens)), i -> tokens[i] || ' ' || tokens[i + 1])
+       |    ELSE [] END) AS gram FROM fdoc WHERE is_inc),
+       |dscr AS (SELECT doc_id, CAST(sum(l.w) AS BIGINT) AS logw_micro
+       |  FROM (SELECT doc_id, $dsirBucket AS bucket FROM dg) gb
+       |  JOIN lam l ON l.bucket = gb.bucket
+       |  GROUP BY doc_id),
+       |dgate AS (SELECT f.doc_id,
+       |  CAST(coalesce(dscr.logw_micro >= t.cutoff, FALSE) AS INT) AS dsir_sel
+       |  FROM fdoc f JOIN dscr USING (doc_id) LEFT JOIN thr t USING (source)
+       |  WHERE f.is_inc)
+       |SELECT f.doc_id,
+       |  CASE WHEN f.doc_id IN (SELECT doc_id FROM dexact) THEN 'exact'
+       |       WHEN COALESCE(n.n_near, 0) > 0 THEN 'near'
+       |       ELSE 'novel' END AS verdict,
+       |  f.doc_id IN (SELECT doc_id FROM contam) AS contaminated,
+       |  COALESCE(pb.bucket, 'unscored') AS bucket,
+       |  COALESCE(g.dsir_sel, 0) AS dsir_sel,
+       |  (CASE WHEN f.doc_id IN (SELECT doc_id FROM dexact) THEN 'exact'
+       |        WHEN COALESCE(n.n_near, 0) > 0 THEN 'near'
+       |        ELSE 'novel' END) = 'novel'
+       |    AND NOT (f.doc_id IN (SELECT doc_id FROM contam))
+       |    AND COALESCE(pb.bucket, 'unscored') IN ('head', 'middle')
+       |    AND COALESCE(g.dsir_sel, 0) = 1 AS admitted
+       |FROM fdoc f
+       |LEFT JOIN dnear n ON n.inc_id = f.doc_id
+       |LEFT JOIN pb ON pb.doc_id = f.doc_id
+       |LEFT JOIN dgate g ON g.doc_id = f.doc_id
+       |WHERE f.is_inc ORDER BY f.doc_id""".stripMargin
+  }
+
   private def dsirIntakeOracle(lam: Array[Long],
       thr: Seq[(String, Long)]): String = {
     val (a, b) = graft.ops.Corpus.DsirSeed
@@ -3335,6 +3468,10 @@ object OracleSql {
       // the deterministic standing fit — identical replay
       graft.ops.Corpus.fittedDsirIntake.map { case (l, t) =>
         "corpus_dsir_intake_indexed" -> dsirIntakeOracle(l, t) } ++
+      // the composed front door replays all four member gates in one
+      // statement, under ITS run's stashed DSIR literals
+      graft.ops.Corpus.fittedFrontDoor.map { case (l, t) =>
+        "corpus_front_door" -> frontDoorOracle(l, t) } ++
       graft.ops.CollabEvents.savedModelPath.map(p =>
         "cf_als_score_saved" -> alsScoreSavedOracle(p))
     m ++ qualityReports(m)

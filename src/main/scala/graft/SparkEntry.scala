@@ -188,6 +188,7 @@ object SparkEntry {
     "corpus_dsir" -> (Corpus.dsirSelect _),
     "corpus_dsir_intake" -> (Corpus.dsirIntake _),
     "corpus_dsir_intake_indexed" -> (Corpus.dsirIntakeIndexed _),
+    "corpus_front_door" -> (Corpus.frontDoor _),
     "mm_video_meta" -> (Mp4.videoMeta _),
     "quality_distill" -> (QualityModel.distill _),
     "dedup_group_histogram" -> (Dedup.dupGroupHistogram _),
@@ -280,6 +281,6 @@ object SparkEntry {
     "ann_ivf_indexed", "ann_ivfpq_indexed", "emb_dup_intake_indexed",
     "mm_dup_intake_indexed", "corpus_dsir_intake_indexed",
     "text_ppl_intake_indexed", "corpus_contamination_fuzzy_indexed",
-    "dedup_incremental_indexed",
+    "dedup_incremental_indexed", "corpus_front_door",
     "text_bpe_merges", "quality_distill", "cf_als_score_saved")
 }

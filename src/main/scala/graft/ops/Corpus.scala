@@ -569,4 +569,127 @@ object Corpus {
     fittedDsirIntake = Some((lam, thr))
     dsirGate(delta, lam, thr).orderBy(col("doc_id"))
   }
+
+  // --- the composed intake front door ---------------------------------------
+
+  /** (lam, per-source cutoffs) the front-door run gated DSIR with —
+    * stashed for its oracle (its own slot, so running corpus_dsir_intake
+    * in the same session can never swap the literals out from under this
+    * query's replay). */
+  @volatile private[graft] var fittedFrontDoor:
+      Option[(Array[Long], Seq[(String, Long)])] = None
+
+  /** Residue (mod 10, engine-portable 48-bit doc_id hash) of the standing
+    * slice the front door treats as the frozen eval-benchmark suite for
+    * its decontamination gate. Delta stays the family-wide bucket 9; the
+    * benchmark suite must be standing-side (an eval set is curated before
+    * crawls arrive), so it takes the adjacent residue. */
+  val FrontDoorBenchBucket = 8
+
+  /** The composed intake FRONT DOOR — one oracled query chaining the
+    * persisted-index gates in the order a real ingest runs them over one
+    * crawl delta (hash bucket 9):
+    *
+    *   1. exact/near dedup triage vs the standing dedup index
+    *      ([[Dedup.incrementalDedupIndexed]] verbatim);
+    *   2. fuzzy decontamination vs the benchmark suite — the standing
+    *      docs in residue [[FrontDoorBenchBucket]], probed THROUGH the
+    *      same persisted index (band/shingle rows filtered by residue, so
+    *      the gate adds zero standing-side work);
+    *   3. perplexity quality gate vs the frozen standing LM + thresholds
+    *      ([[TermScoring.pplIntakeIndexed]] verbatim);
+    *   4. DSIR importance gate vs the frozen standing model
+    *      ([[dsirGate]] under [[graft.sources.IndexStore.standingDsirModel]]).
+    *
+    * A doc is ADMITTED iff it is novel (gate 1), clean (gate 2), lands in
+    * the head/middle perplexity band (gate 3), and clears its source's
+    * DSIR cutoff (gate 4). Each member is individually green in the
+    * harness; this query is the proof the gates COMPOSE — its DuckDB
+    * oracle nests all four member pipelines into one statement and
+    * hash-checks every verdict column.
+    *
+    * Scale shape: all four gates are O(delta) probes against frozen
+    * standing artifacts (bands broadcast, thresholds/model rows
+    * broadcast, LM count tables vocabulary-sized); the composition adds
+    * only delta-sized joins on doc_id, so the front door costs the sum of
+    * its member probes — nothing rescans the standing corpus. */
+  def frontDoor(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
+    val (delta, _) = Dedup.deltaSplit(Tables.documents(s, dir))
+    val idx = IndexStore.standingDedupIndex(s, dir)
+    // the gate's OWN ppl artifact: LM fit on residues 0-7, thresholds
+    // calibrated on the held-out benchmark residue — out-of-sample edges
+    // (in-sample ones systematically 'tail' unseen probes; see
+    // IndexStore.standingFrontDoorPpl)
+    val art = IndexStore.standingFrontDoorPpl(s, dir)
+    val (lam, thr) = IndexStore.standingDsirModel(s, dir)
+    fittedFrontDoor = Some((lam, thr))
+    frontDoorVerdicts(delta, idx, art, lam, thr).orderBy(col("doc_id"))
+  }
+
+  /** The gate composition over ONE batch of documents against frozen
+    * standing artifacts — shared verbatim by the batch query
+    * ([[frontDoor]]) and the streaming sink
+    * ([[graft.streaming.StreamingOps.frontDoorSink]]): every gate is a
+    * pure function of (batch, artifacts), so stream ≡ batch row for row. */
+  private[graft] def frontDoorVerdicts(batch: DataFrame,
+      idx: graft.sources.IndexStore.DedupIndex,
+      art: graft.sources.IndexStore.PplArtifact,
+      lam: Array[Long], thr: Seq[(String, Long)]): DataFrame = {
+    val triage = Dedup.triageAgainstIndex(batch, idx)
+      .select(col("doc_id"), col("verdict"))
+
+    // gate 2: batch bands vs the benchmark slice of the SAME standing
+    // index; broadcast — a real eval suite is benchmark-sized
+    val hh = graft.functions.SharedHash.spark48("cast(doc_id AS string)")
+    val isBench = expr(s"pmod($hh, 10)") === FrontDoorBenchBucket
+    val shDelta = Dedup.shingled(batch).cache()
+    shDelta.count() // force: band build + verify join both read it
+    val cands = Dedup.bandsFrom(Dedup.signaturesFrom(shDelta)).as("x")
+      .join(broadcast(idx.bands.filter(isBench)).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("bench_id"))
+      .distinct()
+    val contam = cands
+      .join(shDelta.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .join(idx.shingles.filter(isBench)
+        .select(col("doc_id").as("bench_id"), col("sh").as("sh_b")), "bench_id")
+      .filter(round(
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))), 4)
+        >= Dedup.JaccardThreshold)
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+
+    // gate 3: score under the frozen LM, bucket by the frozen thresholds
+    // (the pplIntakeIndexed dataflow, batch-generic)
+    val ppl = graft.ops.TermScoring.bucketBy(
+        TermScoring.lmScoreWith(
+            batch.select(col("doc_id"), split(col("text"), " ").as("toks")),
+            art.model)
+          .select(col("doc_id"), col("lm_score"))
+          .join(TextAnalysis.predictedLang(batch), "doc_id"),
+        art.thresholds)
+      .select(col("doc_id"), col("bucket"))
+
+    val dsir = dsirGate(batch, lam, thr)
+      .select(col("doc_id"), col("sel").as("dsir_sel"))
+
+    // composition: batch-sized left joins on doc_id. A doc the LM never
+    // scored (< 3 tokens — no trigram rows) reads 'unscored', mirroring
+    // the bucket projection's missing-language verdict.
+    val out = triage
+      .join(contam, Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
+      .join(dsir, Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .withColumn("bucket", coalesce(col("bucket"), lit("unscored")))
+      .withColumn("dsir_sel", coalesce(col("dsir_sel"), lit(0)))
+      .withColumn("admitted",
+        col("verdict") === "novel" && !col("contaminated") &&
+          col("bucket").isin("head", "middle") && col("dsir_sel") === 1)
+      .select(col("doc_id"), col("verdict"), col("contaminated"),
+        col("bucket"), col("dsir_sel"), col("admitted"))
+    Caching.materializeAndRelease(out, shDelta)
+  }
 }

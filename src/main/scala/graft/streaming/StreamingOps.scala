@@ -621,6 +621,41 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming FRONT DOOR: each micro-batch of crawl documents runs the
+    * full composed admission gate — exact/near dedup triage, benchmark
+    * decontamination, perplexity bucket, DSIR cutoff — against FROZEN
+    * standing artifacts (the dedup index at `dedupRoot`, the LM gate at
+    * `pplRoot`, the DSIR model at `dsirRoot`), the streaming form of
+    * [[graft.ops.Corpus.frontDoor]]. All four gates are pure functions of
+    * (batch, artifacts) — no index append inside the stream, maintenance
+    * is offline — so the sink is STATELESS and exactly-once by replay: a
+    * crash-rerun of batch N rewrites identical b=N verdict bytes. */
+  def frontDoorSink(incoming: DataFrame, dedupRoot: String,
+      pplRoot: String, dsirRoot: String, verdictsPath: String)(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        frontDoorBatch(batch, batchId, dedupRoot, pplRoot, dsirRoot,
+          verdictsPath)
+      }
+      .start()
+
+  /** One [[frontDoorSink]] micro-batch — exposed for the replay spec. */
+  def frontDoorBatch(batch: DataFrame, batchId: Long, dedupRoot: String,
+      pplRoot: String, dsirRoot: String, verdictsPath: String): Unit = {
+    import graft.sources.IndexStore
+    val s = batch.sparkSession
+    val (lam, thr) = IndexStore.readDsirModel(s, dsirRoot)
+    graft.ops.Corpus.frontDoorVerdicts(batch,
+        IndexStore.readDedup(s, dedupRoot), IndexStore.readPpl(s, pplRoot),
+        lam, thr)
+      .orderBy(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$verdictsPath/b=$batchId")
+    ()
+  }
+
   /** One [[pplIntakeSink]] micro-batch — exposed for the replay spec. */
   def pplIntakeBatch(batch: DataFrame, batchId: Long, modelRoot: String,
       verdictsPath: String): Unit = {

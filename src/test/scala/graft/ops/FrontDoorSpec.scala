@@ -1,0 +1,172 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-13 flagship: the composed intake front door (corpus_front_door)
+  * — value-level equality is the DuckDB oracle gate's job; these pin the
+  * composition contract (each column equals its standalone member), the
+  * gates firing on a constructed corpus, and the streaming twin's
+  * stream ≡ batch / crash-replay guarantees. */
+class FrontDoorSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def residueOf(ids: Seq[Long]): Map[Long, Long] = {
+    import spark.implicits._
+    val h = graft.functions.SharedHash.spark48("cast(id AS string)")
+    ids.toDF("id").withColumn("r", expr(s"pmod($h, 10)"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("frontDoor: one row per delta doc; triage and dsir columns equal " +
+      "their standalone members, the ppl column equals the out-of-sample " +
+      "gate's own artifact, admitted is exactly the conjunction") {
+    val out = Corpus.frontDoor(spark, dir).collect()
+    val (delta, _) = Dedup.deltaSplit(Tables.documents(spark, dir))
+    assert(out.length.toLong === delta.count(), "one verdict row per delta doc")
+
+    val triage = Dedup.incrementalDedupIndexed(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val dsir = Corpus.dsirIntakeIndexed(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // gate 3 expectation from the independently re-read artifact (LM fit
+    // on residues 0-7, thresholds from the held-out benchmark residue)
+    val art = graft.sources.IndexStore.standingFrontDoorPpl(spark, dir)
+    val ppl = TermScoring.bucketBy(
+        TermScoring.lmScoreWith(
+            delta.select(col("doc_id"), split(col("text"), " ").as("toks")),
+            art.model)
+          .select(col("doc_id"), col("lm_score"))
+          .join(TextAnalysis.predictedLang(delta), "doc_id"),
+        art.thresholds)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === triage(id), s"doc $id: triage verdict")
+      assert(r.getString(3) === ppl.getOrElse(id, "unscored"),
+        s"doc $id: ppl bucket")
+      assert(r.getInt(4) === dsir(id), s"doc $id: dsir_sel")
+      assert(r.getBoolean(5) === (r.getString(1) == "novel" &&
+        !r.getBoolean(2) && Set("head", "middle")(r.getString(3)) &&
+        r.getInt(4) == 1), s"doc $id: admitted must be the conjunction")
+    }
+    // the out-of-sample threshold fix is the point: the gate must not
+    // degenerate into the all-tail verdict in-sample edges produce
+    // (measured 46/48 at sf0.01 before the fix)
+    val buckets = out.map(_.getString(3)).toSet
+    assert((buckets - "unscored").size >= 2,
+      s"ppl gate degenerate: every delta doc in $buckets")
+  }
+
+  test("frontDoor contamination flags only true jaccard-threshold " +
+      "benchmark matches (driver-side recompute)") {
+    val out = Corpus.frontDoor(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val docs = Tables.documents(spark, dir)
+    val h = graft.functions.SharedHash.spark48("cast(doc_id AS string)")
+    val delta = docs.filter(expr(s"pmod($h, 10)") === 9)
+    val bench = docs.filter(
+      expr(s"pmod($h, 10)") === Corpus.FrontDoorBenchBucket)
+    // flagged ==> true pair (the band gate may MISS true pairs — that is
+    // its recall, priced in the recall dashboards — but must never
+    // invent one; gate firing is pinned by the constructed-corpus test)
+    val exactPairs = Dedup.shingled(delta)
+      .select(col("doc_id"), col("sh").as("sh_a"))
+      .crossJoin(Dedup.shingled(bench)
+        .select(col("doc_id").as("bench_id"), col("sh").as("sh_b")))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= Dedup.JaccardThreshold)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    out.foreach { case (id, flagged) =>
+      if (flagged) assert(exactPairs(id),
+        s"doc $id flagged without a true threshold match")
+    }
+  }
+
+  test("constructed corpus: every gate fires — a benchmark near-copy is " +
+      "contaminated, a standing copy is exact, clean docs can be admitted") {
+    import spark.implicits._
+    val res = residueOf(0L until 400L)
+    def pick(r: Long, n: Int): Seq[Long] =
+      res.collect { case (id, rr) if rr == r => id }.toSeq.sorted.take(n)
+    val deltaIds = pick(9, 4)
+    val benchIds = pick(Corpus.FrontDoorBenchBucket, 3)
+    val standingIds = (0L to 7L).flatMap(pick(_, 4))
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    def mutated(tag: String) = base.split(" ").dropRight(1).mkString(" ") +
+      s" $tag"
+    // delta doc 0: near-copy of a benchmark doc -> contaminated
+    // delta doc 1: byte-copy of a standing doc  -> exact
+    // delta docs 2,3: fresh text                 -> novel, clean
+    val benchTexts = benchIds.zipWithIndex.map { case (id, i) =>
+      (id, if (i == 0) base else s"bench unique text $i " + base.reverse) }
+    val standingTexts = standingIds.zipWithIndex.map { case (id, i) =>
+      (id, if (i == 0) s"standing copy source ${mutated("zz")}"
+           else (0 until 30).map(j => s"s${i}_$j").mkString(" ")) }
+    val deltaTexts = Seq(
+      (deltaIds(0), mutated("qq")), // ~0.9 jaccard vs bench base
+      (deltaIds(1), standingTexts.head._2), // exact standing copy
+      (deltaIds(2), (0 until 30).map(j => s"d2_$j").mkString(" ")),
+      (deltaIds(3), (0 until 30).map(j => s"d3_$j").mkString(" ")))
+    val tmp = java.nio.file.Files.createTempDirectory("fd-gates").toString
+    (benchTexts ++ standingTexts ++ deltaTexts)
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+
+    val out = Corpus.frontDoor(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getBoolean(2), r.getString(3), r.getBoolean(5)))
+      .toMap
+    assert(out.size === 4)
+    // the bench near-copy also shares bands with the standing base? no —
+    // base lives ONLY in the bench slice, so the triage verdict stays on
+    // its own merits while the contamination gate must fire
+    assert(out(deltaIds(0))._2, "benchmark near-copy must be contaminated")
+    assert(out(deltaIds(1))._1 === "exact", "standing byte-copy is exact")
+    assert(!out(deltaIds(1))._4, "an exact dup is never admitted")
+    assert(!out(deltaIds(0))._4, "a contaminated doc is never admitted")
+    assert(Seq(deltaIds(2), deltaIds(3)).forall(id => !out(id)._2),
+      "fresh docs are clean")
+  }
+
+  test("streaming front door: micro-batches ≡ the batch gate, " +
+      "crash-replay rewrites identical verdicts (stateless frozen gates)") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val base = java.nio.file.Files.createTempDirectory("front-door").toString
+    val docs = sf("documents", dir)
+    val (delta, standing) = Dedup.deltaSplit(docs)
+    IndexStore.buildDedup(standing, s"$base/dedup")
+    val h = graft.functions.SharedHash.spark48("cast(doc_id AS string)")
+    IndexStore.buildPpl(docs.filter(expr(s"pmod($h, 10)") < 8), s"$base/ppl",
+      thrDocs = Some(docs.filter(
+        expr(s"pmod($h, 10)") === Corpus.FrontDoorBenchBucket)))
+    val (lam, thr) = Corpus.dsirStandingFit(spark, dir)
+    IndexStore.buildDsirModel(spark, lam, thr, s"$base/dsir")
+    val verdicts = s"$base/verdicts"
+    val b1 = delta.filter($"doc_id" % 2 === 0)
+    val b2 = delta.filter($"doc_id" % 2 === 1)
+    graft.streaming.StreamingOps.frontDoorBatch(
+      b1, 1L, s"$base/dedup", s"$base/ppl", s"$base/dsir", verdicts)
+    graft.streaming.StreamingOps.frontDoorBatch(
+      b2, 2L, s"$base/dedup", s"$base/ppl", s"$base/dsir", verdicts)
+    def rows(p: String) = spark.read.parquet(p)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getString(3), r.getInt(4), r.getBoolean(5))).sortBy(_._1).toSeq
+    val streamed = (rows(s"$verdicts/b=1") ++ rows(s"$verdicts/b=2"))
+      .sortBy(_._1)
+    val batch = Corpus.frontDoor(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getString(3), r.getInt(4), r.getBoolean(5))).toSeq.sortBy(_._1)
+    assert(streamed == batch)
+    // crash replay: all gates frozen, so batch 1 rewrites itself
+    val v1 = rows(s"$verdicts/b=1")
+    graft.streaming.StreamingOps.frontDoorBatch(
+      b1, 1L, s"$base/dedup", s"$base/ppl", s"$base/dsir", verdicts)
+    assert(rows(s"$verdicts/b=1") == v1)
+  }
+}
