@@ -823,6 +823,24 @@ object IndexStore {
     bpeStatsOf(finalVocab)
       .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
     finalVocab.unpersist()
+    // per-LANGUAGE fertility baseline (exact long sums, languages-sized)
+    // — the second drift trigger ([[bpeFertilityDrift]]): global
+    // compression can stay flat while one language's fertility blows up
+    // (a vocabulary trained mostly on the majority language under-merges
+    // the others). Fitted from the same frozen merges the probe will
+    // encode under. Written EMPTY when the fit frame carries no `lang`
+    // column (e.g. ad-hoc rebuilds over (doc_id, text) frames) so the
+    // probe reads one schema and the metric degrades to no-signal.
+    val fert =
+      if (!docs.columns.contains("lang"))
+        s.emptyDataset[(String, Long, Long)].toDF("lang", "n_words", "n_bpe")
+      else graft.ops.Bpe.encodeSymbolsOf(docs, readBpeMerges(s, root))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("n_words"), sum(col("n_bpe")).as("n_bpe"))
+    fert.coalesce(1).write.mode("overwrite").parquet(s"$root/fertility")
     ()
   }
 
@@ -876,11 +894,55 @@ object IndexStore {
     }
   }
 
-  /** Re-fit the tokenizer iff compression drift exceeds `maxDrift`.
-    * Returns true iff a rebuild ran. */
+  /** Worst-language fertility rise when the FROZEN merges encode the
+    * CURRENT corpus, relative to the per-language fit-time baseline —
+    * the text_bpe_fertility dashboard fed back as a maintenance trigger
+    * (r12 verdict stretch): a language-skewed delta can leave GLOBAL
+    * compression flat while one language's tokens-per-word blows up, and
+    * only a per-language comparison sees it. A language with no fit-time
+    * baseline (new to the corpus — the maximal-drift case) compares
+    * against the global fit ratio. Returns 0 on no-signal (no `lang`
+    * column, empty corpus, or a baseline-free artifact). Cost: the same
+    * wordcount-shaped pass as [[bpeCompressionDrift]] plus a
+    * languages-sized aggregate. */
+  def bpeFertilityDrift(s: SparkSession, root: String,
+      docs: DataFrame): Double = {
+    if (!docs.columns.contains("lang")) return 0.0
+    val fit = s.read.parquet(s"$root/fertility").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val stats = s.read.parquet(s"$root/stats").collect()(0)
+    val globalFit =
+      if (stats.isNullAt(0) || stats.isNullAt(1) || stats.getLong(0) == 0L)
+        None
+      else Some(stats.getLong(1).toDouble / stats.getLong(0))
+    val cur = graft.ops.Bpe.encodeSymbolsOf(docs, readBpeMerges(s, root))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(sum(col("n_words")).as("n_words"), sum(col("n_bpe")).as("n_bpe"))
+      .collect()
+    val rises = cur.flatMap { r =>
+      val curRatio = r.getLong(2).toDouble / r.getLong(1)
+      val baseline = fit.get(r.getString(0)) match {
+        case Some((w, sym)) if w > 0 => Some(sym.toDouble / w)
+        case _ => globalFit
+      }
+      baseline.collect { case b if b > 0 => curRatio / b - 1.0 }
+    }
+    if (rises.isEmpty) 0.0 else rises.max
+  }
+
+  /** Re-fit the tokenizer iff compression drift exceeds `maxDrift` OR
+    * some language's fertility rise exceeds `maxFertilityRise` (default:
+    * fertility trigger off). Returns true iff a rebuild ran. */
   def maintainBpe(s: SparkSession, root: String, docs: DataFrame,
-      maxDrift: Double, k: Int = graft.ops.Bpe.NumMerges): Boolean =
-    if (bpeCompressionDrift(s, root, docs) <= maxDrift) false
+      maxDrift: Double,
+      maxFertilityRise: Double = Double.PositiveInfinity,
+      k: Int = graft.ops.Bpe.NumMerges): Boolean =
+    if (bpeCompressionDrift(s, root, docs) <= maxDrift &&
+        (maxFertilityRise.isPosInfinity ||
+          bpeFertilityDrift(s, root, docs) <= maxFertilityRise)) false
     else { rebuildBpe(docs, root, k); true }
 
   // --- harness fixtures ------------------------------------------------------

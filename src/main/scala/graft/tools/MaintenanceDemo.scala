@@ -72,6 +72,25 @@ object MaintenanceDemo {
       s"  maintain(${bd / 2}) -> ${IndexStore.maintainBpe(spark, bpe, grown, bd / 2)}" +
       f"  drift after: ${IndexStore.bpeCompressionDrift(spark, bpe, grown)}%.4f")
 
+    // --- BPE tokenizer: per-LANGUAGE fertility trigger ------------------
+    // a language-skewed delta: global compression barely moves (the new
+    // docs are a sliver of the corpus) but the new language's fertility
+    // blows up vs its baseline — only the per-language trigger sees it
+    val bpe2 = s"$base/bpe2"
+    IndexStore.buildBpe(docs, bpe2)
+    val skewed = docs.select(col("doc_id"), col("text"), col("lang"))
+      .unionByName((0 until 40).map(i =>
+        (70000L + i, (0 until 40).map(j => s"qvx${(i * 13 + j) % 90}").mkString(" "), "eo"))
+        .toDF("doc_id", "text", "lang"))
+    val gd = IndexStore.bpeCompressionDrift(spark, bpe2, skewed)
+    val fd = IndexStore.bpeFertilityDrift(spark, bpe2, skewed)
+    println(f"bpe     lang-skewed delta: global drift $gd%.4f (maintain(${gd * 2}%.4f) " +
+      s"alone -> ${IndexStore.maintainBpe(spark, bpe2, skewed, gd * 2)})" +
+      f"  worst-lang fertility rise $fd%.4f" +
+      s"  maintain(+fertility ${fd / 2}) -> " +
+      s"${IndexStore.maintainBpe(spark, bpe2, skewed, gd * 2, fd / 2)}" +
+      f"  fertility after: ${IndexStore.bpeFertilityDrift(spark, bpe2, skewed)}%.4f")
+
     // --- DSIR importance model: hashed-gram bucket drift ---------------
     val dsir = s"$base/dsir"
     val target = graft.sources.IndexStore.standingCurationVerdicts(spark, dir)

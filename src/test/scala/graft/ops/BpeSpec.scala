@@ -138,6 +138,39 @@ class BpeSpec extends SparkSpec {
       "after the refit the merges match the corpus again")
   }
 
+  test("bpe: per-language fertility trigger fires on a language-skewed " +
+      "delta that leaves global compression flat (r12 verdict stretch)") {
+    import graft.sources.IndexStore
+    def tmpLang(docs: Seq[(Long, String, String)]): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("bpe_fert").toString
+      docs.toDF("doc_id", "text", "lang")
+        .write.parquet(s"$tmp/documents.parquet")
+      tmp
+    }
+    // fit corpus: a large majority language the merges fully compress
+    val fit = (0 until 60).map(i =>
+      (i.toLong, "ab ab cd cd ef ef gh gh ij ij kl kl", "en"))
+    val root = java.nio.file.Files.createTempDirectory("bpe_fert_idx").toString
+    IndexStore.buildBpe(Tables.documents(spark, tmpLang(fit)), root)
+    // skewed delta: TWO new-vocab docs in a new language — a sliver of
+    // the corpus (global drift small) whose own fertility is char-level
+    val skewed = Tables.documents(spark, tmpLang(fit ++ Seq(
+      (900L, "qrs tuv wxy zab qrs tuv wxy zab", "eo"),
+      (901L, "wxy zab qrs tuv wxy zab qrs tuv", "eo"))))
+    val global = IndexStore.bpeCompressionDrift(spark, root, skewed)
+    val fert = IndexStore.bpeFertilityDrift(spark, root, skewed)
+    assert(fert > global * 3,
+      s"per-language rise ($fert) must dominate the diluted global ($global)")
+    assert(!IndexStore.maintainBpe(spark, root, skewed,
+      maxDrift = global * 2),
+      "global trigger alone: the skew is invisible, no refit")
+    assert(IndexStore.maintainBpe(spark, root, skewed,
+      maxDrift = global * 2, maxFertilityRise = fert / 2),
+      "fertility trigger: refit runs")
+    assert(IndexStore.bpeFertilityDrift(spark, root, skewed) === 0.0,
+      "after the refit every language's baseline matches the corpus")
+  }
+
   test("bpe: per-language fertility is the encode frame aggregated by the " +
     "labeled lang column — full driver-side replay at sf0.001") {
     val dir = "/root/testdata/sf0.001"
