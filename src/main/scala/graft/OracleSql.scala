@@ -1554,8 +1554,12 @@ object OracleSql {
     },
 
     // The default near-dup binding re-pointed at the wide+multiprobe
-    // geometry (r13 measured decision — see SparkEntry): same oracle as
-    // emb_dup_lsh_wide_mp. The dominated 4×4-bit geometry keeps its own
+    // geometry (r13 measured decision — see SparkEntry): some band's
+    // 8-bit keys differ by ≤1 bit — stated in the symmetric
+    // bit_count(xor) form, cross-checking the engine's asymmetric
+    // probe-explosion formulation (same trick as ann_lsh_multiprobe).
+    // The old `emb_dup_lsh_wide_mp` name is retired (it would be this
+    // entry duplicated); the dominated 4×4-bit geometry keeps its own
     // ≥1-shared-band oracle under the `_legacy` name.
     "emb_dup_lsh" -> embWideMpPairsSql,
 
@@ -1567,12 +1571,6 @@ object OracleSql {
     // WIDE geometry twin: the ≥1-shared-band gate over 8 per-band 8-bit
     // keys, each recomputed from its own 8 literal plane coefficient rows
     "emb_dup_lsh_wide" -> embWidePairsSql,
-
-    // multiprobe twin: some band's keys differ by ≤1 bit — stated in the
-    // symmetric bit_count(xor) form, cross-checking the engine's
-    // asymmetric probe-explosion formulation (same trick as
-    // ann_lsh_multiprobe)
-    "emb_dup_lsh_wide_mp" -> embWideMpPairsSql,
 
     // bipartite intake triage: same residue-class split as
     // dedup_incremental, wide band keys from literal planes, delta ×
@@ -3371,8 +3369,8 @@ object OracleSql {
     // copies of the literal chains) sit in one composed query, even with
     // every member domain-bounded and individually cheap.
     val embEntry =
-      if (Seq("emb_dup_pairs", "emb_dup_lsh", "emb_dup_lsh_wide",
-          "emb_dup_lsh_wide_mp").forall(m.contains)) {
+      if (Seq("emb_dup_pairs", "emb_dup_lsh", "emb_dup_lsh_legacy",
+          "emb_dup_lsh_wide").forall(m.contains)) {
         import graft.ops.Similarity.{NumBands, BitsPerBand, WideNumBands}
         // AS MATERIALIZED is load-bearing: DuckDB otherwise INLINES the
         // CTE at each of its six join references, and six copies of the

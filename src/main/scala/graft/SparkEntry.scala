@@ -229,11 +229,13 @@ object SparkEntry {
     // 4×4-bit geometry — 3.7× faster AND 711k vs 433k ppm recall — so the
     // default follows the data (r13 measured decision, same discipline as
     // the r4 pointer-doubling and r9 Bayardo calls). The dominated
-    // geometry stays runnable as `_legacy` for the A/B record.
+    // geometry stays runnable as `_legacy` for the A/B record; the old
+    // `emb_dup_lsh_wide_mp` NAME is retired because it would be this very
+    // binding run twice (3.4 s/bench, 336 s/×30 sweep of pure
+    // duplication) — emb_dup_recall still reports all three geometries.
     "emb_dup_lsh" -> ((s: SparkSession, d: String) => Similarity.cosineDupLshWideMultiProbe(s, d)),
     "emb_dup_lsh_legacy" -> ((s: SparkSession, d: String) => Similarity.cosineDupLsh(s, d)),
     "emb_dup_lsh_wide" -> ((s: SparkSession, d: String) => Similarity.cosineDupLshWide(s, d)),
-    "emb_dup_lsh_wide_mp" -> ((s: SparkSession, d: String) => Similarity.cosineDupLshWideMultiProbe(s, d)),
     "emb_dup_intake" -> ((s: SparkSession, d: String) => Similarity.cosineDupIntake(s, d)),
     "emb_dup_intake_indexed" -> ((s: SparkSession, d: String) => Similarity.cosineDupIntakeIndexed(s, d)),
     "emb_semdedup" -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),

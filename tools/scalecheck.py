@@ -65,9 +65,6 @@ OVER_BUDGET_NOTES = {
         "wide+multiprobe geometry (the r13 default): highest-recall "
         "member, output-bound — pays for the true pairs it emits; "
         "maxCandidatesPerDoc is the documented knob"),
-    "emb_dup_lsh_wide_mp":
-        "same dataflow as emb_dup_lsh post-r13 (kept as the named A/B "
-        "row); output-bound, priced by the candidate budget knob",
     "dedup_lexical_cosine":
         "single self-join quadratic member; x10 evidence 272 s, "
         "capped alternative measured 66.7 s (PairCapDemo)",
