@@ -53,10 +53,25 @@ object Bench {
     }
     val pass1 = SparkEntry.queries.map { case (name, fn) => name -> timeOnce(name, fn) }
     val pass2 = SparkEntry.queries.map { case (name, fn) => name -> timeOnce(name, fn) }
-    val results = SparkEntry.queries.map { case (name, _) =>
+    // Targeted third pass: any query whose two passes disagree >25% got
+    // hit by machine weather in at least one of them, so its min is still
+    // suspect — re-time exactly those (r13 verdict #1a: the official
+    // record swung 186→214 s on IDENTICAL code, with 72/200 queries
+    // tripping this same 25% condition; a spike now has to land on the
+    // same query in three runs spread across the whole suite's duration
+    // to survive into the record). The re-run set is weather-sized, not
+    // suite-sized — a quiet machine re-times nothing.
+    val noisy = SparkEntry.queries.keys.filter { name =>
       val (a, b) = (pass1(name), pass2(name))
-      // a failure in either pass stays visible as -1
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      a >= 0 && b >= 0 && math.max(a, b) > math.min(a, b) * 1.25
+    }.toSet
+    val pass3 = SparkEntry.queries.collect {
+      case (name, fn) if noisy(name) => name -> timeOnce(name, fn)
+    }
+    val results = SparkEntry.queries.map { case (name, _) =>
+      val times = Seq(pass1(name), pass2(name)) ++ pass3.get(name)
+      // a failure in any pass stays visible as -1
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     // Locale.ROOT: the f-interpolator formats with the JVM default locale,
     // and a comma-decimal locale would emit invalid JSON ("0,29"), silently
@@ -75,8 +90,12 @@ object Bench {
     // where it exceeds the min by >25%, so intermittent slowness is in the
     // record without doubling the headline map.
     val spread = results.toSeq.collect {
-      case (k, v) if v >= 0 && math.max(pass1(k), pass2(k)) > v * 1.25 =>
-        s"\"" + k + "\":" + num(math.max(pass1(k), pass2(k)), 2)
+      case (k, v) if v >= 0 && {
+          val worst = (Seq(pass1(k), pass2(k)) ++ pass3.get(k)).max
+          worst > v * 1.25
+        } =>
+        s"\"" + k + "\":" +
+          num((Seq(pass1(k), pass2(k)) ++ pass3.get(k)).max, 2)
     }.mkString("{", ",", "}")
     // Per-query maps first (they're long — tail-capture may truncate them),
     // then the total as the FINAL, short line so a captured tail always
@@ -86,15 +105,28 @@ object Bench {
     println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     val slow = results.toSeq.sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + num(v, 2) }.mkString("{", ",", "}")
-    val totalLine = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"failures":$failures,"slowest":$slow,"sf":"$sfDir"}"""
+    val totalLine = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"failures":$failures,"reruns":${pass3.size},"slowest":$slow,"sf":"$sfDir"}"""
     println(totalLine)
     // The driver's BENCH_r{N}.json keeps only a 2000-char stdout tail,
     // which truncates the per-query map to ~54 of the ~200 entries — too
     // few for the judge's cross-round regression diff (r12 verdict #5).
     // Persist the COMPLETE per-query record (both passes visible through
     // the spread line) as a committed file the round close checks in.
-    val persistTo = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_QUERIES.json")
+    // Default resolves against the repo root (walk up from CWD to the
+    // first dir holding build.sbt) and embeds the SF for non-default
+    // scales — a bench launched from another working directory or at a
+    // different SF must not silently clobber the committed round record
+    // (r13 ADVICE). SPARK_GRAFT_BENCH_OUT still overrides verbatim.
+    val persistTo = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      val sfBase = new java.io.File(sfDir).getName
+      val leaf =
+        if (sfBase == "sf0.1") "BENCH_QUERIES.json"
+        else s"BENCH_QUERIES_$sfBase.json"
+      var d = new java.io.File(System.getProperty("user.dir")).getAbsoluteFile
+      while (d != null && !new java.io.File(d, "build.sbt").isFile)
+        d = d.getParentFile
+      if (d == null) leaf else new java.io.File(d, leaf).getPath
+    })
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(persistTo),
       s"""{"metric":"pass_max_over_125pct","unit":"sec","queries":$spread,"sf":"$sfDir"}""" +
         "\n" + s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""" +

@@ -874,7 +874,7 @@ object Dedup {
     incrementalVerdicts(inc,
       ex.select(md5(col("text")).as("fp")).distinct(),
       bandsFrom(signaturesFrom(shEx)),
-      shEx.select(col("doc_id"), col("sh")),
+      _ => shEx.select(col("doc_id"), col("sh")),
       alsoRelease = Seq(shEx))
   }
 
@@ -885,8 +885,24 @@ object Dedup {
     * O(delta × collisions) INCLUDING the standing side — the 100 TB intake
     * shape. Output is byte-identical to [[incrementalDedup]] (same oracle). */
   def incrementalDedupIndexed(s: SparkSession, dir: String): DataFrame = {
-    val (inc, _) = deltaSplit(Tables.documents(s, dir))
-    triageAgainstIndex(inc, graft.sources.IndexStore.standingDedupIndex(s, dir))
+    val (inc, ex) = deltaSplit(Tables.documents(s, dir))
+    val idx = graft.sources.IndexStore.standingDedupIndex(s, dir)
+    // Digest semi-join and band probe come from the persisted index (the
+    // index's genuine win: zero standing-side shingle CPU, 16-byte/8-byte
+    // columns only). The VERIFY shingles, though, are re-derived from the
+    // candidate docs' text instead of read from the persisted shingle
+    // table: the r13 sweeps measured the full `sh`-array scan as the
+    // reason this probe only reached parity with recomputation (×30:
+    // 6.58 vs 6.78 s) — candidates are collision-sized, so re-shingling
+    // exactly those rows (broadcast id semi-join into the documents scan;
+    // at deployment scale a doc_id-clustered store turns that into point
+    // reads) costs O(collisions), not O(corpus). Output stays
+    // byte-identical (shingling is deterministic; same oracle).
+    incrementalVerdicts(inc, idx.digests.select(col("fp")).distinct(),
+      idx.bands,
+      ids => shingled(ex.join(broadcast(ids), "doc_id"))
+        .select(col("doc_id"), col("sh")),
+      alsoRelease = Nil)
   }
 
   /** Exact + near triage of an arbitrary (doc_id, text) batch against a
@@ -897,14 +913,22 @@ object Dedup {
     incrementalVerdicts(inc,
       idx.digests.select(col("fp")).distinct(),
       idx.bands,
-      idx.shingles,
+      _ => idx.shingles,
       alsoRelease = Nil)
 
   /** Shared verdict dataflow over an incoming batch and the standing
     * side's three probe tables — however those were obtained (computed
-    * in-query or read from the persisted index). */
+    * in-query or read from the persisted index). `exShinglesFor` supplies
+    * the standing shingles the verify join needs, GIVEN the distinct
+    * candidate ex-side doc_ids (a collision-sized frame): a provider that
+    * can fetch/recompute shingles for just those ids avoids streaming the
+    * full standing shingle table through the verify join — the r13
+    * measured finding that the fat `sh` arrays, not the band probe, are
+    * what makes a persisted-index probe lose to recomputation. Providers
+    * that ignore the ids (cached in-query frames, raw index reads) keep
+    * their previous dataflow verbatim. */
   private def incrementalVerdicts(inc: DataFrame, exDigests: DataFrame,
-      exBands: DataFrame, exShingles: DataFrame,
+      exBands: DataFrame, exShinglesFor: DataFrame => DataFrame,
       alsoRelease: Seq[DataFrame]): DataFrame = {
     val exactIds = inc.select(col("doc_id"), md5(col("text")).as("fp"))
       .join(exDigests, "fp")
@@ -912,11 +936,16 @@ object Dedup {
       .withColumn("is_exact", lit(true))
 
     val shInc = shingled(inc).cache(); shInc.count()
+    // checkpointed: the candidate set feeds both the verify join and the
+    // provider's id argument — without it the band probe would run twice
     val cands = bandsFrom(signaturesFrom(shInc)).as("x")
       .join(exBands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("inc_id"), col("y.doc_id").as("ex_id"))
       .distinct()
+      .localCheckpoint()
+    val exShingles =
+      exShinglesFor(cands.select(col("ex_id").as("doc_id")).distinct())
     val near = cands
       .join(shInc.select(col("doc_id").as("inc_id"), col("sh").as("sh_a")), "inc_id")
       .join(exShingles.select(col("doc_id").as("ex_id"), col("sh").as("sh_b")), "ex_id")

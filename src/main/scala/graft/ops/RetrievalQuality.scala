@@ -48,7 +48,15 @@ object RetrievalQuality {
     * of the same divergence (r11 ADVICE). */
   private[graft] def qualityReport(exact: DataFrame,
       variants: Seq[(String, DataFrame)], ka: String, kb: String): DataFrame = {
+    // the exact ground truth is consumed TWICE (the hit join and the
+    // n_exact count) and is the expensive side of every dashboard
+    // (brute-force top-k, the exact prefix join, the exact cosine scan) —
+    // checkpoint it so Spark computes it once, not once per consumer
+    // (r13 verdict #1b: ann_recall re-ran brute force inside both the
+    // join and the total). The checkpointed frame is pair-set-sized
+    // (∝ k·queries or duplicate density), never corpus-sized.
     val e = exact.select(col(ka), col(kb)).withColumn("__hit", lit(1))
+      .localCheckpoint()
     val u = variants
       .map { case (n, df) => df.select(lit(n).as("variant"), col(ka), col(kb)) }
       .reduce(_ union _)
@@ -152,13 +160,12 @@ object RetrievalQuality {
     * the exact scan's bounded asset_id < 300 domain; precision < 1 would
     * mean a verify bug, same contract as [[embDupRecall]]. */
   def mmDupRecall(s: SparkSession, dir: String): DataFrame = {
-    // materialize the members once: the report consumes `exact` twice
-    // (hit join + count) and the mm operators — unlike the emb family's,
-    // which localCheckpoint internally — return live plans whose decode
-    // stage would re-run per consumer
-    val exact = Multimodal.mmDupPairsExact(s, dir).localCheckpoint()
+    // qualityReport checkpoints the exact side itself, and each variant
+    // appears exactly once in the union — so the mm operators' live
+    // decode plans run once per member with no extra materialization
+    // pass here (the pre-r14 outer checkpoints doubled the decode work)
+    val exact = Multimodal.mmDupPairsExact(s, dir)
     val probe = Multimodal.mmDupPairs(s, dir, maxId = Some(300L))
-      .localCheckpoint()
     qualityReport(exact, Seq("phash_probe" -> probe), "id_a", "id_b")
   }
 }

@@ -948,10 +948,20 @@ object Similarity {
 
   /** Seeded in-process Lloyd's k-means over a bounded sample — the PQ
     * codebook trainer. Deterministic: seeded initial picks, fixed sweep
-    * count, stable argmin tie-breaks (first minimum wins). */
-  private[ops] def lloyd(pts: Array[Array[Double]], k: Int, iters: Int,
+    * count, stable argmin tie-breaks (first minimum wins).
+    *
+    * `k` is clamped to the sample size: a corpus smaller than the
+    * requested cell/code count fits one centroid per point instead of
+    * throwing — the graceful-degradation contract the previous
+    * ml.KMeans path provided (r13 ADVICE: tiny corpora must keep
+    * returning a result from ivfTopK/semDedup, not an exception). An
+    * EMPTY sample still fails loudly: quantizer codebooks are trained
+    * statistics, and a silent zero-centroid fit would read as "no
+    * neighbors" downstream (the EmptyInputSpec contract). */
+  private[ops] def lloyd(pts: Array[Array[Double]], k0: Int, iters: Int,
       seed: Long): Array[Array[Double]] = {
-    require(pts.length >= k, s"sample ${pts.length} < k=$k")
+    require(pts.nonEmpty, "quantizer fit on an empty sample")
+    val k = math.min(k0, pts.length)
     val dim = pts.head.length
     val rnd = new java.util.Random(seed)
     // seeded k-means++ init (D² sampling) — random init measurably costs

@@ -908,6 +908,13 @@ object IndexStore {
   def bpeFertilityDrift(s: SparkSession, root: String,
       docs: DataFrame): Double = {
     if (!docs.columns.contains("lang")) return 0.0
+    // a BPE artifact persisted before per-language baselines existed has
+    // no fertility table — that's the documented baseline-free no-signal
+    // case (r13 ADVICE: maintainBpe with a finite maxFertilityRise must
+    // not crash on a pre-existing index), not an error
+    val fertPath = new org.apache.hadoop.fs.Path(s"$root/fertility")
+    val fs = fertPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fertPath)) return 0.0
     val fit = s.read.parquet(s"$root/fertility").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val stats = s.read.parquet(s"$root/stats").collect()(0)

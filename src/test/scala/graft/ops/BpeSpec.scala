@@ -171,6 +171,31 @@ class BpeSpec extends SparkSpec {
       "after the refit every language's baseline matches the corpus")
   }
 
+  test("bpe: a pre-fertility artifact (no fertility table) reads as " +
+      "no-signal, and maintainBpe with a finite rise cap does not crash") {
+    import graft.sources.IndexStore
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_prefert").toString
+    (0 until 30).map(i => (i.toLong, "ab ab cd cd ef ef", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$tmp/documents.parquet")
+    val docs = Tables.documents(spark, tmp)
+    val root = java.nio.file.Files.createTempDirectory("bpe_prefert_idx")
+      .toString
+    IndexStore.buildBpe(docs, root)
+    // simulate an index persisted before per-language baselines existed
+    // (r13 ADVICE: the fertility read crashed instead of honoring the
+    // documented 'returns 0 on a baseline-free artifact' contract)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$root/fertility"))
+    assert(IndexStore.bpeFertilityDrift(spark, root, docs) === 0.0)
+    assert(!IndexStore.maintainBpe(spark, root, docs,
+      maxDrift = 1.0, maxFertilityRise = 0.5),
+      "no drift, no fertility signal: no refit, and no crash")
+  }
+
   test("bpe: per-language fertility is the encode frame aggregated by the " +
     "labeled lang column — full driver-side replay at sf0.001") {
     val dir = "/root/testdata/sf0.001"

@@ -211,4 +211,25 @@ class EmptyInputSpec extends SparkSpec {
     // one doc, three tokens: every token is a heavy hitter at k=40
     assert(TextAnalysis.heavyHitters(spark, tmp).count() === 3)
   }
+
+  test("tiny embedding corpus (< IvfCells vectors): quantizer fits clamp " +
+      "k to the sample and IVF/semDedup return results, not exceptions") {
+    // 5 vectors < IvfCells(16): the in-process Lloyd fit must clamp k to
+    // the sample size (one centroid per point), matching the graceful
+    // degradation the pre-r13 ml.KMeans path provided (r13 ADVICE) —
+    // while the EMPTY-sample loud-fail contract above stays intact
+    val tmp = java.nio.file.Files.createTempDirectory("tinyemb").toString
+    val rnd = new scala.util.Random(7)
+    (0L until 5L).map(i =>
+        (i, Array.fill(64)(rnd.nextFloat()), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    // every vector is a query; with 5 cells and all points distinct the
+    // probe still finds neighbors in the probed cells
+    assert(Similarity.ivfTopK(spark, tmp, k = 2, numQueries = 5).count() > 0)
+    // semDedup on 5 distinct random vectors: everything is its own keeper
+    val sd = Similarity.semDedup(spark, tmp)
+    assert(sd.count() === 5)
+    assert(sd.filter(col("kept")).count() === 5)
+  }
 }
