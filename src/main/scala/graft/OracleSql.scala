@@ -2360,6 +2360,37 @@ object OracleSql {
         |  octet_length(encode(text)) AS mdat_bytes
         |FROM documents ORDER BY asset_id""".stripMargin,
 
+    // stbl sample-table analytics: the engine synthesizes a full
+    // trak(tkhd, mdia(mdhd, minf(stbl(stsz, stss, stts)))) track and
+    // parses the wire bytes back; the oracle recomputes the synthesizer's
+    // integer arithmetic directly from the columns (sample count 1..29,
+    // affine per-sample sizes expanded by a bounded range join, keyframe
+    // stride, two-run stts) — a hash match proves the stbl parser exactly
+    // inverts the stbl writer, box for box. All ratios BIGINT div.
+    "mm_video_samples" ->
+      """WITH base AS (
+        |  SELECT doc_id, 1 + (n_chars % 29) AS n, 1 + (doc_id % 4) AS k,
+        |         400 + (doc_id % 100) AS d1, 500 + (doc_id % 50) AS d2
+        |  FROM documents),
+        |sz AS (
+        |  SELECT b.doc_id, 100 + (b.doc_id*31 + t.i*7) % 50 AS s
+        |  FROM base b JOIN range(0, 29) t(i) ON t.i < b.n),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |         CAST(sum(s) AS BIGINT) AS sample_bytes,
+        |         CAST(min(s) AS BIGINT) AS min_sample,
+        |         CAST(max(s) AS BIGINT) AS max_sample
+        |  FROM sz GROUP BY doc_id)
+        |SELECT b.doc_id AS asset_id, a.n_samples, a.sample_bytes,
+        |  a.min_sample, a.max_sample,
+        |  ((b.n - 1) // b.k) + 1 AS n_keyframes,
+        |  ((((b.n - 1) // b.k) + 1) * 1000000) // b.n AS keyframe_ppm,
+        |  CAST(CASE WHEN b.n - ((b.n + 1) // 2) > 0 THEN 2 ELSE 1 END
+        |    AS BIGINT) AS stts_entries,
+        |  ((b.n + 1) // 2) * b.d1 + (b.n - ((b.n + 1) // 2)) * b.d2
+        |    AS track_ticks
+        |FROM base b JOIN agg a USING (doc_id) ORDER BY asset_id""".stripMargin,
+
     "mm_features" -> {
       val fracs = (0 until 16).map(j =>
         s"CAST(CAST(${mmBinCount(j)} AS REAL)" +
@@ -2622,7 +2653,10 @@ object OracleSql {
     * [[graft.ops.Multimodal.phashFrame]] term-for-term (floor(x·256) is
     * exact: ×256 only shifts the exponent). `sig` is MATERIALIZED: the
     * pair oracles reference it from both join sides and the probe leg. */
-  private def mmPhashCtes(maxId: Option[Long]): String = {
+  /** `p` prefixes every CTE name so the chain can be embedded inside an
+    * oracle that already uses the bare names (the front door nests this
+    * as its gate-5 leg next to the band/LM/DSIR CTEs). */
+  private def mmPhashCtes(maxId: Option[Long], p: String = ""): String = {
     import graft.ops.Multimodal.PhashQuant
     val fracs = (0 until 16).map(j =>
       s"CAST(CAST(${mmBinCount(j)} AS REAL)" +
@@ -2630,17 +2664,17 @@ object OracleSql {
     val lst = (0 until 16).map(j => s"CAST(f$j AS DOUBLE)")
       .mkString("[", ",", "]")
     val dom = maxId.map(m => s" WHERE doc_id < $m").getOrElse("")
-    s"""c0 AS (SELECT doc_id AS asset_id, length(text) AS n,
+    s"""${p}c0 AS (SELECT doc_id AS asset_id, length(text) AS n,
        |  text AS t FROM documents$dom),
-       |f AS (SELECT asset_id, $fracs FROM c0),
-       |e0 AS (SELECT asset_id, $lst AS e FROM f),
-       |sig AS MATERIALIZED (SELECT asset_id, e,
+       |${p}f AS (SELECT asset_id, $fracs FROM ${p}c0),
+       |${p}e0 AS (SELECT asset_id, $lst AS e FROM ${p}f),
+       |${p}sig AS MATERIALIZED (SELECT asset_id, e,
        |  list_transform(e, x ->
        |    least(${PhashQuant - 1}, CAST(floor(x * $PhashQuant) AS INT)))
-       |    AS lv FROM e0),
-       |sk AS (SELECT asset_id, e, lv,
+       |    AS lv FROM ${p}e0),
+       |${p}sk AS (SELECT asset_id, e, lv,
        |  array_to_string(list_transform(lv, l ->
-       |    lpad(CAST(l AS VARCHAR), 3, '0')), '') AS k FROM sig)"""
+       |    lpad(CAST(l AS VARCHAR), 3, '0')), '') AS k FROM ${p}sig)"""
       .stripMargin
   }
 
@@ -2846,6 +2880,20 @@ object OracleSql {
        |  JOIN dsh sb ON sb.doc_id = ctcand.bench_id
        |  WHERE round(len(list_distinct(list_intersect(sa.sh, sb.sh))) /
        |        len(list_distinct(sa.sh || sb.sh)), 4) >= ${Dedup.JaccardThreshold}),
+       |${mmPhashCtes(None, "m")},
+       |mpr AS (SELECT asset_id AS inc_id, unnest($mmProbeList) AS pk
+       |  FROM msk
+       |  WHERE (${SharedHash.duck48("CAST(asset_id AS VARCHAR)")} % 10) = 9
+       |    AND (${SharedHash.duck48("CAST(asset_id AS VARCHAR)")} % 3) = 0),
+       |mcd AS (SELECT mpr.inc_id, c.asset_id AS ex_id
+       |  FROM mpr JOIN msk c ON mpr.pk = c.k
+       |  AND (${SharedHash.duck48("CAST(c.asset_id AS VARCHAR)")} % 10) <> 9
+       |  GROUP BY 1, 2),
+       |mnear AS (SELECT inc_id, CAST(count(*) AS BIGINT) AS n_mm FROM mcd
+       |  JOIN msk x ON x.asset_id = mcd.inc_id
+       |  JOIN msk y ON y.asset_id = mcd.ex_id
+       |  WHERE ${mmL1Chain("x.e", "y.e")} <= ${graft.ops.Multimodal.MmDupL1Eps}
+       |  GROUP BY 1),
        |${lmBackoffCtesWith(
              s"(${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 10) < 8")},
        |sc AS (SELECT doc_id,
@@ -2900,16 +2948,26 @@ object OracleSql {
        |  f.doc_id IN (SELECT doc_id FROM contam) AS contaminated,
        |  COALESCE(pb.bucket, 'unscored') AS bucket,
        |  COALESCE(g.dsir_sel, 0) AS dsir_sel,
+       |  CASE ((${SharedHash.duck48("CAST(f.doc_id AS VARCHAR)")}) % 3)
+       |    WHEN 0 THEN 'image' WHEN 1 THEN 'text' ELSE 'audio'
+       |    END AS modality,
+       |  CASE WHEN ((${SharedHash.duck48("CAST(f.doc_id AS VARCHAR)")}) % 3) <> 0
+       |         THEN 'n/a'
+       |       WHEN COALESCE(mn.n_mm, 0) > 0 THEN 'near'
+       |       ELSE 'novel' END AS mm_verdict,
        |  (CASE WHEN f.doc_id IN (SELECT doc_id FROM dexact) THEN 'exact'
        |        WHEN COALESCE(n.n_near, 0) > 0 THEN 'near'
        |        ELSE 'novel' END) = 'novel'
        |    AND NOT (f.doc_id IN (SELECT doc_id FROM contam))
        |    AND COALESCE(pb.bucket, 'unscored') IN ('head', 'middle')
-       |    AND COALESCE(g.dsir_sel, 0) = 1 AS admitted
+       |    AND COALESCE(g.dsir_sel, 0) = 1
+       |    AND (((${SharedHash.duck48("CAST(f.doc_id AS VARCHAR)")}) % 3) <> 0
+       |      OR COALESCE(mn.n_mm, 0) = 0) AS admitted
        |FROM fdoc f
        |LEFT JOIN dnear n ON n.inc_id = f.doc_id
        |LEFT JOIN pb ON pb.doc_id = f.doc_id
        |LEFT JOIN dgate g ON g.doc_id = f.doc_id
+       |LEFT JOIN mnear mn ON mn.inc_id = f.doc_id
        |WHERE f.is_inc ORDER BY f.doc_id""".stripMargin
   }
 

@@ -190,6 +190,7 @@ object SparkEntry {
     "corpus_dsir_intake_indexed" -> (Corpus.dsirIntakeIndexed _),
     "corpus_front_door" -> (Corpus.frontDoor _),
     "mm_video_meta" -> (Mp4.videoMeta _),
+    "mm_video_samples" -> (Mp4.videoSamples _),
     "quality_distill" -> (QualityModel.distill _),
     "dedup_group_histogram" -> (Dedup.dupGroupHistogram _),
     "dedup_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),

@@ -229,7 +229,7 @@ object Corpus {
     val shTr = Dedup.shingled(tr).cache()
     shTr.count() // force: the band build and the verify join both read it
     contaminationFuzzyAgainst(ev,
-      Dedup.bandsFrom(Dedup.signaturesFrom(shTr)),
+      Dedup.hashedBands(Dedup.bandsFrom(Dedup.signaturesFrom(shTr))),
       _ => shTr.select(col("doc_id"), col("sh")),
       alsoRelease = Seq(shTr))
   }
@@ -266,7 +266,10 @@ object Corpus {
     * read from the persisted index). `trShinglesFor` receives the
     * distinct candidate train doc_ids (collision-sized), so an
     * index-backed provider can restrict its shingle supply to exactly
-    * the rows the verify join will touch. */
+    * the rows the verify join will touch. `trBands` must be in
+    * [[Dedup.hashedBands]] key form (the persisted index stores exactly
+    * that; the in-query caller wraps its computed bands) — the eval side
+    * is hashed here to match. */
   private def contaminationFuzzyAgainst(ev: DataFrame, trBands: DataFrame,
       trShinglesFor: DataFrame => DataFrame,
       alsoRelease: Seq[DataFrame]): DataFrame = {
@@ -276,7 +279,8 @@ object Corpus {
     // checkpointed: consumed by both the verify join and the provider's
     // id argument — without it the band probe would run twice
     val cands = trBands.as("x")
-      .join(broadcast(Dedup.bandsFrom(Dedup.signaturesFrom(shEv))).as("y"),
+      .join(broadcast(Dedup.hashedBands(
+          Dedup.bandsFrom(Dedup.signaturesFrom(shEv)))).as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("eval_id"))
       .distinct()
@@ -645,7 +649,19 @@ object Corpus {
     val art = IndexStore.standingFrontDoorPpl(s, dir)
     val (lam, thr) = IndexStore.standingDsirModel(s, dir)
     fittedFrontDoor = Some((lam, thr))
-    frontDoorVerdicts(delta, idx, art, lam, thr).orderBy(col("doc_id"))
+    frontDoorVerdicts(delta, idx, art, lam, thr,
+      IndexStore.standingPhashIndex(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** Engine-stable modality assignment for the front door's asset gate:
+    * residue of the shared 48-bit id hash mod 3 — independent of the
+    * mod-10 delta/bench residues (CRT over mod 30), deterministic on
+    * both engines. The harness's documents carry no modality column, so
+    * the gate derives one the same way the delta split derives arrival. */
+  private[graft] def modalityExpr: String = {
+    val h = graft.functions.SharedHash.spark48("cast(doc_id AS string)")
+    s"CASE pmod($h, 3) WHEN 0 THEN 'image' WHEN 1 THEN 'text' " +
+      "ELSE 'audio' END"
   }
 
   /** The gate composition over ONE batch of documents against frozen
@@ -656,7 +672,8 @@ object Corpus {
   private[graft] def frontDoorVerdicts(batch: DataFrame,
       idx: graft.sources.IndexStore.DedupIndex,
       art: graft.sources.IndexStore.PplArtifact,
-      lam: Array[Long], thr: Seq[(String, Long)]): DataFrame = {
+      lam: Array[Long], thr: Seq[(String, Long)],
+      phashSig: DataFrame): DataFrame = {
     val triage = Dedup.triageAgainstIndex(batch, idx)
       .select(col("doc_id"), col("verdict"))
 
@@ -666,7 +683,8 @@ object Corpus {
     val isBench = expr(s"pmod($hh, 10)") === FrontDoorBenchBucket
     val shDelta = Dedup.shingled(batch).cache()
     shDelta.count() // force: band build + verify join both read it
-    val cands = Dedup.bandsFrom(Dedup.signaturesFrom(shDelta)).as("x")
+    val cands = Dedup.hashedBands(
+        Dedup.bandsFrom(Dedup.signaturesFrom(shDelta))).as("x")
       .join(broadcast(idx.bands.filter(isBench)).as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("bench_id"))
@@ -696,6 +714,20 @@ object Corpus {
     val dsir = dsirGate(batch, lam, thr)
       .select(col("doc_id"), col("sel").as("dsir_sel"))
 
+    // gate 5 (r13 verdict #6): the MULTIMODAL member — image-modality
+    // batch rows synthesize their asset and triage its perceptual hash
+    // against the standing phash index (the mm_dup_intake dataflow:
+    // exact-or-±1-one-bin probe, exact L1 verify). Only image rows
+    // decode — the filter runs before synthesis, so text/audio payloads
+    // never enter the decode pass; standing payloads are never read at
+    // all (signature table only). Non-image rows report 'n/a' and pass.
+    val hh3 = graft.functions.SharedHash.spark48("cast(doc_id AS string)")
+    val mmTriage = Multimodal.triageAssetsAgainstPhash(
+        Multimodal.assetsOf(batch.filter(expr(s"pmod($hh3, 3) = 0"))),
+        phashSig)
+      .select(col("asset_id").as("doc_id"),
+        col("verdict").as("mm_verdict"))
+
     // composition: batch-sized left joins on doc_id. A doc the LM never
     // scored (< 3 tokens — no trigram rows) reads 'unscored', mirroring
     // the bucket projection's missing-language verdict.
@@ -703,14 +735,19 @@ object Corpus {
       .join(contam, Seq("doc_id"), "left")
       .join(ppl, Seq("doc_id"), "left")
       .join(dsir, Seq("doc_id"), "left")
+      .join(mmTriage, Seq("doc_id"), "left")
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
       .withColumn("bucket", coalesce(col("bucket"), lit("unscored")))
       .withColumn("dsir_sel", coalesce(col("dsir_sel"), lit(0)))
+      .withColumn("modality", expr(modalityExpr))
+      .withColumn("mm_verdict", coalesce(col("mm_verdict"), lit("n/a")))
       .withColumn("admitted",
         col("verdict") === "novel" && !col("contaminated") &&
-          col("bucket").isin("head", "middle") && col("dsir_sel") === 1)
+          col("bucket").isin("head", "middle") && col("dsir_sel") === 1 &&
+          (col("modality") =!= "image" || col("mm_verdict") === "novel"))
       .select(col("doc_id"), col("verdict"), col("contaminated"),
-        col("bucket"), col("dsir_sel"), col("admitted"))
+        col("bucket"), col("dsir_sel"), col("modality"), col("mm_verdict"),
+        col("admitted"))
     Caching.materializeAndRelease(out, shDelta)
   }
 }

@@ -202,6 +202,20 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
   }
 
+  /** Band keys hashed to one fixed-width int64 (native xxhash64) — the
+    * wire form the PERSISTED dedup index stores and every index probe
+    * joins on. The concatenated minhash-string key averages ~50 bytes ×
+    * 16 bands × corpus rows; at standing-index scale that string column
+    * IS the probe's dominant I/O (r14 ×10 A/B: the indexed probes lost
+    * to recomputation on exactly this read). An 8-byte key cuts it ~6×.
+    * Candidate-set semantics survive hashing: a 64-bit collision can
+    * only ADD a candidate pair, and every candidate is re-verified by
+    * exact shingle jaccard before any verdict — so outputs are
+    * byte-identical and the indexed variants keep SHARING their direct
+    * twins' DuckDB oracles (which replay the string-key join). */
+  private[graft] def hashedBands(bands: DataFrame): DataFrame =
+    bands.withColumn("key", xxhash64(col("key")))
+
   /** Unordered near-dup pair graph — the dataflow-shaped variant. */
   def minhashPairsRaw(docs: DataFrame): DataFrame = {
     val shingled = Dedup.shingled(docs).cache()
@@ -873,7 +887,7 @@ object Dedup {
     val shEx = shingled(ex).cache(); shEx.count()
     incrementalVerdicts(inc,
       ex.select(md5(col("text")).as("fp")).distinct(),
-      bandsFrom(signaturesFrom(shEx)),
+      hashedBands(bandsFrom(signaturesFrom(shEx))),
       _ => shEx.select(col("doc_id"), col("sh")),
       alsoRelease = Seq(shEx))
   }
@@ -926,7 +940,11 @@ object Dedup {
     * measured finding that the fat `sh` arrays, not the band probe, are
     * what makes a persisted-index probe lose to recomputation. Providers
     * that ignore the ids (cached in-query frames, raw index reads) keep
-    * their previous dataflow verbatim. */
+    * their previous dataflow verbatim.
+    *
+    * `exBands` must be in [[hashedBands]] key form (the persisted index
+    * stores exactly that; in-query callers wrap their computed bands) —
+    * the inc side is hashed here to match. */
   private def incrementalVerdicts(inc: DataFrame, exDigests: DataFrame,
       exBands: DataFrame, exShinglesFor: DataFrame => DataFrame,
       alsoRelease: Seq[DataFrame]): DataFrame = {
@@ -938,7 +956,7 @@ object Dedup {
     val shInc = shingled(inc).cache(); shInc.count()
     // checkpointed: the candidate set feeds both the verify join and the
     // provider's id argument — without it the band probe would run twice
-    val cands = bandsFrom(signaturesFrom(shInc)).as("x")
+    val cands = hashedBands(bandsFrom(signaturesFrom(shInc))).as("x")
       .join(exBands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("inc_id"), col("y.doc_id").as("ex_id"))

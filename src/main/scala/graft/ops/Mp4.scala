@@ -8,6 +8,15 @@ final case class Mp4Meta(asset_id: Long, timescale: Long, duration: Long,
     duration_ms: Long, width: Long, height: Long, n_top_boxes: Long,
     mdat_bytes: Long)
 
+/** Per-track sample-table statistics read from `stbl` — pure box
+  * arithmetic over the already-parsed container, no codec (r13 verdict
+  * #5: the honest next step past header metadata). Everything is
+  * integer-exact: ppm ratios use BIGINT div on both engines. */
+final case class Mp4Samples(asset_id: Long, n_samples: Long,
+    sample_bytes: Long, min_sample: Long, max_sample: Long,
+    n_keyframes: Long, keyframe_ppm: Long, stts_entries: Long,
+    track_ticks: Long)
+
 /** Real MP4 (ISO BMFF, ISO/IEC 14496-12) container parsing — the
   * header-level half of the video modality the JDK can actually do
   * (frame DECODE needs a codec the JDK doesn't ship and stays the
@@ -96,6 +105,56 @@ object Mp4 {
     ftyp ++ moov ++ box("mdat", payload)
   }
 
+  /** mdhd payload (version 0): media timescale + duration after the
+    * create/modify times; language + pre_defined close the box. */
+  private def mdhd(timescale: Long, duration: Long): Array[Byte] =
+    Array(0.toByte, 0.toByte, 0.toByte, 0.toByte) ++
+      u32(0L) ++ u32(0L) ++ u32(timescale) ++ u32(duration) ++ u32(0x55c40000L)
+
+  /** stsz payload: sample_size = 0 → per-sample u32 size table follows
+    * (the general wire form; the parser also accepts the constant-size
+    * form real muxers emit for fixed-size audio). */
+  private def stsz(sizes: Seq[Long]): Array[Byte] =
+    u32(0L) ++ u32(0L) ++ u32(sizes.length.toLong) ++
+      sizes.toArray.flatMap(u32)
+
+  /** stss payload: 1-based sync-sample numbers. */
+  private def stss(syncs: Seq[Long]): Array[Byte] =
+    u32(0L) ++ u32(syncs.length.toLong) ++ syncs.toArray.flatMap(u32)
+
+  /** stts payload: (sample_count, sample_delta) run pairs. */
+  private def stts(runs: Seq[(Long, Long)]): Array[Byte] =
+    u32(0L) ++ u32(runs.length.toLong) ++
+      runs.toArray.flatMap { case (c, d) => u32(c) ++ u32(d) }
+
+  /** [[synthesize]] plus a full sample-table track:
+    * trak(tkhd, mdia(mdhd, minf(stbl(stsz, stss, stts)))) — the real
+    * ISO BMFF nesting a demuxer walks for per-sample stats. `syncEvery`
+    * marks samples 1, 1+k, 1+2k, … as keyframes; `runs` is the stts
+    * time-to-sample run-length encoding. The header-only [[parse]] must
+    * return the identical [[Mp4Meta]] for these bytes (it skips boxes it
+    * doesn't know), which the spec asserts. */
+  def synthesizeWithSamples(duration: Long, width: Long, height: Long,
+      payload: Array[Byte], sizes: Seq[Long], syncEvery: Long,
+      runs: Seq[(Long, Long)], version: Int = 0): Array[Byte] = {
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ u32(0x200L) ++
+        "isom".getBytes("US-ASCII") ++ "mp41".getBytes("US-ASCII"))
+    val syncs = 1L.to(sizes.length.toLong).by(syncEvery)
+    val stbl = box("stbl",
+      box("stsz", stsz(sizes)) ++ box("stss", stss(syncs)) ++
+        box("stts", stts(runs)))
+    val mediaTicks = runs.map { case (c, d) => c * d }.sum
+    val moov = box("moov",
+      box("mvhd", mvhd(version, Timescale, duration)) ++
+        box("trak",
+          box("tkhd", tkhd(version, duration, width, height)) ++
+            box("mdia",
+              box("mdhd", mdhd(Timescale, mediaTicks)) ++
+                box("minf", stbl))))
+    ftyp ++ moov ++ box("mdat", payload)
+  }
+
   // --- parsing -------------------------------------------------------------
 
   private def readU32(b: Array[Byte], off: Int): Long =
@@ -163,6 +222,70 @@ object Mp4 {
     }
   }
 
+  /** Sample-table statistics of one MP4 byte array: walk
+    * moov → trak → mdia → minf → stbl, then read stsz/stss/stts by the
+    * wire format. None = no parseable sample table (missing boxes,
+    * truncated tables, counts overrunning their box) — same
+    * degrade-don't-crash contract as [[parse]]. */
+  def parseSamples(assetId: Long, bytes: Array[Byte]): Option[Mp4Samples] =
+    for {
+      top <- walk(bytes, 0, bytes.length)
+      moov <- top.find(_._1 == "moov")
+      inMoov <- walk(bytes, moov._2, moov._3)
+      trak <- inMoov.find(_._1 == "trak")
+      inTrak <- walk(bytes, trak._2, trak._3)
+      mdia <- inTrak.find(_._1 == "mdia")
+      inMdia <- walk(bytes, mdia._2, mdia._3)
+      minf <- inMdia.find(_._1 == "minf")
+      inMinf <- walk(bytes, minf._2, minf._3)
+      stbl <- inMinf.find(_._1 == "stbl")
+      inStbl <- walk(bytes, stbl._2, stbl._3)
+      sz <- inStbl.find(_._1 == "stsz")
+      sizes <- parseStsz(bytes, sz._2, sz._3)
+      ss <- inStbl.find(_._1 == "stss")
+      syncs <- parseStss(bytes, ss._2, ss._3)
+      tt <- inStbl.find(_._1 == "stts")
+      runs <- parseStts(bytes, tt._2, tt._3)
+      if sizes.nonEmpty
+    } yield Mp4Samples(assetId,
+      n_samples = sizes.length.toLong,
+      sample_bytes = sizes.sum,
+      min_sample = sizes.min,
+      max_sample = sizes.max,
+      n_keyframes = syncs.length.toLong,
+      keyframe_ppm = syncs.length.toLong * 1000000L / sizes.length,
+      stts_entries = runs.length.toLong,
+      track_ticks = runs.map { case (c, d) => c * d }.sum)
+
+  /** stsz: constant sample_size, or 0 → per-sample table. */
+  private def parseStsz(b: Array[Byte], from: Int,
+      until: Int): Option[Seq[Long]] = {
+    if (until - from < 12) return None
+    val const = readU32(b, from + 4)
+    val n = readU32(b, from + 8)
+    if (n > Int.MaxValue / 4) return None
+    if (const != 0L) Some(Vector.fill(n.toInt)(const))
+    else if (until - from < 12 + 4 * n) None
+    else Some((0 until n.toInt).map(i => readU32(b, from + 12 + 4 * i)))
+  }
+
+  private def parseStss(b: Array[Byte], from: Int,
+      until: Int): Option[Seq[Long]] = {
+    if (until - from < 8) return None
+    val n = readU32(b, from + 4)
+    if (n > Int.MaxValue / 4 || until - from < 8 + 4 * n) None
+    else Some((0 until n.toInt).map(i => readU32(b, from + 8 + 4 * i)))
+  }
+
+  private def parseStts(b: Array[Byte], from: Int,
+      until: Int): Option[Seq[(Long, Long)]] = {
+    if (until - from < 8) return None
+    val n = readU32(b, from + 4)
+    if (n > Int.MaxValue / 8 || until - from < 8 + 8 * n) None
+    else Some((0 until n.toInt).map(i =>
+      (readU32(b, from + 8 + 8 * i), readU32(b, from + 12 + 8 * i))))
+  }
+
   private def parseTkhd(b: Array[Byte], from: Int,
       until: Int): Option[(Long, Long)] = {
     val fixedOff = b(from) & 0xff match {
@@ -198,6 +321,47 @@ object Mp4 {
         // parse-back: every output field below comes from the BYTES
         parse(id, bytes).getOrElse(
           throw new IllegalStateException(s"unparseable synthesized mp4 for doc $id"))
+      }
+    }.toDF()
+      .orderBy(col("asset_id"))
+  }
+
+  /** Per-track sample-table analytics over synthesized-then-parsed real
+    * `stbl` wire bytes — sample count/size stats from stsz, keyframe
+    * rate from stss, duration ticks from the stts run-length encoding.
+    * Like [[videoMeta]], every parameter is deterministic column
+    * arithmetic (sample count 1..29 from n_chars; per-sample sizes from
+    * a doc_id-keyed affine grid; keyframe interval 1..4; a two-run stts)
+    * so the DuckDB oracle recomputes the same integers directly from the
+    * columns and a hash match proves the stbl parser exactly inverts the
+    * stbl writer. Scale contract unchanged: bytes are synthesized and
+    * parsed inside one mapPartitions pass, only the fixed-width
+    * [[Mp4Samples]] row survives — payload bytes never shuffle. */
+  def videoSamples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), col("text"))
+      .as[(Long, Long, String)]
+    assets.mapPartitions { it =>
+      it.map { case (id, nChars, text) =>
+        val n = 1L + (nChars % 29L)
+        val sizes = (0L until n).map(i => 100L + (id * 31L + i * 7L) % 50L)
+        val k = 1L + (id % 4L)
+        val c1 = (n + 1L) / 2L
+        val c2 = n - c1
+        val runs = if (c2 > 0)
+          Seq((c1, 400L + id % 100L), (c2, 500L + id % 50L))
+        else Seq((c1, 400L + id % 100L))
+        val bytes = synthesizeWithSamples(
+          duration = nChars * 10L,
+          width = 320L + (id % 8) * 16L,
+          height = 240L + (id % 5) * 12L,
+          payload = text.getBytes("UTF-8"),
+          sizes = sizes, syncEvery = k, runs = runs,
+          version = if (id % 3 == 0) 1 else 0)
+        parseSamples(id, bytes).getOrElse(
+          throw new IllegalStateException(
+            s"unparseable synthesized sample table for doc $id"))
       }
     }.toDF()
       .orderBy(col("asset_id"))

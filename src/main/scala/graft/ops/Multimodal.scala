@@ -39,9 +39,15 @@ object Multimodal {
   /** Synthesize binary assets from the documents table (deterministic:
     * payload = utf-8 bytes of text). Stands in for reading a real
     * binary-file source (`spark.read.format("binaryFile")`). */
-  def synthesizeAssets(s: SparkSession, dir: String): Dataset[Asset] = {
-    import s.implicits._
-    Tables.documents(s, dir)
+  def synthesizeAssets(s: SparkSession, dir: String): Dataset[Asset] =
+    assetsOf(Tables.documents(s, dir))
+
+  /** The asset view of an arbitrary document frame — the per-batch form
+    * [[graft.ops.Corpus.frontDoorVerdicts]]' multimodal gate runs on a
+    * delta batch (same synthesis rule as [[synthesizeAssets]]). */
+  def assetsOf(docs: DataFrame): Dataset[Asset] = {
+    import docs.sparkSession.implicits._
+    docs
       .select(col("doc_id").as("asset_id"),
         lit("application/octet-stream").as("mime"),
         col("n_chars").as("n_bytes"),

@@ -63,7 +63,12 @@ object IndexStore {
     val sh = Dedup.shingled(docs)
     DedupIndex(
       digests = docs.select(col("doc_id"), md5(col("text")).as("fp")),
-      bands = Dedup.bandsFrom(Dedup.signaturesFrom(sh)),
+      // bands persist in hashed-key form (8-byte int64 instead of the
+      // ~50-byte concatenated minhash string): the band table is what
+      // every index probe streams, so its key width IS the probe's
+      // standing-side I/O — see Dedup.hashedBands for the semantics
+      // argument (collisions only add candidates; exact verify filters)
+      bands = Dedup.hashedBands(Dedup.bandsFrom(Dedup.signaturesFrom(sh))),
       shingles = sh.select(col("doc_id"), col("sh")))
   }
 

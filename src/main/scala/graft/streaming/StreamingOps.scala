@@ -631,26 +631,29 @@ object StreamingOps {
     * is offline — so the sink is STATELESS and exactly-once by replay: a
     * crash-rerun of batch N rewrites identical b=N verdict bytes. */
   def frontDoorSink(incoming: DataFrame, dedupRoot: String,
-      pplRoot: String, dsirRoot: String, verdictsPath: String)(
+      pplRoot: String, dsirRoot: String, phashRoot: String,
+      verdictsPath: String)(
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.sources.IndexStore
-    // all three gate artifacts are FROZEN for the stream's lifetime
+    // all four gate artifacts are FROZEN for the stream's lifetime
     // (maintenance is offline), so load them ONCE in the sink's closure:
     // readDsirModel collects its model rows driver-side and readPpl
     // round-trips threshold frames — per-batch latency must scale with
-    // batch size, not artifact load (r13 ADVICE). The dedup/ppl frames
-    // stay lazy parquet-backed plans (corpus-scale tables must not pin
-    // executor memory for the stream's lifetime); what's hoisted is the
-    // plan construction and the driver-side model collect.
+    // batch size, not artifact load (r13 ADVICE). The dedup/ppl/phash
+    // frames stay lazy parquet-backed plans (corpus-scale tables must
+    // not pin executor memory for the stream's lifetime); what's hoisted
+    // is the plan construction and the driver-side model collect.
     val s = incoming.sparkSession
     val idx = IndexStore.readDedup(s, dedupRoot)
     val art = IndexStore.readPpl(s, pplRoot)
     val (lam, thr) = IndexStore.readDsirModel(s, dsirRoot)
+    val phash = IndexStore.readPhash(s, phashRoot)
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        frontDoorBatch(batch, batchId, idx, art, lam, thr, verdictsPath)
+        frontDoorBatch(batch, batchId, idx, art, lam, thr, phash,
+          verdictsPath)
       }
       .start()
   }
@@ -660,9 +663,9 @@ object StreamingOps {
   private[graft] def frontDoorBatch(batch: DataFrame, batchId: Long,
       idx: graft.sources.IndexStore.DedupIndex,
       art: graft.sources.IndexStore.PplArtifact,
-      lam: Array[Long], thr: Seq[(String, Long)],
+      lam: Array[Long], thr: Seq[(String, Long)], phashSig: DataFrame,
       verdictsPath: String): Unit = {
-    graft.ops.Corpus.frontDoorVerdicts(batch, idx, art, lam, thr)
+    graft.ops.Corpus.frontDoorVerdicts(batch, idx, art, lam, thr, phashSig)
       .orderBy(col("doc_id"))
       .write.mode("overwrite").parquet(s"$verdictsPath/b=$batchId")
     ()
@@ -672,12 +675,14 @@ object StreamingOps {
     * the replay spec's entry point (a crash-rerun has no live sink
     * closure to inherit loaded artifacts from). */
   def frontDoorBatch(batch: DataFrame, batchId: Long, dedupRoot: String,
-      pplRoot: String, dsirRoot: String, verdictsPath: String): Unit = {
+      pplRoot: String, dsirRoot: String, phashRoot: String,
+      verdictsPath: String): Unit = {
     import graft.sources.IndexStore
     val s = batch.sparkSession
     val (lam, thr) = IndexStore.readDsirModel(s, dsirRoot)
     frontDoorBatch(batch, batchId, IndexStore.readDedup(s, dedupRoot),
-      IndexStore.readPpl(s, pplRoot), lam, thr, verdictsPath)
+      IndexStore.readPpl(s, pplRoot), lam, thr,
+      IndexStore.readPhash(s, phashRoot), verdictsPath)
   }
 
   /** One [[pplIntakeSink]] micro-batch — exposed for the replay spec. */

@@ -41,15 +41,35 @@ class FrontDoorSpec extends SparkSpec {
         art.thresholds)
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
 
+    // gate 5 expectation from the standalone mm member: image-modality
+    // delta assets triaged against the standing phash index
+    val mm = Multimodal.mmDupIntakeIndexed(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val mod3 = {
+      import spark.implicits._
+      val h = graft.functions.SharedHash.spark48("cast(id AS string)")
+      out.map(_.getLong(0)).toSeq.toDF("id")
+        .withColumn("m", expr(s"pmod($h, 3)"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
     out.foreach { r =>
       val id = r.getLong(0)
       assert(r.getString(1) === triage(id), s"doc $id: triage verdict")
       assert(r.getString(3) === ppl.getOrElse(id, "unscored"),
         s"doc $id: ppl bucket")
       assert(r.getInt(4) === dsir(id), s"doc $id: dsir_sel")
-      assert(r.getBoolean(5) === (r.getString(1) == "novel" &&
+      assert(r.getString(5) === (mod3(id) match {
+        case 0 => "image"; case 1 => "text"; case _ => "audio"
+      }), s"doc $id: modality")
+      assert(r.getString(6) ===
+        (if (mod3(id) == 0) mm(id) else "n/a"),
+        s"doc $id: mm_verdict must equal the standalone mm member")
+      assert(r.getBoolean(7) === (r.getString(1) == "novel" &&
         !r.getBoolean(2) && Set("head", "middle")(r.getString(3)) &&
-        r.getInt(4) == 1), s"doc $id: admitted must be the conjunction")
+        r.getInt(4) == 1 &&
+        (r.getString(5) != "image" || r.getString(6) == "novel")),
+        s"doc $id: admitted must be the five-gate conjunction")
     }
     // the out-of-sample threshold fix is the point: the gate must not
     // degenerate into the all-tail verdict in-sample edges produce
@@ -119,7 +139,7 @@ class FrontDoorSpec extends SparkSpec {
 
     val out = Corpus.frontDoor(spark, tmp).collect()
       .map(r => r.getLong(0) ->
-        (r.getString(1), r.getBoolean(2), r.getString(3), r.getBoolean(5)))
+        (r.getString(1), r.getBoolean(2), r.getString(3), r.getBoolean(7)))
       .toMap
     assert(out.size === 4)
     // the bench near-copy also shares bands with the standing base? no —
@@ -147,26 +167,33 @@ class FrontDoorSpec extends SparkSpec {
         expr(s"pmod($h, 10)") === Corpus.FrontDoorBenchBucket)))
     val (lam, thr) = Corpus.dsirStandingFit(spark, dir)
     IndexStore.buildDsirModel(spark, lam, thr, s"$base/dsir")
+    // gate 5's frozen artifact: the standing assets' phash signatures
+    IndexStore.buildPhash(Multimodal.assetsOf(standing), s"$base/phash")
     val verdicts = s"$base/verdicts"
     val b1 = delta.filter($"doc_id" % 2 === 0)
     val b2 = delta.filter($"doc_id" % 2 === 1)
     graft.streaming.StreamingOps.frontDoorBatch(
-      b1, 1L, s"$base/dedup", s"$base/ppl", s"$base/dsir", verdicts)
+      b1, 1L, s"$base/dedup", s"$base/ppl", s"$base/dsir", s"$base/phash",
+      verdicts)
     graft.streaming.StreamingOps.frontDoorBatch(
-      b2, 2L, s"$base/dedup", s"$base/ppl", s"$base/dsir", verdicts)
+      b2, 2L, s"$base/dedup", s"$base/ppl", s"$base/dsir", s"$base/phash",
+      verdicts)
     def rows(p: String) = spark.read.parquet(p)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
-        r.getString(3), r.getInt(4), r.getBoolean(5))).sortBy(_._1).toSeq
+        r.getString(3), r.getInt(4), r.getString(5), r.getString(6),
+        r.getBoolean(7))).sortBy(_._1).toSeq
     val streamed = (rows(s"$verdicts/b=1") ++ rows(s"$verdicts/b=2"))
       .sortBy(_._1)
     val batch = Corpus.frontDoor(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
-        r.getString(3), r.getInt(4), r.getBoolean(5))).toSeq.sortBy(_._1)
+        r.getString(3), r.getInt(4), r.getString(5), r.getString(6),
+        r.getBoolean(7))).toSeq.sortBy(_._1)
     assert(streamed == batch)
     // crash replay: all gates frozen, so batch 1 rewrites itself
     val v1 = rows(s"$verdicts/b=1")
     graft.streaming.StreamingOps.frontDoorBatch(
-      b1, 1L, s"$base/dedup", s"$base/ppl", s"$base/dsir", verdicts)
+      b1, 1L, s"$base/dedup", s"$base/ppl", s"$base/dsir", s"$base/phash",
+      verdicts)
     assert(rows(s"$verdicts/b=1") == v1)
   }
 }

@@ -124,6 +124,100 @@ class Mp4Spec extends SparkSpec {
     }
   }
 
+  test("parseSamples inverts synthesizeWithSamples; header parse is " +
+      "unchanged by the sample-table track") {
+    for (v <- Seq(0, 1)) {
+      val sizes = Seq(100L, 150L, 120L, 99L, 131L)
+      val runs = Seq((3L, 400L), (2L, 512L))
+      val bytes = Mp4.synthesizeWithSamples(duration = 9000L, width = 640L,
+        height = 480L, payload = "pp".getBytes, sizes = sizes,
+        syncEvery = 2L, runs = runs, version = v)
+      val sm = Mp4.parseSamples(7L, bytes).get
+      assert(sm.n_samples == 5L)
+      assert(sm.sample_bytes == sizes.sum)
+      assert(sm.min_sample == 99L && sm.max_sample == 150L)
+      assert(sm.n_keyframes == 3L) // samples 1, 3, 5
+      assert(sm.keyframe_ppm == 3L * 1000000L / 5L)
+      assert(sm.stts_entries == 2L)
+      assert(sm.track_ticks == 3L * 400L + 2L * 512L)
+      // the header-only parser must skip the mdia subtree it doesn't know
+      val m = Mp4.parse(7L, bytes).get
+      assert(m.duration == 9000L && m.width == 640L && m.height == 480L)
+      assert(m.mdat_bytes == 2L)
+      // a meta-only container has no sample table: clean None
+      assert(Mp4.parseSamples(7L,
+        Mp4.synthesize(9000L, 640L, 480L, "pp".getBytes, v)).isEmpty)
+    }
+  }
+
+  test("stsz constant-size wire form (real fixed-size-audio muxer output) " +
+      "expands to the per-sample view") {
+    // hand-build an stsz with sample_size=121, count=4 inside the full
+    // nesting by synthesizing then splicing is brittle; instead reuse the
+    // writer for everything else and check the parser branch directly on
+    // a minimal stbl-only container
+    val sizes = Seq(121L, 121L, 121L, 121L)
+    val bytes = Mp4.synthesizeWithSamples(600L, 320L, 240L, "x".getBytes,
+      sizes, syncEvery = 1L, runs = Seq((4L, 250L)))
+    // patch the per-sample stsz into constant form: locate the stsz box
+    // payload (version u32, sample_size u32, count u32, 4 sizes) and
+    // rewrite sample_size=121, leaving the (now-ignored) table in place
+    val idx = {
+      val pat = "stsz".getBytes("US-ASCII")
+      bytes.indices.find(i => i + 4 <= bytes.length &&
+        bytes.slice(i, i + 4).sameElements(pat)).get + 4
+    }
+    def w32(off: Int, v: Long): Unit = {
+      bytes(off) = ((v >> 24) & 0xff).toByte
+      bytes(off + 1) = ((v >> 16) & 0xff).toByte
+      bytes(off + 2) = ((v >> 8) & 0xff).toByte
+      bytes(off + 3) = (v & 0xff).toByte
+    }
+    w32(idx + 4, 121L)
+    val sm = Mp4.parseSamples(1L, bytes).get
+    assert(sm.n_samples == 4L && sm.sample_bytes == 484L)
+    assert(sm.min_sample == 121L && sm.max_sample == 121L)
+  }
+
+  test("fuzz: corruptions of a sample-table container never throw, for " +
+      "either parser") {
+    val rnd = new java.util.Random(43L)
+    val good = Mp4.synthesizeWithSamples(12345L, 640L, 480L,
+      "payload".getBytes, sizes = (0L until 9L).map(i => 100L + i),
+      syncEvery = 3L, runs = Seq((5L, 400L), (4L, 500L)), version = 1)
+    for (_ <- 1 to 4000) {
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Mp4.parse(2L, b); Mp4.parseSamples(2L, b)
+    }
+    for (_ <- 1 to 4000) {
+      val cut = 1 + rnd.nextInt(good.length)
+      val b = good.take(cut)
+      if (b.length > 1) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Mp4.parse(3L, b); Mp4.parseSamples(3L, b)
+    }
+  }
+
+  test("videoSamples query fields derive from parsed stbl bytes at sf0.001") {
+    val rows = Mp4.videoSamples(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 500)
+    val docs = sf("documents").select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val n = 1L + (docs(id) % 29L)
+      val k = 1L + (id % 4L)
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) ==
+        (0L until n).map(i => 100L + (id * 31L + i * 7L) % 50L).sum)
+      assert(r.getLong(5) == (n - 1L) / k + 1L)
+      assert(r.getLong(6) == ((n - 1L) / k + 1L) * 1000000L / n)
+      val c1 = (n + 1L) / 2L
+      assert(r.getLong(8) == c1 * (400L + id % 100L) +
+        (n - c1) * (500L + id % 50L))
+    }
+  }
+
   test("videoMeta query fields derive from parsed bytes at sf0.001") {
     val rows = Mp4.videoMeta(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length == 500)
