@@ -73,6 +73,65 @@ OVER_BUDGET_NOTES = {
 TIME_RE = re.compile(r"^\[verify-time\] (\S+) ([0-9.]+)")
 NAME_RE = re.compile(r"^\[query-name\] (\S+)")
 
+# Source files owning the quadratic pair family's dataflow: a sweep that
+# SKIPS those queries cites the committed paircheck evidence instead, and
+# that citation is only valid if the evidence postdates the last change
+# to these files (r13 verdict #4: the re-run-on-change policy lived only
+# in habit).
+PAIR_FAMILY_OWNERS = [
+    "src/main/scala/graft/ops/Dedup.scala",
+    "src/main/scala/graft/ops/RetrievalQuality.scala",
+    "src/main/scala/graft/ops/TextAnalysis.scala",
+]
+PAIR_EVIDENCE_FILES = ["SCALECHECK_x3.json", "SCALECHECK_x10_pairs.json"]
+
+
+def paircheck_staleness():
+    """None if the committed pair-family evidence postdates the last
+    commit touching the family's source files; a human-readable reason
+    otherwise."""
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct %h", "--"] +
+            PAIR_FAMILY_OWNERS,
+            cwd=REPO, capture_output=True, text=True).stdout.strip()
+        if not out:
+            return None
+        ct, commit = int(out.split()[0]), out.split()[1]
+    except Exception as e:  # git unavailable: can't adjudicate, say so
+        return f"cannot read pair-family git history: {e}"
+    have = [f for f in PAIR_EVIDENCE_FILES
+            if os.path.exists(os.path.join(REPO, f))]
+    if not have:
+        return "no committed paircheck evidence files exist"
+    newest = max(os.path.getmtime(os.path.join(REPO, f)) for f in have)
+    if ct > newest:
+        return (f"pair-family sources changed (commit {commit}) AFTER the "
+                f"newest paircheck evidence ({', '.join(have)}) — re-run "
+                f"tools/paircheck.py and the x3 pair sweep before citing it")
+    return None
+
+
+def machine_fingerprint():
+    """Load + process-count snapshot so cross-round ratio comparisons
+    carry their weather with them (r13 verdict stretch #8)."""
+    fp = {}
+    try:
+        l1, l5, l15 = os.getloadavg()
+        fp.update({"loadavg_1m": round(l1, 2), "loadavg_5m": round(l5, 2),
+                   "loadavg_15m": round(l15, 2)})
+    except OSError:
+        pass
+    try:
+        fp["n_procs"] = sum(1 for d in os.listdir("/proc") if d.isdigit())
+    except OSError:
+        pass
+    try:
+        fp["cpus"] = os.cpu_count()
+    except Exception:
+        pass
+    return fp
+
 
 def run_sbt(main_args, env_extra=None, log_name=None):
     env = dict(os.environ)
@@ -132,6 +191,15 @@ def main():
         skip |= set(QUADRATIC)
     if queries is None and args.copies >= 20 and not args.no_default_skip:
         skip |= set(QUADRATIC_X20) | set(LEGACY_X20)
+
+    # the machine-weather fingerprint is taken at sweep START (the sweep
+    # itself raises load); the pair-family citation check runs whenever
+    # this sweep will skip that family and lean on committed evidence
+    fingerprint = machine_fingerprint()
+    pair_stale = paircheck_staleness() if (skip & set(QUADRATIC)) else None
+    if pair_stale:
+        print(f"WARNING: STALE PAIRCHECK EVIDENCE — {pair_stale}",
+              flush=True)
 
     # 1. build (or reuse) the replica — ScaleUp is deterministic in
     # (src, copies), so an existing dst with all tables is the same data
@@ -280,7 +348,10 @@ def main():
             sum(v for n, v in t_base.items() if n in names), 1),
         "total_replica_sec": round(
             sum(v for n, v in t_repl.items() if n in names), 1),
+        "machine": fingerprint,
     }
+    if pair_stale:
+        summary["paircheck_stale"] = pair_stale
     with open(out_file, "w") as f:
         json.dump({"summary": summary, "queries": per_query}, f, indent=1)
     print(json.dumps(summary, indent=1))
