@@ -256,7 +256,7 @@ object Corpus {
     val (ev, tr) = Dedup.deltaSplit(Tables.documents(s, dir))
     val idx = graft.sources.IndexStore.standingDedupIndex(s, dir)
     contaminationFuzzyAgainst(ev, idx.bands,
-      ids => Dedup.shingled(tr.join(broadcast(ids), "doc_id"))
+      ids => Dedup.shingled(tr.join(broadcast(ids()), "doc_id"))
         .select(col("doc_id"), col("sh")),
       alsoRelease = Nil)
   }
@@ -271,21 +271,28 @@ object Corpus {
     * that; the in-query caller wraps its computed bands) — the eval side
     * is hashed here to match. */
   private def contaminationFuzzyAgainst(ev: DataFrame, trBands: DataFrame,
-      trShinglesFor: DataFrame => DataFrame,
+      trShinglesFor: (() => DataFrame) => DataFrame,
       alsoRelease: Seq[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shEv = Dedup.shingled(ev).cache()
     shEv.count() // force: band build + verify join
-    // checkpointed: consumed by both the verify join and the provider's
-    // id argument — without it the band probe would run twice
-    val cands = trBands.as("x")
+    val candsRaw = trBands.as("x")
       .join(broadcast(Dedup.hashedBands(
           Dedup.bandsFrom(Dedup.signaturesFrom(shEv)))).as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("eval_id"))
       .distinct()
-      .localCheckpoint()
-    val trShingles = trShinglesFor(cands.select(col("doc_id")).distinct())
+    // checkpoint ONLY when the provider pulls the candidate ids (the set
+    // then feeds both the verify join and the provider's plan); the
+    // in-query twin ignores the ids and pays no extra barrier
+    var ck: DataFrame = null
+    def candsCk: DataFrame = {
+      if (ck == null) ck = candsRaw.localCheckpoint()
+      ck
+    }
+    val trShingles = trShinglesFor(
+      () => candsCk.select(col("doc_id")).distinct())
+    val cands = if (ck != null) ck else candsRaw
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("jaccard").desc, col("eval_id").asc)
     val out = cands

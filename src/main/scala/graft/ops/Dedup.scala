@@ -899,24 +899,18 @@ object Dedup {
     * O(delta × collisions) INCLUDING the standing side — the 100 TB intake
     * shape. Output is byte-identical to [[incrementalDedup]] (same oracle). */
   def incrementalDedupIndexed(s: SparkSession, dir: String): DataFrame = {
-    val (inc, ex) = deltaSplit(Tables.documents(s, dir))
-    val idx = graft.sources.IndexStore.standingDedupIndex(s, dir)
-    // Digest semi-join and band probe come from the persisted index (the
-    // index's genuine win: zero standing-side shingle CPU, 16-byte/8-byte
-    // columns only). The VERIFY shingles, though, are re-derived from the
-    // candidate docs' text instead of read from the persisted shingle
-    // table: the r13 sweeps measured the full `sh`-array scan as the
-    // reason this probe only reached parity with recomputation (×30:
-    // 6.58 vs 6.78 s) — candidates are collision-sized, so re-shingling
-    // exactly those rows (broadcast id semi-join into the documents scan;
-    // at deployment scale a doc_id-clustered store turns that into point
-    // reads) costs O(collisions), not O(corpus). Output stays
-    // byte-identical (shingling is deterministic; same oracle).
-    incrementalVerdicts(inc, idx.digests.select(col("fp")).distinct(),
-      idx.bands,
-      ids => shingled(ex.join(broadcast(ids), "doc_id"))
-        .select(col("doc_id"), col("sh")),
-      alsoRelease = Nil)
+    val (inc, _) = deltaSplit(Tables.documents(s, dir))
+    // All three probe tables come from the persisted index. The r14 A/B
+    // tried re-deriving the VERIFY shingles from candidate docs' text
+    // (the fix that wins for contaminationFuzzyIndexed, whose candidate
+    // set is contamination-dense): for THIS probe it measured ×30
+    // replica 8.35 s vs 6.61 direct — WORSE than the persisted-table
+    // read (r13: 6.58 vs 6.78, parity) because the triage candidate set
+    // is sparse and the re-shingle re-scans the documents table the
+    // query already read for its delta split. Measured decision: the
+    // persisted shingle table stays this probe's verify source; the
+    // hashed band keys (r14) keep the band-probe I/O fixed-width.
+    triageAgainstIndex(inc, graft.sources.IndexStore.standingDedupIndex(s, dir))
   }
 
   /** Exact + near triage of an arbitrary (doc_id, text) batch against a
@@ -946,7 +940,7 @@ object Dedup {
     * stores exactly that; in-query callers wrap their computed bands) —
     * the inc side is hashed here to match. */
   private def incrementalVerdicts(inc: DataFrame, exDigests: DataFrame,
-      exBands: DataFrame, exShinglesFor: DataFrame => DataFrame,
+      exBands: DataFrame, exShinglesFor: (() => DataFrame) => DataFrame,
       alsoRelease: Seq[DataFrame]): DataFrame = {
     val exactIds = inc.select(col("doc_id"), md5(col("text")).as("fp"))
       .join(exDigests, "fp")
@@ -954,16 +948,23 @@ object Dedup {
       .withColumn("is_exact", lit(true))
 
     val shInc = shingled(inc).cache(); shInc.count()
-    // checkpointed: the candidate set feeds both the verify join and the
-    // provider's id argument — without it the band probe would run twice
-    val cands = hashedBands(bandsFrom(signaturesFrom(shInc))).as("x")
+    val candsRaw = hashedBands(bandsFrom(signaturesFrom(shInc))).as("x")
       .join(exBands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("inc_id"), col("y.doc_id").as("ex_id"))
       .distinct()
-      .localCheckpoint()
-    val exShingles =
-      exShinglesFor(cands.select(col("ex_id").as("doc_id")).distinct())
+    // checkpoint ONLY when the provider actually pulls the candidate ids
+    // (the set then feeds both the verify join and the provider's plan —
+    // unmaterialized, the band probe would run twice); providers that
+    // ignore the ids reference cands once and pay no extra barrier
+    var ck: DataFrame = null
+    def candsCk: DataFrame = {
+      if (ck == null) ck = candsRaw.localCheckpoint()
+      ck
+    }
+    val exShingles = exShinglesFor(
+      () => candsCk.select(col("ex_id").as("doc_id")).distinct())
+    val cands = if (ck != null) ck else candsRaw
     val near = cands
       .join(shInc.select(col("doc_id").as("inc_id"), col("sh").as("sh_a")), "inc_id")
       .join(exShingles.select(col("doc_id").as("ex_id"), col("sh").as("sh_b")), "ex_id")
