@@ -230,69 +230,52 @@ object Corpus {
     shTr.count() // force: the band build and the verify join both read it
     contaminationFuzzyAgainst(ev,
       Dedup.hashedBands(Dedup.bandsFrom(Dedup.signaturesFrom(shTr))),
-      _ => shTr.select(col("doc_id"), col("sh")),
+      shTr.select(col("doc_id"), col("sh")),
       alsoRelease = Seq(shTr))
   }
 
   /** [[contaminationFuzzy]] probing the PERSISTED standing dedup index
     * ([[graft.sources.IndexStore.standingDedupIndex]] — built over the
     * train split, which IS the standing corpus under the harness's shared
-    * hash-bucket convention) instead of re-shingling the train side.
+    * hash-bucket convention) instead of re-shingling the train side: the
+    * form a recurring decontamination job runs at 100 TB, where each new
+    * eval benchmark sweeps the corpus's band/shingle tables without ever
+    * reading training text. Output is byte-identical to the in-query
+    * variant (same oracle).
     *
-    * Candidate generation probes the persisted BAND table (eval bands
-    * broadcast, train bands streamed — O(bands + collisions), zero
-    * standing-side shingle CPU). The VERIFY shingles are re-derived from
-    * the candidate train docs' text, NOT read from the persisted shingle
-    * table: the r13 ×10/×30 sweeps measured the full `sh`-array scan as
-    * the reason this probe ran ~2× SLOWER than direct recomputation
-    * (5.26 vs 3.16 s at ×10) — the shingle arrays are text-sized, so
-    * streaming them through the verify join re-paid the corpus-scan cost
-    * the index exists to avoid. Candidates are collision-sized
-    * (benchmark-bounded), so re-shingling exactly those rows (broadcast
-    * id semi-join into the documents scan; a doc_id-clustered deployment
-    * store turns that into point reads) costs O(collisions). Output is
-    * byte-identical to the in-query variant (same oracle). */
+    * The r13 `weak` (this probe measured ~2× SLOWER than direct
+    * recomputation at ×10/×30) is FIXED by the r14 index-schema change:
+    * the persisted band keys are now fixed-width int64
+    * ([[Dedup.hashedBands]]) instead of ~50-byte minhash strings, and
+    * that string read — not the shingle-table verify — was the gap. The
+    * controlled ×30 A/B (ScratchAb, BENCH.md round 14): direct 6.1 s,
+    * THIS dataflow 5.7 s, candidate-text-re-shingle variant 7.8 s — so
+    * the straight persisted-table read wins and stays. */
   def contaminationFuzzyIndexed(s: SparkSession, dir: String): DataFrame = {
-    val (ev, tr) = Dedup.deltaSplit(Tables.documents(s, dir))
+    val (ev, _) = Dedup.deltaSplit(Tables.documents(s, dir))
     val idx = graft.sources.IndexStore.standingDedupIndex(s, dir)
-    contaminationFuzzyAgainst(ev, idx.bands,
-      ids => Dedup.shingled(tr.join(broadcast(ids()), "doc_id"))
-        .select(col("doc_id"), col("sh")),
+    contaminationFuzzyAgainst(ev, idx.bands, idx.shingles,
       alsoRelease = Nil)
   }
 
   /** Shared flag dataflow over an eval batch and the train side's band /
     * shingle tables — however those were obtained (computed in-query or
-    * read from the persisted index). `trShinglesFor` receives the
-    * distinct candidate train doc_ids (collision-sized), so an
-    * index-backed provider can restrict its shingle supply to exactly
-    * the rows the verify join will touch. `trBands` must be in
+    * read from the persisted index). `trBands` must be in
     * [[Dedup.hashedBands]] key form (the persisted index stores exactly
     * that; the in-query caller wraps its computed bands) — the eval side
     * is hashed here to match. */
   private def contaminationFuzzyAgainst(ev: DataFrame, trBands: DataFrame,
-      trShinglesFor: (() => DataFrame) => DataFrame,
+      trShingles: DataFrame,
       alsoRelease: Seq[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shEv = Dedup.shingled(ev).cache()
     shEv.count() // force: band build + verify join
-    val candsRaw = trBands.as("x")
+    val cands = trBands.as("x")
       .join(broadcast(Dedup.hashedBands(
           Dedup.bandsFrom(Dedup.signaturesFrom(shEv)))).as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("eval_id"))
       .distinct()
-    // checkpoint ONLY when the provider pulls the candidate ids (the set
-    // then feeds both the verify join and the provider's plan); the
-    // in-query twin ignores the ids and pays no extra barrier
-    var ck: DataFrame = null
-    def candsCk: DataFrame = {
-      if (ck == null) ck = candsRaw.localCheckpoint()
-      ck
-    }
-    val trShingles = trShinglesFor(
-      () => candsCk.select(col("doc_id")).distinct())
-    val cands = if (ck != null) ck else candsRaw
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("jaccard").desc, col("eval_id").asc)
     val out = cands

@@ -888,7 +888,7 @@ object Dedup {
     incrementalVerdicts(inc,
       ex.select(md5(col("text")).as("fp")).distinct(),
       hashedBands(bandsFrom(signaturesFrom(shEx))),
-      _ => shEx.select(col("doc_id"), col("sh")),
+      shEx.select(col("doc_id"), col("sh")),
       alsoRelease = Seq(shEx))
   }
 
@@ -900,16 +900,9 @@ object Dedup {
     * shape. Output is byte-identical to [[incrementalDedup]] (same oracle). */
   def incrementalDedupIndexed(s: SparkSession, dir: String): DataFrame = {
     val (inc, _) = deltaSplit(Tables.documents(s, dir))
-    // All three probe tables come from the persisted index. The r14 A/B
-    // tried re-deriving the VERIFY shingles from candidate docs' text
-    // (the fix that wins for contaminationFuzzyIndexed, whose candidate
-    // set is contamination-dense): for THIS probe it measured ×30
-    // replica 8.35 s vs 6.61 direct — WORSE than the persisted-table
-    // read (r13: 6.58 vs 6.78, parity) because the triage candidate set
-    // is sparse and the re-shingle re-scans the documents table the
-    // query already read for its delta split. Measured decision: the
-    // persisted shingle table stays this probe's verify source; the
-    // hashed band keys (r14) keep the band-probe I/O fixed-width.
+    // all three probe tables come from the persisted index; measured at
+    // ×30 (r14): 6.27 s vs the recompute twin's 6.47 — the int64 band
+    // keys (hashedBands) are what closed the r13 string-key gap
     triageAgainstIndex(inc, graft.sources.IndexStore.standingDedupIndex(s, dir))
   }
 
@@ -921,26 +914,24 @@ object Dedup {
     incrementalVerdicts(inc,
       idx.digests.select(col("fp")).distinct(),
       idx.bands,
-      _ => idx.shingles,
+      idx.shingles,
       alsoRelease = Nil)
 
   /** Shared verdict dataflow over an incoming batch and the standing
     * side's three probe tables — however those were obtained (computed
-    * in-query or read from the persisted index). `exShinglesFor` supplies
-    * the standing shingles the verify join needs, GIVEN the distinct
-    * candidate ex-side doc_ids (a collision-sized frame): a provider that
-    * can fetch/recompute shingles for just those ids avoids streaming the
-    * full standing shingle table through the verify join — the r13
-    * measured finding that the fat `sh` arrays, not the band probe, are
-    * what makes a persisted-index probe lose to recomputation. Providers
-    * that ignore the ids (cached in-query frames, raw index reads) keep
-    * their previous dataflow verbatim.
+    * in-query or read from the persisted index).
     *
     * `exBands` must be in [[hashedBands]] key form (the persisted index
     * stores exactly that; in-query callers wrap their computed bands) —
-    * the inc side is hashed here to match. */
+    * the inc side is hashed here to match. The r14 A/B also tried a
+    * candidate-pruned verify (re-shingle only the collision docs' text
+    * instead of streaming the persisted shingle table): it LOST at both
+    * replica scales once band keys were fixed-width — the extra
+    * documents re-scan plus the candidate-set materialization barrier
+    * cost more than the straight shingle-table read — so the plain
+    * frame stays. */
   private def incrementalVerdicts(inc: DataFrame, exDigests: DataFrame,
-      exBands: DataFrame, exShinglesFor: (() => DataFrame) => DataFrame,
+      exBands: DataFrame, exShingles: DataFrame,
       alsoRelease: Seq[DataFrame]): DataFrame = {
     val exactIds = inc.select(col("doc_id"), md5(col("text")).as("fp"))
       .join(exDigests, "fp")
@@ -948,23 +939,11 @@ object Dedup {
       .withColumn("is_exact", lit(true))
 
     val shInc = shingled(inc).cache(); shInc.count()
-    val candsRaw = hashedBands(bandsFrom(signaturesFrom(shInc))).as("x")
+    val cands = hashedBands(bandsFrom(signaturesFrom(shInc))).as("x")
       .join(exBands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("inc_id"), col("y.doc_id").as("ex_id"))
       .distinct()
-    // checkpoint ONLY when the provider actually pulls the candidate ids
-    // (the set then feeds both the verify join and the provider's plan —
-    // unmaterialized, the band probe would run twice); providers that
-    // ignore the ids reference cands once and pay no extra barrier
-    var ck: DataFrame = null
-    def candsCk: DataFrame = {
-      if (ck == null) ck = candsRaw.localCheckpoint()
-      ck
-    }
-    val exShingles = exShinglesFor(
-      () => candsCk.select(col("ex_id").as("doc_id")).distinct())
-    val cands = if (ck != null) ck else candsRaw
     val near = cands
       .join(shInc.select(col("doc_id").as("inc_id"), col("sh").as("sh_a")), "inc_id")
       .join(exShingles.select(col("doc_id").as("ex_id"), col("sh").as("sh_b")), "ex_id")
