@@ -25,4 +25,30 @@ object Caching {
     caches.foreach(_.unpersist())
     r
   }
+
+  /** Session-scoped memo of EXPENSIVE GROUND-TRUTH frames the recall
+    * dashboards embed (brute-force top-k, the exact prefix-join pair
+    * set): within one session a user — and the bench — runs the member
+    * query AND the dashboards that grade against it, and recomputing the
+    * identical deterministic frame per consumer is pure waste (r13
+    * verdict #1b). Only localCheckpointed, small-by-construction results
+    * may be memoized (pair sets ∝ k·queries or duplicate density). Keyed
+    * by (session, operator, dir); entries die with the session (weak
+    * keys on the SparkSession). Thread-safe via computeIfAbsent. */
+  private val memoTable =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def memo(s: org.apache.spark.sql.SparkSession, key: String)(
+      compute: => DataFrame): DataFrame = {
+    val perSession = memoTable.synchronized {
+      var m = memoTable.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        memoTable.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(key, _ => compute.localCheckpoint())
+  }
 }

@@ -87,7 +87,13 @@ object RetrievalQuality {
     * (LSH can return fewer when buckets are sparse), so `returned` ≤
     * `n_exact` and precision ≥ recall by construction. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = Similarity.bruteForceTopK(s, dir)
+    // ground truth is session-memoized (Caching.memo): within one
+    // session the bench/user runs ann_brute AND this dashboard, and the
+    // deterministic exact frame is identical — this row then measures
+    // the GRADING cost; the ground-truth recompute stays measured in
+    // ann_brute's own row (r13 verdict #1b)
+    val exact = Caching.memo(s, s"annRecall.exact:$dir")(
+      Similarity.bruteForceTopK(s, dir))
     val variants = Seq(
       "ivf" -> Similarity.ivfTopK(s, dir),
       "ivfpq" -> Similarity.ivfPqTopK(s, dir),
@@ -112,7 +118,10 @@ object RetrievalQuality {
     * comparison a curation team runs before picking the production
     * generator. */
   def dedupPairRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = Dedup.prefixJoinPairs(s, dir)
+    // session-memoized for the same reason as [[annRecall]]'s exact side
+    // (dedup_prefix_join's own row keeps the recompute cost)
+    val exact = Caching.memo(s, s"dedupPairRecall.exact:$dir")(
+      Dedup.prefixJoinPairs(s, dir))
     val variants = Seq(
       "minhash_band" -> Dedup.minhashPairsRaw(Tables.documents(s, dir)),
       "simhash_band64" -> Dedup.simhashLshPairs64(s, dir),
@@ -136,7 +145,9 @@ object RetrievalQuality {
     * 4×4-bit geometry reports as `hyperplane_band_legacy` (the preserved
     * A/B baseline — BENCH.md round-12 table). */
   def embDupRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = Similarity.cosineDupPairs(s, dir)
+    // session-memoized (emb_dup_pairs_exact keeps the recompute cost)
+    val exact = Caching.memo(s, s"embDupRecall.exact:$dir")(
+      Similarity.cosineDupPairs(s, dir))
     // domain restriction goes INSIDE the band pipeline (collision is a
     // two-vector property, so the restricted run emits exactly the
     // unrestricted pairs with both ids in domain) — filtering the full
@@ -164,7 +175,8 @@ object RetrievalQuality {
     // appears exactly once in the union — so the mm operators' live
     // decode plans run once per member with no extra materialization
     // pass here (the pre-r14 outer checkpoints doubled the decode work)
-    val exact = Multimodal.mmDupPairsExact(s, dir)
+    val exact = Caching.memo(s, s"mmDupRecall.exact:$dir")(
+      Multimodal.mmDupPairsExact(s, dir))
     val probe = Multimodal.mmDupPairs(s, dir, maxId = Some(300L))
     qualityReport(exact, Seq("phash_probe" -> probe), "id_a", "id_b")
   }
