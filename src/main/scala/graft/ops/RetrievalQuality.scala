@@ -94,14 +94,20 @@ object RetrievalQuality {
     // ann_brute's own row (r13 verdict #1b)
     val exact = Caching.memo(s, s"annRecall.exact:$dir")(
       Similarity.bruteForceTopK(s, dir))
+    // the variant frames are memoized the same way (r13 verdict #1b:
+    // "let the dashboards reuse their members' cached frames
+    // in-session") — each variant's standalone registry row keeps its
+    // own recompute cost
+    def v(name: String)(f: => DataFrame): (String, DataFrame) =
+      name -> Caching.memo(s, s"annRecall.v.$name:$dir")(f)
     val variants = Seq(
-      "ivf" -> Similarity.ivfTopK(s, dir),
-      "ivfpq" -> Similarity.ivfPqTopK(s, dir),
-      "lsh" -> Similarity.lshTopK(s, dir),
-      "lsh_multiprobe" -> Similarity.lshTopKMultiProbe(s, dir),
-      "pq" -> Similarity.pqTopK(s, dir),
-      "sq8" -> Similarity.sq8TopK(s, dir),
-      "truncate" -> Similarity.truncatedTopK(s, dir))
+      v("ivf")(Similarity.ivfTopK(s, dir)),
+      v("ivfpq")(Similarity.ivfPqTopK(s, dir)),
+      v("lsh")(Similarity.lshTopK(s, dir)),
+      v("lsh_multiprobe")(Similarity.lshTopKMultiProbe(s, dir)),
+      v("pq")(Similarity.pqTopK(s, dir)),
+      v("sq8")(Similarity.sq8TopK(s, dir)),
+      v("truncate")(Similarity.truncatedTopK(s, dir)))
     qualityReport(exact, variants, "q_id", "c_id")
   }
 
@@ -122,10 +128,12 @@ object RetrievalQuality {
     // (dedup_prefix_join's own row keeps the recompute cost)
     val exact = Caching.memo(s, s"dedupPairRecall.exact:$dir")(
       Dedup.prefixJoinPairs(s, dir))
+    def v(name: String)(f: => DataFrame): (String, DataFrame) =
+      name -> Caching.memo(s, s"dedupPairRecall.v.$name:$dir")(f)
     val variants = Seq(
-      "minhash_band" -> Dedup.minhashPairsRaw(Tables.documents(s, dir)),
-      "simhash_band64" -> Dedup.simhashLshPairs64(s, dir),
-      "winnow" -> TextAnalysis.winnowPairs(s, dir))
+      v("minhash_band")(Dedup.minhashPairsRaw(Tables.documents(s, dir))),
+      v("simhash_band64")(Dedup.simhashLshPairs64(s, dir)),
+      v("winnow")(TextAnalysis.winnowPairs(s, dir)))
     qualityReport(exact, variants, "doc_a", "doc_b")
   }
 
@@ -153,10 +161,12 @@ object RetrievalQuality {
     // unrestricted pairs with both ids in domain) — filtering the full
     // operator's output would recompute the whole corpus's
     // output-quadratic pair set for a constant-size slice
-    val legacy = Similarity.cosineDupLsh(s, dir, maxId = Some(300L))
-    val wide = Similarity.cosineDupLshWide(s, dir, maxId = Some(300L))
-    val wideMp =
-      Similarity.cosineDupLshWideMultiProbe(s, dir, maxId = Some(300L))
+    val legacy = Caching.memo(s, s"embDupRecall.v.legacy:$dir")(
+      Similarity.cosineDupLsh(s, dir, maxId = Some(300L)))
+    val wide = Caching.memo(s, s"embDupRecall.v.wide:$dir")(
+      Similarity.cosineDupLshWide(s, dir, maxId = Some(300L)))
+    val wideMp = Caching.memo(s, s"embDupRecall.v.wide_mp:$dir")(
+      Similarity.cosineDupLshWideMultiProbe(s, dir, maxId = Some(300L)))
     qualityReport(exact,
       Seq("hyperplane_band_legacy" -> legacy, "hyperplane_band_wide" -> wide,
         "hyperplane_band_wide_mp" -> wideMp),
@@ -177,7 +187,8 @@ object RetrievalQuality {
     // pass here (the pre-r14 outer checkpoints doubled the decode work)
     val exact = Caching.memo(s, s"mmDupRecall.exact:$dir")(
       Multimodal.mmDupPairsExact(s, dir))
-    val probe = Multimodal.mmDupPairs(s, dir, maxId = Some(300L))
+    val probe = Caching.memo(s, s"mmDupRecall.v.probe:$dir")(
+      Multimodal.mmDupPairs(s, dir, maxId = Some(300L)))
     qualityReport(exact, Seq("phash_probe" -> probe), "id_a", "id_b")
   }
 }
