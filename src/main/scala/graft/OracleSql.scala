@@ -797,6 +797,50 @@ object OracleSql {
          |      WHEN n_chars > 1000 THEN 'long' ELSE 'ok' END AS length_band
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Gopher rule battery: every predicate is the identical integer
+    // comparison the engine evaluates (permille numerators, no float
+    // ratios), so the boolean flags — and the admitted conjunction —
+    // hash-match exactly. The '...' counter divides by 3 AFTER the
+    // non-overlapping replace, which both engines perform left-to-right.
+    "text_gopher_rules" -> {
+      import TextAnalysis._
+      s"""WITH tok AS ($tokensCte),
+         |b AS (
+         |  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n,
+         |    length(replace(text, ' ', '')) AS sum_len,
+         |    CASE WHEN len(tokens) >= 2 THEN
+         |      list_transform(range(1, CAST(len(tokens) AS BIGINT)), i ->
+         |        tokens[i] || ' ' || tokens[i+1])
+         |    ELSE [text] END AS g2,
+         |    (length(text) - length(replace(text, '#', ''))) +
+         |      (length(text) - length(replace(text, '...', ''))) // 3
+         |      AS symbol_hits,
+         |    len(list_filter(tokens, t -> regexp_matches(t, '[a-z]')))
+         |      AS alpha_words,
+         |    len(list_intersect(list_distinct(tokens),
+         |      [${inList(Stopwords)}])) AS stop_hits
+         |  FROM tok),
+         |f AS (
+         |  SELECT doc_id, n AS n_words,
+         |    (n >= $GopherMinWords AND n <= $GopherMaxWords)
+         |      AS ok_word_count,
+         |    (sum_len >= $GopherMinAvgLen * n AND
+         |     sum_len <= $GopherMaxAvgLen * n) AS ok_mean_word_len,
+         |    (symbol_hits * 1000 <= $GopherSymbolPermille * n)
+         |      AS ok_symbol_ratio,
+         |    (stop_hits >= $GopherMinStopHits) AS ok_stopwords,
+         |    (alpha_words * 1000 >= $GopherAlphaPermille * n)
+         |      AS ok_alpha_frac,
+         |    ((len(g2) - len(list_distinct(g2))) * 1000 <=
+         |      $GopherDup2Permille * len(g2)) AS ok_dup2gram
+         |  FROM b)
+         |SELECT doc_id, n_words, ok_word_count, ok_mean_word_len,
+         |  ok_symbol_ratio, ok_stopwords, ok_alpha_frac, ok_dup2gram,
+         |  (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND
+         |   ok_stopwords AND ok_alpha_frac AND ok_dup2gram) AS admitted
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
     "text_langid" -> {
       def hits(lang: String) =
         s"CAST(len(list_filter(tokens, t -> t IN (${inList(TextAnalysis.LangProfiles(lang))}))) AS INT)"
@@ -2389,6 +2433,38 @@ object OracleSql {
         |    AS BIGINT) AS stts_entries,
         |  ((b.n + 1) // 2) * b.d1 + (b.n - ((b.n + 1) // 2)) * b.d2
         |    AS track_ticks
+        |FROM base b JOIN agg a USING (doc_id) ORDER BY asset_id""".stripMargin,
+
+    // REAL frame decode through a png-coded MP4 track: the engine
+    // PNG-encodes deterministic pixels, muxes them, and derives every
+    // output field by demuxing + decoding the bytes back; the oracle
+    // recomputes the pixel formula directly (PNG is lossless, so the
+    // integers agree exactly). Bounded range joins expand (frame, x, y);
+    // the per-frame luma sums aggregate before the per-asset rollup.
+    "mm_video_frames" ->
+      """WITH base AS (
+        |  SELECT doc_id, 1 + (doc_id % 4) AS nf,
+        |         4 + (doc_id % 3) * 4 AS w, 4 AS h
+        |  FROM documents),
+        |fs AS (
+        |  SELECT b.doc_id, f.i AS f,
+        |         SUM((b.doc_id*31 + f.i*17 + x.i*7 + y.i*13) % 256) AS s
+        |  FROM base b
+        |  JOIN range(0, 4) f(i) ON f.i < b.nf
+        |  JOIN range(0, 12) x(i) ON x.i < b.w
+        |  JOIN range(0, 4) y(i) ON y.i < b.h
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, SUM(s) AS luma_sum, MAX(s) AS mx
+        |  FROM fs GROUP BY doc_id)
+        |SELECT b.doc_id AS asset_id, 'png' AS codec,
+        |  CAST(b.nf AS BIGINT) AS n_frames,
+        |  CAST(b.w AS BIGINT) AS frame_width,
+        |  CAST(b.h AS BIGINT) AS frame_height,
+        |  CAST(a.luma_sum AS BIGINT) AS luma_sum,
+        |  CAST((a.luma_sum * 1000000) // (b.nf * b.w * b.h) AS BIGINT)
+        |    AS luma_mean_ppm,
+        |  CAST(a.mx AS BIGINT) AS max_frame_sum
         |FROM base b JOIN agg a USING (doc_id) ORDER BY asset_id""".stripMargin,
 
     "mm_features" -> {

@@ -135,6 +135,7 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "text_heavy_by_lang" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHittersByLang(s, d)),
     "text_quality_gate" -> (TextAnalysis.qualityGateDynamic _),
+    "text_gopher_rules" -> (TextAnalysis.gopherRules _),
     "text_count_min" -> (Sketches.countMinProbes _),
     "q_hll_distinct" -> (Sketches.hllDistinct _),
     "q_hll_rollup" -> (Sketches.hllRollup _),
@@ -191,6 +192,7 @@ object SparkEntry {
     "corpus_front_door" -> (Corpus.frontDoor _),
     "mm_video_meta" -> (Mp4.videoMeta _),
     "mm_video_samples" -> (Mp4.videoSamples _),
+    "mm_video_frames" -> (Mp4.videoFrames _),
     "quality_distill" -> (QualityModel.distill _),
     "dedup_group_histogram" -> (Dedup.dupGroupHistogram _),
     "dedup_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),

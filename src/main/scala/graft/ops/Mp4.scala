@@ -17,6 +17,14 @@ final case class Mp4Samples(asset_id: Long, n_samples: Long,
     n_keyframes: Long, keyframe_ppm: Long, stts_entries: Long,
     track_ticks: Long)
 
+/** Per-asset pixel statistics from REAL frame decode of a `png `-coded
+  * video track: codec fourcc from stsd, frame locations from stsz+stco,
+  * pixel values from ImageIO's PNG decoder. All stats integer-exact
+  * (PNG is lossless, so decoded luma == synthesized luma). */
+final case class Mp4Frames(asset_id: Long, codec: String, n_frames: Long,
+    frame_width: Long, frame_height: Long, luma_sum: Long,
+    luma_mean_ppm: Long, max_frame_sum: Long)
+
 /** Real MP4 (ISO BMFF, ISO/IEC 14496-12) container parsing — the
   * header-level half of the video modality the JDK can actually do
   * (frame DECODE needs a codec the JDK doesn't ship and stays the
@@ -155,6 +163,92 @@ object Mp4 {
     ftyp ++ moov ++ box("mdat", payload)
   }
 
+  private def u16(v: Long): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** stsd payload: one VisualSampleEntry in the real wire layout
+    * (ISO 14496-12 §8.5.2 + §12.1.3): 6 reserved bytes + data_reference_
+    * index, 16 bytes of pre_defined/reserved, u16 width/height, 16.16
+    * resolutions, reserved, frame_count, 32-byte compressorname, depth,
+    * pre_defined = -1. The entry's own box type IS the codec fourcc —
+    * `png ` is the registered QuickTime lossless video codec, the one
+    * video codec whose samples the JDK can actually decode. */
+  private def stsd(codec: String, width: Long, height: Long): Array[Byte] = {
+    val entry = box(codec,
+      Array.fill(6)(0.toByte) ++ u16(1L) ++      // reserved + data_ref_index
+        Array.fill(16)(0.toByte) ++              // pre_defined + reserved
+        u16(width) ++ u16(height) ++
+        u32(0x00480000L) ++ u32(0x00480000L) ++  // 72 dpi horiz/vert
+        u32(0L) ++ u16(1L) ++                    // reserved + frame_count
+        Array.fill(32)(0.toByte) ++              // compressorname
+        u16(24L) ++ u16(0xffffL))                // depth 24, pre_defined -1
+    u32(0L) ++ u32(1L) ++ entry
+  }
+
+  /** stsc payload: all samples in one chunk (entry (1, n, 1)). */
+  private def stsc1(n: Long): Array[Byte] =
+    u32(0L) ++ u32(1L) ++ u32(1L) ++ u32(n) ++ u32(1L)
+
+  /** stco payload: the single chunk's absolute file offset. */
+  private def stco1(off: Long): Array[Byte] = u32(0L) ++ u32(1L) ++ u32(off)
+
+  /** Encode one grayscale frame as real PNG bytes via the JDK codec.
+    * In-memory cache only: the default ImageIO disk cache would add a
+    * temp-file write per frame to the hot path. */
+  def pngFrame(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, px(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      writer.setOutput(ios)
+      try writer.write(img) finally writer.dispose()
+    } finally ios.close()
+    bos.toByteArray
+  }
+
+  /** [[synthesizeWithSamples]]'s sibling for a decodable track: the stbl
+    * additionally carries stsd (codec = `png `), stsc, and stco, and the
+    * mdat payload is the concatenation of the real PNG sample bytes —
+    * i.e. a playable-shape lossless video track, not just headers. stco
+    * needs the absolute mdat payload offset, which depends on moov's own
+    * size — resolved by the standard two-pass build (box sizes are
+    * fixed-width, so pass 2's moov length equals pass 1's). */
+  def synthesizePngTrack(duration: Long, width: Long, height: Long,
+      frames: Seq[Array[Byte]], syncEvery: Long,
+      version: Int = 0): Array[Byte] = {
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ u32(0x200L) ++
+        "isom".getBytes("US-ASCII") ++ "mp41".getBytes("US-ASCII"))
+    val sizes = frames.map(_.length.toLong)
+    val syncs = 1L.to(sizes.length.toLong).by(syncEvery)
+    def moovOf(chunkOff: Long): Array[Byte] = box("moov",
+      box("mvhd", mvhd(version, Timescale, duration)) ++
+        box("trak",
+          box("tkhd", tkhd(version, duration, width, height)) ++
+            box("mdia",
+              box("mdhd", mdhd(Timescale, duration)) ++
+                box("minf", box("stbl",
+                  box("stsd", stsd("png ", width, height)) ++
+                    box("stsz", stsz(sizes)) ++
+                    box("stsc", stsc1(sizes.length.toLong)) ++
+                    box("stco", stco1(chunkOff)) ++
+                    box("stss", stss(syncs)) ++
+                    box("stts", stts(Seq((sizes.length.toLong, 100L)))))))))
+    val probe = moovOf(0L)
+    val chunkOff = ftyp.length.toLong + probe.length.toLong + 8L
+    ftyp ++ moovOf(chunkOff) ++ box("mdat", frames.toArray.flatten)
+  }
+
   // --- parsing -------------------------------------------------------------
 
   private def readU32(b: Array[Byte], off: Int): Long =
@@ -286,6 +380,112 @@ object Mp4 {
       (readU32(b, from + 8 + 8 * i), readU32(b, from + 12 + 8 * i))))
   }
 
+  /** stsd: codec fourcc + declared u16 width/height of the FIRST sample
+    * entry (the entry's box type is the codec identifier). */
+  private def parseStsd(b: Array[Byte], from: Int,
+      until: Int): Option[(String, Long, Long)] = {
+    if (until - from < 8) return None
+    if (readU32(b, from + 4) < 1L) return None
+    for {
+      entries <- walk(b, from + 8, until)
+      (codec, p, end) <- entries.headOption
+      if end - p >= 28
+    } yield (codec, readU32(b, p + 24) >> 16, readU32(b, p + 24) & 0xffffL)
+  }
+
+  /** stco: first chunk offset (this engine's synthesized tracks pack all
+    * samples into one chunk; multi-chunk layout would extend here). */
+  private def parseStco1(b: Array[Byte], from: Int, until: Int): Option[Long] = {
+    if (until - from < 12) return None
+    if (readU32(b, from + 4) < 1L) return None
+    Some(readU32(b, from + 8))
+  }
+
+  /** Decode every sample in [chunkOff + running stsz offsets) as PNG via
+    * the JDK codec; None on any bounds violation, undecodable frame, or
+    * disagreement with the stsd-declared dimensions. The dimension check
+    * runs against the codec's HEADER (reader.getWidth) BEFORE pixel
+    * allocation, so corrupted frame bytes declaring absurd sizes are
+    * rejected without allocating — degrade-don't-crash at O(header)
+    * cost, same contract as [[parse]]. Returns per-frame luma sums. */
+  private def decodeFrames(b: Array[Byte], chunkOff: Long, sizes: Seq[Long],
+      expectW: Long, expectH: Long): Option[Seq[Long]] = {
+    var off = chunkOff
+    val sums = new Array[Long](sizes.length)
+    var i = 0
+    while (i < sizes.length) {
+      val sz = sizes(i)
+      if (off < 0 || sz <= 0 || sz > Int.MaxValue || off + sz > b.length)
+        return None
+      try {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(b, off.toInt, sz.toInt))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          reader.setInput(iis)
+          try {
+            if (reader.getWidth(0).toLong != expectW ||
+              reader.getHeight(0).toLong != expectH) return None
+            val raster = reader.read(0).getRaster
+            var sum = 0L
+            var y = 0
+            while (y < expectH) {
+              var x = 0
+              while (x < expectW) {
+                sum += raster.getSample(x.toInt, y.toInt, 0); x += 1
+              }
+              y += 1
+            }
+            sums(i) = sum
+          } finally reader.dispose()
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => return None }
+      off += sz
+      i += 1
+    }
+    Some(sums.toIndexedSeq)
+  }
+
+  /** REAL video frame decode: stsd gives the codec, stsz+stco locate the
+    * sample byte ranges, and — for the `png ` lossless codec the JDK
+    * ships a decoder for — every frame is decoded to pixels and reduced
+    * to integer luma statistics. This closes the r13 "pixel decode" gap
+    * for lossless-coded tracks; codecs the JDK lacks (H.264 etc.) still
+    * degrade to header-level metadata in [[Multimodal]]'s dispatch. The
+    * decoded dimensions must agree with the stsd-declared ones — a real
+    * demuxer consistency check the spec corrupts both sides of. */
+  def parseFrames(assetId: Long, bytes: Array[Byte]): Option[Mp4Frames] =
+    for {
+      top <- walk(bytes, 0, bytes.length)
+      moov <- top.find(_._1 == "moov")
+      inMoov <- walk(bytes, moov._2, moov._3)
+      trak <- inMoov.find(_._1 == "trak")
+      inTrak <- walk(bytes, trak._2, trak._3)
+      mdia <- inTrak.find(_._1 == "mdia")
+      inMdia <- walk(bytes, mdia._2, mdia._3)
+      minf <- inMdia.find(_._1 == "minf")
+      inMinf <- walk(bytes, minf._2, minf._3)
+      stbl <- inMinf.find(_._1 == "stbl")
+      inStbl <- walk(bytes, stbl._2, stbl._3)
+      sd <- inStbl.find(_._1 == "stsd")
+      (codec, sdW, sdH) <- parseStsd(bytes, sd._2, sd._3)
+      if codec == "png "
+      sz <- inStbl.find(_._1 == "stsz")
+      sizes <- parseStsz(bytes, sz._2, sz._3)
+      if sizes.nonEmpty
+      co <- inStbl.find(_._1 == "stco")
+      chunkOff <- parseStco1(bytes, co._2, co._3)
+      if sdW > 0 && sdH > 0
+      frameSums <- decodeFrames(bytes, chunkOff, sizes, sdW, sdH)
+    } yield Mp4Frames(assetId, codec.trim,
+      n_frames = frameSums.length.toLong,
+      frame_width = sdW, frame_height = sdH,
+      luma_sum = frameSums.sum,
+      luma_mean_ppm = frameSums.sum * 1000000L / (frameSums.length * sdW * sdH),
+      max_frame_sum = frameSums.max)
+
   private def parseTkhd(b: Array[Byte], from: Int,
       until: Int): Option[(Long, Long)] = {
     val fixedOff = b(from) & 0xff match {
@@ -362,6 +562,43 @@ object Mp4 {
         parseSamples(id, bytes).getOrElse(
           throw new IllegalStateException(
             s"unparseable synthesized sample table for doc $id"))
+      }
+    }.toDF()
+      .orderBy(col("asset_id"))
+  }
+
+  /** End-to-end video FRAME decode through a real container and a real
+    * codec: per document, 1–4 grayscale frames whose pixels are a pure
+    * arithmetic function of (doc_id, frame, x, y) are PNG-encoded by the
+    * JDK codec, muxed into a `png `-coded MP4 track, then the OUTPUT is
+    * derived exclusively by parsing the container back (stsd → codec,
+    * stsz+stco → sample ranges) and decoding each frame's pixels. PNG is
+    * lossless, so the DuckDB oracle recomputes the identical integer
+    * luma sums directly from the pixel formula — a hash match proves
+    * decode ∘ encode = id through both layers (mux and codec).
+    *
+    * Scale shape: synthesis, mux, demux, and decode all happen inside
+    * one mapPartitions pass; only the fixed-width [[Mp4Frames]] row
+    * survives — frame bytes never shuffle, and the decoder initializes
+    * per partition, not per row (ImageIO's in-memory streams; the
+    * temp-file cache is bypassed in [[pngFrame]]). */
+  def videoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    assets.mapPartitions { it =>
+      it.map { id =>
+        val nf = 1 + (id % 4L).toInt
+        val w = 4 + (id % 3L).toInt * 4
+        val h = 4
+        val frames = (0 until nf).map(f =>
+          pngFrame(w, h,
+            (x, y) => ((id * 31L + f * 17L + x * 7L + y * 13L) % 256L).toInt))
+        val bytes = synthesizePngTrack(
+          duration = nf * 100L, width = w.toLong, height = h.toLong,
+          frames = frames, syncEvery = 1L + (id % 2L),
+          version = if (id % 3 == 0) 1 else 0)
+        parseFrames(id, bytes).getOrElse(throw new IllegalStateException(
+          s"undecodable synthesized png track for doc $id"))
       }
     }.toDF()
       .orderBy(col("asset_id"))

@@ -68,6 +68,76 @@ object TextAnalysis {
           .otherwise("ok").as("length_band"))
       .orderBy(col("doc_id"))
 
+  /** Gopher rule thresholds (Rae et al. 2021, Table A1), expressed as
+    * integer comparisons so both engines evaluate the identical
+    * predicate — no float ratio ever materializes. Ratio rules use
+    * permille numerators: `lhs * 1000 <= threshold_permille * rhs`. */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinAvgLen = 3 // mean word length ∈ [3, 10]
+  val GopherMaxAvgLen = 10
+  val GopherMinStopHits = 2 // ≥ 2 distinct required stopwords
+  val GopherSymbolPermille = 100 // symbol-to-word ratio ≤ 0.1
+  val GopherAlphaPermille = 800 // ≥ 80% of words contain a letter
+  val GopherDup2Permille = 200 // duplicate-2-gram fraction ≤ 0.2
+
+  /** Gopher-style quality rule battery: the published document-level
+    * heuristics as one narrow pass emitting a flag per rule plus the
+    * `admitted` conjunction — the form a real curation pipeline stores,
+    * because per-rule flags are what lets you audit WHICH rule rejected
+    * a slice of the corpus (a single opaque boolean can't). Line-shape
+    * rules (bullet/ellipsis line fractions) are omitted: the synthetic
+    * corpus is single-line, so they'd be vacuously true everywhere and
+    * would test nothing; the symbol-ratio and alpha-word rules are kept
+    * even though this corpus passes them — their arithmetic is exercised
+    * by spec fixtures with adversarial text.
+    *
+    * Scale shape: pure per-row projection (split + a bounded 2-gram
+    * transform), no shuffle except the presentation sort — wordcount
+    * economics, runs unchanged on a stream. */
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** The unsorted per-row form (pure projection — stream ≡ batch). */
+  def gopherRulesOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("n", size(col("tokens")))
+      .withColumn("sum_len", length(regexp_replace(col("text"), " ", "")))
+      .withColumn("g2", expr(
+        """CASE WHEN size(tokens) >= 2 THEN
+          |  transform(sequence(1, size(tokens) - 1), i ->
+          |    concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1)))
+          |ELSE array(text) END""".stripMargin))
+      .withColumn("symbol_hits",
+        (length(col("text")) - length(translate(col("text"), "#", ""))) +
+          ((length(col("text")) -
+            length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+            .cast("int"))
+      .withColumn("alpha_words",
+        expr("size(filter(tokens, t -> t RLIKE '[a-z]'))"))
+      .withColumn("stop_hits", expr(
+        s"size(array_intersect(array_distinct(tokens), array(${inList(Stopwords)})))"))
+      .withColumn("dup2", size(col("g2")) - size(array_distinct(col("g2"))))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_words"),
+        (col("n") >= GopherMinWords && col("n") <= GopherMaxWords)
+          .as("ok_word_count"),
+        (col("sum_len") >= lit(GopherMinAvgLen) * col("n") &&
+          col("sum_len") <= lit(GopherMaxAvgLen) * col("n"))
+          .as("ok_mean_word_len"),
+        (col("symbol_hits") * 1000 <= lit(GopherSymbolPermille) * col("n"))
+          .as("ok_symbol_ratio"),
+        (col("stop_hits") >= GopherMinStopHits).as("ok_stopwords"),
+        (col("alpha_words") * 1000 >= lit(GopherAlphaPermille) * col("n"))
+          .as("ok_alpha_frac"),
+        (col("dup2") * 1000 <= lit(GopherDup2Permille) * size(col("g2")))
+          .as("ok_dup2gram"))
+      .withColumn("admitted",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_stopwords") &&
+          col("ok_alpha_frac") && col("ok_dup2gram"))
+
   /** Language ID: stopword-profile overlap scoring. Deterministic
     * tie-break: en unless another profile strictly wins. */
   def langId(s: SparkSession, dir: String): DataFrame = {

@@ -83,6 +83,67 @@ class Mp4Spec extends SparkSpec {
     assert(m.width == 352L)
   }
 
+  test("parseFrames inverts the png mux + codec: exact luma round-trip") {
+    for (id <- Seq(0L, 1L, 5L, 38L)) {
+      val nf = 1 + (id % 4L).toInt
+      val w = 4 + (id % 3L).toInt * 4
+      val h = 4
+      def px(f: Int)(x: Int, y: Int): Int =
+        ((id * 31L + f * 17L + x * 7L + y * 13L) % 256L).toInt
+      val frames = (0 until nf).map(f => Mp4.pngFrame(w, h, px(f)))
+      val bytes = Mp4.synthesizePngTrack(nf * 100L, w.toLong, h.toLong,
+        frames, syncEvery = 1L + (id % 2L),
+        version = if (id % 3 == 0) 1 else 0)
+      val m = Mp4.parseFrames(id, bytes).get
+      val expectSums = (0 until nf).map(f =>
+        (for (x <- 0 until w; y <- 0 until h) yield px(f)(x, y).toLong).sum)
+      assert(m.codec == "png")
+      assert(m.n_frames == nf.toLong)
+      assert(m.frame_width == w.toLong && m.frame_height == h.toLong)
+      assert(m.luma_sum == expectSums.sum)
+      assert(m.max_frame_sum == expectSums.max)
+      assert(m.luma_mean_ppm == expectSums.sum * 1000000L / (nf.toLong * w * h))
+      // the header-level parser must still read the same container
+      val hm = meta(bytes).get
+      assert(hm.width == w.toLong && hm.height == h.toLong)
+      // and the sample-table parser must see the real PNG byte sizes
+      val sm = Mp4.parseSamples(id, bytes).get
+      assert(sm.n_samples == nf.toLong)
+      assert(sm.sample_bytes == frames.map(_.length.toLong).sum)
+    }
+  }
+
+  test("parseFrames degrades to None on corruption, never throws") {
+    val frames = (0 until 3).map(f => Mp4.pngFrame(8, 4, (x, y) => (f * 17 + x * 7 + y * 13) % 256))
+    val good = Mp4.synthesizePngTrack(300L, 8L, 4L, frames, 2L)
+    assert(Mp4.parseFrames(1L, good).isDefined)
+    // stsd-declared vs decoded dimension mismatch must be rejected:
+    // corrupt the sample entry's u16 width field
+    val stsdAt = {
+      var i = -1
+      for (o <- 0 until good.length - 4)
+        if (i < 0 && new String(good, o, 4, "US-ASCII") == "stsd") i = o
+      i
+    }
+    val mism = good.clone()
+    mism(stsdAt + 4 + 8 + 8 + 24 + 1) = 0x63.toByte // entry payload width lo byte
+    assert(Mp4.parseFrames(1L, mism).isEmpty)
+    // seeded fuzz: random single-byte corruption + random truncation over
+    // the whole file (header boxes AND png payload bytes) — the decoder
+    // must degrade to None or a well-formed row, never throw
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 2000) {
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Mp4.parseFrames(1L, b) // no throw
+    }
+    for (_ <- 0 until 500) {
+      Mp4.parseFrames(1L, good.take(rnd.nextInt(good.length))) // no throw
+    }
+    // truncating anywhere inside mdat kills at least the last frame
+    assert(Mp4.parseFrames(1L, good.take(good.length - 1)).isEmpty)
+  }
+
   test("Multimodal dispatch routes video/mp4 through the container parser") {
     import spark.implicits._
     val bytes = Mp4.synthesize(1200L, 640L, 360L, "payload".getBytes)

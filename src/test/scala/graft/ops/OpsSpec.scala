@@ -768,6 +768,47 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(2L) === ((2, 0.0, 0.3333)))
   }
 
+  test("gopher rules: each rule flips on its adversarial fixture; admitted is the conjunction") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val clean = doc(Seq("the", "of") ++ (1 to 58).map(i => s"word$i"))
+    val short = "the of tiny doc here"
+    val symbolic = doc(Seq("the", "of") ++ Seq.fill(48)("####") ++
+      Seq.fill(10)("world"))
+    val loopy = doc(Seq("the", "of") ++
+      Seq.fill(29)(Seq("abcd", "defg")).flatten)
+    val longw = doc(Seq("the", "of") ++ (1 to 58).map(i => s"verylongword$i"))
+    val digits = doc(Seq("the", "of") ++ (1 to 58).map(i => (100000 + i).toString))
+    val ellipsis = doc(Seq("the", "of") ++ (1 to 57).map(i => s"word$i") :+ "wait...")
+    val docs = Seq((1L, clean), (2L, short), (3L, symbolic), (4L, loopy),
+      (5L, longw), (6L, digits), (7L, ellipsis))
+    docs.map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.gopherRules(spark, tmp).collect().map { r =>
+      r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8))
+    }.toMap
+    // (word_count, mean_word_len, symbol_ratio, stopwords, alpha, dup2, admitted)
+    assert(out(1L) === ((true, true, true, true, true, true, true)), "clean")
+    assert(out(2L) === ((false, true, true, true, true, true, false)), "short")
+    assert(out(3L) === ((true, true, false, true, false, false, false)),
+      "48x'####' of 60 words: symbol ratio 3.2, alpha 12/60, dup2 runs")
+    assert(out(4L) === ((true, true, true, true, true, false, false)),
+      "abcd-defg bigram x29: dup2 55/59, every other rule green")
+    assert(out(5L) === ((true, false, true, true, true, true, false)),
+      "13-char words push mean length past 10")
+    assert(out(6L) === ((true, true, true, true, false, true, false)),
+      "digit tokens: alpha 2/60")
+    assert(out(7L) === ((true, true, true, true, true, true, true)),
+      "one '...' in 60 words is under the 0.1 symbol budget")
+    // n_words surfaced for auditability
+    val n = TextAnalysis.gopherRules(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n(1L) === 60L && n(2L) === 5L)
+  }
+
   test("bpe pre-token count: contractions, punctuation, digits, and spacing " +
       "segment like the GPT-2 pre-tokenizer") {
     import spark.implicits._
