@@ -18,10 +18,12 @@ final case class AssetFeatures(asset_id: Long, n_bytes: Long,
   * REAL codec — JDK ImageIO, which ships PNG/JPEG/BMP/GIF readers with
   * the JRE, no external jars — `audio/…` mimes through the REAL
   * javax.sound.sampled WAV/PCM reader (also JRE-shipped), `video/…`
-  * mimes through the REAL [[Mp4]] ISO-BMFF container parser (header
-  * metadata: resolution/duration/structure; frame DECODE still needs a
-  * codec the JDK genuinely doesn't ship, so pixel features stay out of
-  * scope), and everything else falls back to the clearly-labeled STUB
+  * mimes through the REAL [[Mp4]] demuxer — tracks coded with the
+  * lossless `png ` codec (the one video codec the JDK ships a decoder
+  * for) get FULL frame decode to pixel statistics via
+  * [[Mp4.parseFrames]]; other codecs (H.264 …, which the JDK genuinely
+  * doesn't ship) degrade to header-level container metadata — and
+  * everything else falls back to the clearly-labeled STUB
   * (the harness's synthetic payloads are `application/octet-stream`
   * text bytes). The Spark-side
   * contract is identical on both branches — schema (binary + metadata),
@@ -203,9 +205,9 @@ object Multimodal {
 
   /** REAL video container metadata via [[Mp4]]'s ISO BMFF box parser
     * (header-level: resolution, duration, structure — pure-JDK byte
-    * walking; frame DECODE still needs a codec the JDK doesn't ship, so
-    * pixel-level features remain out of scope). Same 16-float shape as
-    * the other branches. */
+    * walking). The fallback tier for tracks whose CODEC the JDK lacks
+    * (H.264 …); `png `-coded tracks take [[decodeVideoFrames]] instead.
+    * Same 16-float shape as the other branches. */
   def decodeVideoMeta(assetId: Long, content: Array[Byte]): Option[Array[Float]] =
     Mp4.parse(assetId, content).map { m =>
       val out = new Array[Float](16)
@@ -218,12 +220,31 @@ object Multimodal {
       out
     }
 
+  /** REAL video frame decode for `png `-coded tracks: [[Mp4.parseFrames]]
+    * demuxes the sample ranges and ImageIO-decodes every frame; the
+    * pixel statistics land in the shared 16-float shape. None when the
+    * track's codec isn't the JDK-decodable lossless one — the dispatch
+    * then falls back to container metadata, keeping the tiers honest:
+    * pixels where a decoder exists, headers where only the demuxer does. */
+  def decodeVideoFrames(assetId: Long, content: Array[Byte]): Option[Array[Float]] =
+    Mp4.parseFrames(assetId, content).map { f =>
+      val out = new Array[Float](16)
+      out(0) = f.frame_width.toFloat
+      out(1) = f.frame_height.toFloat
+      out(2) = f.n_frames.toFloat
+      out(3) = f.luma_mean_ppm.toFloat / 1000000f
+      out(4) = f.luma_sum.toFloat
+      out(5) = f.max_frame_sum.toFloat
+      out
+    }
+
   /** Feature extraction: one decoder "session" per partition, batch loop
     * inside — the mapPartitions shape a native decoder needs. Dispatch:
     * image mimes take the real ImageIO path, audio mimes the real
-    * javax.sound WAV/PCM path, video mimes the real [[Mp4]] container
-    * parser (header metadata; pixel decode has no JDK codec); anything
-    * undecodable degrades to the deterministic stub. */
+    * javax.sound WAV/PCM path, video mimes the real [[Mp4]] demuxer —
+    * full frame decode when the track's codec is the JDK-decodable
+    * lossless `png `, header-level container metadata otherwise;
+    * anything undecodable degrades to the deterministic stub. */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
@@ -235,7 +256,9 @@ object Multimodal {
           else if (a.mime.startsWith("audio/"))
             decodeAudio(a.content).getOrElse(decodeStub(a.content))
           else if (a.mime.startsWith("video/"))
-            decodeVideoMeta(a.asset_id, a.content).getOrElse(decodeStub(a.content))
+            decodeVideoFrames(a.asset_id, a.content)
+              .orElse(decodeVideoMeta(a.asset_id, a.content))
+              .getOrElse(decodeStub(a.content))
           else decodeStub(a.content)
         AssetFeatures(a.asset_id, a.n_bytes, feats)
       }

@@ -158,6 +158,25 @@ class Mp4Spec extends SparkSpec {
     assert(f(2L).toSeq == Multimodal.decodeStub("bad".getBytes).toSeq)
   }
 
+  test("Multimodal dispatch: png-coded video tracks get FULL frame decode; " +
+    "other codecs fall back to container metadata") {
+    import spark.implicits._
+    val frames = (0 until 2).map(f =>
+      Mp4.pngFrame(4, 4, (x, y) => (f * 17 + x * 7 + y * 13) % 256))
+    val pngTrack = Mp4.synthesizePngTrack(200L, 4L, 4L, frames, 1L)
+    val headerOnly = Mp4.synthesize(1200L, 640L, 360L, "payload".getBytes)
+    val assets = Seq(
+      Asset(1L, "video/mp4", pngTrack.length.toLong, pngTrack),
+      Asset(2L, "video/mp4", headerOnly.length.toLong, headerOnly)).toDS()
+    val f = Multimodal.extractFeatures(assets).collect()
+      .map(x => x.asset_id -> x.features).toMap
+    val expect = Mp4.parseFrames(1L, pngTrack).get
+    assert(f(1L)(2) == 2f, "n_frames from real frame decode")
+    assert(f(1L)(4) == expect.luma_sum.toFloat, "decoded pixel sum")
+    assert(f(2L)(0) == 640f && f(2L)(5) == "payload".length.toFloat,
+      "codec-less track served by the metadata tier")
+  }
+
   test("fuzz: random bytes and random single-byte corruptions of a valid " +
     "mp4 never throw — the degrade-don't-crash contract under fire") {
     val rnd = new java.util.Random(42L)
