@@ -3016,7 +3016,33 @@ object OracleSql {
        |dgate AS (SELECT f.doc_id,
        |  CAST(coalesce(dscr.logw_micro >= t.cutoff, FALSE) AS INT) AS dsir_sel
        |  FROM fdoc f JOIN dscr USING (doc_id) LEFT JOIN thr t USING (source)
-       |  WHERE f.is_inc)
+       |  WHERE f.is_inc),
+       |gop AS (SELECT doc_id,
+       |  (n >= ${TextAnalysis.GopherMinWords}
+       |    AND n <= ${TextAnalysis.GopherMaxWords}
+       |    AND sum_len >= ${TextAnalysis.GopherMinAvgLen} * n
+       |    AND sum_len <= ${TextAnalysis.GopherMaxAvgLen} * n
+       |    AND symbol_hits * 1000 <= ${TextAnalysis.GopherSymbolPermille} * n
+       |    AND stop_hits >= ${TextAnalysis.GopherMinStopHits}
+       |    AND alpha_words * 1000 >= ${TextAnalysis.GopherAlphaPermille} * n
+       |    AND (g2len - g2d) * 1000 <= ${TextAnalysis.GopherDup2Permille} * g2len
+       |  ) AS gopher_ok
+       |  FROM (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n,
+       |    length(replace(text, ' ', '')) AS sum_len,
+       |    (length(text) - length(replace(text, '#', ''))) +
+       |      (length(text) - length(replace(text, '...', ''))) // 3
+       |      AS symbol_hits,
+       |    len(list_filter(tokens, t -> regexp_matches(t, '[a-z]')))
+       |      AS alpha_words,
+       |    len(list_intersect(list_distinct(tokens),
+       |      [${inList(TextAnalysis.Stopwords)}])) AS stop_hits,
+       |    CASE WHEN len(tokens) >= 2 THEN len(tokens) - 1 ELSE 1 END
+       |      AS g2len,
+       |    len(list_distinct(CASE WHEN len(tokens) >= 2 THEN
+       |      list_transform(range(1, CAST(len(tokens) AS BIGINT)), i ->
+       |        tokens[i] || ' ' || tokens[i+1])
+       |      ELSE [text] END)) AS g2d
+       |    FROM fdoc WHERE is_inc))
        |SELECT f.doc_id,
        |  CASE WHEN f.doc_id IN (SELECT doc_id FROM dexact) THEN 'exact'
        |       WHEN COALESCE(n.n_near, 0) > 0 THEN 'near'
@@ -3031,6 +3057,7 @@ object OracleSql {
        |         THEN 'n/a'
        |       WHEN COALESCE(mn.n_mm, 0) > 0 THEN 'near'
        |       ELSE 'novel' END AS mm_verdict,
+       |  COALESCE(gp.gopher_ok, FALSE) AS gopher_ok,
        |  (CASE WHEN f.doc_id IN (SELECT doc_id FROM dexact) THEN 'exact'
        |        WHEN COALESCE(n.n_near, 0) > 0 THEN 'near'
        |        ELSE 'novel' END) = 'novel'
@@ -3038,12 +3065,14 @@ object OracleSql {
        |    AND COALESCE(pb.bucket, 'unscored') IN ('head', 'middle')
        |    AND COALESCE(g.dsir_sel, 0) = 1
        |    AND (((${SharedHash.duck48("CAST(f.doc_id AS VARCHAR)")}) % 3) <> 0
-       |      OR COALESCE(mn.n_mm, 0) = 0) AS admitted
+       |      OR COALESCE(mn.n_mm, 0) = 0)
+       |    AND COALESCE(gp.gopher_ok, FALSE) AS admitted
        |FROM fdoc f
        |LEFT JOIN dnear n ON n.inc_id = f.doc_id
        |LEFT JOIN pb ON pb.doc_id = f.doc_id
        |LEFT JOIN dgate g ON g.doc_id = f.doc_id
        |LEFT JOIN mnear mn ON mn.inc_id = f.doc_id
+       |LEFT JOIN gop gp ON gp.doc_id = f.doc_id
        |WHERE f.is_inc ORDER BY f.doc_id""".stripMargin
   }
 

@@ -718,6 +718,14 @@ object Corpus {
       .select(col("asset_id").as("doc_id"),
         col("verdict").as("mm_verdict"))
 
+    // gate 6: the Gopher rule battery — the composition's one STATELESS
+    // gate: document-shape rules need no standing artifact, so the
+    // projection runs directly on the batch (O(delta), nothing standing
+    // is read). Real intakes run exactly this mix — most gates probe
+    // frozen state, the shape rules are pure functions of the document.
+    val gopher = TextAnalysis.gopherRulesOf(batch)
+      .select(col("doc_id"), col("admitted").as("gopher_ok"))
+
     // composition: batch-sized left joins on doc_id. A doc the LM never
     // scored (< 3 tokens — no trigram rows) reads 'unscored', mirroring
     // the bucket projection's missing-language verdict.
@@ -726,18 +734,21 @@ object Corpus {
       .join(ppl, Seq("doc_id"), "left")
       .join(dsir, Seq("doc_id"), "left")
       .join(mmTriage, Seq("doc_id"), "left")
+      .join(gopher, Seq("doc_id"), "left")
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
       .withColumn("bucket", coalesce(col("bucket"), lit("unscored")))
       .withColumn("dsir_sel", coalesce(col("dsir_sel"), lit(0)))
       .withColumn("modality", expr(modalityExpr))
       .withColumn("mm_verdict", coalesce(col("mm_verdict"), lit("n/a")))
+      .withColumn("gopher_ok", coalesce(col("gopher_ok"), lit(false)))
       .withColumn("admitted",
         col("verdict") === "novel" && !col("contaminated") &&
           col("bucket").isin("head", "middle") && col("dsir_sel") === 1 &&
-          (col("modality") =!= "image" || col("mm_verdict") === "novel"))
+          (col("modality") =!= "image" || col("mm_verdict") === "novel") &&
+          col("gopher_ok"))
       .select(col("doc_id"), col("verdict"), col("contaminated"),
         col("bucket"), col("dsir_sel"), col("modality"), col("mm_verdict"),
-        col("admitted"))
+        col("gopher_ok"), col("admitted"))
     Caching.materializeAndRelease(out, shDelta)
   }
 }

@@ -53,6 +53,10 @@ class FrontDoorSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
 
+    // gate 6 expectation from the standalone battery over the delta
+    val gopher = TextAnalysis.gopherRulesOf(delta).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("admitted")).toMap
+
     out.foreach { r =>
       val id = r.getLong(0)
       assert(r.getString(1) === triage(id), s"doc $id: triage verdict")
@@ -65,11 +69,14 @@ class FrontDoorSpec extends SparkSpec {
       assert(r.getString(6) ===
         (if (mod3(id) == 0) mm(id) else "n/a"),
         s"doc $id: mm_verdict must equal the standalone mm member")
-      assert(r.getBoolean(7) === (r.getString(1) == "novel" &&
+      assert(r.getBoolean(7) === gopher(id),
+        s"doc $id: gopher_ok must equal the standalone rule battery")
+      assert(r.getBoolean(8) === (r.getString(1) == "novel" &&
         !r.getBoolean(2) && Set("head", "middle")(r.getString(3)) &&
         r.getInt(4) == 1 &&
-        (r.getString(5) != "image" || r.getString(6) == "novel")),
-        s"doc $id: admitted must be the five-gate conjunction")
+        (r.getString(5) != "image" || r.getString(6) == "novel") &&
+        r.getBoolean(7)),
+        s"doc $id: admitted must be the six-gate conjunction")
     }
     // the out-of-sample threshold fix is the point: the gate must not
     // degenerate into the all-tail verdict in-sample edges produce
@@ -112,10 +119,12 @@ class FrontDoorSpec extends SparkSpec {
     val res = residueOf(0L until 400L)
     def pick(r: Long, n: Int): Seq[Long] =
       res.collect { case (id, rr) if rr == r => id }.toSeq.sorted.take(n)
-    val deltaIds = pick(9, 4)
+    val deltaIds = pick(9, 5)
     val benchIds = pick(Corpus.FrontDoorBenchBucket, 3)
     val standingIds = (0L to 7L).flatMap(pick(_, 4))
-    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    // 60 words with two required stopwords: clean docs must be able to
+    // clear the gopher battery (gate 6), not just the dedup gates
+    val base = (Seq("the", "of") ++ (0 until 58).map(i => s"w$i")).mkString(" ")
     def mutated(tag: String) = base.split(" ").dropRight(1).mkString(" ") +
       s" $tag"
     // delta doc 0: near-copy of a benchmark doc -> contaminated
@@ -129,8 +138,15 @@ class FrontDoorSpec extends SparkSpec {
     val deltaTexts = Seq(
       (deltaIds(0), mutated("qq")), // ~0.9 jaccard vs bench base
       (deltaIds(1), standingTexts.head._2), // exact standing copy
-      (deltaIds(2), (0 until 30).map(j => s"d2_$j").mkString(" ")),
-      (deltaIds(3), (0 until 30).map(j => s"d3_$j").mkString(" ")))
+      (deltaIds(2),
+        (Seq("the", "of") ++ (0 until 58).map(j => s"d2_$j")).mkString(" ")),
+      (deltaIds(3),
+        (Seq("the", "of") ++ (0 until 58).map(j => s"d3_$j")).mkString(" ")),
+      // gopher violator: 60 words, stopwords present, but one bigram
+      // repeated end to end — the dup-2-gram rule must reject it alone
+      (deltaIds(4),
+        (Seq("the", "of") ++ Seq.fill(29)(Seq("abcd", "defg")).flatten)
+          .mkString(" ")))
     val tmp = java.nio.file.Files.createTempDirectory("fd-gates").toString
     (benchTexts ++ standingTexts ++ deltaTexts)
       .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
@@ -139,18 +155,25 @@ class FrontDoorSpec extends SparkSpec {
 
     val out = Corpus.frontDoor(spark, tmp).collect()
       .map(r => r.getLong(0) ->
-        (r.getString(1), r.getBoolean(2), r.getString(3), r.getBoolean(7)))
+        (r.getString(1), r.getBoolean(2), r.getString(3), r.getBoolean(7),
+          r.getBoolean(8)))
       .toMap
-    assert(out.size === 4)
+    assert(out.size === 5)
     // the bench near-copy also shares bands with the standing base? no —
     // base lives ONLY in the bench slice, so the triage verdict stays on
     // its own merits while the contamination gate must fire
     assert(out(deltaIds(0))._2, "benchmark near-copy must be contaminated")
     assert(out(deltaIds(1))._1 === "exact", "standing byte-copy is exact")
-    assert(!out(deltaIds(1))._4, "an exact dup is never admitted")
-    assert(!out(deltaIds(0))._4, "a contaminated doc is never admitted")
+    assert(!out(deltaIds(1))._5, "an exact dup is never admitted")
+    assert(!out(deltaIds(0))._5, "a contaminated doc is never admitted")
     assert(Seq(deltaIds(2), deltaIds(3)).forall(id => !out(id)._2),
       "fresh docs are clean")
+    assert(Seq(deltaIds(2), deltaIds(3)).forall(id => out(id)._4),
+      "clean 60-word docs clear the gopher battery")
+    assert(!out(deltaIds(4))._4 && !out(deltaIds(4))._5,
+      "the repeated-bigram doc is rejected by gate 6 alone")
+    assert(!out(deltaIds(4))._2 && out(deltaIds(4))._1 === "novel",
+      "…and by NOTHING else: it is novel and clean")
   }
 
   test("streaming front door: micro-batches ≡ the batch gate, " +
@@ -181,13 +204,13 @@ class FrontDoorSpec extends SparkSpec {
     def rows(p: String) = spark.read.parquet(p)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
         r.getString(3), r.getInt(4), r.getString(5), r.getString(6),
-        r.getBoolean(7))).sortBy(_._1).toSeq
+        r.getBoolean(7), r.getBoolean(8))).sortBy(_._1).toSeq
     val streamed = (rows(s"$verdicts/b=1") ++ rows(s"$verdicts/b=2"))
       .sortBy(_._1)
     val batch = Corpus.frontDoor(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
         r.getString(3), r.getInt(4), r.getString(5), r.getString(6),
-        r.getBoolean(7))).toSeq.sortBy(_._1)
+        r.getBoolean(7), r.getBoolean(8))).toSeq.sortBy(_._1)
     assert(streamed == batch)
     // crash replay: all gates frozen, so batch 1 rewrites itself
     val v1 = rows(s"$verdicts/b=1")

@@ -717,6 +717,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gopher rule battery: the per-row projection streams unchanged " +
+      "(stream ≡ batch on real docs)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").as[(Long, String)].collect().take(100)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.TextAnalysis
+      .gopherRulesOf(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM gopher_stream").collect()
+        .map(_.toSeq).toSet
+      val batch = graft.ops.TextAnalysis
+        .gopherRulesOf(docs.toSeq.toDF("doc_id", "text"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("winnowing sketch: the per-row HOF fold streams unchanged and " +
       "equals the batch window formulation") {
     implicit val sql = spark.sqlContext
