@@ -68,6 +68,13 @@ OVER_BUDGET_NOTES = {
     "dedup_lexical_cosine":
         "single self-join quadratic member; x10 evidence 272 s, "
         "capped alternative measured 66.7 s (PairCapDemo)",
+    "mm_dup_pairs": (
+        "output-bound emitter: replica duplication SQUARES phash "
+        "duplicate-group sizes (x30 emits 23.7M true pairs, hash-exact), "
+        "so replica time is the emit, not the probe — "
+        "maxCandidatesPerDoc is the documented budget knob "
+        "(mmDupPairs signature), left uncapped because a cap changes "
+        "the oracled pair set (same contract as dedup_winnow_pairs)"),
 }
 
 TIME_RE = re.compile(r"^\[verify-time\] (\S+) ([0-9.]+)")
