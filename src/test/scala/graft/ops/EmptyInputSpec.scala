@@ -197,6 +197,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(spark.read.parquet(s"$vroot/v=1").count() === 1)
   }
 
+  test("round-14 operators are empty-safe") {
+    assert(TextAnalysis.gopherRules(spark, emptyDir).count() === 0)
+    assert(Mp4.videoFrames(spark, emptyDir).count() === 0)
+    assert(Mp4.videoSamples(spark, emptyDir).count() === 0)
+  }
+
   test("single-doc corpus: pair and dedup operators degrade to no-pairs, " +
       "not errors") {
     val tmp = java.nio.file.Files.createTempDirectory("single").toString
