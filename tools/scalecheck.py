@@ -70,11 +70,14 @@ OVER_BUDGET_NOTES = {
         "capped alternative measured 66.7 s (PairCapDemo)",
     "mm_dup_pairs": (
         "output-bound emitter: replica duplication SQUARES phash "
-        "duplicate-group sizes (x30 emits 23.7M true pairs, hash-exact), "
-        "so replica time is the emit, not the probe — "
-        "maxCandidatesPerDoc is the documented budget knob "
-        "(mmDupPairs signature), left uncapped because a cap changes "
-        "the oracled pair set (same contract as dedup_winnow_pairs)"),
+        "duplicate-group sizes (x30 emits 23.7M true pairs, hash-exact); "
+        "maxCandidatesPerDoc is the documented budget knob — measured at "
+        "x30 by MmPairCapDemo: budget 8/doc bounds the emitted set 27x "
+        "(859,865 vs 23,720,853 pairs; this stage's wall is candidate-"
+        "generation-bound at local[32], 25.9 vs 25.8 s — the knob's win "
+        "is every downstream consumer of the pair set). Left uncapped "
+        "because a cap changes the oracled pair set (same contract as "
+        "dedup_winnow_pairs)"),
 }
 
 TIME_RE = re.compile(r"^\[verify-time\] (\S+) ([0-9.]+)")
