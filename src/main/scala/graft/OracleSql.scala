@@ -2551,6 +2551,63 @@ object OracleSql {
          |WHERE t.is_inc ORDER BY t.asset_id""".stripMargin
     },
 
+    // phash pair-family pricing scout: key histogram + probe-vs-histogram
+    // aggregates — candidates are PRICED, never materialized
+    "mm_dup_bound" ->
+      s"""WITH ${mmPhashCtes(None)},
+         |cnt AS MATERIALIZED (SELECT k, CAST(count(*) AS BIGINT) AS c
+         |  FROM sk GROUP BY k),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(COALESCE(max(c), 0) AS BIGINT) AS max_key_group,
+         |  CAST(COALESCE(sum(c * (c - 1) // 2), 0) AS BIGINT)
+         |    AS exact_pair_bound FROM cnt),
+         |pr AS (SELECT asset_id, k AS ka, unnest($mmProbeList) AS pk
+         |  FROM sk),
+         |pb AS (SELECT CAST(COALESCE(sum(c.c), 0) AS BIGINT)
+         |    AS probe_candidate_bound
+         |  FROM pr JOIN cnt c ON pr.pk = c.k WHERE pr.pk <> pr.ka),
+         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_assets FROM sk)
+         |SELECT n_assets, n_keys, max_key_group, exact_pair_bound,
+         |  probe_candidate_bound,
+         |  CAST(exact_pair_bound + probe_candidate_bound AS BIGINT)
+         |    AS verify_bound
+         |FROM na CROSS JOIN ex CROSS JOIN pb""".stripMargin,
+
+    // audio fingerprint family: window statistics replayed from the text
+    // (the synthesis byte map is known; hash match proves decode∘mux=id)
+    "mm_audio_sig" ->
+      s"""WITH ${audioSigCtes(None)}
+         |SELECT asset_id, k AS audio_fp,
+         |  g[1] AS energy0_permille, g[9] AS cross0_permille
+         |FROM ak ORDER BY asset_id""".stripMargin,
+    "mm_audio_pairs" -> audioDupPairsSql(None),
+    "mm_audio_recall" -> qualityReportOracle(audioDupExactSql(300L),
+      Seq("wav_fp_probe" -> audioDupPairsSql(Some(300L))), "id_a", "id_b"),
+    "mm_audio_intake" -> {
+      import graft.ops.AudioDedup.AudioL1Eps
+      s"""WITH ${audioSigCtes(None)},
+         |ab AS MATERIALIZED (SELECT asset_id, g, lv, k,
+         |  (${SharedHash.duck48("CAST(asset_id AS VARCHAR)")} % 10) = 9
+         |    AS is_inc FROM ak),
+         |apr AS (SELECT asset_id AS inc_id, unnest($mmProbeList) AS pk
+         |  FROM ab WHERE is_inc),
+         |acd AS (SELECT apr.inc_id, c.asset_id AS ex_id
+         |  FROM apr JOIN ab c ON apr.pk = c.k AND NOT c.is_inc
+         |  GROUP BY 1, 2),
+         |anear AS (SELECT inc_id, CAST(count(*) AS BIGINT) AS n_near
+         |  FROM acd
+         |  JOIN ab x ON x.asset_id = acd.inc_id
+         |  JOIN ab y ON y.asset_id = acd.ex_id
+         |  WHERE ${audioL1Chain("x.g", "y.g")} <= $AudioL1Eps
+         |  GROUP BY inc_id)
+         |SELECT t.asset_id,
+         |  CAST(COALESCE(anear.n_near, 0) AS BIGINT) AS n_near,
+         |  CASE WHEN COALESCE(anear.n_near, 0) > 0 THEN 'near'
+         |       ELSE 'novel' END AS verdict
+         |FROM ab t LEFT JOIN anear ON anear.inc_id = t.asset_id
+         |WHERE t.is_inc ORDER BY t.asset_id""".stripMargin
+    },
+
     // Incremental view maintenance: the oracle recomputes the aggregate
     // from scratch; the engine merges stored view + delta partials. The
     // micro-unit integer sum is what makes the two orders identical.
@@ -2791,6 +2848,99 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // --- audio fingerprint fragments ------------------------------------------
+
+  /** CTE chain ending in `{p}ak` (asset_id, g BIGINT[16] permille window
+    * stats, lv INT[16] coarse levels, k packed 48-char key) — the shared
+    * head of the mm_audio_* oracles, replaying
+    * [[graft.ops.AudioDedup.audioSigOf]] term for term. The synthesized
+    * WAV's PCM byte map is known (sample = ord(char) − 96 after the
+    * container round-trip), so the oracle recomputes every window
+    * statistic directly from the text — the hash match PROVES the
+    * engine's mux → javax.sound decode is the identity on samples, the
+    * same contract as the PNG video-frame oracle. All arithmetic is
+    * integer (floor division both engines). */
+  private def audioSigCtes(maxId: Option[Long], p: String = ""): String = {
+    import graft.ops.AudioDedup.{AudioSampleCap, AudioWindow, AudioWindows}
+    val dom = maxId.map(m => s" AND doc_id < $m").getOrElse("")
+    // length >= 1 mirrors the engine: a zero-sample WAV does not decode
+    // (javax.sound yields no frames), so the asset has no signature row
+    s"""${p}ac0 AS (SELECT doc_id AS asset_id,
+       |  substr(text, 1, $AudioSampleCap) AS t,
+       |  least(length(text), $AudioSampleCap) AS n
+       |  FROM documents WHERE length(text) >= 1$dom),
+       |${p}as0 AS (SELECT asset_id, r.i AS i,
+       |  CAST((r.i - 1) // $AudioWindow AS INT) AS w,
+       |  ord(substr(t, CAST(r.i AS INT), 1)) - 96 AS a
+       |  FROM ${p}ac0 JOIN range(1, ${AudioSampleCap + 1}) r(i) ON r.i <= n),
+       |${p}ax AS (SELECT asset_id, w, i, abs(a) AS ab, (a >= 0) AS nn,
+       |  lag(a >= 0) OVER (PARTITION BY asset_id, w ORDER BY i) AS pnn
+       |  FROM ${p}as0),
+       |${p}aws AS (SELECT asset_id, w, CAST(count(*) AS BIGINT) AS len_w,
+       |  CAST(sum(ab) AS BIGINT) AS sumabs,
+       |  CAST(sum(CASE WHEN pnn IS NOT NULL AND nn <> pnn THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS cr
+       |  FROM ${p}ax GROUP BY 1, 2),
+       |${p}awf AS (SELECT c.asset_id, CAST(wi.i AS INT) AS w,
+       |  COALESCE(len_w, 0) AS len_w, COALESCE(sumabs, 0) AS sumabs,
+       |  COALESCE(cr, 0) AS cr
+       |  FROM ${p}ac0 c CROSS JOIN range(0, $AudioWindows) wi(i)
+       |  LEFT JOIN ${p}aws s ON s.asset_id = c.asset_id AND s.w = wi.i),
+       |${p}ag AS (SELECT asset_id, w,
+       |  CASE WHEN len_w = 0 THEN 0
+       |       ELSE (sumabs * 1000) // len_w END AS ge,
+       |  CASE WHEN len_w <= 1 THEN 0
+       |       ELSE (cr * 1000) // (len_w - 1) END AS gc
+       |  FROM ${p}awf),
+       |${p}agl AS (SELECT asset_id, w, ge, gc,
+       |  ge // ${graft.ops.AudioDedup.AudioEnergyQuant} AS le,
+       |  gc // ${graft.ops.AudioDedup.AudioCrossQuant} AS lc
+       |  FROM ${p}ag),
+       |${p}asig AS (SELECT asset_id,
+       |  list_concat(list(CAST(ge AS BIGINT) ORDER BY w),
+       |    list(CAST(gc AS BIGINT) ORDER BY w)) AS g,
+       |  list_concat(list(CAST(le AS INT) ORDER BY w),
+       |    list(CAST(lc AS INT) ORDER BY w)) AS lv
+       |  FROM ${p}agl GROUP BY asset_id),
+       |${p}ak AS MATERIALIZED (SELECT asset_id, g, lv,
+       |  array_to_string(list_transform(lv, l ->
+       |    lpad(CAST(l AS VARCHAR), 3, '0')), '') AS k FROM ${p}asig)"""
+      .stripMargin
+  }
+
+  /** abs-difference integer L1 chain over two BIGINT[16] columns. */
+  private def audioL1Chain(a: String, b: String): String =
+    (1 to 16).map(i => s"abs($a[$i] - $b[$i])").mkString("(", " + ", ")")
+
+  /** mm_audio_pairs oracle: the image family's probe-join shape over the
+    * audio key space, verified by the exact integer L1 threshold. */
+  private def audioDupPairsSql(maxId: Option[Long]): String = {
+    import graft.ops.AudioDedup.AudioL1Eps
+    s"""WITH ${audioSigCtes(maxId)},
+       |apr AS (SELECT asset_id AS id_a, unnest($mmProbeList) AS pk
+       |  FROM ak),
+       |acd AS (SELECT apr.id_a, b.asset_id AS id_b
+       |  FROM apr JOIN ak b ON apr.pk = b.k AND apr.id_a < b.asset_id
+       |  GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(${audioL1Chain("a.g", "b.g")} AS BIGINT) AS l1
+       |FROM acd c JOIN ak a ON a.asset_id = c.id_a
+       |JOIN ak b ON b.asset_id = c.id_b
+       |WHERE ${audioL1Chain("a.g", "b.g")} <= $AudioL1Eps
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** mm_audio_pairs' exact ground truth over the bounded domain (the
+    * mm_audio_recall member that isn't itself a harness query). */
+  private def audioDupExactSql(maxId: Long): String =
+    s"""WITH ${audioSigCtes(Some(maxId))}
+       |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+       |  CAST(${audioL1Chain("a.g", "b.g")} AS BIGINT) AS l1
+       |FROM ak a JOIN ak b ON a.asset_id < b.asset_id
+       |WHERE ${audioL1Chain("a.g", "b.g")} <=
+       |  ${graft.ops.AudioDedup.AudioL1Eps}
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** mm_dup_pairs' exact ground truth over the bounded domain (the
     * mm_dup_recall member that isn't itself a harness query). */
   private def mmDupExactSql(maxId: Long): String =
@@ -2970,6 +3120,22 @@ object OracleSql {
        |  JOIN msk y ON y.asset_id = mcd.ex_id
        |  WHERE ${mmL1Chain("x.e", "y.e")} <= ${graft.ops.Multimodal.MmDupL1Eps}
        |  GROUP BY 1),
+       |${audioSigCtes(None, "au")},
+       |aupr AS (SELECT asset_id AS inc_id, unnest($mmProbeList) AS pk
+       |  FROM auak
+       |  WHERE (${SharedHash.duck48("CAST(asset_id AS VARCHAR)")} % 10) = 9
+       |    AND (${SharedHash.duck48("CAST(asset_id AS VARCHAR)")} % 3) = 2),
+       |aucd AS (SELECT aupr.inc_id, c.asset_id AS ex_id
+       |  FROM aupr JOIN auak c ON aupr.pk = c.k
+       |  AND (${SharedHash.duck48("CAST(c.asset_id AS VARCHAR)")} % 10) <> 9
+       |  GROUP BY 1, 2),
+       |aunear AS (SELECT inc_id, CAST(count(*) AS BIGINT) AS n_au
+       |  FROM aucd
+       |  JOIN auak x ON x.asset_id = aucd.inc_id
+       |  JOIN auak y ON y.asset_id = aucd.ex_id
+       |  WHERE ${audioL1Chain("x.g", "y.g")}
+       |    <= ${graft.ops.AudioDedup.AudioL1Eps}
+       |  GROUP BY 1),
        |${lmBackoffCtesWith(
              s"(${SharedHash.duck48("CAST(doc_id AS VARCHAR)")} % 10) < 8")},
        |sc AS (SELECT doc_id,
@@ -3057,6 +3223,10 @@ object OracleSql {
        |         THEN 'n/a'
        |       WHEN COALESCE(mn.n_mm, 0) > 0 THEN 'near'
        |       ELSE 'novel' END AS mm_verdict,
+       |  CASE WHEN ((${SharedHash.duck48("CAST(f.doc_id AS VARCHAR)")}) % 3) <> 2
+       |         THEN 'n/a'
+       |       WHEN COALESCE(aun.n_au, 0) > 0 THEN 'near'
+       |       ELSE 'novel' END AS audio_verdict,
        |  COALESCE(gp.gopher_ok, FALSE) AS gopher_ok,
        |  (CASE WHEN f.doc_id IN (SELECT doc_id FROM dexact) THEN 'exact'
        |        WHEN COALESCE(n.n_near, 0) > 0 THEN 'near'
@@ -3066,12 +3236,15 @@ object OracleSql {
        |    AND COALESCE(g.dsir_sel, 0) = 1
        |    AND (((${SharedHash.duck48("CAST(f.doc_id AS VARCHAR)")}) % 3) <> 0
        |      OR COALESCE(mn.n_mm, 0) = 0)
+       |    AND (((${SharedHash.duck48("CAST(f.doc_id AS VARCHAR)")}) % 3) <> 2
+       |      OR COALESCE(aun.n_au, 0) = 0)
        |    AND COALESCE(gp.gopher_ok, FALSE) AS admitted
        |FROM fdoc f
        |LEFT JOIN dnear n ON n.inc_id = f.doc_id
        |LEFT JOIN pb ON pb.doc_id = f.doc_id
        |LEFT JOIN dgate g ON g.doc_id = f.doc_id
        |LEFT JOIN mnear mn ON mn.inc_id = f.doc_id
+       |LEFT JOIN aunear aun ON aun.inc_id = f.doc_id
        |LEFT JOIN gop gp ON gp.doc_id = f.doc_id
        |WHERE f.is_inc ORDER BY f.doc_id""".stripMargin
   }
@@ -3598,6 +3771,8 @@ object OracleSql {
         // same contract for the phash index: the signature is a pure
         // function of the asset bytes, nothing fitted
         "mm_dup_intake_indexed" -> base("mm_dup_intake"),
+        // and for the audio-signature index (same nothing-fitted family)
+        "mm_audio_intake_indexed" -> base("mm_audio_intake"),
         // segment-merged postings must be byte-identical to the recompute
         "text_postings_indexed" -> base("text_postings")) ++
       Similarity.fittedIvfCentroids.map(cs => "ann_ivf" -> ivfOracle(cs)) ++

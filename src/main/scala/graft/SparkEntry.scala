@@ -24,14 +24,24 @@ object SparkEntry {
     CollabEvents.entryFrame(spark, "/root/testdata/sf0.001")
 
   /** Several operators cache intermediate frames (shingle passes, ALS
-    * inputs) and the harness runs all ~54 queries in one session —
+    * inputs) and the harness runs all ~200 queries in one session —
     * unreleased cache blocks accumulate until eviction thrash slows every
     * later query (~2× total observed). Each query therefore drops the
     * previous query's cache at construction time; its own caches are
-    * created after the clear. */
+    * created after the clear. clearCache() alone is NOT enough:
+    * localCheckpointed frames (every materializeAndRelease result) are
+    * invisible to the CacheManager and pinned ~2.4 s onto the biggest
+    * shuffle queries by mid-session (the r14 pair-family bench
+    * regression, reproduced + fixed by measurement — BENCH.md round 15);
+    * Caching.releaseStrays frees them while keeping the session-memoized
+    * dashboard ground truths alive. */
   private def fresh(fn: (SparkSession, String) => DataFrame)
       : (SparkSession, String) => DataFrame =
-    (s, d) => { s.sqlContext.clearCache(); fn(s, d) }
+    (s, d) => {
+      s.sqlContext.clearCache()
+      graft.ops.Caching.releaseStrays(s)
+      fn(s, d)
+    }
 
   /** One entry per implemented operator from SURVEY.md §2 (+ the
     * training-data-pipeline extensions). */
@@ -254,6 +264,14 @@ object SparkEntry {
     "mm_dup_recall" -> ((s: SparkSession, d: String) => RetrievalQuality.mmDupRecall(s, d)),
     "mm_dup_intake" -> (Multimodal.mmDupIntake _),
     "mm_dup_intake_indexed" -> (Multimodal.mmDupIntakeIndexed _),
+    "mm_dup_bound" -> (Multimodal.mmDupBound _),
+    // audio near-dup family (real javax.sound WAV decode; signatures are
+    // exact integers so the whole family hash-checks — AudioDedup)
+    "mm_audio_sig" -> (AudioDedup.audioSignatures _),
+    "mm_audio_pairs" -> ((s: SparkSession, d: String) => AudioDedup.audioDupPairs(s, d)),
+    "mm_audio_recall" -> ((s: SparkSession, d: String) => RetrievalQuality.audioDupRecall(s, d)),
+    "mm_audio_intake" -> (AudioDedup.audioDupIntake _),
+    "mm_audio_intake_indexed" -> (AudioDedup.audioDupIntakeIndexed _),
     // ML (ALS — not SQL-expressible, SURVEY §7.4.6)
     "cf_als_rmse" -> ((s: SparkSession, d: String) => CollabEvents.alsRmse(s, d)),
     "cf_als_recommend" -> ((s: SparkSession, d: String) => CollabEvents.alsRecommend(s, d)),
@@ -284,7 +302,8 @@ object SparkEntry {
     "dedup_bloom_gate_indexed", "dedup_prefix_probe_indexed",
     "dedup_winnow_probe_indexed", "text_postings_indexed",
     "ann_ivf_indexed", "ann_ivfpq_indexed", "emb_dup_intake_indexed",
-    "mm_dup_intake_indexed", "corpus_dsir_intake_indexed",
+    "mm_dup_intake_indexed", "mm_audio_intake_indexed",
+    "corpus_dsir_intake_indexed",
     "text_ppl_intake_indexed", "corpus_contamination_fuzzy_indexed",
     "dedup_incremental_indexed", "corpus_front_door",
     "text_bpe_merges", "quality_distill", "cf_als_score_saved")

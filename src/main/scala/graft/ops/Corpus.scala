@@ -614,20 +614,29 @@ object Corpus {
     *   3. perplexity quality gate vs the frozen standing LM + thresholds
     *      ([[TermScoring.pplIntakeIndexed]] verbatim);
     *   4. DSIR importance gate vs the frozen standing model
-    *      ([[dsirGate]] under [[graft.sources.IndexStore.standingDsirModel]]).
+    *      ([[dsirGate]] under [[graft.sources.IndexStore.standingDsirModel]]);
+    *   5. multimodal phash triage — image-modality rows vs the standing
+    *      phash index ([[Multimodal.triageAssetsAgainstPhash]]);
+    *   6. the Gopher rule battery ([[TextAnalysis.gopherRulesOf]]) — the
+    *      stateless shape gate;
+    *   7. audio fingerprint triage — audio-modality rows vs the standing
+    *      audio-signature index
+    *      ([[AudioDedup.triageAssetsAgainstAudioSig]]).
     *
     * A doc is ADMITTED iff it is novel (gate 1), clean (gate 2), lands in
-    * the head/middle perplexity band (gate 3), and clears its source's
-    * DSIR cutoff (gate 4). Each member is individually green in the
-    * harness; this query is the proof the gates COMPOSE — its DuckDB
-    * oracle nests all four member pipelines into one statement and
+    * the head/middle perplexity band (gate 3), clears its source's DSIR
+    * cutoff (gate 4), is modality-novel (gates 5/7 for image/audio rows),
+    * and passes the shape rules (gate 6). Each member is individually
+    * green in the harness; this query is the proof the gates COMPOSE —
+    * its DuckDB oracle nests all member pipelines into one statement and
     * hash-checks every verdict column.
     *
-    * Scale shape: all four gates are O(delta) probes against frozen
+    * Scale shape: every stateful gate is an O(delta) probe against frozen
     * standing artifacts (bands broadcast, thresholds/model rows
-    * broadcast, LM count tables vocabulary-sized); the composition adds
-    * only delta-sized joins on doc_id, so the front door costs the sum of
-    * its member probes — nothing rescans the standing corpus. */
+    * broadcast, LM count tables vocabulary-sized, signature tables read
+    * without payload bytes); the composition adds only delta-sized joins
+    * on doc_id, so the front door costs the sum of its member probes —
+    * nothing rescans the standing corpus. */
   def frontDoor(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.IndexStore
     val (delta, _) = Dedup.deltaSplit(Tables.documents(s, dir))
@@ -640,7 +649,8 @@ object Corpus {
     val (lam, thr) = IndexStore.standingDsirModel(s, dir)
     fittedFrontDoor = Some((lam, thr))
     frontDoorVerdicts(delta, idx, art, lam, thr,
-      IndexStore.standingPhashIndex(s, dir)).orderBy(col("doc_id"))
+      IndexStore.standingPhashIndex(s, dir),
+      IndexStore.standingAudioSigIndex(s, dir)).orderBy(col("doc_id"))
   }
 
   /** Engine-stable modality assignment for the front door's asset gate:
@@ -663,7 +673,7 @@ object Corpus {
       idx: graft.sources.IndexStore.DedupIndex,
       art: graft.sources.IndexStore.PplArtifact,
       lam: Array[Long], thr: Seq[(String, Long)],
-      phashSig: DataFrame): DataFrame = {
+      phashSig: DataFrame, audioSig: DataFrame): DataFrame = {
     val triage = Dedup.triageAgainstIndex(batch, idx)
       .select(col("doc_id"), col("verdict"))
 
@@ -718,6 +728,19 @@ object Corpus {
       .select(col("asset_id").as("doc_id"),
         col("verdict").as("mm_verdict"))
 
+    // gate 7 (r14 verdict #3): the AUDIO member — audio-modality batch
+    // rows synthesize their WAV asset and triage its windowed
+    // energy/zero-cross fingerprint against the standing audio-signature
+    // index (the mm_audio_intake dataflow: exact-or-±1-one-bin key
+    // probe, exact integer L1 verify). Only audio rows decode — the
+    // modality filter runs before synthesis — and standing payloads are
+    // never read (signature table only), mirroring gate 5's image triage.
+    val audioTriage = AudioDedup.triageAssetsAgainstAudioSig(
+        AudioDedup.wavAssetsOf(batch.filter(expr(s"pmod($hh3, 3) = 2"))),
+        audioSig)
+      .select(col("asset_id").as("doc_id"),
+        col("verdict").as("audio_verdict"))
+
     // gate 6: the Gopher rule battery — the composition's one STATELESS
     // gate: document-shape rules need no standing artifact, so the
     // projection runs directly on the batch (O(delta), nothing standing
@@ -734,21 +757,26 @@ object Corpus {
       .join(ppl, Seq("doc_id"), "left")
       .join(dsir, Seq("doc_id"), "left")
       .join(mmTriage, Seq("doc_id"), "left")
+      .join(audioTriage, Seq("doc_id"), "left")
       .join(gopher, Seq("doc_id"), "left")
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
       .withColumn("bucket", coalesce(col("bucket"), lit("unscored")))
       .withColumn("dsir_sel", coalesce(col("dsir_sel"), lit(0)))
       .withColumn("modality", expr(modalityExpr))
       .withColumn("mm_verdict", coalesce(col("mm_verdict"), lit("n/a")))
+      .withColumn("audio_verdict",
+        coalesce(col("audio_verdict"), lit("n/a")))
       .withColumn("gopher_ok", coalesce(col("gopher_ok"), lit(false)))
       .withColumn("admitted",
         col("verdict") === "novel" && !col("contaminated") &&
           col("bucket").isin("head", "middle") && col("dsir_sel") === 1 &&
           (col("modality") =!= "image" || col("mm_verdict") === "novel") &&
+          (col("modality") =!= "audio" ||
+            col("audio_verdict") === "novel") &&
           col("gopher_ok"))
       .select(col("doc_id"), col("verdict"), col("contaminated"),
         col("bucket"), col("dsir_sel"), col("modality"), col("mm_verdict"),
-        col("gopher_ok"), col("admitted"))
+        col("audio_verdict"), col("gopher_ok"), col("admitted"))
     Caching.materializeAndRelease(out, shDelta)
   }
 }

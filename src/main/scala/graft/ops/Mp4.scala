@@ -358,7 +358,18 @@ object Mp4 {
     val const = readU32(b, from + 4)
     val n = readU32(b, from + 8)
     if (n > Int.MaxValue / 4) return None
-    if (const != 0L) Some(Vector.fill(n.toInt)(const))
+    // sanity-bound the constant-size path BEFORE materializing: n samples
+    // of const bytes each must fit inside the file, so an adversarial
+    // header claiming (say) 500M samples is rejected without the multi-GB
+    // Vector.fill allocation (OutOfMemoryError is not NonFatal — it would
+    // pierce the degrade-don't-crash contract the fuzz suite asserts).
+    // Order of guards keeps the product overflow-free: both factors are
+    // bounded by b.length (≤ Int.MaxValue) before multiplying.
+    if (const != 0L) {
+      if (n > b.length.toLong || const > b.length.toLong ||
+        const * n > b.length.toLong) None
+      else Some(Vector.fill(n.toInt)(const))
+    }
     else if (until - from < 12 + 4 * n) None
     else Some((0 until n.toInt).map(i => readU32(b, from + 12 + 4 * i)))
   }

@@ -359,7 +359,7 @@ object Multimodal {
     * place (48-char key, bin b at chars 3b+1..3b+3) — the candidate
     * neighborhood both the pair join and the intake probe materialize on
     * their probing side. */
-  private val MmProbeExpr =
+  private[graft] val MmProbeExpr =
     """concat(array(k), flatten(transform(sequence(0, 15), b ->
       |  transform(
       |    filter(array(element_at(lv, b + 1) - 1, element_at(lv, b + 1) + 1),
@@ -457,6 +457,51 @@ object Multimodal {
       .filter(col("l1") <= MmDupL1Eps)
       .select(col("id_a"), col("id_b"), round(col("l1"), 6).as("l1"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Pricing scout for the perceptual-hash pair family (`mm_dup_bound`) —
+    * the image twin of the text family's `dedup_lexical_bound` /
+    * [[Dedup.candidatePairBound]] discipline (r14 verdict: mm_dup_pairs
+    * became the third over-budget ×30 emitter at 23.7M pairs with a
+    * budget knob but NO scout). Prices the candidate join BEFORE it
+    * runs, from aggregates only:
+    *
+    *   - `exact_pair_bound` = Σ c·(c−1)/2 over exact phash-key groups —
+    *     replica duplication SQUARES these groups, which is precisely
+    *     the ×30 blowup mechanism (MmPairCapDemo);
+    *   - `probe_candidate_bound` = Σ over each asset's ±1-one-bin probe
+    *     variants of the matched key's group size (ordered candidates —
+    *     an upper bound on 2× the unordered probe pairs);
+    *   - `verify_bound` = their sum, the L1-verify workload ceiling.
+    *
+    * Cost shape: one groupBy(k) histogram + one probe-vs-histogram join
+    * that AGGREGATES instead of materializing pairs — no pair shuffle,
+    * no verify, no per-pair dedup; the expensive output never exists.
+    * When verify_bound says the corpus is duplicate-squared, run
+    * [[mmDupPairs]] with `maxCandidatesPerDoc` (the measured knob). */
+  def mmDupBound(s: SparkSession, dir: String): DataFrame = {
+    val base = phashFrame(s, dir).cache(); base.count()
+    val counts = base.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .cache()
+    counts.count()
+    val exact = counts.agg(
+      count(lit(1)).as("n_keys"),
+      coalesce(max(col("c")), lit(0L)).cast("bigint").as("max_key_group"),
+      coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).cast("bigint")
+        .as("exact_pair_bound"))
+    val probeBound = base
+      .select(col("asset_id"), col("k").as("ka"),
+        explode(expr(MmProbeExpr)).as("pk"))
+      .filter(col("pk") =!= col("ka"))
+      .join(counts.withColumnRenamed("k", "pk"), "pk")
+      .agg(coalesce(sum(col("c")), lit(0L)).cast("bigint")
+        .as("probe_candidate_bound"))
+    val out = base.agg(count(lit(1)).cast("bigint").as("n_assets"))
+      .crossJoin(exact).crossJoin(probeBound)
+      .withColumn("verify_bound",
+        (col("exact_pair_bound") + col("probe_candidate_bound"))
+          .cast("bigint"))
+    Caching.materializeAndRelease(out, base, counts)
   }
 
   /** Exact L1 near-dup scan over a bounded domain — the ground truth for

@@ -85,7 +85,14 @@ object RetrievalQuality {
     * ([[Similarity.bruteForceTopK]]), over the same (q_id, c_id) result
     * contract all variants share. Top-k variants return ≤ k rows per query
     * (LSH can return fewer when buckets are sparse), so `returned` ≤
-    * `n_exact` and precision ≥ recall by construction. */
+    * `n_exact` and precision ≥ recall by construction.
+    *
+    * Cost contract: the ground truth and every variant frame are
+    * session-memoized ([[Caching.memo]]) — this row measures GRADING
+    * cost; each member's standalone registry row keeps the recompute
+    * cost, and whichever of member/dashboard runs first in a session
+    * pays the cold decode (BENCH.md round 14 discloses the
+    * order-dependence). */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     // ground truth is session-memoized (Caching.memo): within one
     // session the bench/user runs ann_brute AND this dashboard, and the
@@ -122,7 +129,12 @@ object RetrievalQuality {
     * ground truth reads as a cross-metric diagnostic ("how well does this
     * cheap signal predict true set overlap"), which is precisely the
     * comparison a curation team runs before picking the production
-    * generator. */
+    * generator.
+    *
+    * Cost contract: ground truth + variants are session-memoized
+    * ([[Caching.memo]]) — this row measures grading cost; the members'
+    * standalone rows keep the recompute cost (order-dependent within a
+    * session, BENCH.md round 14). */
   def dedupPairRecall(s: SparkSession, dir: String): DataFrame = {
     // session-memoized for the same reason as [[annRecall]]'s exact side
     // (dedup_prefix_join's own row keeps the recompute cost)
@@ -151,7 +163,12 @@ object RetrievalQuality {
     * Row names track the r13 default re-point: `hyperplane_band_wide_mp`
     * is THE `emb_dup_lsh` query's geometry; the dominated original
     * 4×4-bit geometry reports as `hyperplane_band_legacy` (the preserved
-    * A/B baseline — BENCH.md round-12 table). */
+    * A/B baseline — BENCH.md round-12 table).
+    *
+    * Cost contract: ground truth + variants are session-memoized
+    * ([[Caching.memo]]) — this row measures grading cost; the members'
+    * standalone rows keep the recompute cost (order-dependent within a
+    * session, BENCH.md round 14). */
   def embDupRecall(s: SparkSession, dir: String): DataFrame = {
     // session-memoized (emb_dup_pairs_exact keeps the recompute cost)
     val exact = Caching.memo(s, s"embDupRecall.exact:$dir")(
@@ -179,7 +196,12 @@ object RetrievalQuality {
     * top-k retrieval; dedupPairRecall: text near-dup; embDupRecall:
     * embedding near-dup; this: decoded-asset near-dup). Both sides share
     * the exact scan's bounded asset_id < 300 domain; precision < 1 would
-    * mean a verify bug, same contract as [[embDupRecall]]. */
+    * mean a verify bug, same contract as [[embDupRecall]].
+    *
+    * Cost contract: ground truth + variants are session-memoized
+    * ([[Caching.memo]]) — this row measures grading cost; the members'
+    * standalone rows keep the recompute cost (order-dependent within a
+    * session, BENCH.md round 14). */
   def mmDupRecall(s: SparkSession, dir: String): DataFrame = {
     // qualityReport checkpoints the exact side itself, and each variant
     // appears exactly once in the union — so the mm operators' live
@@ -190,5 +212,24 @@ object RetrievalQuality {
     val probe = Caching.memo(s, s"mmDupRecall.v.probe:$dir")(
       Multimodal.mmDupPairs(s, dir, maxId = Some(300L)))
     qualityReport(exact, Seq("phash_probe" -> probe), "id_a", "id_b")
+  }
+
+  /** Recall/precision of the audio fingerprint candidate generator
+    * ([[AudioDedup.audioDupPairs]]) against the exact integer-L1 scan at
+    * the same threshold — the fifth dashboard member (the audio twin of
+    * [[mmDupRecall]]). Both sides share the exact scan's bounded
+    * asset_id < 300 domain; precision < 1 would mean a verify bug, same
+    * contract as the other pair dashboards.
+    *
+    * Cost contract: ground truth + variants are session-memoized
+    * ([[Caching.memo]]) — this row measures grading cost; the members'
+    * standalone rows keep the recompute cost (order-dependent within a
+    * session, BENCH.md round 14). */
+  def audioDupRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = Caching.memo(s, s"audioDupRecall.exact:$dir")(
+      AudioDedup.audioDupPairsExact(s, dir))
+    val probe = Caching.memo(s, s"audioDupRecall.v.probe:$dir")(
+      AudioDedup.audioDupPairs(s, dir, maxId = Some(300L)))
+    qualityReport(exact, Seq("wav_fp_probe" -> probe), "id_a", "id_b")
   }
 }

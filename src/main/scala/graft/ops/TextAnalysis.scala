@@ -90,7 +90,17 @@ object TextAnalysis {
     * corpus is single-line, so they'd be vacuously true everywhere and
     * would test nothing; the symbol-ratio and alpha-word rules are kept
     * even though this corpus passes them — their arithmetic is exercised
-    * by spec fixtures with adversarial text.
+    * by spec fixtures with adversarial text. Two documented simplifications
+    * vs the paper's Table A1: the dup-2-gram rule bounds the duplicate
+    * 2-gram COUNT fraction (Rae et al. specify the fraction of CHARACTERS
+    * contained in duplicate 2-grams — the count form is the same signal
+    * without a per-gram length join), and the alpha-word rule's letter
+    * class is lowercase `[a-z]` only (the synthetic corpus is lowercase;
+    * a mixed-case corpus would widen the class). Both engines compute the
+    * identical simplified predicate, so the oracle pins what is actually
+    * claimed. All permille comparisons are evaluated in 64-bit on BOTH
+    * engines (the counts are cast to long before the ×1000) so a >2.1M-
+    * character document cannot wrap the Spark side into divergence.
     *
     * Scale shape: pure per-row projection (split + a bounded 2-gram
     * transform), no shuffle except the presentation sort — wordcount
@@ -123,15 +133,20 @@ object TextAnalysis {
         col("n").cast("long").as("n_words"),
         (col("n") >= GopherMinWords && col("n") <= GopherMaxWords)
           .as("ok_word_count"),
-        (col("sum_len") >= lit(GopherMinAvgLen) * col("n") &&
-          col("sum_len") <= lit(GopherMaxAvgLen) * col("n"))
+        (col("sum_len").cast("long") >=
+          lit(GopherMinAvgLen.toLong) * col("n").cast("long") &&
+          col("sum_len").cast("long") <=
+            lit(GopherMaxAvgLen.toLong) * col("n").cast("long"))
           .as("ok_mean_word_len"),
-        (col("symbol_hits") * 1000 <= lit(GopherSymbolPermille) * col("n"))
+        (col("symbol_hits").cast("long") * 1000L <=
+          lit(GopherSymbolPermille.toLong) * col("n").cast("long"))
           .as("ok_symbol_ratio"),
         (col("stop_hits") >= GopherMinStopHits).as("ok_stopwords"),
-        (col("alpha_words") * 1000 >= lit(GopherAlphaPermille) * col("n"))
+        (col("alpha_words").cast("long") * 1000L >=
+          lit(GopherAlphaPermille.toLong) * col("n").cast("long"))
           .as("ok_alpha_frac"),
-        (col("dup2") * 1000 <= lit(GopherDup2Permille) * size(col("g2")))
+        (col("dup2").cast("long") * 1000L <=
+          lit(GopherDup2Permille.toLong) * size(col("g2")).cast("long"))
           .as("ok_dup2gram"))
       .withColumn("admitted",
         col("ok_word_count") && col("ok_mean_word_len") &&

@@ -563,6 +563,51 @@ object IndexStore {
       beforeId: Long): DataFrame =
     readWithDeltasBefore(s, path, beforeId)
 
+  // --- audio signature index (audio near-dup intake) ------------------------
+
+  /** Persist the standing assets' audio fingerprint table
+    * (asset_id, g, lv, k) — the probe side of
+    * [[graft.ops.AudioDedup.audioDupIntakeIndexed]]. Nothing is fitted
+    * (the signature is a pure function of the decoded PCM), so build,
+    * append, and in-query recompute all produce the same row — the
+    * indexed intake shares the recompute form's oracle, exactly like the
+    * phash index above. At scale: standing audio is DECODED ONCE, at
+    * index time; intake probes read 16 longs + 16 ints + a 48-char key
+    * per standing asset instead of re-reading payload bytes. */
+  def buildAudioSig(assets: org.apache.spark.sql.Dataset[graft.ops.Asset],
+      path: String): Unit =
+    graft.ops.AudioDedup.audioSigOf(assets)
+      .write.mode("overwrite").parquet(path)
+
+  /** Decode + sign ONLY the delta assets and append — O(delta); the
+    * standing corpus is not an input. Returns the appended frame. */
+  def appendAudioSig(
+      deltaAssets: org.apache.spark.sql.Dataset[graft.ops.Asset],
+      path: String): DataFrame = {
+    val sig = graft.ops.AudioDedup.audioSigOf(deltaAssets)
+    sig.write.mode("append").parquet(path)
+    sig
+  }
+
+  def readAudioSig(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** Batch-keyed variant of [[appendAudioSig]] for the streaming intake
+    * sink: one overwritten `b=<batchId>` segment — crash-replay rewrites
+    * the same bytes. */
+  def appendAudioSigVersioned(
+      deltaAssets: org.apache.spark.sql.Dataset[graft.ops.Asset],
+      path: String, batchId: Long): DataFrame = {
+    val sig = graft.ops.AudioDedup.audioSigOf(deltaAssets)
+    writeDeltaSegment(sig, path, batchId)
+    sig
+  }
+
+  /** Replay-safe audio-index read for micro-batch `beforeId`. */
+  def readAudioSigBefore(s: SparkSession, path: String,
+      beforeId: Long): DataFrame =
+    readWithDeltasBefore(s, path, beforeId)
+
   def buildAnn(embRaw: DataFrame, root: String,
       nCells: Int = graft.ops.Similarity.IvfCells,
       m: Int = graft.ops.Similarity.PqM,
@@ -1189,6 +1234,19 @@ object IndexStore {
       p
     })
     readPhash(s, root)
+  }
+
+  /** The persisted standing audio-signature index for `dir`'s WAV assets
+    * (memoized build over the STANDING split). */
+  def standingAudioSigIndex(s: SparkSession, dir: String): DataFrame = {
+    val root = builtRoots.computeIfAbsent(s"audiosig:$dir", _ => {
+      val (_, ex) = graft.ops.Multimodal
+        .mmDeltaSplit(graft.ops.AudioDedup.synthesizeWavAssets(s, dir))
+      val p = rootFor(s, "audiosig", dir)
+      buildAudioSig(ex, p)
+      p
+    })
+    readAudioSig(s, root)
   }
 
   def standingDedupIndex(s: SparkSession, dir: String): DedupIndex = {

@@ -632,27 +632,28 @@ object StreamingOps {
     * crash-rerun of batch N rewrites identical b=N verdict bytes. */
   def frontDoorSink(incoming: DataFrame, dedupRoot: String,
       pplRoot: String, dsirRoot: String, phashRoot: String,
-      verdictsPath: String)(
+      audioRoot: String, verdictsPath: String)(
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.sources.IndexStore
-    // all four gate artifacts are FROZEN for the stream's lifetime
+    // all gate artifacts are FROZEN for the stream's lifetime
     // (maintenance is offline), so load them ONCE in the sink's closure:
     // readDsirModel collects its model rows driver-side and readPpl
     // round-trips threshold frames — per-batch latency must scale with
-    // batch size, not artifact load (r13 ADVICE). The dedup/ppl/phash
-    // frames stay lazy parquet-backed plans (corpus-scale tables must
-    // not pin executor memory for the stream's lifetime); what's hoisted
-    // is the plan construction and the driver-side model collect.
+    // batch size, not artifact load (r13 ADVICE). The dedup/ppl/phash/
+    // audio frames stay lazy parquet-backed plans (corpus-scale tables
+    // must not pin executor memory for the stream's lifetime); what's
+    // hoisted is the plan construction and the driver-side model collect.
     val s = incoming.sparkSession
     val idx = IndexStore.readDedup(s, dedupRoot)
     val art = IndexStore.readPpl(s, pplRoot)
     val (lam, thr) = IndexStore.readDsirModel(s, dsirRoot)
     val phash = IndexStore.readPhash(s, phashRoot)
+    val audio = IndexStore.readAudioSig(s, audioRoot)
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        frontDoorBatch(batch, batchId, idx, art, lam, thr, phash,
+        frontDoorBatch(batch, batchId, idx, art, lam, thr, phash, audio,
           verdictsPath)
       }
       .start()
@@ -664,8 +665,9 @@ object StreamingOps {
       idx: graft.sources.IndexStore.DedupIndex,
       art: graft.sources.IndexStore.PplArtifact,
       lam: Array[Long], thr: Seq[(String, Long)], phashSig: DataFrame,
-      verdictsPath: String): Unit = {
-    graft.ops.Corpus.frontDoorVerdicts(batch, idx, art, lam, thr, phashSig)
+      audioSig: DataFrame, verdictsPath: String): Unit = {
+    graft.ops.Corpus.frontDoorVerdicts(batch, idx, art, lam, thr, phashSig,
+        audioSig)
       .orderBy(col("doc_id"))
       .write.mode("overwrite").parquet(s"$verdictsPath/b=$batchId")
     ()
@@ -676,13 +678,14 @@ object StreamingOps {
     * closure to inherit loaded artifacts from). */
   def frontDoorBatch(batch: DataFrame, batchId: Long, dedupRoot: String,
       pplRoot: String, dsirRoot: String, phashRoot: String,
-      verdictsPath: String): Unit = {
+      audioRoot: String, verdictsPath: String): Unit = {
     import graft.sources.IndexStore
     val s = batch.sparkSession
     val (lam, thr) = IndexStore.readDsirModel(s, dsirRoot)
     frontDoorBatch(batch, batchId, IndexStore.readDedup(s, dedupRoot),
       IndexStore.readPpl(s, pplRoot), lam, thr,
-      IndexStore.readPhash(s, phashRoot), verdictsPath)
+      IndexStore.readPhash(s, phashRoot),
+      IndexStore.readAudioSig(s, audioRoot), verdictsPath)
   }
 
   /** One [[pplIntakeSink]] micro-batch — exposed for the replay spec. */
@@ -735,6 +738,43 @@ object StreamingOps {
       .triageAssetsAgainstPhash(assets, standing)
     verdicts.write.mode("overwrite").parquet(s"$verdictsPath/b=$batchId")
     IndexStore.appendPhashVersioned(assets, indexPath, batchId)
+    ()
+  }
+
+  /** Streaming AUDIO intake sink: each micro-batch of WAV assets is
+    * triaged against the PERSISTED audio-signature index (near/novel
+    * verdicts — the audio twin of [[phashIntakeSink]]), then its
+    * signatures append as one batch-keyed segment, so batch N+1's audio
+    * dedups against batch N's. Decode runs ONCE per asset, at intake;
+    * the index never stores payload bytes. Exactly-once by the family
+    * recipe: probes read segments `< batchId`, writes overwrite
+    * `b=<batchId>`, and the signature is a pure function of the bytes —
+    * a crash-replay rewrites identical bytes. */
+  def audioIntakeSink(incoming: DataFrame, indexPath: String,
+      verdictsPath: String)(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        audioIntakeBatch(batch, batchId, indexPath, verdictsPath)
+      }
+      .start()
+
+  /** One [[audioIntakeSink]] micro-batch — exposed for the replay spec. */
+  def audioIntakeBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      verdictsPath: String): Unit = {
+    import graft.sources.IndexStore
+    val s = batch.sparkSession
+    import s.implicits._
+    val assets = batch.as[graft.ops.Asset]
+    val standing = IndexStore.readAudioSigBefore(s, indexPath, batchId)
+    // triage materializes (localCheckpoint) before return, so the index
+    // append below can't change what the verdict write sees
+    val verdicts = graft.ops.AudioDedup
+      .triageAssetsAgainstAudioSig(assets, standing)
+    verdicts.write.mode("overwrite").parquet(s"$verdictsPath/b=$batchId")
+    IndexStore.appendAudioSigVersioned(assets, indexPath, batchId)
     ()
   }
 

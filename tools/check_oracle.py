@@ -73,6 +73,16 @@ def check_one(con, oracle, out_dir, name):
             retried = "  [oracle retried at 4 threads after OOM]"
         except Exception as e2:
             return "fail", f"oracle SQL error: {str(e2).splitlines()[0]}"
+        finally:
+            # restore full parallelism: check() hands each query a fresh
+            # connection, but an importer sharing a connection must not
+            # have every LATER oracle silently degraded to 4 threads
+            # (which would also mask genuine over-limit plans — they could
+            # no longer OOM and would carry no annotation)
+            try:
+                con.execute("SET threads=16")
+            except Exception:
+                pass
     g, e = norm(got), norm(exp)
     if list(g.columns) != list(e.columns):
         return "fail", f"columns {list(g.columns)} vs {list(e.columns)}"
