@@ -51,8 +51,23 @@ object Bench {
       // a failed query reports -1 so it can't masquerade as a fast pass
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val pass1 = SparkEntry.queries.map { case (name, fn) => name -> timeOnce(name, fn) }
-    val pass2 = SparkEntry.queries.map { case (name, fn) => name -> timeOnce(name, fn) }
+    // Pinned execution order (r14 verdict #7): alphabetical, with the
+    // recall dashboards LAST — their ground truths are session-memoized
+    // (Caching.memo), so whichever of member/dashboard runs first pays
+    // the memo's cold compute. Map iteration order reshuffles whenever
+    // the registry grows, which would move that cold cost to a different
+    // row each round and poison the cross-round per-query diff; pinning
+    // members-then-dashboards lands it deterministically in the
+    // dashboards' pass-1 (the min still reads the warm grading cost,
+    // and the spread line keeps the cold pass visible).
+    val dashboardsLast = Seq("ann_recall", "dedup_pair_recall",
+      "emb_dup_recall", "mm_dup_recall", "mm_audio_recall")
+      .filter(SparkEntry.queries.contains)
+    val ordered: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      (SparkEntry.queries.keys.toSeq.sorted.filterNot(dashboardsLast.contains)
+        ++ dashboardsLast).map(n => n -> SparkEntry.queries(n))
+    val pass1 = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
+    val pass2 = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     // Targeted third pass: any query whose two passes disagree >25% got
     // hit by machine weather in at least one of them, so its min is still
     // suspect — re-time exactly those (r13 verdict #1a: the official
@@ -65,9 +80,9 @@ object Bench {
       val (a, b) = (pass1(name), pass2(name))
       a >= 0 && b >= 0 && math.max(a, b) > math.min(a, b) * 1.25
     }.toSet
-    val pass3 = SparkEntry.queries.collect {
+    val pass3 = ordered.collect {
       case (name, fn) if noisy(name) => name -> timeOnce(name, fn)
-    }
+    }.toMap
     val results = SparkEntry.queries.map { case (name, _) =>
       val times = Seq(pass1(name), pass2(name)) ++ pass3.get(name)
       // a failure in any pass stays visible as -1

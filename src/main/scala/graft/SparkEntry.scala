@@ -39,7 +39,11 @@ object SparkEntry {
       : (SparkSession, String) => DataFrame =
     (s, d) => {
       s.sqlContext.clearCache()
-      graft.ops.Caching.releaseStrays(s)
+      // SPARK_GRAFT_KEEP_STRAYS=1 disables the release — the diagnostic
+      // control arm of the round-15 session-hygiene A/B (BENCH.md):
+      // same HEAD, same session shape, blocks left pinned
+      if (!sys.env.get("SPARK_GRAFT_KEEP_STRAYS").contains("1"))
+        graft.ops.Caching.releaseStrays(s)
       fn(s, d)
     }
 

@@ -266,7 +266,14 @@ object AudioDedup {
   def audioDupPairs(s: SparkSession, dir: String,
       maxId: Option[Long] = None,
       maxCandidatesPerDoc: Option[Int] = None): DataFrame = {
-    val base = sigFrame(s, dir, maxId)
+    // the signature frame feeds the probe side AND both verify joins —
+    // uncached, each reference re-decodes the corpus through javax.sound
+    // (3× the decode cost, measured ~2.3 s at sf0.1): cache + eager
+    // count = decode once. Not released here — the returned plan stays
+    // lazy (pushdown-inspectable); the session reclaims the cache at the
+    // next query's clearCache.
+    val base = sigFrame(s, dir, maxId).cache()
+    base.count()
     val probes = base.select(col("asset_id").as("id_a"), col("k").as("ka"),
       explode(expr(Multimodal.MmProbeExpr)).as("pk"))
     val cands0 = probes

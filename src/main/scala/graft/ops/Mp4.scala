@@ -358,17 +358,21 @@ object Mp4 {
     val const = readU32(b, from + 4)
     val n = readU32(b, from + 8)
     if (n > Int.MaxValue / 4) return None
-    // sanity-bound the constant-size path BEFORE materializing: n samples
-    // of const bytes each must fit inside the file, so an adversarial
-    // header claiming (say) 500M samples is rejected without the multi-GB
-    // Vector.fill allocation (OutOfMemoryError is not NonFatal — it would
-    // pierce the degrade-don't-crash contract the fuzz suite asserts).
-    // Order of guards keeps the product overflow-free: both factors are
-    // bounded by b.length (≤ Int.MaxValue) before multiplying.
+    // the constant-size branch must not MATERIALIZE n elements: an
+    // adversarial header claiming ~500M samples would force a multi-GB
+    // Vector.fill (OutOfMemoryError is not NonFatal — it would pierce the
+    // degrade-don't-crash contract the fuzz suite asserts). A constant
+    // view costs O(1) memory whatever n claims; the count itself is
+    // bounded at 16M samples — beyond any real fixed-size-audio track's
+    // header, and it caps the callers' O(n) folds. The file-size bound
+    // deliberately does NOT involve const·n: sample analytics are a
+    // header-level read and the mdat payload may be truncated or absent.
     if (const != 0L) {
-      if (n > b.length.toLong || const > b.length.toLong ||
-        const * n > b.length.toLong) None
-      else Some(Vector.fill(n.toInt)(const))
+      if (n > (1L << 24)) None
+      else Some(new scala.collection.immutable.IndexedSeq[Long] {
+        def length: Int = n.toInt
+        def apply(i: Int): Long = const
+      })
     }
     else if (until - from < 12 + 4 * n) None
     else Some((0 until n.toInt).map(i => readU32(b, from + 12 + 4 * i)))

@@ -414,7 +414,14 @@ object Multimodal {
     // earlier)
     val assets = maxId.foldLeft(synthesizeAssets(s, dir))(
       (ds, m) => ds.filter(col("asset_id") < m))
-    val base = phashOf(assets)
+    // the signature frame feeds the probe side AND both verify joins —
+    // uncached, each reference re-runs the decode pass (r15, with the
+    // audio twin: cache + eager count = decode once). The cache is NOT
+    // released here: the returned plan must stay lazy/inspectable (the
+    // maxId pushdown spec reads it), and the session reclaims it at the
+    // next query's clearCache.
+    val base = phashOf(assets).cache()
+    base.count()
     val probes = base.select(col("asset_id").as("id_a"), col("k").as("ka"),
       explode(expr(MmProbeExpr)).as("pk"))
     // __exact marks candidates found through the EXACT key (vs a ±1-bin

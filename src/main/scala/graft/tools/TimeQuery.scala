@@ -21,8 +21,12 @@ object TimeQuery {
     val reps = if (args.length > 2) args(2).toInt else 3
     val prime = if (args.length > 3) args(3).split(",").toSeq.filter(_.nonEmpty)
       else Seq.empty
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    // SPARK_GRAFT_CPUS matches Bench's session config so a TimeQuery
+    // number is comparable to the bench record it diagnoses (default 8
+    // preserved for the historical A/B rows in BENCH.md)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -18,6 +18,17 @@ class FrontDoorSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  /** (mod-10, mod-3) residues — the audio-gate fixtures need ids that are
+    * simultaneously delta (r10 = 9) and audio-modality (r3 = 2). */
+  private def residue2Of(ids: Seq[Long]): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    val h = graft.functions.SharedHash.spark48("cast(id AS string)")
+    ids.toDF("id")
+      .withColumn("r", expr(s"pmod($h, 10)"))
+      .withColumn("m", expr(s"pmod($h, 3)"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
   test("frontDoor: one row per delta doc; triage and dsir columns equal " +
       "their standalone members, the ppl column equals the out-of-sample " +
       "gate's own artifact, admitted is exactly the conjunction") {
@@ -57,6 +68,11 @@ class FrontDoorSpec extends SparkSpec {
     val gopher = TextAnalysis.gopherRulesOf(delta).collect()
       .map(r => r.getLong(0) -> r.getAs[Boolean]("admitted")).toMap
 
+    // gate 7 expectation from the standalone audio member: audio-modality
+    // delta assets triaged against the standing audio-signature index
+    val au = AudioDedup.audioDupIntakeIndexed(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+
     out.foreach { r =>
       val id = r.getLong(0)
       assert(r.getString(1) === triage(id), s"doc $id: triage verdict")
@@ -69,14 +85,18 @@ class FrontDoorSpec extends SparkSpec {
       assert(r.getString(6) ===
         (if (mod3(id) == 0) mm(id) else "n/a"),
         s"doc $id: mm_verdict must equal the standalone mm member")
-      assert(r.getBoolean(7) === gopher(id),
+      assert(r.getString(7) ===
+        (if (mod3(id) == 2) au(id) else "n/a"),
+        s"doc $id: audio_verdict must equal the standalone audio member")
+      assert(r.getBoolean(8) === gopher(id),
         s"doc $id: gopher_ok must equal the standalone rule battery")
-      assert(r.getBoolean(8) === (r.getString(1) == "novel" &&
+      assert(r.getBoolean(9) === (r.getString(1) == "novel" &&
         !r.getBoolean(2) && Set("head", "middle")(r.getString(3)) &&
         r.getInt(4) == 1 &&
         (r.getString(5) != "image" || r.getString(6) == "novel") &&
-        r.getBoolean(7)),
-        s"doc $id: admitted must be the six-gate conjunction")
+        (r.getString(5) != "audio" || r.getString(7) == "novel") &&
+        r.getBoolean(8)),
+        s"doc $id: admitted must be the seven-gate conjunction")
     }
     // the out-of-sample threshold fix is the point: the gate must not
     // degenerate into the all-tail verdict in-sample edges produce
@@ -122,6 +142,16 @@ class FrontDoorSpec extends SparkSpec {
     val deltaIds = pick(9, 5)
     val benchIds = pick(Corpus.FrontDoorBenchBucket, 3)
     val standingIds = (0L to 7L).flatMap(pick(_, 4))
+    // gate-7 fixtures: delta ids that are ALSO audio-modality (r3 = 2),
+    // disjoint from the five general delta docs; plus one extra standing
+    // id to carry the shared-prefix audio source
+    val res2 = residue2Of(0L until 1000L)
+    val audioDeltaIds = res2.collect {
+      case (id, (9L, 2L)) if !deltaIds.contains(id) => id
+    }.toSeq.sorted.take(2)
+    assert(audioDeltaIds.size === 2, "need two audio-modality delta ids")
+    val audioSrcId =
+      res.collect { case (id, rr) if rr == 3L => id }.toSeq.sorted.drop(4).head
     // 60 words with two required stopwords: clean docs must be able to
     // clear the gopher battery (gate 6), not just the dedup gates
     val base = (Seq("the", "of") ++ (0 until 58).map(i => s"w$i")).mkString(" ")
@@ -147,33 +177,58 @@ class FrontDoorSpec extends SparkSpec {
       (deltaIds(4),
         (Seq("the", "of") ++ Seq.fill(29)(Seq("abcd", "defg")).flatten)
           .mkString(" ")))
+    // gate-7 fixtures: the audio fingerprint reads the FIRST 256 chars
+    // only, so a delta doc sharing the standing source's 50-word prefix
+    // but with 300 fresh tail words is AUDIO-near (identical signature,
+    // L1 = 0) while TEXT-novel (3-gram jaccard ≈ 0.07 « 0.3) — the one
+    // construction that makes gate 7 the sole rejector
+    val audioPrefix =
+      (Seq("the", "of") ++ (0 until 48).map(i => f"aup$i%03d")).mkString(" ")
+    val audioSrcText = audioPrefix + " " +
+      (0 until 300).map(i => f"aus$i%04d").mkString(" ")
+    val audioNearText = audioPrefix + " " +
+      (0 until 300).map(i => f"aud$i%04d").mkString(" ")
+    val audioFreshText = (Seq("the", "of") ++
+      (0 until 348).map(i => f"auf$i%04d")).mkString(" ")
+    val audioTexts = Seq((audioSrcId, audioSrcText),
+      (audioDeltaIds(0), audioNearText), (audioDeltaIds(1), audioFreshText))
     val tmp = java.nio.file.Files.createTempDirectory("fd-gates").toString
-    (benchTexts ++ standingTexts ++ deltaTexts)
+    (benchTexts ++ standingTexts ++ deltaTexts ++ audioTexts)
       .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$tmp/documents.parquet")
 
     val out = Corpus.frontDoor(spark, tmp).collect()
       .map(r => r.getLong(0) ->
-        (r.getString(1), r.getBoolean(2), r.getString(3), r.getBoolean(7),
-          r.getBoolean(8)))
+        (r.getString(1), r.getBoolean(2), r.getString(3), r.getString(7),
+          r.getBoolean(8), r.getBoolean(9)))
       .toMap
-    assert(out.size === 5)
+    assert(out.size === 7)
     // the bench near-copy also shares bands with the standing base? no —
     // base lives ONLY in the bench slice, so the triage verdict stays on
     // its own merits while the contamination gate must fire
     assert(out(deltaIds(0))._2, "benchmark near-copy must be contaminated")
     assert(out(deltaIds(1))._1 === "exact", "standing byte-copy is exact")
-    assert(!out(deltaIds(1))._5, "an exact dup is never admitted")
-    assert(!out(deltaIds(0))._5, "a contaminated doc is never admitted")
+    assert(!out(deltaIds(1))._6, "an exact dup is never admitted")
+    assert(!out(deltaIds(0))._6, "a contaminated doc is never admitted")
     assert(Seq(deltaIds(2), deltaIds(3)).forall(id => !out(id)._2),
       "fresh docs are clean")
-    assert(Seq(deltaIds(2), deltaIds(3)).forall(id => out(id)._4),
+    assert(Seq(deltaIds(2), deltaIds(3)).forall(id => out(id)._5),
       "clean 60-word docs clear the gopher battery")
-    assert(!out(deltaIds(4))._4 && !out(deltaIds(4))._5,
+    assert(!out(deltaIds(4))._5 && !out(deltaIds(4))._6,
       "the repeated-bigram doc is rejected by gate 6 alone")
     assert(!out(deltaIds(4))._2 && out(deltaIds(4))._1 === "novel",
       "…and by NOTHING else: it is novel and clean")
+    // gate 7: the shared-prefix doc is rejected by the AUDIO gate alone —
+    // text-novel, clean, gopher-ok, yet audio-near and therefore refused
+    val auNear = out(audioDeltaIds(0))
+    assert(auNear._4 === "near",
+      "identical-first-256-chars audio must triage near")
+    assert(auNear._1 === "novel" && !auNear._2 && auNear._5,
+      "the audio near-dup is text-novel, clean, and gopher-ok")
+    assert(!auNear._6, "…so gate 7 alone rejects it")
+    assert(out(audioDeltaIds(1))._4 === "novel",
+      "fresh audio-modality content reads novel")
   }
 
   test("streaming front door: micro-batches ≡ the batch gate, " +
@@ -192,31 +247,34 @@ class FrontDoorSpec extends SparkSpec {
     IndexStore.buildDsirModel(spark, lam, thr, s"$base/dsir")
     // gate 5's frozen artifact: the standing assets' phash signatures
     IndexStore.buildPhash(Multimodal.assetsOf(standing), s"$base/phash")
+    // gate 7's frozen artifact: the standing assets' audio fingerprints
+    IndexStore.buildAudioSig(AudioDedup.wavAssetsOf(standing),
+      s"$base/audio")
     val verdicts = s"$base/verdicts"
     val b1 = delta.filter($"doc_id" % 2 === 0)
     val b2 = delta.filter($"doc_id" % 2 === 1)
     graft.streaming.StreamingOps.frontDoorBatch(
       b1, 1L, s"$base/dedup", s"$base/ppl", s"$base/dsir", s"$base/phash",
-      verdicts)
+      s"$base/audio", verdicts)
     graft.streaming.StreamingOps.frontDoorBatch(
       b2, 2L, s"$base/dedup", s"$base/ppl", s"$base/dsir", s"$base/phash",
-      verdicts)
+      s"$base/audio", verdicts)
     def rows(p: String) = spark.read.parquet(p)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
         r.getString(3), r.getInt(4), r.getString(5), r.getString(6),
-        r.getBoolean(7), r.getBoolean(8))).sortBy(_._1).toSeq
+        r.getString(7), r.getBoolean(8), r.getBoolean(9))).sortBy(_._1).toSeq
     val streamed = (rows(s"$verdicts/b=1") ++ rows(s"$verdicts/b=2"))
       .sortBy(_._1)
     val batch = Corpus.frontDoor(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
         r.getString(3), r.getInt(4), r.getString(5), r.getString(6),
-        r.getBoolean(7), r.getBoolean(8))).toSeq.sortBy(_._1)
+        r.getString(7), r.getBoolean(8), r.getBoolean(9))).toSeq.sortBy(_._1)
     assert(streamed == batch)
     // crash replay: all gates frozen, so batch 1 rewrites itself
     val v1 = rows(s"$verdicts/b=1")
     graft.streaming.StreamingOps.frontDoorBatch(
       b1, 1L, s"$base/dedup", s"$base/ppl", s"$base/dsir", s"$base/phash",
-      verdicts)
+      s"$base/audio", verdicts)
     assert(rows(s"$verdicts/b=1") == v1)
   }
 }

@@ -112,6 +112,19 @@ class RetrievalQualitySpec extends SparkSpec {
       "phash probe should surface pairs at sf0.001")
   }
 
+  test("audioDupRecall equals an independent driver-side set recompute; " +
+      "audio precision is exact by construction") {
+    val report = reportMap(RetrievalQuality.audioDupRecall(spark, dir))
+    val exact = pairSet(AudioDedup.audioDupPairsExact(spark, dir),
+      "id_a", "id_b")
+    val probe = pairSet(AudioDedup.audioDupPairs(spark, dir,
+      maxId = Some(300L)), "id_a", "id_b")
+    check(report, exact, Map("wav_fp_probe" -> probe))
+    // probe candidates verify by the SAME integer L1 threshold the
+    // ground truth uses, so precision must be exactly 1
+    assert(report("wav_fp_probe")._5 == 1000000L)
+  }
+
   test("a zero-row variant is reported explicitly (returned=0, recall 0, " +
       "NULL precision), not dropped from the report (r10 ADVICE)") {
     import spark.implicits._

@@ -660,6 +660,45 @@ class StreamingSpec extends SparkSpec {
       ex.count() + 2 * inc.count())
   }
 
+  test("streaming audio intake: WAV batches triage against the audio " +
+      "signature index, cross-batch dups caught, replay idempotent, " +
+      "stream ≡ batch operator on the same split") {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("audio-stream").toString
+    val idx = s"$base/idx"
+    val verdicts = s"$base/verdicts"
+    // standing = the batch operators' residue split, so the stream's
+    // batch-1 verdicts must equal mm_audio_intake row-for-row
+    val (inc, ex) = graft.ops.Multimodal.mmDeltaSplit(
+      graft.ops.AudioDedup.synthesizeWavAssets(spark, dir))
+    IndexStore.buildAudioSig(ex, idx)
+
+    StreamingOps.audioIntakeBatch(inc.toDF(), 1L, idx, verdicts)
+    def vRows(b: Long) = spark.read.parquet(s"$verdicts/b=$b")
+      .select($"asset_id", $"n_near", $"verdict").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val v1 = vRows(1L)
+    val batchOp = graft.ops.AudioDedup.audioDupIntake(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(v1 === batchOp, "stream batch 1 must equal the batch operator")
+    // crash replay: probe reads segments < 1 only, writes overwrite
+    StreamingOps.audioIntakeBatch(inc.toDF(), 1L, idx, verdicts)
+    assert(vRows(1L) === v1)
+    // batch 2 = exact byte copies of batch 1's assets under new ids:
+    // identical PCM decodes to the identical fingerprint and verifies at
+    // L1 = 0 — every verdict must be 'near', possible only because
+    // batch 1's signatures appended inside the loop
+    val b2 = inc.map(a => a.copy(asset_id = a.asset_id + 100000L))
+    StreamingOps.audioIntakeBatch(b2.toDF(), 2L, idx, verdicts)
+    val v2 = vRows(2L)
+    assert(v2.nonEmpty && v2.forall(_._3 == "near"),
+      "an exact copy of an indexed WAV must triage as near")
+    assert(IndexStore.readAudioSigBefore(spark, idx, 3L).count() ===
+      ex.count() + 2 * inc.count())
+  }
+
   test("streaming triage sink: exact AND near duplicates of earlier batches " +
       "are caught via the index appends inside the loop") {
     implicit val sql = spark.sqlContext

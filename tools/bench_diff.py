@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Cross-round bench regression diff (r14 verdict #5: the round-close
+record must name every shared-set query whose min moved >25% in EITHER
+direction, not just the wins).
+
+Usage: bench_diff.py <old BENCH_QUERIES_rN.json> <new BENCH_QUERIES.json>
+       [--threshold 0.25] [--abs-floor 0.25]
+
+Prints: totals, every shared query moved more than threshold (relative)
+AND abs-floor (seconds — sub-noise moves on 0.1 s queries aren't
+narration-worthy), split into REGRESSED / IMPROVED, plus added/removed
+queries with their cost. Exit code 0 always — this is a reporting tool,
+the judgment call stays in BENCH.md.
+"""
+import json
+import sys
+
+
+def load(path):
+    qs, total = None, None
+    for line in open(path):
+        try:
+            j = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if j.get("metric") == "queries":
+            qs = j["queries"]
+        elif j.get("metric") == "total":
+            total = j
+    if qs is None:
+        sys.exit(f"{path}: no queries line")
+    return qs, total
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {a.split("=")[0]: a.split("=")[1] for a in sys.argv[1:]
+            if a.startswith("--") and "=" in a}
+    thr = float(opts.get("--threshold", 0.25))
+    floor = float(opts.get("--abs-floor", 0.25))
+    old_q, old_t = load(args[0])
+    new_q, new_t = load(args[1])
+    shared = sorted(set(old_q) & set(new_q))
+    added = sorted(set(new_q) - set(old_q))
+    removed = sorted(set(old_q) - set(new_q))
+
+    def tot(t):
+        return f"{t['value']} s / {t['n_queries']} queries" if t else "?"
+    print(f"old: {tot(old_t)}   new: {tot(new_t)}")
+    shared_old = sum(old_q[q] for q in shared if old_q[q] >= 0)
+    shared_new = sum(new_q[q] for q in shared if new_q[q] >= 0)
+    print(f"shared set ({len(shared)}): {shared_old:.1f} -> "
+          f"{shared_new:.1f} s")
+
+    moved = [(q, old_q[q], new_q[q]) for q in shared
+             if old_q[q] >= 0 and new_q[q] >= 0
+             and abs(new_q[q] - old_q[q]) > floor
+             and max(new_q[q], old_q[q]) > min(new_q[q], old_q[q]) * (1 + thr)]
+    reg = sorted([m for m in moved if m[2] > m[1]], key=lambda m: m[1] - m[2])
+    imp = sorted([m for m in moved if m[2] < m[1]], key=lambda m: m[2] - m[1])
+    print(f"\nREGRESSED >{thr:.0%} (and >{floor}s): {len(reg)}")
+    for q, a, b in reg:
+        print(f"  {q}: {a:.2f} -> {b:.2f}  (+{b - a:.2f} s)")
+    print(f"\nIMPROVED >{thr:.0%} (and >{floor}s): {len(imp)}")
+    for q, a, b in imp:
+        print(f"  {q}: {a:.2f} -> {b:.2f}  ({b - a:.2f} s)")
+    if added:
+        cost = sum(new_q[q] for q in added if new_q[q] >= 0)
+        print(f"\nNEW queries ({len(added)}, {cost:.2f} s total):")
+        for q in added:
+            print(f"  {q}: {new_q[q]:.2f}")
+    if removed:
+        print(f"\nREMOVED queries ({len(removed)}):")
+        for q in removed:
+            print(f"  {q}: was {old_q[q]:.2f}")
+
+
+if __name__ == "__main__":
+    main()
