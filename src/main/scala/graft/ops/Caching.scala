@@ -20,10 +20,20 @@ object Caching {
     * Only for results that are small by construction (pair sets ∝ duplicate
     * density, per-doc scalars — never full-corpus frames): the caller gets a
     * self-contained frame and owns no cleanup — [[releaseStrays]] reclaims
-    * the pinned blocks when the NEXT query starts (r15: the r14 bench
-    * regression's mechanism — see below). */
+    * the pinned blocks when the NEXT registry query starts. The pinned RDD
+    * ids are registered here (snapshot-diff around the eager checkpoint) so
+    * the release touches ONLY blocks this function created: a truncated-
+    * lineage checkpoint cannot recompute once its blocks drop, so an
+    * untracked release would break any OTHER checkpoint the session holds
+    * (a streaming micro-batch's pinned frame, a user's own localCheckpoint)
+    * instead of merely un-caching it (r15 ADVICE). */
   def materializeAndRelease(out: DataFrame, caches: DataFrame*): DataFrame = {
+    val s = out.sparkSession
+    val before = s.sparkContext.getPersistentRDDs.keySet
     val r = out.localCheckpoint()
+    val ids = releasableFor(s)
+    (s.sparkContext.getPersistentRDDs.keySet -- before)
+      .foreach(id => ids.add(id))
     caches.foreach(_.unpersist())
     r
   }
@@ -48,20 +58,56 @@ object Caching {
     ids
   }
 
-  /** Release every persisted RDD the session has accumulated EXCEPT the
-    * memo-protected set — the r14→r15 measured fix: localCheckpointed
-    * frames (query results via [[materializeAndRelease]], memo ground
-    * truths) are not tracked by the CacheManager, so `clearCache()` never
-    * frees them; across a 200-query bench session the pinned blocks grew
-    * past the block manager's eviction-free region and the two biggest
-    * shuffle queries paid for it (dedup_prefix_join 2.6 s fresh-JVM vs
-    * 5.3 s in-session, stable across passes — BENCH.md round 15 A/B).
-    * Runs at query construction ([[graft.SparkEntry]]'s `fresh`), when
-    * nothing from the previous query is still consuming its result. */
+  /** RDD ids [[releaseStrays]] MAY drop: exactly the checkpoints
+    * [[materializeAndRelease]] pinned. Everything else the session holds
+    * persisted — plain caches (clearCache's job), streaming-pinned
+    * frames, a user's own localCheckpoints — is never touched, because a
+    * truncated-lineage block that drops while a consumer still holds the
+    * frame fails with a missing-block error rather than recomputing
+    * (r15 ADVICE). */
+  private val releasableIds =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.Set[Int]]()
+
+  private def releasableFor(s: org.apache.spark.sql.SparkSession)
+      : java.util.Set[Int] = releasableIds.synchronized {
+    var ids = releasableIds.get(s)
+    if (ids == null) {
+      ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      releasableIds.put(s, ids)
+    }
+    ids
+  }
+
+  /** Release the localCheckpoint blocks [[materializeAndRelease]] pinned
+    * for PREVIOUS queries (minus the memo-protected set): checkpointed
+    * frames are invisible to the CacheManager, so `clearCache()` never
+    * frees them and they accumulate across a 200-query session. Session
+    * hygiene at measured ≈zero cost — NOT a performance fix: the round-15
+    * controlled A/B (BENCH.md round 15) acquitted pinned stray blocks as
+    * the r14 pair-family regression's mechanism (the keep-strays control
+    * arm behind `SPARK_GRAFT_KEEP_STRAYS=1` actually ran FASTER than the
+    * release arms, within weather; the regression was sustained machine
+    * load). Kept wired into [[graft.SparkEntry]]'s `fresh` because
+    * unbounded pinned-block growth is still a leak, and the env knob
+    * keeps the decision re-measurable.
+    *
+    * SINGLE-CONSUMER CONTRACT (r15 ADVICE): constructing a registry query
+    * invalidates every EARLIER registry query's materialized result —
+    * their truncated-lineage blocks drop and cannot recompute. Callers
+    * holding multiple query results concurrently must copy
+    * ([[DataFrame.collect]] / write) before constructing the next query. */
   def releaseStrays(s: org.apache.spark.sql.SparkSession): Unit = {
     val keep = protectedFor(s)
-    s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!keep.contains(id)) rdd.unpersist(blocking = false)
+    val releasable = releasableFor(s)
+    val persisted = s.sparkContext.getPersistentRDDs
+    val it = releasable.iterator()
+    while (it.hasNext) {
+      val id = it.next()
+      if (!keep.contains(id)) {
+        persisted.get(id).foreach(_.unpersist(blocking = false))
+        it.remove()
+      }
     }
   }
 
