@@ -148,4 +148,45 @@ object Caching {
       f
     })
   }
+
+  /** [[memo]] for a FAMILY of frames computed by one cold fit — the
+    * shape of a frozen model: [[graft.ops.TermScoring.LmModel]]'s six
+    * count frames all derive from one pass over the train split, so
+    * memoizing them under six independent keys would re-run that pass
+    * per frame. The closure returns (frames, upstreamCaches): every
+    * frame is localCheckpointed and memo-PROTECTED (same lifecycle as
+    * [[memo]] — dashboards and repeat queries reuse the pinned blocks,
+    * [[releaseStrays]] never drops them, entries die with the session),
+    * then the upstream caches the fit scanned are released, like
+    * [[materializeAndRelease]]. Same small-by-construction contract:
+    * model/count frames bounded by vocabulary, never corpus-sized
+    * per-doc frames. */
+  def memoGroup(s: org.apache.spark.sql.SparkSession, key: String)(
+      compute: => (Seq[DataFrame], Seq[DataFrame])): Seq[DataFrame] = {
+    val perSession = memoGroupTable.synchronized {
+      var m = memoGroupTable.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]()
+        memoGroupTable.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(key, _ => {
+      val before = s.sparkContext.getPersistentRDDs.keySet
+      val (frames, caches) = compute
+      val cps = frames.map(_.localCheckpoint())
+      val ids = protectedFor(s)
+      (s.sparkContext.getPersistentRDDs.keySet -- before)
+        .foreach(id => ids.add(id))
+      // the upstream caches drop now — the checkpoints above are
+      // self-contained (their snapshot-diff-protected ids may include
+      // the just-unpersisted cache ids; protecting a dead id is a no-op)
+      caches.foreach(_.unpersist())
+      cps
+    })
+  }
+
+  private val memoGroupTable =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]]()
 }

@@ -319,10 +319,31 @@ object TermScoring {
   /** [[lmBackoff]] without the presentation sort — the per-doc
     * (doc_id, n_trigrams, n_backoff, lm_score) frame consumers feed into
     * further dataflow ([[pplBuckets]], [[pplIntake]]). */
-  private[graft] def lmBackoffScored(s: SparkSession, dir: String): DataFrame = {
-    val toks = lmTokens(s, dir)
-    val isEval = expr(s"pmod(${graft.functions.SharedHash.spark48("cast(doc_id AS STRING)")}, 10)") === 9
-    lmScoreWith(toks, lmModelFrom(toks.filter(!isEval)))
+  private[graft] def lmBackoffScored(s: SparkSession, dir: String): DataFrame =
+    lmScoreWith(lmTokens(s, dir), lmModelMemo(s, dir))
+
+  /** The 90%-train-split backoff model, fit ONCE per (session, dir): the
+    * deterministic `lmModelFrom` chain is recomputed verbatim by THREE
+    * registry queries (text_lm_backoff, text_ppl_buckets,
+    * text_ppl_intake — the r15 bench's three slowest text rows), so the
+    * vocab-bounded count frames session-memo under the
+    * [[graft.ops.Caching.memoGroup]] contract — exactly the frames
+    * [[graft.sources.IndexStore.buildPpl]] persists to parquet, never
+    * the corpus-sized score frame (scoring stays a per-consumer pass:
+    * each consumer scores its own doc slice against the shared counts).
+    * Measured A/B in BENCH.md round 16. The fit caches its train-token
+    * scan while the six count frames materialize (one tokenize feeds
+    * five aggregates), then memoGroup releases it. */
+  private[graft] def lmModelMemo(s: SparkSession, dir: String): LmModel = {
+    val fs = Caching.memoGroup(s, s"lm90:$dir") {
+      val isEval = expr(
+        s"pmod(${graft.functions.SharedHash.spark48("cast(doc_id AS STRING)")}, 10)") === 9
+      val train = lmTokens(s, dir).filter(!isEval).cache()
+      train.count()
+      val m = lmModelFrom(train)
+      (Seq(m.tri, m.ctx2, m.bi, m.ctx1, m.uni, m.nTok), Seq(train))
+    }
+    LmModel(fs(0), fs(1), fs(2), fs(3), fs(4), fs(5))
   }
 
   /** The frozen stupid-backoff model: five exact count frames plus the
