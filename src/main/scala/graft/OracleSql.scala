@@ -2854,24 +2854,36 @@ object OracleSql {
     * stats, lv INT[16] coarse levels, k packed 48-char key) — the shared
     * head of the mm_audio_* oracles, replaying
     * [[graft.ops.AudioDedup.audioSigOf]] term for term. The synthesized
-    * WAV's PCM byte map is known (sample = ord(char) − 96 after the
-    * container round-trip), so the oracle recomputes every window
-    * statistic directly from the text — the hash match PROVES the
-    * engine's mux → javax.sound decode is the identity on samples, the
-    * same contract as the PNG video-frame oracle. All arithmetic is
-    * integer (floor division both engines). */
+    * WAV's PCM byte map is known (sample byte = UTF-8 byte +
+    * [[graft.ops.AudioDedup.WavByteBias]], decoded amplitude =
+    * ((b + 32) mod 256) − 128 after the container round-trip), so the
+    * oracle recomputes every window statistic directly from the text —
+    * the hash match PROVES the engine's mux → javax.sound decode is the
+    * identity on samples, the same contract as the PNG video-frame
+    * oracle. BYTE-based like the engine (r15 ADVICE: the engine builds
+    * PCM from `text.getBytes("UTF-8")`, so a character-positioned replay
+    * diverges on any non-ASCII text in both sample values and window
+    * alignment): positions iterate the hex dump of `encode(text)` —
+    * byte i is the i-th hex pair — and the sample cap counts BYTES. For
+    * pure-ASCII corpora this reduces to the former ord(char)−96 replay
+    * (verified: identical g/lv on the harness corpus); on non-ASCII it
+    * now matches the engine where the char replay did not (validated
+    * against a direct byte-map simulation on UTF-8 fixtures). All
+    * arithmetic is integer (floor division both engines). */
   private def audioSigCtes(maxId: Option[Long], p: String = ""): String = {
-    import graft.ops.AudioDedup.{AudioSampleCap, AudioWindow, AudioWindows}
+    import graft.ops.AudioDedup.{AudioSampleCap, AudioWindow, AudioWindows, WavByteBias}
     val dom = maxId.map(m => s" AND doc_id < $m").getOrElse("")
     // length >= 1 mirrors the engine: a zero-sample WAV does not decode
     // (javax.sound yields no frames), so the asset has no signature row
     s"""${p}ac0 AS (SELECT doc_id AS asset_id,
-       |  substr(text, 1, $AudioSampleCap) AS t,
-       |  least(length(text), $AudioSampleCap) AS n
+       |  substr(hex(encode(text)), 1, ${2 * AudioSampleCap}) AS hx,
+       |  least(octet_length(encode(text)), $AudioSampleCap) AS n
        |  FROM documents WHERE length(text) >= 1$dom),
        |${p}as0 AS (SELECT asset_id, r.i AS i,
        |  CAST((r.i - 1) // $AudioWindow AS INT) AS w,
-       |  ord(substr(t, CAST(r.i AS INT), 1)) - 96 AS a
+       |  (((strpos('0123456789ABCDEF', substr(hx, CAST(2*r.i-1 AS INT), 1)) - 1) * 16
+       |    + (strpos('0123456789ABCDEF', substr(hx, CAST(2*r.i AS INT), 1)) - 1)
+       |    + $WavByteBias) % 256) - 128 AS a
        |  FROM ${p}ac0 JOIN range(1, ${AudioSampleCap + 1}) r(i) ON r.i <= n),
        |${p}ax AS (SELECT asset_id, w, i, abs(a) AS ab, (a >= 0) AS nn,
        |  lag(a >= 0) OVER (PARTITION BY asset_id, w ORDER BY i) AS pnn
@@ -3225,6 +3237,7 @@ object OracleSql {
        |       ELSE 'novel' END AS mm_verdict,
        |  CASE WHEN ((${SharedHash.duck48("CAST(f.doc_id AS VARCHAR)")}) % 3) <> 2
        |         THEN 'n/a'
+       |       WHEN ausig.asset_id IS NULL THEN 'n/a'
        |       WHEN COALESCE(aun.n_au, 0) > 0 THEN 'near'
        |       ELSE 'novel' END AS audio_verdict,
        |  COALESCE(gp.gopher_ok, FALSE) AS gopher_ok,
@@ -3237,7 +3250,7 @@ object OracleSql {
        |    AND (((${SharedHash.duck48("CAST(f.doc_id AS VARCHAR)")}) % 3) <> 0
        |      OR COALESCE(mn.n_mm, 0) = 0)
        |    AND (((${SharedHash.duck48("CAST(f.doc_id AS VARCHAR)")}) % 3) <> 2
-       |      OR COALESCE(aun.n_au, 0) = 0)
+       |      OR (ausig.asset_id IS NOT NULL AND COALESCE(aun.n_au, 0) = 0))
        |    AND COALESCE(gp.gopher_ok, FALSE) AS admitted
        |FROM fdoc f
        |LEFT JOIN dnear n ON n.inc_id = f.doc_id
@@ -3245,6 +3258,7 @@ object OracleSql {
        |LEFT JOIN dgate g ON g.doc_id = f.doc_id
        |LEFT JOIN mnear mn ON mn.inc_id = f.doc_id
        |LEFT JOIN aunear aun ON aun.inc_id = f.doc_id
+       |LEFT JOIN auak ausig ON ausig.asset_id = f.doc_id
        |LEFT JOIN gop gp ON gp.doc_id = f.doc_id
        |WHERE f.is_inc ORDER BY f.doc_id""".stripMargin
   }

@@ -735,6 +735,15 @@ object Corpus {
     // probe, exact integer L1 verify). Only audio rows decode — the
     // modality filter runs before synthesis — and standing payloads are
     // never read (signature table only), mirroring gate 5's image triage.
+    // DECLARED SEMANTICS (r15 ADVICE): an UNDECODABLE audio asset (no
+    // signature row — audioSigOf drops it) reads verdict 'n/a' via the
+    // left-join coalesce below and is NOT admitted (the admitted
+    // conjunction requires 'novel' for audio rows) — conservative
+    // reject: a payload the codec can't parse can't be triaged, so it
+    // doesn't enter the corpus. The DuckDB oracle replays exactly this
+    // (no-ak-row → 'n/a', admitted requires a signature row). The image
+    // gate has no such case: extractFeatures is TOTAL (stub fallback),
+    // so every image row carries a signature.
     val audioTriage = AudioDedup.triageAssetsAgainstAudioSig(
         AudioDedup.wavAssetsOf(batch.filter(expr(s"pmod($hh3, 3) = 2"))),
         audioSig)

@@ -26,6 +26,26 @@ class AudioDedupSpec extends SparkSpec {
       "decoded amplitudes must equal ord(char) − 96 exactly")
   }
 
+  test("non-ASCII text: the synthesis byte map is UTF-8-BYTE-based — " +
+      "amplitude = ((byte + 32) mod 256) − 128 per ENCODED byte, and the " +
+      "sample count is the octet count (the contract the byte-based " +
+      "DuckDB oracle replays — r15 ADVICE)") {
+    val text = "héllo wörld 日本語 ça — test"
+    val bytes = text.getBytes("UTF-8")
+    assert(bytes.length > text.length,
+      "fixture must be genuinely multi-byte")
+    val pcm = bytes.map(b => ((b + AudioDedup.WavByteBias) & 0xff).toByte)
+    val got = AudioDedup.decodeWavSamples(AudioDedup.muxWav(pcm))
+    assert(got.isDefined)
+    // independent replay of the byte map (NOT via the production
+    // constants' code path): unsigned byte value b → ((b+32) mod 256) − 128
+    val expected = bytes.map(b => (((b & 0xff) + 32) % 256) - 128)
+    assert(got.get.toSeq === expected.toSeq,
+      "decoded amplitudes must follow the byte map on every UTF-8 octet")
+    assert(got.get.length === bytes.length,
+      "one sample per ENCODED byte, not per character")
+  }
+
   test("decodeWavSamples degrades to None on garbage, truncation, and " +
       "unsupported layouts — never throws") {
     assert(AudioDedup.decodeWavSamples(Array.emptyByteArray).isEmpty)

@@ -148,8 +148,8 @@ class FrontDoorSpec extends SparkSpec {
     val res2 = residue2Of(0L until 1000L)
     val audioDeltaIds = res2.collect {
       case (id, (9L, 2L)) if !deltaIds.contains(id) => id
-    }.toSeq.sorted.take(2)
-    assert(audioDeltaIds.size === 2, "need two audio-modality delta ids")
+    }.toSeq.sorted.take(3)
+    assert(audioDeltaIds.size === 3, "need three audio-modality delta ids")
     val audioSrcId =
       res.collect { case (id, rr) if rr == 3L => id }.toSeq.sorted.drop(4).head
     // 60 words with two required stopwords: clean docs must be able to
@@ -190,8 +190,12 @@ class FrontDoorSpec extends SparkSpec {
       (0 until 300).map(i => f"aud$i%04d").mkString(" ")
     val audioFreshText = (Seq("the", "of") ++
       (0 until 348).map(i => f"auf$i%04d")).mkString(" ")
+    // the UNDECODABLE case (r15 ADVICE): an empty-text audio-modality
+    // delta doc synthesizes a zero-sample WAV, which javax.sound cannot
+    // decode — no signature row, declared verdict 'n/a', never admitted
     val audioTexts = Seq((audioSrcId, audioSrcText),
-      (audioDeltaIds(0), audioNearText), (audioDeltaIds(1), audioFreshText))
+      (audioDeltaIds(0), audioNearText), (audioDeltaIds(1), audioFreshText),
+      (audioDeltaIds(2), ""))
     val tmp = java.nio.file.Files.createTempDirectory("fd-gates").toString
     (benchTexts ++ standingTexts ++ deltaTexts ++ audioTexts)
       .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
@@ -203,7 +207,7 @@ class FrontDoorSpec extends SparkSpec {
         (r.getString(1), r.getBoolean(2), r.getString(3), r.getString(7),
           r.getBoolean(8), r.getBoolean(9)))
       .toMap
-    assert(out.size === 7)
+    assert(out.size === 8)
     // the bench near-copy also shares bands with the standing base? no —
     // base lives ONLY in the bench slice, so the triage verdict stays on
     // its own merits while the contamination gate must fire
@@ -229,6 +233,13 @@ class FrontDoorSpec extends SparkSpec {
     assert(!auNear._6, "…so gate 7 alone rejects it")
     assert(out(audioDeltaIds(1))._4 === "novel",
       "fresh audio-modality content reads novel")
+    // the undecodable audio doc: declared semantics are 'n/a' + reject
+    // (conservative — it can't be triaged), matching the oracle's
+    // no-signature-row CASE (r15 ADVICE)
+    val auEmpty = out(audioDeltaIds(2))
+    assert(auEmpty._4 === "n/a",
+      "an undecodable (zero-sample) audio asset reads 'n/a'")
+    assert(!auEmpty._6, "…and is never admitted")
   }
 
   test("streaming front door: micro-batches ≡ the batch gate, " +
