@@ -2553,25 +2553,11 @@ object OracleSql {
 
     // phash pair-family pricing scout: key histogram + probe-vs-histogram
     // aggregates — candidates are PRICED, never materialized
-    "mm_dup_bound" ->
-      s"""WITH ${mmPhashCtes(None)},
-         |cnt AS MATERIALIZED (SELECT k, CAST(count(*) AS BIGINT) AS c
-         |  FROM sk GROUP BY k),
-         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
-         |  CAST(COALESCE(max(c), 0) AS BIGINT) AS max_key_group,
-         |  CAST(COALESCE(sum(c * (c - 1) // 2), 0) AS BIGINT)
-         |    AS exact_pair_bound FROM cnt),
-         |pr AS (SELECT asset_id, k AS ka, unnest($mmProbeList) AS pk
-         |  FROM sk),
-         |pb AS (SELECT CAST(COALESCE(sum(c.c), 0) AS BIGINT)
-         |    AS probe_candidate_bound
-         |  FROM pr JOIN cnt c ON pr.pk = c.k WHERE pr.pk <> pr.ka),
-         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_assets FROM sk)
-         |SELECT n_assets, n_keys, max_key_group, exact_pair_bound,
-         |  probe_candidate_bound,
-         |  CAST(exact_pair_bound + probe_candidate_bound AS BIGINT)
-         |    AS verify_bound
-         |FROM na CROSS JOIN ex CROSS JOIN pb""".stripMargin,
+    "mm_dup_bound" -> sigBoundSql(mmPhashCtes(None), "sk"),
+    // the audio twin (r15 verdict #3): same scout body over the audio
+    // signature frame — the engine shares Multimodal.sigDupBound, the
+    // oracle shares sigBoundSql
+    "mm_audio_bound" -> sigBoundSql(audioSigCtes(None), "ak"),
 
     // audio fingerprint family: window statistics replayed from the text
     // (the synthesis byte map is known; hash match proves decode∘mux=id)
@@ -2923,6 +2909,32 @@ object OracleSql {
   /** abs-difference integer L1 chain over two BIGINT[16] columns. */
   private def audioL1Chain(a: String, b: String): String =
     (1 to 16).map(i => s"abs($a[$i] - $b[$i])").mkString("(", " + ", ")")
+
+  /** The signature-generic pricing-scout SQL ([[graft.ops.Multimodal
+    * .sigDupBound]]'s oracle twin): key histogram + probe-vs-histogram
+    * aggregates over any CTE chain ending in a `(asset_id, lv, k)`
+    * signature table `sig` — shared by mm_dup_bound (phash) and
+    * mm_audio_bound. Candidates are priced, never materialized, on both
+    * engines. */
+  private def sigBoundSql(ctes: String, sig: String): String =
+    s"""WITH $ctes,
+       |cnt AS MATERIALIZED (SELECT k, CAST(count(*) AS BIGINT) AS c
+       |  FROM $sig GROUP BY k),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(COALESCE(max(c), 0) AS BIGINT) AS max_key_group,
+       |  CAST(COALESCE(sum(c * (c - 1) // 2), 0) AS BIGINT)
+       |    AS exact_pair_bound FROM cnt),
+       |pr AS (SELECT asset_id, k AS ka, unnest($mmProbeList) AS pk
+       |  FROM $sig),
+       |pb AS (SELECT CAST(COALESCE(sum(c.c), 0) AS BIGINT)
+       |    AS probe_candidate_bound
+       |  FROM pr JOIN cnt c ON pr.pk = c.k WHERE pr.pk <> pr.ka),
+       |na AS (SELECT CAST(count(*) AS BIGINT) AS n_assets FROM $sig)
+       |SELECT n_assets, n_keys, max_key_group, exact_pair_bound,
+       |  probe_candidate_bound,
+       |  CAST(exact_pair_bound + probe_candidate_bound AS BIGINT)
+       |    AS verify_bound
+       |FROM na CROSS JOIN ex CROSS JOIN pb""".stripMargin
 
   /** mm_audio_pairs oracle: the image family's probe-join shape over the
     * audio key space, verified by the exact integer L1 threshold. */

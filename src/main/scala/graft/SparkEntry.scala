@@ -277,6 +277,7 @@ object SparkEntry {
     "mm_dup_bound" -> (Multimodal.mmDupBound _),
     // audio near-dup family (real javax.sound WAV decode; signatures are
     // exact integers so the whole family hash-checks — AudioDedup)
+    "mm_audio_bound" -> (AudioDedup.audioDupBound _),
     "mm_audio_sig" -> (AudioDedup.audioSignatures _),
     "mm_audio_pairs" -> ((s: SparkSession, d: String) => AudioDedup.audioDupPairs(s, d)),
     "mm_audio_recall" -> ((s: SparkSession, d: String) => RetrievalQuality.audioDupRecall(s, d)),

@@ -302,6 +302,20 @@ object AudioDedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Pricing scout for the audio pair family (`mm_audio_bound`) — the
+    * audio twin of [[Multimodal.mmDupBound]], closing the same
+    * one-round scout lag phash had (r15 verdict #3: `mm_audio_pairs`
+    * emitted 3,423,586 pairs at ×30, ratio 36.6 — replica duplication
+    * SQUARES the identical-signature groups — with the budget knob but
+    * no price tag). Shares [[Multimodal.sigDupBound]]'s aggregate-only
+    * body over the audio (asset_id, lv, k) frame: exact-key
+    * Σ c·(c−1)/2 + the ±1-one-bin probe-vs-histogram candidate bound,
+    * no pair ever materializes. When `verify_bound` says the corpus is
+    * duplicate-squared, run [[audioDupPairs]] with
+    * `maxCandidatesPerDoc`. */
+  def audioDupBound(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sigDupBound(sigFrame(s, dir))
+
   /** Exact integer-L1 near-dup scan over a bounded domain — the ground
     * truth for `mm_audio_recall` (constant-size domain: the all-pairs
     * cost never scales with the corpus). */

@@ -168,6 +168,26 @@ class AudioDedupSpec extends SparkSpec {
     val bound = Multimodal.mmDupBound(spark, tmp).collect()
     assert(bound.length === 1 && bound(0).getLong(0) === 0L,
       "the scout reports a zero-asset corpus, not an empty frame")
+    val aBound = AudioDedup.audioDupBound(spark, tmp).collect()
+    assert(aBound.length === 1 && aBound(0).getLong(0) === 0L,
+      "the audio scout reports a zero-asset corpus, not an empty frame")
+  }
+
+  test("mm_audio_bound prices the candidate join: bounds dominate the " +
+      "actually-emitted pair count on the real corpus (r15 verdict #3)") {
+    val b = AudioDedup.audioDupBound(spark, dir).collect()(0)
+    val nAssets = b.getAs[Long]("n_assets")
+    val exactBound = b.getAs[Long]("exact_pair_bound")
+    val verifyBound = b.getAs[Long]("verify_bound")
+    // undecodable assets carry no signature, so n_assets counts the
+    // SIGNATURE space (= all docs on this corpus: every text is non-empty)
+    assert(nAssets === Tables.documents(spark, dir).count())
+    assert(verifyBound >= exactBound)
+    // every emitted pair was an exact-key or probe candidate, so the
+    // aggregate-only bound must cover the materialized join's output
+    val actualPairs = AudioDedup.audioDupPairs(spark, dir).count()
+    assert(verifyBound >= actualPairs,
+      s"scout bound $verifyBound must cover the $actualPairs emitted pairs")
   }
 
   test("mm_dup_bound prices the candidate join: bounds dominate the " +
