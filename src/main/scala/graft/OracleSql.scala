@@ -2567,8 +2567,30 @@ object OracleSql {
          |  g[1] AS energy0_permille, g[9] AS cross0_permille
          |FROM ak ORDER BY asset_id""".stripMargin,
     "mm_audio_pairs" -> audioDupPairsSql(None),
-    "mm_audio_recall" -> qualityReportOracle(audioDupExactSql(300L),
-      Seq("wav_fp_probe" -> audioDupPairsSql(Some(300L))), "id_a", "id_b"),
+    // the anchored family (r15 verdict #4): onset-anchored window grid,
+    // same byte-based replay — signature + pairs each fully hash-oracled
+    "mm_audio_sig_anchored" ->
+      s"""WITH ${audioSigAnchoredCtes(None)}
+         |SELECT asset_id, CAST(onset AS INT) AS onset, k AS audio_fp,
+         |  g[1] AS energy0_permille, g[9] AS cross0_permille
+         |FROM ak ORDER BY asset_id""".stripMargin,
+    "mm_audio_pairs_anchored" -> audioDupPairsAnchoredSql(None),
+    // both variants graded against their OWN exact scan, one dashboard:
+    // each report is a self-contained WITH statement, unioned as
+    // subqueries (aligned and anchored signature spaces are different
+    // ground truths — grading one probe against the other's truth would
+    // conflate grid choice with probe quality)
+    "mm_audio_recall" ->
+      s"""SELECT * FROM (
+         |${qualityReportOracle(audioDupExactSql(300L),
+               Seq("wav_fp_probe" -> audioDupPairsSql(Some(300L))),
+               "id_a", "id_b")}
+         |) UNION ALL SELECT * FROM (
+         |${qualityReportOracle(audioDupAnchoredExactSql(300L),
+               Seq("wav_fp_probe_anchored" ->
+                 audioDupPairsAnchoredSql(Some(300L))),
+               "id_a", "id_b")}
+         |) ORDER BY variant""".stripMargin,
     "mm_audio_intake" -> {
       import graft.ops.AudioDedup.AudioL1Eps
       s"""WITH ${audioSigCtes(None)},
@@ -2857,21 +2879,80 @@ object OracleSql {
     * against a direct byte-map simulation on UTF-8 fixtures). All
     * arithmetic is integer (floor division both engines). */
   private def audioSigCtes(maxId: Option[Long], p: String = ""): String = {
-    import graft.ops.AudioDedup.{AudioSampleCap, AudioWindow, AudioWindows, WavByteBias}
-    val dom = maxId.map(m => s" AND doc_id < $m").getOrElse("")
-    // length >= 1 mirrors the engine: a zero-sample WAV does not decode
-    // (javax.sound yields no frames), so the asset has no signature row
-    s"""${p}ac0 AS (SELECT doc_id AS asset_id,
-       |  substr(hex(encode(text)), 1, ${2 * AudioSampleCap}) AS hx,
-       |  least(octet_length(encode(text)), $AudioSampleCap) AS n
-       |  FROM documents WHERE length(text) >= 1$dom),
+    import graft.ops.AudioDedup.{AudioSampleCap, AudioWindow}
+    s"""${audioBytesCte(maxId, p, AudioSampleCap)},
        |${p}as0 AS (SELECT asset_id, r.i AS i,
-       |  CAST((r.i - 1) // $AudioWindow AS INT) AS w,
-       |  (((strpos('0123456789ABCDEF', substr(hx, CAST(2*r.i-1 AS INT), 1)) - 1) * 16
-       |    + (strpos('0123456789ABCDEF', substr(hx, CAST(2*r.i AS INT), 1)) - 1)
-       |    + $WavByteBias) % 256) - 128 AS a
+       |  CAST((r.i - 1) // $AudioWindow AS INT) AS w, ${audioAmpExpr("r.i")} AS a
        |  FROM ${p}ac0 JOIN range(1, ${AudioSampleCap + 1}) r(i) ON r.i <= n),
-       |${p}ax AS (SELECT asset_id, w, i, abs(a) AS ab, (a >= 0) AS nn,
+       |${audioStatsTail(p)},
+       |${p}ak AS MATERIALIZED (SELECT asset_id, g, lv,
+       |  array_to_string(list_transform(lv, l ->
+       |    lpad(CAST(l AS VARCHAR), 3, '0')), '') AS k FROM ${p}asig)"""
+      .stripMargin
+  }
+
+  /** The ANCHORED signature chain ([[graft.ops.AudioDedup
+    * .anchoredWindowStats]]'s oracle twin): same byte-based amplitudes,
+    * but the window grid starts at the energy onset — the first position
+    * i ≤ AudioAnchorScan with |a| ≥ AudioOnsetAbsMin (0 if none). The
+    * raw positions cover AnchorScan + SampleCap bytes so the anchored
+    * window [onset, onset + cap) is always fully materialized; the
+    * stats tail is shared verbatim with the aligned chain. `{p}ak`
+    * carries the onset. */
+  private def audioSigAnchoredCtes(maxId: Option[Long],
+      p: String = ""): String = {
+    import graft.ops.AudioDedup.{AudioAnchorScan, AudioOnsetAbsMin,
+      AudioSampleCap, AudioWindow}
+    val raw = AudioAnchorScan + AudioSampleCap
+    s"""${audioBytesCte(maxId, p, raw)},
+       |${p}as0raw AS (SELECT asset_id, r.i AS i, ${audioAmpExpr("r.i")} AS a
+       |  FROM ${p}ac0 JOIN range(1, ${raw + 1}) r(i) ON r.i <= n),
+       |${p}aon AS (SELECT asset_id,
+       |  COALESCE(min(CASE WHEN abs(a) >= $AudioOnsetAbsMin
+       |    AND i <= $AudioAnchorScan THEN i END) - 1, 0) AS onset
+       |  FROM ${p}as0raw GROUP BY asset_id),
+       |${p}as0 AS (SELECT s.asset_id, s.i - o.onset AS i,
+       |  CAST((s.i - o.onset - 1) // $AudioWindow AS INT) AS w, s.a
+       |  FROM ${p}as0raw s JOIN ${p}aon o USING (asset_id)
+       |  WHERE s.i > o.onset AND s.i <= o.onset + $AudioSampleCap),
+       |${audioStatsTail(p)},
+       |${p}ak AS MATERIALIZED (SELECT s.asset_id, o.onset, g, lv,
+       |  array_to_string(list_transform(lv, l ->
+       |    lpad(CAST(l AS VARCHAR), 3, '0')), '') AS k
+       |  FROM ${p}asig s JOIN ${p}aon o USING (asset_id))"""
+      .stripMargin
+  }
+
+  /** `{p}ac0` (asset_id, hx hex dump of the first `cap` UTF-8 bytes,
+    * n = byte count ≤ cap). length >= 1 mirrors the engine: a
+    * zero-sample WAV does not decode (javax.sound yields no frames), so
+    * the asset has no signature row. */
+  private def audioBytesCte(maxId: Option[Long], p: String,
+      cap: Int): String = {
+    val dom = maxId.map(m => s" AND doc_id < $m").getOrElse("")
+    s"""${p}ac0 AS (SELECT doc_id AS asset_id,
+       |  substr(hex(encode(text)), 1, ${2 * cap}) AS hx,
+       |  least(octet_length(encode(text)), $cap) AS n
+       |  FROM documents WHERE length(text) >= 1$dom)""".stripMargin
+  }
+
+  /** Amplitude of byte `i` (1-based) from the hex dump: unsigned value
+    * via the two hex digits, then ((b + bias) mod 256) − 128 — the
+    * engine's synthesis ∘ decode byte map. */
+  private def audioAmpExpr(i: String): String = {
+    import graft.ops.AudioDedup.WavByteBias
+    s"""(((strpos('0123456789ABCDEF', substr(hx, CAST(2*$i-1 AS INT), 1)) - 1) * 16
+       |    + (strpos('0123456789ABCDEF', substr(hx, CAST(2*$i AS INT), 1)) - 1)
+       |    + $WavByteBias) % 256) - 128""".stripMargin
+  }
+
+  /** The window-statistics tail shared by the aligned and anchored
+    * chains: `{p}as0` (asset_id, i, w, a) → `{p}asig` (asset_id, g, lv).
+    * Positions are window-grid-relative, so the tail never needs to know
+    * how the grid's origin was chosen. */
+  private def audioStatsTail(p: String): String = {
+    import graft.ops.AudioDedup.AudioWindows
+    s"""${p}ax AS (SELECT asset_id, w, i, abs(a) AS ab, (a >= 0) AS nn,
        |  lag(a >= 0) OVER (PARTITION BY asset_id, w ORDER BY i) AS pnn
        |  FROM ${p}as0),
        |${p}aws AS (SELECT asset_id, w, CAST(count(*) AS BIGINT) AS len_w,
@@ -2899,11 +2980,7 @@ object OracleSql {
        |    list(CAST(gc AS BIGINT) ORDER BY w)) AS g,
        |  list_concat(list(CAST(le AS INT) ORDER BY w),
        |    list(CAST(lc AS INT) ORDER BY w)) AS lv
-       |  FROM ${p}agl GROUP BY asset_id),
-       |${p}ak AS MATERIALIZED (SELECT asset_id, g, lv,
-       |  array_to_string(list_transform(lv, l ->
-       |    lpad(CAST(l AS VARCHAR), 3, '0')), '') AS k FROM ${p}asig)"""
-      .stripMargin
+       |  FROM ${p}agl GROUP BY asset_id)""".stripMargin
   }
 
   /** abs-difference integer L1 chain over two BIGINT[16] columns. */
@@ -2937,10 +3014,11 @@ object OracleSql {
        |FROM na CROSS JOIN ex CROSS JOIN pb""".stripMargin
 
   /** mm_audio_pairs oracle: the image family's probe-join shape over the
-    * audio key space, verified by the exact integer L1 threshold. */
-  private def audioDupPairsSql(maxId: Option[Long]): String = {
+    * audio key space, verified by the exact integer L1 threshold. The
+    * anchored variant differs only in the signature CTE chain. */
+  private def audioDupPairsSqlOver(ctes: String): String = {
     import graft.ops.AudioDedup.AudioL1Eps
-    s"""WITH ${audioSigCtes(maxId)},
+    s"""WITH $ctes,
        |apr AS (SELECT asset_id AS id_a, unnest($mmProbeList) AS pk
        |  FROM ak),
        |acd AS (SELECT apr.id_a, b.asset_id AS id_b
@@ -2954,16 +3032,28 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  private def audioDupPairsSql(maxId: Option[Long]): String =
+    audioDupPairsSqlOver(audioSigCtes(maxId))
+
+  private def audioDupPairsAnchoredSql(maxId: Option[Long]): String =
+    audioDupPairsSqlOver(audioSigAnchoredCtes(maxId))
+
   /** mm_audio_pairs' exact ground truth over the bounded domain (the
     * mm_audio_recall member that isn't itself a harness query). */
-  private def audioDupExactSql(maxId: Long): String =
-    s"""WITH ${audioSigCtes(Some(maxId))}
+  private def audioDupExactSqlOver(ctes: String): String =
+    s"""WITH $ctes
        |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
        |  CAST(${audioL1Chain("a.g", "b.g")} AS BIGINT) AS l1
        |FROM ak a JOIN ak b ON a.asset_id < b.asset_id
        |WHERE ${audioL1Chain("a.g", "b.g")} <=
        |  ${graft.ops.AudioDedup.AudioL1Eps}
        |ORDER BY id_a, id_b""".stripMargin
+
+  private def audioDupExactSql(maxId: Long): String =
+    audioDupExactSqlOver(audioSigCtes(Some(maxId)))
+
+  private def audioDupAnchoredExactSql(maxId: Long): String =
+    audioDupExactSqlOver(audioSigAnchoredCtes(Some(maxId)))
 
   /** mm_dup_pairs' exact ground truth over the bounded domain (the
     * mm_dup_recall member that isn't itself a harness query). */

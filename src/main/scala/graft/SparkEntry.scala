@@ -280,6 +280,8 @@ object SparkEntry {
     "mm_audio_bound" -> (AudioDedup.audioDupBound _),
     "mm_audio_sig" -> (AudioDedup.audioSignatures _),
     "mm_audio_pairs" -> ((s: SparkSession, d: String) => AudioDedup.audioDupPairs(s, d)),
+    "mm_audio_sig_anchored" -> (AudioDedup.audioSignaturesAnchored _),
+    "mm_audio_pairs_anchored" -> ((s: SparkSession, d: String) => AudioDedup.audioDupPairsAnchored(s, d)),
     "mm_audio_recall" -> ((s: SparkSession, d: String) => RetrievalQuality.audioDupRecall(s, d)),
     "mm_audio_intake" -> (AudioDedup.audioDupIntake _),
     "mm_audio_intake_indexed" -> (AudioDedup.audioDupIntakeIndexed _),

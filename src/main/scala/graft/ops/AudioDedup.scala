@@ -71,6 +71,20 @@ object AudioDedup {
   val AudioEnergyQuant = 4000L
   val AudioCrossQuant = 125L
 
+  /** Silence floor for the ANCHORED variant's onset: the first sample
+    * with |amplitude| ≥ this anchors the window grid (|amp| ≤ 1 — PCM
+    * within ±1 of center — is the classic leading-silence band a
+    * trimmed/padded re-encode prepends; under the synthesis byte map
+    * that band is exactly the chars {'_', '`', 'a'}). */
+  val AudioOnsetAbsMin = 2
+
+  /** The onset search is BOUNDED to the first [[AudioAnchorScan]]
+    * samples (a trimmed leader is short; an unbounded scan would make
+    * per-asset work grow with payload size on both engines — the
+    * bounded-by-constant contract the oracle replays). No qualifying
+    * sample within the scan ⇒ onset 0 (the aligned behavior). */
+  val AudioAnchorScan = 256
+
   /** PCM byte map for the synthesized assets: sample byte = text byte
     * + 32 (8-bit UNSIGNED PCM stores sample s as s + 128, so the decoded
     * centered amplitude is ord(char) − 96). 96 sits inside the printable
@@ -212,6 +226,37 @@ object AudioDedup {
     (g, lv)
   }
 
+  /** Energy-onset anchor (r15 verdict #4): index of the first sample in
+    * the first [[AudioAnchorScan]] whose |amplitude| clears the silence
+    * floor [[AudioOnsetAbsMin]]; 0 if none does. Anchoring the window
+    * grid here makes the signature invariant to a leading-silence shift
+    * (a trimmed or padded re-encode), which the ALIGNED signature
+    * concedes it cannot catch ([[windowStats]]' fixed grid). Same exact
+    * integer machinery, so the anchored family stays fully oracle-able. */
+  private[graft] def onsetOf(samples: Array[Int]): Int = {
+    val scan = math.min(samples.length, AudioAnchorScan)
+    var i = 0
+    while (i < scan) {
+      if (math.abs(samples(i)) >= AudioOnsetAbsMin) return i
+      i += 1
+    }
+    0
+  }
+
+  /** [[windowStats]] over the onset-anchored sample window
+    * [onset, onset + [[AudioSampleCap]]): identical statistics on a
+    * shifted grid — two recordings differing only by a leading-silence
+    * pad anchor to the same samples and collide at L1 = 0. Returns the
+    * onset too (first-class in the signature query: a consumer can see
+    * WHY two shifted assets matched). */
+  private[graft] def anchoredWindowStats(samples: Array[Int])
+      : (Int, Array[Long], Array[Int]) = {
+    val o = onsetOf(samples)
+    val end = math.min(samples.length, o + AudioSampleCap)
+    val (g, lv) = windowStats(java.util.Arrays.copyOfRange(samples, o, end))
+    (o, g, lv)
+  }
+
   /** asset → signature frame (asset_id, g, lv, k): decode per partition
     * (one codec init, batch loop inside — the mapPartitions shape), then
     * the window statistics and the packed 48-char key. Assets the JDK
@@ -234,6 +279,22 @@ object AudioDedup {
     }.toDF("asset_id", "g", "lv", "k")
   }
 
+  /** The anchored twin of [[audioSigOf]]: (asset_id, onset, g, lv, k)
+    * via [[anchoredWindowStats]]. Same decode pass, same drop-undecodable
+    * contract, same key packing — only the window grid's origin moves. */
+  def audioSigAnchoredOf(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        decodeWavSamples(a.content).map { samples =>
+          val (o, g, lv) = anchoredWindowStats(samples)
+          val k = lv.map(l => f"$l%03d").mkString
+          (a.asset_id, o, g, lv, k)
+        }
+      }
+    }.toDF("asset_id", "onset", "g", "lv", "k")
+  }
+
   private def sigFrame(s: SparkSession, dir: String,
       maxId: Option[Long] = None): DataFrame = {
     // domain restriction BEFORE synthesis/decode — mapPartitions walls
@@ -244,12 +305,30 @@ object AudioDedup {
     audioSigOf(wavAssetsOf(docs))
   }
 
+  private def sigFrameAnchored(s: SparkSession, dir: String,
+      maxId: Option[Long] = None): DataFrame = {
+    // same pre-decode domain wall as sigFrame
+    val docs = maxId.foldLeft(Tables.documents(s, dir))(
+      (d, m) => d.filter(col("doc_id") < m))
+    audioSigAnchoredOf(wavAssetsOf(docs))
+  }
+
   /** Per-asset audio fingerprint (`mm_audio_sig`) — the dedup signature
     * as a first-class query, fully hash-oracled (the synthesis byte map
     * is known, so DuckDB replays the window statistics from the text). */
   def audioSignatures(s: SparkSession, dir: String): DataFrame =
     sigFrame(s, dir)
       .select(col("asset_id"), col("k").as("audio_fp"),
+        col("g")(0).as("energy0_permille"),
+        col("g")(AudioWindows).as("cross0_permille"))
+      .orderBy(col("asset_id"))
+
+  /** Per-asset ANCHORED fingerprint (`mm_audio_sig_anchored`) — the
+    * offset-robust signature as a first-class query, onset included,
+    * fully hash-oracled like the aligned one. */
+  def audioSignaturesAnchored(s: SparkSession, dir: String): DataFrame =
+    sigFrameAnchored(s, dir)
+      .select(col("asset_id"), col("onset"), col("k").as("audio_fp"),
         col("g")(0).as("energy0_permille"),
         col("g")(AudioWindows).as("cross0_permille"))
       .orderBy(col("asset_id"))
@@ -265,14 +344,35 @@ object AudioDedup {
     * budget as [[Multimodal.mmDupPairs]]. */
   def audioDupPairs(s: SparkSession, dir: String,
       maxId: Option[Long] = None,
-      maxCandidatesPerDoc: Option[Int] = None): DataFrame = {
+      maxCandidatesPerDoc: Option[Int] = None): DataFrame =
+    dupPairsOverSig(sigFrame(s, dir, maxId), maxCandidatesPerDoc)
+
+  /** [[audioDupPairs]] over the ANCHORED signatures
+    * (`mm_audio_pairs_anchored`): catches leading-silence-shifted
+    * duplicates the aligned grid misses, same probe/verify machinery and
+    * the same knobs. Both variants ship because the anchored grid can in
+    * principle SPLIT a pair the aligned grid catches (two already-aligned
+    * recordings whose onsets differ — e.g. one starts just under the
+    * silence floor); the recall dashboard reports both against their own
+    * exact scans. */
+  def audioDupPairsAnchored(s: SparkSession, dir: String,
+      maxId: Option[Long] = None,
+      maxCandidatesPerDoc: Option[Int] = None): DataFrame =
+    dupPairsOverSig(
+      sigFrameAnchored(s, dir, maxId).drop("onset"), maxCandidatesPerDoc)
+
+  /** Shared pair-join body over any audio signature frame
+    * (asset_id, g, lv, k) — aligned and anchored differ only in how the
+    * grid's origin was chosen. */
+  private def dupPairsOverSig(sig: DataFrame,
+      maxCandidatesPerDoc: Option[Int]): DataFrame = {
     // the signature frame feeds the probe side AND both verify joins —
     // uncached, each reference re-decodes the corpus through javax.sound
     // (3× the decode cost, measured ~2.3 s at sf0.1): cache + eager
     // count = decode once. Not released here — the returned plan stays
     // lazy (pushdown-inspectable); the session reclaims the cache at the
     // next query's clearCache.
-    val base = sigFrame(s, dir, maxId).cache()
+    val base = sig.cache()
     base.count()
     val probes = base.select(col("asset_id").as("id_a"), col("k").as("ka"),
       explode(expr(Multimodal.MmProbeExpr)).as("pk"))
@@ -320,8 +420,16 @@ object AudioDedup {
     * truth for `mm_audio_recall` (constant-size domain: the all-pairs
     * cost never scales with the corpus). */
   def audioDupPairsExact(s: SparkSession, dir: String,
-      maxId: Long = 300L): DataFrame = {
-    val base = sigFrame(s, dir, Some(maxId))
+      maxId: Long = 300L): DataFrame =
+    dupPairsExactOverSig(sigFrame(s, dir, Some(maxId)))
+
+  /** Exact anchored-L1 scan over the bounded domain — the anchored
+    * family's own ground truth for the recall dashboard. */
+  def audioDupPairsAnchoredExact(s: SparkSession, dir: String,
+      maxId: Long = 300L): DataFrame =
+    dupPairsExactOverSig(sigFrameAnchored(s, dir, Some(maxId)).drop("onset"))
+
+  private def dupPairsExactOverSig(base: DataFrame): DataFrame =
     base.select(col("asset_id").as("id_a"), col("g").as("ga"))
       .join(base.select(col("asset_id").as("id_b"), col("g").as("gb")),
         col("id_a") < col("id_b"))
@@ -329,7 +437,6 @@ object AudioDedup {
       .filter(col("l1") <= AudioL1Eps)
       .select(col("id_a"), col("id_b"), col("l1"))
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   /** Incremental audio intake (`mm_audio_intake`): arriving (delta)
     * assets checked against the standing corpus through the key-probe

@@ -230,6 +230,16 @@ object RetrievalQuality {
       AudioDedup.audioDupPairsExact(s, dir))
     val probe = Caching.memo(s, s"audioDupRecall.v.probe:$dir")(
       AudioDedup.audioDupPairs(s, dir, maxId = Some(300L)))
+    // the ANCHORED variant (r15 verdict #4) grades against its OWN exact
+    // scan — aligned and anchored signature spaces are different ground
+    // truths, so one report per truth, unioned into one dashboard
+    val exactA = Caching.memo(s, s"audioDupRecall.exactAnchored:$dir")(
+      AudioDedup.audioDupPairsAnchoredExact(s, dir))
+    val probeA = Caching.memo(s, s"audioDupRecall.v.probeAnchored:$dir")(
+      AudioDedup.audioDupPairsAnchored(s, dir, maxId = Some(300L)))
     qualityReport(exact, Seq("wav_fp_probe" -> probe), "id_a", "id_b")
+      .unionByName(qualityReport(exactA,
+        Seq("wav_fp_probe_anchored" -> probeA), "id_a", "id_b"))
+      .orderBy(col("variant"))
   }
 }

@@ -173,6 +173,44 @@ class AudioDedupSpec extends SparkSpec {
       "the audio scout reports a zero-asset corpus, not an empty frame")
   }
 
+  test("anchored signature catches a leading-silence-shifted copy the " +
+      "aligned grid misses (r15 verdict #4) — and documents the gap") {
+    import spark.implicits._
+    // base recording starts loud ('t' decodes to amplitude 20); the
+    // shifted copy prepends 40 silence samples (backtick = amplitude 0,
+    // inside the |amp| <= 1 silence band) — a full window-and-a-quarter
+    // of leader, the trimmed-re-encode shape
+    val base = Seq.fill(8)("the quick brown fox jumps over the lazy dog")
+      .mkString(" ")
+    val shifted = "`" * 40 + base
+    assert(base.getBytes("UTF-8").length > AudioDedup.AudioSampleCap,
+      "fixture must fill the whole sample window")
+    val tmp = java.nio.file.Files.createTempDirectory("audio-anchor").toString
+    Seq((1L, base, "en", "srcA", base.length.toLong),
+        (2L, shifted, "en", "srcA", shifted.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+
+    // onsets: the loud opener anchors at 0, the padded copy at 40
+    val onsets = AudioDedup.audioSignaturesAnchored(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(onsets(1L) === 0 && onsets(2L) === 40)
+
+    // the ALIGNED exact scan rejects the pair (shifted grids differ far
+    // beyond eps) — the documented gap
+    assert(AudioDedup.audioDupPairsExact(spark, tmp).count() === 0L,
+      "the aligned signature must miss the shifted copy")
+    // the ANCHORED scan and the anchored probe join both catch it at
+    // l1 = 0: identical samples under the shifted grid
+    val exactA = AudioDedup.audioDupPairsAnchoredExact(spark, tmp).collect()
+    assert(exactA.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((1L, 2L, 0L)))
+    val probeA = AudioDedup.audioDupPairsAnchored(spark, tmp).collect()
+    assert(probeA.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((1L, 2L, 0L)),
+      "the anchored probe join must catch the shifted copy")
+  }
+
   test("mm_audio_bound prices the candidate join: bounds dominate the " +
       "actually-emitted pair count on the real corpus (r15 verdict #3)") {
     val b = AudioDedup.audioDupBound(spark, dir).collect()(0)

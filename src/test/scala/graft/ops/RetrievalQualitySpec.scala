@@ -119,10 +119,21 @@ class RetrievalQualitySpec extends SparkSpec {
       "id_a", "id_b")
     val probe = pairSet(AudioDedup.audioDupPairs(spark, dir,
       maxId = Some(300L)), "id_a", "id_b")
-    check(report, exact, Map("wav_fp_probe" -> probe))
-    // probe candidates verify by the SAME integer L1 threshold the
-    // ground truth uses, so precision must be exactly 1
+    // each variant grades against its OWN exact scan (aligned and
+    // anchored signature spaces are different ground truths), so check
+    // per-truth with the report filtered to that family's row
+    check(report.filter(_._1 == "wav_fp_probe"), exact,
+      Map("wav_fp_probe" -> probe))
+    val exactA = pairSet(AudioDedup.audioDupPairsAnchoredExact(spark, dir),
+      "id_a", "id_b")
+    val probeA = pairSet(AudioDedup.audioDupPairsAnchored(spark, dir,
+      maxId = Some(300L)), "id_a", "id_b")
+    check(report.filter(_._1 == "wav_fp_probe_anchored"), exactA,
+      Map("wav_fp_probe_anchored" -> probeA))
+    // probe candidates verify by the SAME integer L1 threshold their
+    // ground truth uses, so precision must be exactly 1 in both families
     assert(report("wav_fp_probe")._5 == 1000000L)
+    assert(report("wav_fp_probe_anchored")._5 == 1000000L)
   }
 
   test("a zero-row variant is reported explicitly (returned=0, recall 0, " +
