@@ -1,7 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Machine-weather fingerprint (r15 verdict #5): the same
+    * loadavg/proc-count block tools/scalecheck.py embeds in every sweep
+    * summary, so a bench record carries its OWN weather instead of
+    * relying on prose and sibling reruns (this project's #1 gate risk:
+    * same-HEAD totals have swung ±15% with machine load; r15's close
+    * record and driver record differed 12% and needed four sibling runs
+    * to adjudicate). Taken at session start AND end — a 3-minute run's
+    * load can change mid-flight, and a spike visible only in the end
+    * snapshot explains a slow tail. Best-effort: missing /proc (non-
+    * Linux) degrades to -1 fields, never a crash. */
+  private def machineFingerprint(): String = {
+    import scala.util.control.NonFatal
+    val la =
+      try java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split("\\s+").take(3).toSeq
+      catch { case NonFatal(_) => Seq("-1", "-1", "-1") }
+    val procs =
+      try {
+        val fs = new java.io.File("/proc").listFiles()
+        if (fs == null) -1 else fs.count(_.getName.forall(_.isDigit))
+      } catch { case NonFatal(_) => -1 }
+    s"""{"loadavg_1m":${la(0)},"loadavg_5m":${la(1)},"loadavg_15m":${la(2)},""" +
+      s""""n_procs":$procs,"cpus":${Runtime.getRuntime.availableProcessors()}}"""
+  }
+
   def main(args: Array[String]): Unit = {
+    val fpStart = machineFingerprint()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -116,11 +144,13 @@ object Bench {
     // then the total as the FINAL, short line so a captured tail always
     // parses: the driver's BENCH_r0{1..3}.json all recorded "parsed": null
     // because the single long line got cut.
+    val fpEnd = machineFingerprint()
+    val machine = s"""{"start":$fpStart,"end":$fpEnd}"""
     println(s"""{"metric":"pass_max_over_125pct","unit":"sec","queries":$spread,"sf":"$sfDir"}""")
-    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"machine":$machine,"sf":"$sfDir"}""")
     val slow = results.toSeq.sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + num(v, 2) }.mkString("{", ",", "}")
-    val totalLine = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"failures":$failures,"reruns":${pass3.size},"slowest":$slow,"sf":"$sfDir"}"""
+    val totalLine = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"failures":$failures,"reruns":${pass3.size},"machine":$machine,"slowest":$slow,"sf":"$sfDir"}"""
     println(totalLine)
     // The driver's BENCH_r{N}.json keeps only a 2000-char stdout tail,
     // which truncates the per-query map to ~54 of the ~200 entries — too
@@ -144,7 +174,7 @@ object Bench {
     })
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(persistTo),
       s"""{"metric":"pass_max_over_125pct","unit":"sec","queries":$spread,"sf":"$sfDir"}""" +
-        "\n" + s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""" +
+        "\n" + s"""{"metric":"queries","unit":"sec","queries":$qs,"machine":$machine,"sf":"$sfDir"}""" +
         "\n" + totalLine + "\n")
     catch { case NonFatal(e) =>
       System.err.println(s"bench: could not persist $persistTo: ${e.getMessage}")

@@ -32,6 +32,19 @@ def load(path):
     return qs, total
 
 
+def machine_line(tag, total):
+    """One-line weather summary from the record's own fingerprint
+    (records from before round 16 carry none — say so explicitly)."""
+    m = (total or {}).get("machine")
+    if not m:
+        return f"{tag} machine: (no fingerprint in record)"
+    s, e = m.get("start", {}), m.get("end", {})
+    return (f"{tag} machine: load {s.get('loadavg_1m')}→{e.get('loadavg_1m')}"
+            f" (5m {s.get('loadavg_5m')}→{e.get('loadavg_5m')}),"
+            f" procs {s.get('n_procs')}→{e.get('n_procs')},"
+            f" cpus {s.get('cpus')}")
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     opts = {a.split("=")[0]: a.split("=")[1] for a in sys.argv[1:]
@@ -47,6 +60,8 @@ def main():
     def tot(t):
         return f"{t['value']} s / {t['n_queries']} queries" if t else "?"
     print(f"old: {tot(old_t)}   new: {tot(new_t)}")
+    print(machine_line("old", old_t))
+    print(machine_line("new", new_t))
     shared_old = sum(old_q[q] for q in shared if old_q[q] >= 0)
     shared_new = sum(new_q[q] for q in shared if new_q[q] >= 0)
     print(f"shared set ({len(shared)}): {shared_old:.1f} -> "
