@@ -131,23 +131,43 @@ object EmbeddingStats {
     projectOnto(s, dir, top, offsets, scales, "wc_")
   }
 
-  /** The shared driver-side fit: distributed gram + mean aggregates, then
-    * covariance assembly and the Jacobi solve on the tiny result. Returns
-    * (means, top-k components, mean·v offsets, top-k eigenvalues). */
+  /** The shared driver-side fit: ONE distributed pass computing n, the
+    * Gram triangle AND the per-dim means (r16 optimization, guide
+    * §1.2/§2.4 — this used to be two full corpus passes: gramMatrix plus
+    * dimStats' posexplode → 64-group hash aggregate with its own
+    * exchange; now `agg(count, gram_agg, dim_sum_agg)` reads the vectors
+    * once and shuffles only the two fixed Long buffers). The means are
+    * derived with Spark's own `round(sum/(n·1e6), 6)` expression —
+    * bit-identical to [[dimStats]]'s mean_v column (EmbeddingsSpec
+    * asserts it), so the fitted components and the projected output are
+    * unchanged. Then covariance assembly and the Jacobi solve on the
+    * tiny result. Returns (means, top-k components, mean·v offsets,
+    * top-k eigenvalues). */
   private def pcaFit(s: SparkSession, dir: String,
       k: Int): (Array[Double], IndexedSeq[Array[Double]], IndexedSeq[Double], IndexedSeq[Double]) = {
     graft.functions.VecDot.register(s)
+    graft.functions.GramAgg.register(s)
+    graft.functions.DimSumAgg.register(s)
     val d = graft.ops.VectorOps.Dim
-    val gram = gramMatrix(s, dir).collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
-    val n = gram((0, 0))._1.toDouble
+    val row = Tables.embeddings(s, dir)
+      .withColumn("e", expr("cast(embedding AS ARRAY<DOUBLE>)"))
+      .agg(count(lit(1)).as("n"), expr(s"gram_agg(e, $d)").as("g"),
+        expr(s"dim_sum_agg(e, $d)").as("ms"))
+      // mean per dim with the exact dimStats expression shape:
+      // round(micro_sum / (n * 1e6), 6) — n is the same count, the
+      // division and rounding evaluate in Spark, not the driver
+      .select(col("n"), col("g"),
+        expr("transform(ms, s -> round(s / (n * 1e6), 6))").as("means"))
+      .collect()(0)
+    val n = row.getLong(0).toDouble
     require(n > 0, "PCA needs a non-empty corpus")
-    val means = dimStats(s, dir).collect()
-      .sortBy(_.getInt(0))
-      .map(r => r.getDouble(2)) // mean_v, exact-micro-derived
+    val tri = row.getSeq[Long](1)
+    val means = row.getSeq[Double](2).toArray
     val cov = Array.tabulate(d, d) { (i, j) =>
       val (lo, hi) = if (i <= j) (i, j) else (j, i)
-      gram((lo, hi))._2 / 1e6 / n - means(i) * means(j)
+      // row-major upper-triangle index of (lo, hi), as GramAgg packs it
+      val idx = lo * d - lo * (lo - 1) / 2 + (hi - lo)
+      tri(idx) / 1e6 / n - means(i) * means(j)
     }
     val (eig, vecRows) = jacobiEigen(cov)
     val picked = eig.zipWithIndex

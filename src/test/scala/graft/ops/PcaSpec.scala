@@ -79,4 +79,24 @@ class PcaSpec extends SparkSpec {
     val b = EmbeddingStats.pcaProject(spark, dir).collect().map(_.toString)
     assert(a.sameElements(b))
   }
+
+  test("single-pass fit means (dim_sum_agg) are bit-identical to dimStats " +
+    "mean_v (r16 pcaFit one-pass optimization)") {
+    val dir = "/root/testdata/sf0.001"
+    graft.functions.DimSumAgg.register(spark)
+    val d = VectorOps.Dim
+    val fitMeans = Tables.embeddings(spark, dir)
+      .withColumn("e", expr("cast(embedding AS ARRAY<DOUBLE>)"))
+      .agg(count(lit(1)).as("n"), expr(s"dim_sum_agg(e, $d)").as("ms"))
+      .select(expr("transform(ms, s -> round(s / (n * 1e6), 6))"))
+      .collect()(0).getSeq[Double](0)
+    val dimMeans = EmbeddingStats.dimStats(spark, dir).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(2))
+    assert(fitMeans.length == d)
+    // bit-identical, not approximately equal: the fit's covariance (and so
+    // the projected output the oracle hashes) depends on these exact values
+    assert(fitMeans.zip(dimMeans).forall { case (a, b) =>
+      java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+    }, s"fit means diverge from dimStats: ${fitMeans.zip(dimMeans).filter(p => p._1 != p._2).take(3)}")
+  }
 }
