@@ -28,6 +28,13 @@ object Caching {
     * (a streaming micro-batch's pinned frame, a user's own localCheckpoint)
     * instead of merely un-caching it (r15 ADVICE). */
   def materializeAndRelease(out: DataFrame, caches: DataFrame*): DataFrame = {
+    // Plan-review mode (r16, tooling only): the eager checkpoint replaces
+    // the returned frame's plan with a Scan ExistingRDD stub, so
+    // `explain` on a materialized query shows nothing. Under
+    // SPARK_GRAFT_LAZY_PLANS=1 (set only by ExplainAll runs — never by
+    // Bench/Verify) the LAZY frame returns instead, with upstream caches
+    // kept (no action runs in an explain session, so nothing recomputes).
+    if (sys.env.get("SPARK_GRAFT_LAZY_PLANS").contains("1")) return out
     val s = out.sparkSession
     val before = s.sparkContext.getPersistentRDDs.keySet
     val r = out.localCheckpoint()

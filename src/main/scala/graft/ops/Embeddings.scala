@@ -192,19 +192,16 @@ object EmbeddingStats {
     * round((e·v_i − offset_i) · scale_i, 6) per component. */
   private def projectOnto(s: SparkSession, dir: String,
       comps: IndexedSeq[Array[Double]], offsets: IndexedSeq[Double],
-      scales: IndexedSeq[Double], prefix: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+      scales: IndexedSeq[Double], prefix: String): DataFrame =
+    Tables.embeddings(s, dir)
       .withColumn("e", expr("cast(embedding AS ARRAY<DOUBLE>)"))
-    val withPcs = comps.zipWithIndex.foldLeft(e.toDF()) { case (df, (row, i)) =>
-      df.withColumn(s"__pc_$i", array(row.map(x => lit(x)): _*))
-    }
-    withPcs.select(
-      col("vec_id") +:
-        comps.indices.map(i =>
-          round((expr(s"vec_dot(e, __pc_$i)") - offsets(i)) * scales(i), 6)
-            .as(s"$prefix$i")): _*)
+      .select(
+        col("vec_id") +:
+          comps.indices.map(i =>
+            round((call_function("vec_dot", col("e"),
+              array(comps(i).map(x => lit(x)): _*)) - offsets(i)) * scales(i), 6)
+              .as(s"$prefix$i")): _*)
       .orderBy(col("vec_id"))
-  }
 
   val PcaK = 8
 

@@ -333,17 +333,18 @@ object Similarity {
       numQueries: Int = AnnQueries, rerank: Int = Sq8Rerank): DataFrame =
     sq8TopK(s, dir, k, numQueries, rerank, labelFiltered = true)
 
-  /** doc-side LSH signature: bucket int from the sign bits of plane dots. */
+  /** doc-side LSH signature: bucket int from the sign bits of plane dots.
+    * The plane coefficient arrays are inlined as literals in ONE
+    * projection (r16: this was 16 chained withColumn plane columns + a
+    * drop — the optimizer collapsed them to exactly this projection, but
+    * the analyzer paid a full pass per withColumn; driver planning time,
+    * not executor time — guide §7.3). */
   private def withBuckets(e: DataFrame): DataFrame = {
     val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      when(expr(s"vec_dot(e, pl_$i)") > 0, 1 << i).otherwise(0)
+      when(call_function("vec_dot", col("e"),
+        array(p.map(v => lit(v)): _*)) > 0, 1 << i).otherwise(0)
     }
-    val withPlanes = planes.zipWithIndex.foldLeft(e) { case (df, (p, i)) =>
-      df.withColumn(s"pl_$i", array(p.map(v => lit(v)): _*))
-    }
-    withPlanes
-      .withColumn("bucket", bitCols.reduce(_ + _))
-      .drop(planes.indices.map(i => s"pl_$i"): _*)
+    e.withColumn("bucket", bitCols.reduce(_ + _))
   }
 
   /** WIDE band keys for [[cosineDupLshWide]]: one 0..255 int column per
@@ -352,17 +353,18 @@ object Similarity {
     * bucket. Same codegen shape as [[withBuckets]]: literal plane arrays,
     * native vec_dot, a CASE-sum per key, zero UDFs. */
   private def withWideBandKeys(e: DataFrame): DataFrame = {
-    val withPlanes = widePlanes.zipWithIndex.foldLeft(e) { case (df, (p, i)) =>
-      df.withColumn(s"wpl_$i", array(p.map(v => lit(v)): _*))
-    }
-    val keyed = (0 until WideNumBands).foldLeft(withPlanes) { (df, j) =>
+    // one projection, literal plane arrays inlined (r16: was 64 plane
+    // withColumns + 8 key withColumns + a drop — same plan after
+    // optimization, quadratic analyzer cost before it)
+    val keyCols = (0 until WideNumBands).map { j =>
       val bits = (0 until WideBitsPerBand).map { b =>
         val i = j * WideBitsPerBand + b
-        when(expr(s"vec_dot(e, wpl_$i)") > 0, 1 << b).otherwise(0)
+        when(call_function("vec_dot", col("e"),
+          array(widePlanes(i).map(v => lit(v)): _*)) > 0, 1 << b).otherwise(0)
       }
-      df.withColumn(s"wb$j", bits.reduce(_ + _))
+      bits.reduce(_ + _).as(s"wb$j")
     }
-    keyed.drop(widePlanes.indices.map(i => s"wpl_$i"): _*)
+    e.select(col("*") +: keyCols: _*)
   }
 
   /** The deterministic LSH bucket assignment (vec_id → 16-bit hyperplane
@@ -1049,9 +1051,7 @@ object Similarity {
     // overhead (measured: 8 ml.KMeans fits cost ~5 s at sf0.1 vs ~0 for
     // the in-process Lloyd sweeps). Everything corpus-sized — encoding
     // and ADC scoring — stays distributed below.
-    val withSubs = (0 until m).foldLeft(e.toDF()) { (df, j) =>
-      df.withColumn(s"sub_$j", slice(col("e"), j * subDim + 1, subDim))
-    }
+    val withSubs = withSubCols(e.toDF(), m)
     val step = math.max(1L, e.count() / 4000L)
     val sampleRows = hashSample(withSubs, step, kCodes)
       .select((0 until m).map(j => col(s"sub_$j")): _*).collect()
@@ -1072,23 +1072,11 @@ object Similarity {
           call_function("argmin_cells", col(s"sub_$j"),
             matrixLit(codebooks(j).toIndexedSeq)).as(s"code_$j")): _*)
 
-    // query side: LUT_j[c] = dot(q_sub_j, centroid_{j,c}); only these 5
-    // rows materialize the per-code literal centroid columns
-    def centroidLit(j: Int, c: Int) =
-      array(codebooks(j)(c).map(v => lit(v)): _*)
-    val qWithCbs = (0 until m).foldLeft(
-        withSubs.filter(col("vec_id") < numQueries)) { (df, j) =>
-      (0 until kCodes).foldLeft(df) { (d, c) =>
-        d.withColumn(s"cb_${j}_$c", centroidLit(j, c))
-      }
-    }
-    val q = qWithCbs
+    // query side: LUT_j[c] = dot(q_sub_j, centroid_{j,c}) in one
+    // projection with the centroids inlined as literals ([[lutCols]])
+    val q = withSubs.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id") +: col("e").as("qe") +:
-        col("nrm").as("qn") +:
-        (0 until m).map { j =>
-          array((0 until kCodes).map(c =>
-            expr(s"vec_dot(sub_$j, cb_${j}_$c)")): _*).as(s"lut_$j")
-        }: _*)
+        col("nrm").as("qn") +: lutCols(codebooks): _*)
 
     val adc = (0 until m).map(j =>
       element_at(col(s"lut_$j"), col(s"code_$j") + 1)).reduce(_ + _)
@@ -1147,9 +1135,7 @@ object Similarity {
     // two bounded fits: coarse centroids (ml.KMeans on ~8k vectors) and
     // per-subspace codebooks (in-process Lloyd on ~4k subvectors)
     val centroidArrays = fitIvfCentroids(e, nCells)
-    val withSubs = (0 until m).foldLeft(e.toDF()) { (df, j) =>
-      df.withColumn(s"sub_$j", slice(col("e"), j * subDim + 1, subDim))
-    }
+    val withSubs = withSubCols(e.toDF(), m)
     val step = math.max(1L, e.count() / 4000L)
     val sampleRows = hashSample(withSubs, step, kCodes)
       .select((0 until m).map(j => col(s"sub_$j")): _*).collect()
@@ -1170,21 +1156,9 @@ object Similarity {
     import s.implicits._
     val centroids = centroidArrays.zipWithIndex
       .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
-    def centroidLit(j: Int, c: Int) =
-      array(codebooks(j)(c).map(v => lit(v)): _*)
-    val qWithCbs = (0 until m).foldLeft(
-        withSubs.filter(col("vec_id") < numQueries)) { (df, j) =>
-      (0 until kCodes).foldLeft(df) { (d, c) =>
-        d.withColumn(s"cb_${j}_$c", centroidLit(j, c))
-      }
-    }
-    val qLut = qWithCbs
+    val qLut = withSubs.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id") +: col("e").as("qe") +:
-        col("nrm").as("qn") +:
-        (0 until m).map { j =>
-          array((0 until kCodes).map(c =>
-            expr(s"vec_dot(sub_$j, cb_${j}_$c)")): _*).as(s"lut_$j")
-        }: _*)
+        col("nrm").as("qn") +: lutCols(codebooks): _*)
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("dist2").asc, col("cell").asc)
     val probes = broadcast(qLut).crossJoin(broadcast(centroids))
@@ -1224,13 +1198,34 @@ object Similarity {
   }
 
   /** Sub-vector slice columns `sub_0..sub_{m-1}` — the shared pre-pass for
-    * PQ codebook fits and encodes. A narrow codegen projection. */
+    * PQ codebook fits and encodes. A narrow codegen projection (one
+    * select, not m chained withColumns). */
   private[graft] def withSubCols(df: DataFrame, m: Int = PqM): DataFrame = {
     val subDim = Dim / m
-    (0 until m).foldLeft(df) { (d, j) =>
-      d.withColumn(s"sub_$j", slice(col("e"), j * subDim + 1, subDim))
-    }
+    df.select(col("*") +: (0 until m).map(j =>
+      slice(col("e"), j * subDim + 1, subDim).as(s"sub_$j")): _*)
   }
+
+  /** Query-side ADC lookup-table columns `lut_0..lut_{m-1}` over frozen
+    * codebooks, as ONE projection with the centroid arrays inlined as
+    * literals: LUT_j[c] = vec_dot(sub_j, codebook_{j,c}).
+    *
+    * r16: each of the three PQ query paths used to build m·kCodes = 128
+    * chained withColumn literal-centroid columns (`cb_j_c`) and then a
+    * select of string-SQL `vec_dot(sub_j, cb_j_c)` over them. The
+    * optimizer collapses that chain into exactly this projection, but
+    * analysis walks the whole growing plan once per withColumn — O(m²k²)
+    * driver work per query construction (guide §7.3 "very large plans";
+    * measured: ann_pq steady-state spent 1.6 s of 2.1 s OFF-job in the
+    * driver). The evaluated expressions are term-identical, so outputs
+    * and stashed-literal oracles are unchanged. */
+  private def lutCols(
+      cbs: IndexedSeq[Array[Array[Double]]]): Seq[org.apache.spark.sql.Column] =
+    cbs.indices.map { j =>
+      array(cbs(j).indices.map(c =>
+        call_function("vec_dot", col(s"sub_$j"),
+          array(cbs(j)(c).map(v => lit(v)): _*))): _*).as(s"lut_$j")
+    }
 
   /** Per-subspace PQ codebooks from a deterministic BOUNDED sample (~4k
     * subvectors) — driver-side Lloyd, same rationale as [[pqTopK]]'s inline
@@ -1291,22 +1286,11 @@ object Similarity {
       .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
 
     // query side: full vectors from the cells table; LUT_j[c] = dot(sub_j,
-    // codebook_{j,c}) materialized only for the numQueries rows
-    def centroidLit(j: Int, c: Int) =
-      array(cbs(j)(c).map(v => lit(v)): _*)
-    val qWithCbs = (0 until m).foldLeft(
-        withSubCols(cells.filter(col("vec_id") < numQueries), m)) { (df, j) =>
-      (0 until kCodes).foldLeft(df) { (d, c) =>
-        d.withColumn(s"cb_${j}_$c", centroidLit(j, c))
-      }
-    }
-    val qLut = qWithCbs
+    // codebook_{j,c}) materialized only for the numQueries rows, one
+    // projection with inlined centroid literals ([[lutCols]])
+    val qLut = withSubCols(cells.filter(col("vec_id") < numQueries), m)
       .select(col("vec_id").as("q_id") +: col("e").as("qe") +:
-        col("nrm").as("qn") +:
-        (0 until m).map { j =>
-          array((0 until kCodes).map(c =>
-            expr(s"vec_dot(sub_$j, cb_${j}_$c)")): _*).as(s"lut_$j")
-        }: _*)
+        col("nrm").as("qn") +: lutCols(cbs): _*)
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("dist2").asc, col("cell").asc)
     val probes = broadcast(qLut).crossJoin(broadcast(centroids))
