@@ -58,6 +58,28 @@ object JobProfile {
         }
     })
 
+    // batch mode: comma-separated names → one compact summary line per
+    // query's steady rep (wall, in-job seconds, job count) — the
+    // driver-bound-query scan
+    if (name.contains(",")) {
+      for (n <- name.split(",").filter(_.nonEmpty)) {
+        val f = graft.SparkEntry.queries(n)
+        var wall = 0.0
+        for (_ <- 1 to reps) {
+          jobs.synchronized { jobs.clear(); stageToJob.clear() }
+          val t0 = System.nanoTime()
+          f(spark, dir).count()
+          wall = (System.nanoTime() - t0) / 1e9
+        }
+        Thread.sleep(300)
+        val (jobSum, nJobs) = jobs.synchronized {
+          (jobs.values.map(j => math.max(0L, j.t1 - j.t0)).sum / 1e9, jobs.size)
+        }
+        println(f"[summary] $n wall=$wall%.2f injob=$jobSum%.2f jobs=$nJobs")
+      }
+      spark.stop()
+      return
+    }
     val fn = graft.SparkEntry.queries(name)
     for (r <- 1 to reps) {
       jobs.synchronized { jobs.clear(); stageToJob.clear() }
