@@ -3,10 +3,40 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the harness testdata (TESTDATA.md). One parquet per table;
-  * reads are vectorized + column-pruned by Catalyst. */
+  * reads are vectorized + column-pruned by Catalyst.
+  *
+  * Schema inference is cached per (session, path) — r16 optimization:
+  * every `spark.read.parquet` launches a footer-read job to infer the
+  * schema, and a 212-query bench session constructs each query 2–3 times,
+  * so the SAME static file's footer was read hundreds of times (~50–80 ms
+  * of job + driver latency per construction, visible as `parquet at
+  * Tables.scala` jobs in every JobProfile trace). The cache holds only
+  * METADATA (a StructType — what a catalog/metastore provides in a real
+  * deployment); the data is re-read from parquet by every invocation, so
+  * nothing computed is cached across runs. Keyed weakly by session (dies
+  * with it); safe because a path's schema cannot change under a session —
+  * specs always write fresh temp dirs, appends don't alter schemas. */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private val schemaCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String,
+        org.apache.spark.sql.types.StructType]]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    val perSession = schemaCache.synchronized {
+      var m = schemaCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String,
+          org.apache.spark.sql.types.StructType]()
+        schemaCache.put(spark, m)
+      }
+      m
+    }
+    val sch = perSession.computeIfAbsent(p,
+      _ => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(p)
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
