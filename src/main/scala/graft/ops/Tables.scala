@@ -22,8 +22,15 @@ object Tables {
       java.util.concurrent.ConcurrentHashMap[String,
         org.apache.spark.sql.types.StructType]]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val p = s"$dir/$name.parquet"
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    readCached(spark, s"$dir/$name.parquet")
+
+  /** Schema-cached parquet read of any static-schema path — also used by
+    * [[graft.sources.IndexStore]] for the standing-artifact tables (their
+    * builders are fixed code, so a rebuild/append at the same path always
+    * writes the same schema; only the DATA changes, and the data is
+    * re-read per invocation). */
+  def readCached(spark: SparkSession, p: String): DataFrame = {
     val perSession = schemaCache.synchronized {
       var m = schemaCache.get(spark)
       if (m == null) {

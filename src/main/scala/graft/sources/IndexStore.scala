@@ -50,7 +50,7 @@ object IndexStore {
   }
 
   def readWinnow(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path).select(col("doc_id"), col("fp"))
+    graft.ops.Tables.readCached(s, path).select(col("doc_id"), col("fp"))
 
   // --- dedup (digest + band + shingle) index --------------------------------
 
@@ -95,9 +95,9 @@ object IndexStore {
   }
 
   def readDedup(s: SparkSession, root: String): DedupIndex = DedupIndex(
-    digests = s.read.parquet(s"$root/digests"),
-    bands = s.read.parquet(s"$root/bands"),
-    shingles = s.read.parquet(s"$root/shingles"))
+    digests = graft.ops.Tables.readCached(s, s"$root/digests"),
+    bands = graft.ops.Tables.readCached(s, s"$root/bands"),
+    shingles = graft.ops.Tables.readCached(s, s"$root/shingles"))
 
   // --- inverted-index (postings) segments -----------------------------------
 
@@ -141,7 +141,7 @@ object IndexStore {
   }
 
   def readPostings(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path)
+    graft.ops.Tables.readCached(s, path)
 
   /** Collapse segment rows into the live dictionary: dfs sum (disjoint doc
     * sets per segment); postings = first-cap of the per-segment capped
@@ -172,7 +172,7 @@ object IndexStore {
   }
 
   def readCurationDigests(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path)
+    graft.ops.Tables.readCached(s, path)
 
   // --- batch-keyed delta segments (streaming exactly-once) ------------------
   //
@@ -207,7 +207,7 @@ object IndexStore {
     * whether or not its own `b=N` segment landed. */
   def readWithDeltasBefore(s: SparkSession, root: String,
       beforeId: Long): DataFrame = {
-    val standing = s.read.parquet(root)
+    val standing = graft.ops.Tables.readCached(s, root)
     val segs = deltaSegmentIds(s, root).filter(_ < beforeId)
     if (segs.isEmpty) standing
     else standing.unionByName(
@@ -278,7 +278,7 @@ object IndexStore {
     val s = deltaDocs.sparkSession
     val sets = Dedup.prefixSetsOf(deltaDocs).cache()
     sets.count()
-    val pre = Dedup.prefixesUnder(sets, s.read.parquet(s"$root/freq"),
+    val pre = Dedup.prefixesUnder(sets, graft.ops.Tables.readCached(s, s"$root/freq"),
       threshold)
     sets.write.mode("append").parquet(s"$root/sets")
     pre.write.mode("append").parquet(s"$root/prefixes")
@@ -288,9 +288,9 @@ object IndexStore {
 
   def readPrefix(s: SparkSession, root: String): PrefixIndex =
     PrefixIndex(
-      freq = s.read.parquet(s"$root/freq"),
-      prefixes = s.read.parquet(s"$root/prefixes"),
-      sets = s.read.parquet(s"$root/sets"))
+      freq = graft.ops.Tables.readCached(s, s"$root/freq"),
+      prefixes = graft.ops.Tables.readCached(s, s"$root/prefixes"),
+      sets = graft.ops.Tables.readCached(s, s"$root/sets"))
 
   /** Batch-keyed variant of [[appendPrefix]] for the streaming
     * exact-recall intake sink: the delta's sets + prefixes (derived under
@@ -303,7 +303,7 @@ object IndexStore {
     val s = deltaDocs.sparkSession
     val sets = Dedup.prefixSetsOf(deltaDocs).cache()
     sets.count()
-    val pre = Dedup.prefixesUnder(sets, s.read.parquet(s"$root/freq"),
+    val pre = Dedup.prefixesUnder(sets, graft.ops.Tables.readCached(s, s"$root/freq"),
       threshold)
     writeDeltaSegment(sets, s"$root/sets", batchId)
     writeDeltaSegment(pre, s"$root/prefixes", batchId)
@@ -314,7 +314,7 @@ object IndexStore {
   /** Replay-safe prefix-index read for micro-batch `beforeId`. */
   def readPrefixBefore(s: SparkSession, root: String,
       beforeId: Long): PrefixIndex = PrefixIndex(
-    freq = s.read.parquet(s"$root/freq"),
+    freq = graft.ops.Tables.readCached(s, s"$root/freq"),
     prefixes = readWithDeltasBefore(s, s"$root/prefixes", beforeId),
     sets = readWithDeltasBefore(s, s"$root/sets", beforeId))
 
@@ -357,7 +357,7 @@ object IndexStore {
     if (!fs.exists(p) || parquetFileCount(s, path) <= maxFiles) false
     else {
       val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
-      s.read.parquet(path).coalesce(targetFiles)
+      graft.ops.Tables.readCached(s, path).coalesce(targetFiles)
         .write.mode("overwrite").parquet(tmp.toString)
       // swap data files in place, preserving _-prefixed entries
       fs.listStatus(p).foreach { st =>
@@ -399,7 +399,7 @@ object IndexStore {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
-    mergePostings(s.read.parquet(path), cap).coalesce(targetFiles)
+    mergePostings(graft.ops.Tables.readCached(s, path), cap).coalesce(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(p, true)
     fs.rename(tmp, p)
@@ -444,11 +444,11 @@ object IndexStore {
       threshold: Double = Dedup.JaccardThreshold): Unit = {
     foldDeltas(s, s"$root/sets", Long.MaxValue)
     foldDeltas(s, s"$root/prefixes", Long.MaxValue)
-    val sets = s.read.parquet(s"$root/sets").cache()
+    val sets = graft.ops.Tables.readCached(s, s"$root/sets").cache()
     sets.count() // freq + prefix derivations share the one set scan
     Dedup.prefixFreqOf(sets)
       .write.mode("overwrite").parquet(s"$root/freq")
-    Dedup.prefixesUnder(sets, s.read.parquet(s"$root/freq"), threshold)
+    Dedup.prefixesUnder(sets, graft.ops.Tables.readCached(s, s"$root/freq"), threshold)
       .write.mode("overwrite").parquet(s"$root/prefixes")
     sets.unpersist()
     ()
@@ -500,7 +500,7 @@ object IndexStore {
   }
 
   def readSig(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path)
+    graft.ops.Tables.readCached(s, path)
 
   /** Batch-keyed variant of [[appendSig]] for the streaming intake sink:
     * one overwritten `b=<batchId>` segment — crash-replay rewrites the
@@ -545,7 +545,7 @@ object IndexStore {
   }
 
   def readPhash(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path)
+    graft.ops.Tables.readCached(s, path)
 
   /** Batch-keyed variant of [[appendPhash]] for the streaming intake
     * sink: one overwritten `b=<batchId>` segment — crash-replay rewrites
@@ -590,7 +590,7 @@ object IndexStore {
   }
 
   def readAudioSig(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path)
+    graft.ops.Tables.readCached(s, path)
 
   /** Batch-keyed variant of [[appendAudioSig]] for the streaming intake
     * sink: one overwritten `b=<batchId>` segment — crash-replay rewrites
@@ -650,13 +650,13 @@ object IndexStore {
   /** The frozen coarse quantizer — nCells rows, driver-bounded. */
   def readAnnCentroids(s: SparkSession,
       root: String): IndexedSeq[Array[Double]] =
-    s.read.parquet(s"$root/centroids").collect()
+    graft.ops.Tables.readCached(s, s"$root/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2).toIndexedSeq
 
   /** The cell-partitioned inverted lists (vec_id, e, nrm, cell). */
   def readAnnCells(s: SparkSession, root: String): DataFrame =
-    s.read.parquet(s"$root/cells")
+    graft.ops.Tables.readCached(s, s"$root/cells")
       .select(col("vec_id"), col("e"), col("nrm"),
         col("cell").cast("int").as("cell"))
 
@@ -702,7 +702,7 @@ object IndexStore {
     val staging = s"$root/_rebuild_src"
     readAnnCells(s, root).select(col("vec_id"), col("e").as("embedding"))
       .write.mode("overwrite").parquet(staging)
-    buildAnn(s.read.parquet(staging), root, nCells, m, kCodes)
+    buildAnn(graft.ops.Tables.readCached(s, staging), root, nCells, m, kCodes)
     val p = new org.apache.hadoop.fs.Path(staging)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     ()
@@ -741,14 +741,14 @@ object IndexStore {
   /** The frozen PQ codebooks — codebooks(j)(c) = subspace-j centroid c. */
   def readAnnCodebooks(s: SparkSession,
       root: String): IndexedSeq[Array[Array[Double]]] =
-    s.read.parquet(s"$root/codebooks").collect()
+    graft.ops.Tables.readCached(s, s"$root/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .groupBy(_._1).toIndexedSeq.sortBy(_._1)
       .map { case (_, g) => g.sortBy(_._2).map(_._3).toArray }
 
   /** The cell-partitioned PQ codes (vec_id, nrm, cell, code_0..). */
   def readAnnCodes(s: SparkSession, root: String): DataFrame = {
-    val df = s.read.parquet(s"$root/codes")
+    val df = graft.ops.Tables.readCached(s, s"$root/codes")
     val codeCols = df.columns.filter(_.startsWith("code_"))
       .sortBy(_.stripPrefix("code_").toInt)
     df.select(col("vec_id") +: col("nrm") +:
@@ -812,7 +812,7 @@ object IndexStore {
     * `_delta/b=N` segments would report 0.0 after arbitrary streaming
     * intake and the rebuild trigger would never fire. */
   def prefixFreqDrift(s: SparkSession, root: String): Double = {
-    val frozen = s.read.parquet(s"$root/freq")
+    val frozen = graft.ops.Tables.readCached(s, s"$root/freq")
       .select(col("h"), col("f").as("f_old"))
     val current = Dedup.prefixFreqOf(
         readWithDeltasBefore(s, s"$root/sets", Long.MaxValue))
@@ -905,13 +905,13 @@ object IndexStore {
 
   /** The frozen rank-ordered merge table — rounds rows, driver-bounded. */
   def readBpeMerges(s: SparkSession, root: String): Seq[(String, String, Long)] =
-    s.read.parquet(s"$root/merges").collect()
+    graft.ops.Tables.readCached(s, s"$root/merges").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_._1).map(t => (t._2, t._3, t._4)).toSeq
 
   /** The frozen final merged vocab frame (s, freq) — vocabulary-sized. */
   def readBpeVocab(s: SparkSession, root: String): DataFrame =
-    s.read.parquet(s"$root/vocab")
+    graft.ops.Tables.readCached(s, s"$root/vocab")
 
   /** Re-fit the tokenizer over a (grown/drifted) corpus and overwrite the
     * artifact — the periodic maintenance the frozen-merges contract defers
@@ -935,7 +935,7 @@ object IndexStore {
     def ratio(r: org.apache.spark.sql.Row): Option[Double] =
       if (r.isNullAt(0) || r.isNullAt(1) || r.getLong(0) == 0L) None
       else Some(r.getLong(1).toDouble / r.getLong(0))
-    val fit = ratio(s.read.parquet(s"$root/stats").collect()(0))
+    val fit = ratio(graft.ops.Tables.readCached(s, s"$root/stats").collect()(0))
     val cur = ratio(bpeStatsOf(graft.ops.Bpe.encodedVocabOf(
       docs, readBpeMerges(s, root))).collect()(0))
     (fit, cur) match {
@@ -965,9 +965,9 @@ object IndexStore {
     val fertPath = new org.apache.hadoop.fs.Path(s"$root/fertility")
     val fs = fertPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(fertPath)) return 0.0
-    val fit = s.read.parquet(s"$root/fertility").collect()
+    val fit = graft.ops.Tables.readCached(s, s"$root/fertility").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val stats = s.read.parquet(s"$root/stats").collect()(0)
+    val stats = graft.ops.Tables.readCached(s, s"$root/stats").collect()(0)
     val globalFit =
       if (stats.isNullAt(0) || stats.isNullAt(1) || stats.getLong(0) == 0L)
         None
@@ -1125,7 +1125,7 @@ object IndexStore {
   def dsirBucketDrift(s: SparkSession, root: String,
       docs: DataFrame): Double = {
     val fit = new Array[Long](graft.ops.Corpus.DsirBuckets)
-    s.read.parquet(s"$root/stats").collect()
+    graft.ops.Tables.readCached(s, s"$root/stats").collect()
       .foreach(r => fit(r.getInt(0)) = r.getLong(1))
     val cur = graft.ops.Corpus.dsirBucketCounts(docs)
     val (fTot, cTot) = (fit.sum.toDouble, cur.sum.toDouble)
@@ -1149,9 +1149,9 @@ object IndexStore {
   def readDsirModel(s: SparkSession,
       root: String): (Array[Long], Seq[(String, Long)]) = {
     val lam = new Array[Long](graft.ops.Corpus.DsirBuckets)
-    s.read.parquet(s"$root/model").collect()
+    graft.ops.Tables.readCached(s, s"$root/model").collect()
       .foreach(r => lam(r.getInt(0)) = r.getLong(1))
-    val thr = s.read.parquet(s"$root/thr").collect()
+    val thr = graft.ops.Tables.readCached(s, s"$root/thr").collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
     (lam, thr)
   }
@@ -1206,7 +1206,7 @@ object IndexStore {
         .coalesce(1).write.mode("overwrite").parquet(p)
       p
     })
-    s.read.parquet(root)
+    graft.ops.Tables.readCached(s, root)
   }
 
   /** The persisted standing dedup index for `dir` (memoized build). */
@@ -1335,7 +1335,7 @@ object IndexStore {
   def pplBackoffDrift(s: SparkSession, root: String,
       docs: DataFrame): Double = {
     import graft.ops.TermScoring
-    val fit = s.read.parquet(s"$root/stats").collect()(0)
+    val fit = graft.ops.Tables.readCached(s, s"$root/stats").collect()(0)
     val (fTri, fBo) = (fit.getLong(0), fit.getLong(1))
     val cur = TermScoring.lmScoreWith(
         docs.select(col("doc_id"), split(col("text"), " ").as("toks")),
@@ -1358,15 +1358,15 @@ object IndexStore {
   private def readPplModel(s: SparkSession,
       root: String): graft.ops.TermScoring.LmModel =
     graft.ops.TermScoring.LmModel(
-      tri = s.read.parquet(s"$root/tri"),
-      ctx2 = s.read.parquet(s"$root/ctx2"),
-      bi = s.read.parquet(s"$root/bi"),
-      ctx1 = s.read.parquet(s"$root/ctx1"),
-      uni = s.read.parquet(s"$root/uni"),
-      nTok = s.read.parquet(s"$root/ntok"))
+      tri = graft.ops.Tables.readCached(s, s"$root/tri"),
+      ctx2 = graft.ops.Tables.readCached(s, s"$root/ctx2"),
+      bi = graft.ops.Tables.readCached(s, s"$root/bi"),
+      ctx1 = graft.ops.Tables.readCached(s, s"$root/ctx1"),
+      uni = graft.ops.Tables.readCached(s, s"$root/uni"),
+      nTok = graft.ops.Tables.readCached(s, s"$root/ntok"))
 
   def readPpl(s: SparkSession, root: String): PplArtifact =
-    PplArtifact(readPplModel(s, root), s.read.parquet(s"$root/thresholds"))
+    PplArtifact(readPplModel(s, root), graft.ops.Tables.readCached(s, s"$root/thresholds"))
 
   /** The persisted standing perplexity gate for `dir` (memoized build
     * over the STANDING split — the harness's shared hash-bucket
