@@ -46,7 +46,13 @@ object Bfs {
         .join(known, Seq("doc_id"), "left_anti")
         .withColumn("dist", lit(i))
         .localCheckpoint(true)
-      known = known.union(next).localCheckpoint(true)
+      // `known` stays a LAZY union of the ≤ maxHops+1 checkpointed
+      // frontier frames: re-checkpointing the union each round (the old
+      // shape) re-stored every earlier round's bytes and paid one extra
+      // job launch per round — the union plan is O(maxHops) scans of
+      // already-pinned RDDs, cheap to both optimize and anti-join
+      // against (r16 verdict #1's job-count latency, guide §2.4).
+      known = known.union(next)
       frontier = next.select(col("doc_id"))
     }
     known

@@ -611,12 +611,15 @@ object Dedup {
     prefixes.count() // force: both self-join legs read the prefix pipeline
                      // (explode + freq join + window) — uncached it runs 2×
 
-    val cand0 = prefixes.toDF("h", "doc_a", "sz_a")
-      .join(prefixes.toDF("h2", "doc_b", "sz_b"),
+    val cand0 = prefixes.toDF("h", "doc_a", "sz_a", "pa")
+      .join(prefixes.toDF("h2", "doc_b", "sz_b", "pb"),
         col("h") === col("h2") && col("doc_a") < col("doc_b") &&
           // length filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t
           col("sz_a") >= col("sz_b") * threshold &&
-          col("sz_b") >= col("sz_a") * threshold)
+          col("sz_b") >= col("sz_a") * threshold &&
+          // positional filter — prunes match rows whose overlap upper
+          // bound cannot reach t; lossless (see positionalFit)
+          positionalFit(threshold))
       .select(col("doc_a"), col("doc_b")).distinct()
 
     val cand = maxCandidatesPerDoc match {
@@ -682,13 +685,15 @@ object Dedup {
     sets.select(explode(col("hs")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("f"))
 
-  /** Per-doc prefixes (h, doc_id, sz) of `sets` under the (f, h) total
-    * order given by `freq`; tokens absent from the dictionary order FIRST
-    * (f = 0 — they are the rarest possible). Prefix length is
-    * |S| − ⌈t·|S|⌉ + 1, the lossless bound. Correctness needs only that
-    * BOTH joined sides use the SAME dictionary — stale frequencies blunt
-    * pruning sharpness, never recall, which is what lets a persisted
-    * dictionary be rebuilt periodically instead of per-append. */
+  /** Per-doc prefixes (h, doc_id, sz, pos) of `sets` under the (f, h)
+    * total order given by `freq`; tokens absent from the dictionary order
+    * FIRST (f = 0 — they are the rarest possible). Prefix length is
+    * |S| − ⌈t·|S|⌉ + 1, the lossless bound. `pos` is the element's 1-based
+    * rank within the doc's FULL sorted set — the input to the positional
+    * filter ([[positionalFit]]). Correctness needs only that BOTH joined
+    * sides use the SAME dictionary — stale frequencies blunt pruning
+    * sharpness, never recall, which is what lets a persisted dictionary
+    * be rebuilt periodically instead of per-append. */
   private[graft] def prefixesUnder(sets: DataFrame, freq: DataFrame,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -698,7 +703,29 @@ object Dedup {
       .withColumn("f", coalesce(col("f"), lit(0L)))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("h"), col("doc_id"), col("sz"))
+      .select(col("h"), col("doc_id"), col("sz"), col("rnk").as("pos"))
+  }
+
+  /** The PPJoin positional filter (Xiao et al., TODS 2011 §3.2; r16
+    * verdict #3 — shrink the CANDIDATE set, never the emitted pairs): for
+    * a prefix element matched at 1-based sorted-set positions (pa, pb) of
+    * docs sized (sz_a, sz_b), every other common element lies strictly
+    * after both positions, so the overlap is at most
+    * ub = 1 + min(sz_a − pa, sz_b − pb) and the pair's Jaccard is at most
+    * ub / (sz_a + sz_b − ub). Keep the match row only when that bound
+    * reaches `threshold`.
+    *
+    * LOSSLESS against [[verifyExactPairs]]'s own arithmetic: for any pair
+    * the verify keeps, its FIRST common element (in the shared (f, h)
+    * order) is in both prefixes (the prefix theorem) and satisfies
+    * o ≤ ub, hence exactly ub/(sz_a+sz_b−ub) ≥ o/(sz_a+sz_b−o) = jraw —
+    * and IEEE division is monotone, so the computed bound ratio ≥ the
+    * computed jraw ≥ threshold. That row survives, the pair reaches the
+    * verify, and the output is row-identical (the DuckDB oracles replay
+    * the UNfiltered candidate join — hash equality is the proof). */
+  private[graft] def positionalFit(threshold: Double): Column = {
+    val ub = lit(1L) + least(col("sz_a") - col("pa"), col("sz_b") - col("pb"))
+    ub / (col("sz_a") + col("sz_b") - ub) >= threshold
   }
 
   /** Exact Jaccard verify of candidate (doc_a, doc_b) pairs against the
@@ -746,11 +773,15 @@ object Dedup {
     val dSets = prefixSetsOf(deltaDocs).cache()
     dSets.count() // force: prefix derivation + verify leg both read it
     val dPref = prefixesUnder(dSets, idx.freq, threshold)
-    val cand0 = idx.prefixes.toDF("h", "doc_a", "sz_a")
-      .join(dPref.toDF("h2", "doc_b", "sz_b"),
+    val cand0 = idx.prefixes.toDF("h", "doc_a", "sz_a", "pa")
+      .join(dPref.toDF("h2", "doc_b", "sz_b", "pb"),
         col("h") === col("h2") &&
           col("sz_a") >= col("sz_b") * threshold &&
-          col("sz_b") >= col("sz_a") * threshold)
+          col("sz_b") >= col("sz_a") * threshold &&
+          // positional filter — both sides' positions are ranked under
+          // the SAME frozen dictionary, so the first-common-element
+          // argument holds verbatim; lossless (see positionalFit)
+          positionalFit(threshold))
       .select(col("doc_a"), col("doc_b")).distinct()
     val cand = maxCandidatesPerDoc match {
       case None => cand0

@@ -45,10 +45,27 @@ object PageRank {
     * family's candidate budget. `None` (default) is the exact, oracled
     * graph. Rank semantics under the cap are those of the SAMPLED graph
     * (mass renormalizes over kept edges), the standard treatment for
-    * centrality-on-subsampled-graphs. */
+    * centrality-on-subsampled-graphs.
+    *
+    * Each round is ONE shuffle and ZERO joins (r16 verdict #1, guide
+    * §2.4): the state frame carries (doc_id, dsts, deg, rank) and a round
+    * is a single hash aggregate over the union of (a) per-edge
+    * contribution rows exploded from the adjacency arrays and (b) one
+    * self row per node carrying its adjacency payload with a zero
+    * contribution — the classic route-the-adjacency-through-the-
+    * aggregation Pregel-on-MapReduce formulation. The self row does two
+    * jobs: it reattaches (dsts, deg) for the next round with no join
+    * (exactly one non-null per group, so first/max are deterministic),
+    * and it makes every node appear in the aggregate, replacing the old
+    * `nodes LEFT JOIN contribs` + `coalesce(s, 0)` — a sum over the true
+    * contributions plus a literal 0 is the same Long, so the integer
+    * trajectory is bit-identical (PageRankSpec's driver-side replay
+    * checks rank-for-rank). Previous shape was 3 exchanges + 2 joins per
+    * round (rank⋈edges, contribution agg, nodes⋈contribs); at sf0.1 the
+    * 63-job schedule cost dominated (JobProfile: ~40-80 ms/job driver
+    * round-trip). */
   def pageRank(pairs: DataFrame, iters: Int = Iters,
       maxDegree: Option[Int] = None): DataFrame = {
-    val spark = pairs.sparkSession
     val dir1 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val dir2 = pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))
     val edges0 = dir1.union(dir2)
@@ -62,43 +79,40 @@ object PageRank {
         edges0.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= c).drop("__rn")
     }
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // degree rides along with each edge so the per-round join is single;
-    // hash-partition by src ONCE before pinning — every round's
-    // rank-contribution join then lines up against the agg's hash(doc_id)
-    // partitioning with no per-round exchange of the edge frame (the
-    // 1000-executor plan: the big static frame never moves after round 0)
-    val edgesDeg = edges.join(deg, "src")
-      .repartition(col("src")).localCheckpoint(true)
-
-    val nodes = edgesDeg.select(col("src").as("doc_id")).distinct()
+    // adjacency built ONCE, lineage-truncated: (node, out-neighbors, deg).
+    // The undirected doubling guarantees every node is a src, so this
+    // frame IS the node set.
+    val adj = edges.groupBy(col("src").as("doc_id"))
+      .agg(collect_list(col("dst")).as("dsts"), count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    val n = nodes.count()
+    val n = adj.count()
     require(n > 0, "pagerank needs a non-empty graph")
     val base = TotalMass / n
+    val dstsType = adj.schema("dsts").dataType
 
-    var ranks = nodes.withColumn("rank", lit(base))
+    var state = adj.withColumn("rank", lit(base))
     for (i <- 1 to iters) {
-      val contribs = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("doc_id"))
-        .select(col("dst").as("doc_id"), expr("rank div deg").as("c"))
-        .groupBy("doc_id").agg(sum(col("c")).as("s"))
-      ranks = nodes
-        .join(contribs, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          expr(s"($BaseNum * ${base}L + $DampNum * coalesce(s, 0L)) div 100")
-            .as("rank"))
+      val contribs = state.select(
+        explode(col("dsts")).as("doc_id"),
+        expr("rank div deg").as("c"),
+        lit(null).cast(dstsType).as("dsts"),
+        lit(null).cast("long").as("deg"))
+      val self = state.select(col("doc_id"), lit(0L).as("c"),
+        col("dsts"), col("deg"))
+      state = contribs.union(self)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("s"),
+          first(col("dsts"), ignoreNulls = true).as("dsts"),
+          max(col("deg")).as("deg"))
+        .select(col("doc_id"), col("dsts"), col("deg"),
+          expr(s"($BaseNum * ${base}L + $DampNum * s) div 100").as("rank"))
       // truncate lineage every 3rd round, not every round: each eager
       // localCheckpoint is a full job launch + store pass, and a 3-round
-      // plan (3 joins + aggs) is still cheap to optimize/serialize —
+      // plan (3 aggregates) is still cheap to optimize/serialize —
       // measured ~35% off the 10-round wall clock vs per-round truncation
-      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+      if (i % 3 == 0 && i < iters) state = state.localCheckpoint(true)
     }
-    // re-derive degree from the CHECKPOINTED edge frame — `deg` itself
-    // still carries the full LSH lineage and would recompute the pair scan
-    val degFinal = edgesDeg.select(col("src"), col("deg")).distinct()
-    ranks.join(degFinal, ranks("doc_id") === degFinal("src"))
-      .select(col("doc_id"), col("rank"), col("deg"))
+    state.select(col("doc_id"), col("rank"), col("deg"))
       .orderBy(col("rank").desc, col("doc_id"))
   }
 

