@@ -131,6 +131,46 @@ object Caching {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
+  /** The session's auto-broadcast threshold in bytes (0 when disabled). */
+  private def broadcastThreshold(
+      s: org.apache.spark.sql.SparkSession): Long = {
+    val v = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    if (v.trim.startsWith("-")) 0L
+    else try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+    catch { case scala.util.control.NonFatal(_) => 10L * 1024 * 1024 }
+  }
+
+  /** Eagerly pin `f` and, when its ACTUAL stored size clears the session's
+    * auto-broadcast threshold, return it broadcast-hinted.
+    *
+    * Why (r16 verdict #5, found at the ×10 replica): a truncated-lineage
+    * checkpoint keeps the pre-checkpoint plan's size ESTIMATE, which for
+    * an aggregate is input-proportional — so a vocabulary-bounded count
+    * frame memoized off a ×10 corpus "weighs" 10× the corpus to the
+    * planner and every consumer join silently degrades from broadcast to
+    * SortMergeJoin (measured: all five LM scoring joins SMJ at ×10).
+    * After the eager checkpoint the true stored bytes are known, so this
+    * restores exactly the size-aware choice the planner would have made
+    * from file statistics — and stays scale-correct: a genuinely large
+    * frame (an open-domain trigram table at 100 TB) exceeds the threshold
+    * and is NOT hinted, keeping the shuffled join. The deserialized
+    * stored size over-estimates the serialized broadcast payload, so the
+    * comparison errs toward not broadcasting. `ids` collects the pinned
+    * RDD ids (same snapshot-diff bookkeeping as the callers). */
+  private def pinSized(f: DataFrame, ids: java.util.Set[Int]): DataFrame = {
+    val s = f.sparkSession
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val cp = f.localCheckpoint()
+    val newIds = s.sparkContext.getPersistentRDDs.keySet -- before
+    newIds.foreach(id => ids.add(id))
+    val bytes = s.sparkContext.getRDDStorageInfo
+      .filter(i => newIds.contains(i.id)).map(i => i.memSize + i.diskSize).sum
+    val thr = broadcastThreshold(s)
+    if (bytes > 0 && thr > 0 && bytes <= thr)
+      org.apache.spark.sql.functions.broadcast(cp)
+    else cp
+  }
+
   def memo(s: org.apache.spark.sql.SparkSession, key: String)(
       compute: => DataFrame): DataFrame = {
     val perSession = memoTable.synchronized {
@@ -148,8 +188,9 @@ object Caching {
       // bounded by the memo count and beats breaking a truncated-lineage
       // frame the dashboards will reuse
       val before = s.sparkContext.getPersistentRDDs.keySet
-      val f = compute.localCheckpoint()
+      val computed = compute
       val ids = protectedFor(s)
+      val f = pinSized(computed, ids)
       (s.sparkContext.getPersistentRDDs.keySet -- before)
         .foreach(id => ids.add(id))
       f
@@ -181,8 +222,12 @@ object Caching {
     perSession.computeIfAbsent(key, _ => {
       val before = s.sparkContext.getPersistentRDDs.keySet
       val (frames, caches) = compute
-      val cps = frames.map(_.localCheckpoint())
       val ids = protectedFor(s)
+      // pinSized: eager checkpoint + broadcast hint iff the frame's
+      // ACTUAL stored bytes clear the auto-broadcast threshold (see its
+      // scaladoc — restores the size-aware join choice a checkpoint's
+      // estimate-stats would otherwise lose at replica scale)
+      val cps = frames.map(f => pinSized(f, ids))
       (s.sparkContext.getPersistentRDDs.keySet -- before)
         .foreach(id => ids.add(id))
       // the upstream caches drop now — the checkpoints above are

@@ -39,7 +39,12 @@ object ExplainAll {
     graft.SparkEntry.queries.filter(q => names(q._1)).foreach {
       case (name, fn) =>
         println(s"\n========== $name ==========")
-        fn(spark, dir).explain("formatted")
+        val df = fn(spark, dir)
+        df.explain("formatted")
+        // simple mode too: its *(n) markers are the whole-stage-codegen
+        // span ids — the formatted dump doesn't carry them
+        println(s"---------- $name (simple, codegen spans) ----------")
+        df.explain()
     }
     spark.stop()
   }
