@@ -35,20 +35,6 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // Size-based AQE partition coalescing (r17, guide §2.2): with the
-      // default parallelismFirst=true AQE keeps >= one post-shuffle
-      // partition per core even when each holds a few KB, so small-shuffle
-      // stages pay per-task scheduling for nothing — measured 32-core
-      // SLOWER than 8-core on seven queries (r16 verdict #4;
-      // dedup_clusters 3.06 vs 1.94 s). `false` makes AQE respect
-      // advisoryPartitionSizeInBytes (64 MB default) — the setting Spark's
-      // own docs recommend. Scale-robust, not a local[32] tune: at real
-      // scale partitions exceed the advisory size and behavior is
-      // unchanged; it only coalesces partitions that would also waste a
-      // real cluster's executor slots. A/B at sf0.1/32c: all seven
-      // inverse-scalers improve (q_quantile_rollup 1.77 -> 1.09 s), no
-      // heavy-query regression (six-query control arm).
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -18,8 +18,6 @@ object TimeQueries {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // engine-standard (r17): size-based AQE coalescing — see Bench.scala
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val times = scala.collection.mutable.Map[String, List[Double]]()
